@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All query batches, in SURVEY.md §2 order. */
-  def batches: Seq[QueryBatch] = Seq(Relational)
+  def batches: Seq[QueryBatch] = Seq(Relational, TableOps)
 
   private lazy val catalog: Seq[GQ] = batches.flatMap(_.queries)
 

@@ -1,0 +1,58 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** OPTIMIZE / ZORDER-approx / targetFileSize compaction (SURVEY.md §4;
+  * reference `DP/Step 1:224,297`, `DP/Step 2`).
+  *
+  * Z-ordering is approximated by `repartitionByRange(cols) +
+  * sortWithinPartitions(cols)`: each output file then covers a narrow range
+  * of the clustering keys, so parquet row-group min/max stats (and our
+  * per-file pruning) skip files exactly the way the reference's ZORDER
+  * demos show (`DP/Step 2:115-202` — 33/34 files pruned on a point
+  * lookup). Interleaved (true Z-curve) ordering matters only for
+  * multi-column box queries; range-cluster is the right first-order
+  * approximation and is what Delta's own OPTIMIZE does for 1 column.
+  */
+object Maintenance {
+
+  private val DefaultTargetFileBytes = 128L * 1024 * 1024
+
+  def parseSize(s: String): Long = {
+    val t = s.trim.toLowerCase
+    if (t.endsWith("gb")) t.dropRight(2).trim.toLong * 1024 * 1024 * 1024
+    else if (t.endsWith("mb")) t.dropRight(2).trim.toLong * 1024 * 1024
+    else if (t.endsWith("kb")) t.dropRight(2).trim.toLong * 1024
+    else t.toLong
+  }
+
+  /** OPTIMIZE [ZORDER BY (cols)]: rewrite the table into
+    * ceil(bytes / targetFileSize) files, range-clustered by `zorderBy`. */
+  def optimize(t: GraftTable, zorderBy: Seq[String] = Nil): Commit = {
+    val files = t.filesAt()
+    if (files.isEmpty) return t.commit("OPTIMIZE", Nil, Nil, t.schemaAt())
+    val totalBytes = files.map(f => Files.size(Paths.get(f))).sum
+    val target = t.properties.get("graft.targetFileSize")
+      .map(parseSize).getOrElse(DefaultTargetFileBytes)
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
+
+    val df = t.read()
+    val clustered =
+      if (zorderBy.nonEmpty)
+        df.repartitionByRange(nFiles, zorderBy.map(col): _*)
+          .sortWithinPartitions(zorderBy.map(col): _*)
+      else df.coalesce(nFiles)
+
+    val added = t.writeData(clustered)
+    val removed = files.map(f => Paths.get(t.path).toAbsolutePath
+      .relativize(Paths.get(f).toAbsolutePath).toString)
+    t.commit("OPTIMIZE", added, removed, t.schemaAt(),
+      Map("zOrderBy" -> zorderBy.mkString(",")),
+      metrics = Map(
+        "numFilesRemoved" -> files.size.toLong,
+        "numFilesAdded" -> added.size.toLong,
+        "bytesCompacted" -> totalBytes))
+  }
+}

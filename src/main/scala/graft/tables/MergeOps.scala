@@ -1,0 +1,234 @@
+package graft.tables
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO / DELETE / UPDATE over GraftTable (SURVEY.md §2.4; reference
+  * MERGE shapes `DP/Step 1:173-200`, `DP/Step 5:242-275`).
+  *
+  * Scale design — the two expensive steps are both key-local:
+  *  1. *Touched-file pruning*: a LEFT SEMI join of target (with
+  *     `_metadata.file_path`) against the source finds the files that
+  *     contain matched rows; only those are rewritten, everything else is
+  *     carried forward by reference in the commit. A merge touching 0.1%
+  *     of a 100 TB table rewrites ~100 GB, not 100 TB.
+  *  2. The rewrite itself is one FULL OUTER join between the touched-file
+  *     rows and the source — shuffle on the merge keys, AQE handles skew.
+  */
+object MergeOps {
+
+  sealed trait MatchedAction
+  /** UPDATE SET col -> SQL expr (exprs may reference `target.` / `source.`). */
+  final case class UpdateSet(assignments: Map[String, String]) extends MatchedAction
+  case object UpdateAll extends MatchedAction
+  case object DeleteAction extends MatchedAction
+
+  sealed trait NotMatchedAction
+  final case class InsertValues(assignments: Map[String, String]) extends NotMatchedAction
+  case object InsertAll extends NotMatchedAction
+
+  final case class WhenMatched(condition: Option[String], action: MatchedAction)
+  final case class WhenNotMatched(condition: Option[String], action: NotMatchedAction)
+
+  final class MultipleMatchException(msg: String) extends RuntimeException(msg)
+
+  /** MERGE `source` into `t` on `condition` (SQL expr over aliases
+    * `target` and `source`). Clauses apply first-match-wins, as in SQL
+    * MERGE. A target row matched by >1 source rows raises
+    * MultipleMatchException when update/delete clauses exist (same
+    * semantics Delta documents — dedupe the source first, which is the
+    * reference's own idiom: ROW_NUMBER DupRank=1, `DP/Step 1:174-191`).
+    */
+  def mergeInto(
+      t: GraftTable,
+      source: DataFrame,
+      condition: String,
+      matched: Seq[WhenMatched] = Nil,
+      notMatched: Seq[WhenNotMatched] = Nil,
+      failOnMultipleMatches: Boolean = true): Commit = {
+    val spark = t.spark
+    val schema = t.schemaAt()
+    val cols = schema.fieldNames.toSeq
+    val allFiles = t.filesAt()
+
+    // Insert-only merge: no rewrite at all — anti-join source against the
+    // full target (matched rows must be suppressed even though no file is
+    // touched) and append.
+    if (matched.isEmpty) {
+      val notYet = source.alias("source")
+        .join(t.read().alias("target"), expr(condition), "left_anti")
+      var prior: Column = lit(false)
+      val iFlags = notMatched.map { m =>
+        val f = m.condition.map(expr).getOrElse(lit(true)) && !prior
+        prior = prior || m.condition.map(expr).getOrElse(lit(true))
+        f
+      }
+      def insValue(c: String): Column = {
+        val cases = notMatched.zip(iFlags).collect {
+          case (WhenNotMatched(_, InsertValues(as)), f) =>
+            (f, as.get(c).map(expr).getOrElse(lit(null)))
+          case (WhenNotMatched(_, InsertAll), f) => (f, col(s"source.$c"))
+        }
+        cases.foldRight(lit(null): Column) { case ((f, v), acc) => when(f, v).otherwise(acc) }
+          .cast(schema(c).dataType).as(c)
+      }
+      val anyInsert = iFlags.foldLeft(lit(false))(_ || _)
+      val rows = notYet.filter(anyInsert).select(cols.map(insValue): _*)
+      return t.append(rows, "MERGE", Map("predicate" -> condition))
+    }
+
+    // -- 1. touched-file pruning ------------------------------------------
+    val touched: Seq[String] =
+      if (allFiles.isEmpty || matched.isEmpty) Nil
+      else {
+        val target = spark.read.schema(schema).parquet(allFiles: _*)
+          .withColumn("__file", col("_metadata.file_path"))
+        target.alias("target")
+          .join(source.alias("source"), expr(condition), "left_semi")
+          .select("__file").distinct().collect()
+          .map(r => Paths.get(new java.net.URI(r.getString(0))).toString).toSeq
+      }
+    val untouchedKept = allFiles.diff(touched)
+
+    // -- 2. full-outer rewrite of touched rows vs source -------------------
+    val tt =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(touched: _*)
+    val tAug = tt.withColumn("__t", lit(true)).withColumn("__rid", monotonically_increasing_id())
+    val sAug = source.withColumn("__s", lit(true))
+    val joined = tAug.alias("target")
+      .join(sAug.alias("source"), expr(condition), "full_outer")
+      .persist()
+    try {
+      val isMatched = col("__t").isNotNull && col("__s").isNotNull
+      val tOnly = col("__t").isNotNull && col("__s").isNull
+      val sOnly = col("__t").isNull && col("__s").isNotNull
+
+      if (failOnMultipleMatches && matched.nonEmpty && touched.nonEmpty) {
+        val dup = joined.filter(isMatched).groupBy("__rid").count()
+          .filter(col("count") > 1).limit(1).count()
+        if (dup > 0) throw new MultipleMatchException(
+          "MERGE: a target row matches multiple source rows; dedupe the source " +
+            "(ROW_NUMBER ... = 1) before merging")
+      }
+
+      // first-match-wins application flags per clause
+      def flags[A](cs: Seq[(Option[String], A)], base: Column): Seq[Column] = {
+        var prior: Column = lit(false)
+        cs.map { case (cond, _) =>
+          val f = base && cond.map(expr).getOrElse(lit(true)) && !prior
+          prior = prior || (base && cond.map(expr).getOrElse(lit(true)))
+          f
+        }
+      }
+      val mFlags = flags(matched.map(m => (m.condition, m.action)), isMatched)
+      val iFlags = flags(notMatched.map(m => (m.condition, m.action)), sOnly)
+
+      val deleted = matched.zip(mFlags)
+        .collect { case (WhenMatched(_, DeleteAction), f) => f }
+        .foldLeft(lit(false))(_ || _)
+      val updated = matched.zip(mFlags)
+        .collect { case (WhenMatched(_, UpdateSet(_)), f) => f
+                   case (WhenMatched(_, UpdateAll), f) => f }
+        .foldLeft(lit(false))(_ || _)
+      val inserted = iFlags.foldLeft(lit(false))(_ || _)
+
+      def valueFor(c: String): Column = {
+        val cases: Seq[(Column, Column)] =
+          matched.zip(mFlags).collect {
+            case (WhenMatched(_, UpdateSet(as)), f) if as.contains(c) => (f, expr(as(c)))
+            case (WhenMatched(_, UpdateAll), f) => (f, col(s"source.$c"))
+          } ++ notMatched.zip(iFlags).collect {
+            case (WhenNotMatched(_, InsertValues(as)), f) =>
+              (f, as.get(c).map(expr).getOrElse(lit(null)))
+            case (WhenNotMatched(_, InsertAll), f) => (f, col(s"source.$c"))
+          }
+        cases.foldRight(col(s"target.$c")) { case ((f, v), acc) => when(f, v).otherwise(acc) }
+          .cast(schema(c).dataType).as(c)
+      }
+
+      val keep = tOnly || (isMatched && !deleted) || (sOnly && inserted)
+      val result = joined.filter(keep).select(cols.map(valueFor): _*)
+
+      val added = if (touched.isEmpty && notMatched.isEmpty) Nil else t.writeData(result)
+      val rel = touched.map(f => Paths.get(t.path).toAbsolutePath
+        .relativize(Paths.get(f).toAbsolutePath).toString)
+      val c = t.commit("MERGE", added, rel, schema,
+        Map("predicate" -> condition),
+        metrics = Map(
+          "numTargetFilesRemoved" -> touched.size.toLong,
+          "numTargetFilesAdded" -> added.size.toLong))
+
+      if (t.cdfEnabled) {
+        val del = joined.filter(deleted)
+          .select(cols.map(x => col(s"target.$x").as(x)): _*)
+          .withColumn("_change_type", lit("delete"))
+        val upd = joined.filter(updated && !deleted)
+          .select(cols.map(valueFor): _*)
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = joined.filter(sOnly && inserted)
+          .select(cols.map(valueFor): _*)
+          .withColumn("_change_type", lit("insert"))
+        t.writeChanges(
+          del.unionByName(upd).unionByName(ins).withColumn("_commit_version", lit(c.version)),
+          c.version)
+      }
+      c
+    } finally joined.unpersist()
+  }
+
+  /** DELETE FROM t WHERE predicate (`C360/01.5:305`): anti-rewrite of only
+    * the files containing matching rows. */
+  def delete(t: GraftTable, predicate: String): Commit = {
+    val spark = t.spark
+    val schema = t.schemaAt()
+    val allFiles = t.filesAt()
+    if (allFiles.isEmpty) return t.commit("DELETE", Nil, Nil, schema)
+    val df = spark.read.schema(schema).parquet(allFiles: _*)
+    val touched = df.withColumn("__file", col("_metadata.file_path"))
+      .filter(expr(predicate))
+      .select("__file").distinct().collect()
+      .map(r => Paths.get(new java.net.URI(r.getString(0))).toString).toSeq
+    if (touched.isEmpty)
+      return t.commit("DELETE", Nil, Nil, schema, Map("predicate" -> predicate))
+    val kept = spark.read.schema(schema).parquet(touched: _*).filter(not(expr(predicate)))
+    val added = t.writeData(kept)
+    val rel = touched.map(f => Paths.get(t.path).toAbsolutePath
+      .relativize(Paths.get(f).toAbsolutePath).toString)
+    val c = t.commit("DELETE", added, rel, schema, Map("predicate" -> predicate))
+    if (t.cdfEnabled) t.writeChanges(
+      spark.read.schema(schema).parquet(touched: _*).filter(expr(predicate))
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("_commit_version", lit(c.version)), c.version)
+    c
+  }
+
+  /** UPDATE t SET col = expr WHERE predicate (`DP/Step 1:195-199`). */
+  def update(t: GraftTable, assignments: Map[String, String], predicate: String): Commit = {
+    val spark = t.spark
+    val schema = t.schemaAt()
+    val allFiles = t.filesAt()
+    if (allFiles.isEmpty) return t.commit("UPDATE", Nil, Nil, schema)
+    val df = spark.read.schema(schema).parquet(allFiles: _*)
+    val touched = df.withColumn("__file", col("_metadata.file_path"))
+      .filter(expr(predicate))
+      .select("__file").distinct().collect()
+      .map(r => Paths.get(new java.net.URI(r.getString(0))).toString).toSeq
+    if (touched.isEmpty)
+      return t.commit("UPDATE", Nil, Nil, schema, Map("predicate" -> predicate))
+    val rewritten = spark.read.schema(schema).parquet(touched: _*)
+      .select(schema.fieldNames.toSeq.map { c =>
+        assignments.get(c)
+          .map(e => when(expr(predicate), expr(e)).otherwise(col(c))
+            .cast(schema(c).dataType).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    val added = t.writeData(rewritten)
+    val rel = touched.map(f => Paths.get(t.path).toAbsolutePath
+      .relativize(Paths.get(f).toAbsolutePath).toString)
+    t.commit("UPDATE", added, rel, schema, Map("predicate" -> predicate))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD helpers: `scd2Merge` (reference staged-merge pattern
+  * `DP/Step 12:159-236`) and `applyChanges` (DLT APPLY CHANGES INTO,
+  * `CDC/01-Retail_DLT_CDC_SQL.sql:152-199`, `DP/Step 3:104-118`).
+  *
+  * Both dedupe the incoming batch to the latest row per key first
+  * (ROW_NUMBER over `sequenceBy` desc) — the canonical idiom — then drive
+  * one MERGE, so the heavy lifting (file pruning, keyed shuffle) is
+  * MergeOps'.
+  */
+object Scd {
+
+  /** SCD2 merge: expire changed current rows, insert new versions.
+    *
+    * Target schema = business columns ++ (startCol, endCol, currentCol),
+    * where startCol/endCol take the type of `seqCol` in `updates`.
+    * Change detection compares `compareCols`.
+    */
+  def scd2Merge(
+      t: GraftTable,
+      updates: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String],
+      seqCol: String,
+      startCol: String = "_start_at",
+      endCol: String = "_end_at",
+      currentCol: String = "_is_current"): Commit = {
+    // latest row per key
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = updates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val keyCond = keys.map(k => s"target.$k = source.$k").mkString(" AND ")
+    val diffCond = compareCols
+      .map(c => s"NOT (target.$c <=> source.$c)").mkString(" OR ")
+
+    // Stage A (one merge): expire the current row when it changed.
+    MergeOps.mergeInto(
+      t, latest,
+      condition = s"($keyCond) AND target.$currentCol = true",
+      matched = Seq(MergeOps.WhenMatched(
+        Some(diffCond),
+        MergeOps.UpdateSet(Map(
+          endCol -> s"source.$seqCol",
+          currentCol -> "false")))),
+      notMatched = Nil)
+
+    // Stage B (second merge): insert the new current version for keys whose
+    // current row is now absent/expired (covers both changed and new keys).
+    val businessCols = t.schemaAt().fieldNames
+      .filterNot(Set(startCol, endCol, currentCol).contains)
+    val insertAssignments =
+      businessCols.map(c => c -> s"source.$c").toMap ++
+        Map(startCol -> s"source.$seqCol",
+          endCol -> "CAST(NULL AS STRING)",
+          currentCol -> "true")
+    MergeOps.mergeInto(
+      t, latest,
+      condition = s"($keyCond) AND target.$currentCol = true",
+      matched = Nil,
+      notMatched = Seq(MergeOps.WhenNotMatched(None,
+        MergeOps.InsertValues(insertAssignments))))
+  }
+
+  /** DLT APPLY CHANGES INTO — SCD1: keep one row per key, newest `sequenceBy`
+    * wins, out-of-order rows are ignored, `deleteWhen` rows remove the key.
+    * The target carries `sequenceBy` so late-arriving older rows lose
+    * against what is already applied (`CDC/01:176-184`).
+    */
+  def applyChangesScd1(
+      t: GraftTable,
+      cdc: DataFrame,
+      keys: Seq[String],
+      sequenceBy: String,
+      deleteWhen: Option[String] = None,
+      exceptCols: Seq[String] = Nil): Commit = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(sequenceBy).desc)
+    val latest = cdc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .drop(exceptCols: _*)
+
+    val keyCond = keys.map(k => s"target.$k = source.$k").mkString(" AND ")
+    val newer = s"source.$sequenceBy >= target.$sequenceBy"
+    val cols = t.schemaAt().fieldNames.toSeq
+
+    val matched = Seq(
+      deleteWhen.map(d => MergeOps.WhenMatched(
+        Some(s"($newer) AND (${qualifySource(d, latest.columns)})"), MergeOps.DeleteAction)),
+      Some(MergeOps.WhenMatched(Some(newer),
+        MergeOps.UpdateSet(cols.map(c => c -> s"source.$c").toMap)))).flatten
+    val notMatched = Seq(MergeOps.WhenNotMatched(
+      deleteWhen.map(d => s"NOT (${qualifySource(d, latest.columns)})"),
+      MergeOps.InsertValues(cols.map(c => c -> s"source.$c").toMap)))
+
+    MergeOps.mergeInto(t, latest, keyCond, matched, notMatched)
+  }
+
+  /** Qualify bare column references in a user predicate with `source.` so
+    * it is unambiguous inside the merge join. */
+  private def qualifySource(pred: String, sourceCols: Seq[String]): String =
+    sourceCols.sortBy(-_.length).foldLeft(pred) { (p, c) =>
+      p.replaceAll(s"(?<![\\w.])$c(?![\\w])", s"source.$c")
+    }
+}
