@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All query batches, in SURVEY.md §2 order. */
-  def batches: Seq[QueryBatch] = Seq(Relational, TableOps)
+  def batches: Seq[QueryBatch] = Seq(Relational, TableOps, TextQueries, VectorQueries)
 
   private lazy val catalog: Seq[GQ] = batches.flatMap(_.queries)
 

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{DedupOps, TextOps}
+
+/** LLM-training-data text operators over `documents` (north-star scope):
+  * language ID, quality scoring, token counting, fingerprinting, and the
+  * dedup family (exact, n-gram Jaccard, MinHash+LSH, SimHash). Sketch-based
+  * methods verify candidates with exact Jaccard, so their gate output is
+  * reproducible by the DuckDB oracle's exact computation.
+  */
+object TextQueries extends QueryBatch {
+
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+
+  /** documents ∪ mutated near-copies (known near-dup ground truth). */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(
+      d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra token extra2")).as("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, text || ' extra token extra2'
+         FROM documents WHERE doc_id % 20 = 0)"""
+
+  /** Exact n-gram (5-word shingle) Jaccard pairs — shared oracle for the
+    * three near-dup implementations. */
+  private def jaccardOracle(threshold: String): String =
+    s"""WITH $corpusSql,
+        words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM corpus),
+        grams AS (SELECT DISTINCT doc_id,
+                    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS shingle
+                  FROM words, UNNEST(range(greatest(len(w) - 4, 0))) AS t(i)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT d1, d2,
+               round(inter::DOUBLE / (s1.sz + s2.sz - inter) + 1e-9, 4) AS jaccard
+        FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        WHERE inter::DOUBLE / (s1.sz + s2.sz - inter) >= $threshold
+        ORDER BY d1, d2"""
+
+  /** Language ID: stopword-presence argmax heuristic. */
+  private val q70 = GQ(
+    "q70_lang_id",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id"),
+    Some("""WITH s AS (SELECT doc_id,
+              (CASE WHEN ' '||lower(text)||' ' LIKE '% the %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% and %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% of %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% to %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% in %' THEN 1 ELSE 0 END) AS s_en,
+              (CASE WHEN ' '||lower(text)||' ' LIKE '% el %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% la %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% de %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% que %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% y %' THEN 1 ELSE 0 END) AS s_es,
+              (CASE WHEN ' '||lower(text)||' ' LIKE '% le %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% les %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% et %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% des %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% un %' THEN 1 ELSE 0 END) AS s_fr,
+              (CASE WHEN ' '||lower(text)||' ' LIKE '% der %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% die %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% und %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% das %' THEN 1 ELSE 0 END
+             + CASE WHEN ' '||lower(text)||' ' LIKE '% ist %' THEN 1 ELSE 0 END) AS s_de
+            FROM documents)
+            SELECT doc_id,
+              CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                   WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+                   WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                   WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                   ELSE 'und' END AS lang_pred
+            FROM s ORDER BY doc_id""")
+  )
+
+  /** Quality score: length + punctuation + stopword composite. */
+  private val q71 = GQ(
+    "q71_quality_score",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            round(
+              least(len(string_split_regex(lower(trim(text)), '\s+')) / 50.0, 1.0) * 0.4
+            + (1.0 - least(((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                            / greatest(length(text)::DOUBLE, 1.0)) * 10.0, 1.0)) * 0.3
+            + ((CASE WHEN ' '||lower(text)||' ' LIKE '% the %' THEN 1 ELSE 0 END
+              + CASE WHEN ' '||lower(text)||' ' LIKE '% and %' THEN 1 ELSE 0 END
+              + CASE WHEN ' '||lower(text)||' ' LIKE '% of %' THEN 1 ELSE 0 END
+              + CASE WHEN ' '||lower(text)||' ' LIKE '% to %' THEN 1 ELSE 0 END
+              + CASE WHEN ' '||lower(text)||' ' LIKE '% in %' THEN 1 ELSE 0 END) / 5.0) * 0.3
+            + 1e-9, 4) AS quality
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Token counting: whitespace + BPE-ish regex tokens. */
+  private val q72 = GQ(
+    "q72_token_counts",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        TextOps.tokenCountWs(col("text")).as("n_ws"),
+        TextOps.tokenCountBpe(col("text")).as("n_bpe"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            len(string_split_regex(text, '\s+')) AS n_ws,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Exact dedup: identical copies collapse to the lowest doc_id. */
+  private val q73 = GQ(
+    "q73_exact_dedup",
+    (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      DedupOps.exactDedup(corpus).select("doc_id").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id FROM documents ORDER BY doc_id""")
+  )
+
+  /** N-gram Jaccard near-dup pairs (inverted-index join, exact). */
+  private val q74 = GQ(
+    "q74_ngram_jaccard",
+    (s, dir) => DedupOps.jaccardPairs(dupCorpus(s, dir), n = 5, threshold = 0.5)
+      .orderBy("d1", "d2"),
+    Some(jaccardOracle("0.5"))
+  )
+
+  /** MinHash+LSH near-dup pairs, exact-verified: banding finds candidates
+    * sub-quadratically, verification makes output exact. */
+  private val q75 = GQ(
+    "q75_minhash_lsh",
+    (s, dir) => DedupOps.minhashLshPairs(dupCorpus(s, dir), n = 5, threshold = 0.5)
+      .orderBy("d1", "d2"),
+    Some(jaccardOracle("0.5"))
+  )
+
+  /** SimHash near-dup pairs, chunk-blocked + exact-verified. */
+  private val q76 = GQ(
+    "q76_simhash",
+    (s, dir) => DedupOps.simhashPairs(dupCorpus(s, dir),
+        maxHamming = 12, n = 5, threshold = 0.5)
+      .orderBy("d1", "d2"),
+    Some(jaccardOracle("0.5"))
+  )
+
+  /** Document fingerprinting: rolling normalized-hash id per doc. */
+  private val q77 = GQ(
+    "q77_fingerprint",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents ORDER BY doc_id""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q70, q71, q72, q73, q74, q75, q76, q77)
+}

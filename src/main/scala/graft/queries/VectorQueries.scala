@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.vector.VectorOps
+
+/** Similarity search over the `embeddings` table (north-star scope):
+  * brute-force cosine top-k (exact baseline), LSH-bucketed ANN (scale
+  * path, rows-only check — recall is asserted in ScalaTest against the
+  * exact baseline), and blocked near-dup pair mining.
+  */
+object VectorQueries extends QueryBatch {
+
+  private def emb(s: SparkSession, dir: String) = Tables.t(s, dir, "embeddings")
+
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    emb(s, dir).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+
+  private val cosineSql =
+    """list_sum(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE))
+       / (sqrt(list_sum(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)))
+        * sqrt(list_sum(list_transform(range(64), i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE))))"""
+
+  /** Exact brute-force cosine top-k against the vec_id=0 query vector. */
+  private val q80 = GQ(
+    "q80_cosine_topk",
+    (s, dir) => VectorOps.cosineTopK(emb(s, dir), queryVec(s, dir), 10),
+    Some(s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+             SELECT e.vec_id, round($cosineSql + 1e-9, 4) AS sim
+             FROM embeddings e, q
+             ORDER BY sim DESC, vec_id LIMIT 10""")
+  )
+
+  /** Blocked all-pairs near-dup mining: label acts as the IVF-style
+    * partition (at 100 TB: block by coarse quantizer cell, never N²). */
+  private val q81 = GQ(
+    "q81_embedding_near_dup",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+      e.alias("a")
+        .join(e.alias("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          round(VectorOps.cosine(col("a.embedding"), col("b.embedding")) + lit(1e-9), 4)
+            .as("sim"))
+        .filter(col("sim") >= 0.35)
+        .orderBy("id1", "id2")
+    },
+    Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+            round(list_sum(list_transform(range(64),
+                    i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+              / (sqrt(list_sum(list_transform(range(64),
+                    i -> a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)))
+               * sqrt(list_sum(list_transform(range(64),
+                    i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)))) + 1e-9, 4) AS sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_sum(list_transform(range(64),
+                    i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+              / (sqrt(list_sum(list_transform(range(64),
+                    i -> a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)))
+               * sqrt(list_sum(list_transform(range(64),
+                    i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)))) + 1e-9, 4) >= 0.35
+            ORDER BY id1, id2""")
+  )
+
+  /** LSH-bucketed approximate top-k (scale path). Rows-only gate check —
+    * approximate recall vs the exact baseline is asserted in
+    * VectorOpsSpec, not hash-compared. */
+  private val q82 = GQ(
+    "q82_lsh_topk",
+    (s, dir) => VectorOps.lshTopK(emb(s, dir), queryVec(s, dir), 10, nPlanes = 8),
+    None
+  )
+
+  override def queries: Seq[GQ] = Seq(q80, q81, q82)
+}

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization
+  * counts, language ID, quality scoring, fingerprinting, shingling.
+  *
+  * All pure `Column` expressions (whole-stage-codegen friendly, no UDFs) —
+  * at 100 TB these run inside the parquet scan projection with zero
+  * shuffle. Logic is deliberately expressible in ANSI SQL so the DuckDB
+  * oracle can replay it verbatim.
+  */
+object TextOps {
+
+  /** Lower-cased whitespace word array. */
+  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * each count as one token. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Stopword sets per language for the n-gram-free language-ID heuristic.
+    * Presence (not frequency) scoring keeps it O(1) per stopword. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  private def padded(text: Column): Column = concat(lit(" "), lower(text), lit(" "))
+
+  /** Number of this language's stopwords present in the text. */
+  def stopwordScore(text: Column, lang: String): Column =
+    stopwords.toMap.apply(lang)
+      .map(w => when(padded(text).like(s"% $w %"), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Heuristic language ID: argmax of stopword presence, fixed priority on
+    * ties, 'und' (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (l, _) => l -> stopwordScore(text, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length signal + punctuation sanity +
+    * stopword signal (reference-style heuristics; shape follows public
+    * quality-filter recipes for web corpora). */
+  def qualityScore(text: Column): Column = {
+    val nWords = tokenCountWs(text).cast("double")
+    val nChars = length(text).cast("double")
+    val punctRatio = punctCount(text).cast("double") / greatest(nChars, lit(1.0))
+    val stopRatio = stopwordScore(text, "en").cast("double") / lit(5.0)
+    round(
+      least(nWords / lit(50.0), lit(1.0)) * lit(0.4)
+        + (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.3)
+        + stopRatio * lit(0.3) + lit(1e-9), 4)
+  }
+
+  /** Document fingerprint: sha256 of the whitespace-normalized lower-cased
+    * text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  /** Distinct word n-gram shingles ("a b c d e" → ["a b c d e", ...]).
+    * Empty array when the document has fewer than n words. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+}
