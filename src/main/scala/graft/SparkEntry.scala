@@ -12,13 +12,16 @@ import graft.queries._
 object SparkEntry {
 
   /** All query batches, in SURVEY.md §2 order. */
-  def batches: Seq[QueryBatch] = Seq(Relational, TableOps, TextQueries, VectorQueries)
+  def batches: Seq[QueryBatch] =
+    Seq(Relational, TableOps, TextQueries, VectorQueries, StreamQueries)
 
   private lazy val catalog: Seq[GQ] = batches.flatMap(_.queries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The medallion pipeline (bronze → expectations+dedup silver → gold)
+    * exercises the engine end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    catalog.head.run(spark, "/root/testdata/sf0.001")
+    queries("q93_pipeline_medallion")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,179 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.streaming.{Expectations, Pipeline, StreamOps}
+import graft.tables.GraftTable
+
+/** Structured-streaming coverage (SURVEY.md §2.9): event-time windowed
+  * aggregation, expectations, the foreachBatch-MERGE silver pattern,
+  * DLT-style pipelines, and stream monitoring — all driven to completion
+  * with `Trigger.AvailableNow` so the gate result is deterministic and
+  * DuckDB-reproducible with batch SQL.
+  */
+object StreamQueries extends QueryBatch {
+
+  private def scratch(tag: String): String = {
+    val p = Paths.get("/root/repo/target/qtmp",
+      tag + "-" + java.util.UUID.randomUUID().toString.take(8))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Streaming read of the events table (nanos ts → micros, like Tables.t). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source wants a directory: read the sf dir with a
+    // glob restricted to the events table
+    val st = s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (raw("ts").dataType == LongType)
+      st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else st
+  }
+
+  /** Tumbling-window streaming aggregation → memory sink (complete mode);
+    * epoch-aligned 1h windows equal batch date_trunc('hour'). */
+  private val q90 = GQ(
+    "q90_stream_hourly",
+    (s, dir) => {
+      val qn = "q90_sink_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+      val agg = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("hour", "event_type")
+    },
+    Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+            count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  /** Expectations report: warn/drop rule violation counts
+    * (`LOANS/02:127-142`). */
+  private val q91 = GQ(
+    "q91_expectations",
+    (s, dir) => Expectations.report(
+      Tables.t(s, dir, "lineitem"),
+      Seq(
+        Expectations.expectOrDrop("disc_le_8pct", "l_discount <= 0.08"),
+        Expectations.expect("qty_in_range", "l_quantity BETWEEN 1 AND 50"),
+        Expectations.expect("tax_nonneg", "l_tax >= 0")))
+      .orderBy("rule"),
+    Some("""SELECT * FROM (VALUES
+              ('disc_le_8pct', 'drop',
+               (SELECT count(*) FROM lineitem WHERE NOT (l_discount <= 0.08)),
+               (SELECT count(*) FROM lineitem WHERE l_discount <= 0.08)),
+              ('qty_in_range', 'warn',
+               (SELECT count(*) FROM lineitem WHERE NOT (l_quantity BETWEEN 1 AND 50)),
+               (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 50)),
+              ('tax_nonneg', 'warn',
+               (SELECT count(*) FROM lineitem WHERE NOT (l_tax >= 0)),
+               (SELECT count(*) FROM lineitem WHERE l_tax >= 0))
+            ) r(rule, mode, violations, passed) ORDER BY rule""")
+  )
+
+  /** The flagship silver pattern: stream → foreachBatch ROW_NUMBER dedup →
+    * MERGE into a versioned table (`DP/Step 5:208-296`). */
+  private val q92 = GQ(
+    "q92_stream_merge_silver",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("event_id", LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val silver = GraftTable.create(s, scratch("silver"), schema)
+      StreamOps.mergeStream(
+        eventsStream(s, dir), silver,
+        "target.user_id = source.user_id AND target.event_type = source.event_type",
+        checkpoint = scratch("ckpt"),
+        prepare = b => {
+          val w = Window.partitionBy("user_id", "event_type")
+            .orderBy(col("ts").desc, col("event_id").desc)
+          b.select("user_id", "event_type", "event_id", "value", "ts")
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        })
+      silver.read().select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) d
+            WHERE rn = 1 ORDER BY user_id, event_type""")
+  )
+
+  /** DLT-style medallion pipeline: bronze → silver (expectations + dedup)
+    * → gold, topologically executed (`DP/Step 3`, `CDC/04`). */
+  private val q93 = GQ(
+    "q93_pipeline_medallion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = new Pipeline(s)
+      p.table("bronze_events")(_ => Tables.t(s, dir, "events"))
+      p.table("silver_events", deps = Seq("bronze_events"),
+        expectations = Seq(
+          Expectations.expectOrDrop("valid_user", "user_id >= 0"),
+          Expectations.expect("has_value", "value IS NOT NULL"))) { live =>
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        live("bronze_events")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+      p.table("gold_user_stats", deps = Seq("silver_events")) { live =>
+        live("silver_events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      }
+      p.run()("gold_user_stats").orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) d
+            WHERE rn = 1 AND user_id >= 0
+            GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** Stream monitoring: per-batch progress totals
+    * (`OBS/stream-monitoring:134-211`). */
+  private val q94 = GQ(
+    "q94_stream_monitor",
+    (s, dir) => {
+      import s.implicits._
+      val qn = "q94_sink_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+      val q = eventsStream(s, dir)
+        .groupBy("event_type").count()
+        .writeStream.outputMode("complete").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val total = q.recentProgress.map(_.numInputRows).sum
+      Seq(("events_stream", total)).toDF("query_name", "total_input_rows")
+    },
+    Some("""SELECT 'events_stream' AS query_name, count(*) AS total_input_rows
+            FROM events""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q90, q91, q92, q93, q94)
+}

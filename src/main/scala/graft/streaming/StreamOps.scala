@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+import graft.tables.{GraftTable, MergeOps}
+
+/** Structured-streaming building blocks:
+  *  - micro-batch MERGE sink (`foreachBatch` pattern, `DP/Step 5:208-296`)
+  *  - streaming→GraftTable append sink with availableNow semantics
+  *  - StreamingQueryListener metrics capture (`OBS/stream-monitoring`)
+  */
+object StreamOps {
+
+  /** Run a streaming DataFrame to completion (availableNow) through a
+    * foreachBatch MERGE into a GraftTable: the bronze→silver exactly-once
+    * upsert. Dedup-within-batch is the caller's stage (ROW_NUMBER idiom). */
+  def mergeStream(
+      stream: DataFrame,
+      target: GraftTable,
+      condition: String,
+      checkpoint: String,
+      prepare: DataFrame => DataFrame = identity): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val src = prepare(batch)
+        MergeOps.mergeInto(
+          target, src, condition,
+          matched = Seq(MergeOps.WhenMatched(None, MergeOps.UpdateAll)),
+          notMatched = Seq(MergeOps.WhenNotMatched(None, MergeOps.InsertAll)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Append-only streaming sink into a GraftTable. */
+  def appendStream(stream: DataFrame, target: GraftTable, checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        target.append(batch, "STREAMING UPDATE")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Captured per-batch progress (the reference dumps these JSON events to
+    * a table and queries rows/s — `OBS/stream-monitoring:134-211`). */
+  final case class BatchProgress(
+      queryName: String, batchId: Long, numInputRows: Long,
+      inputRowsPerSecond: Double, processedRowsPerSecond: Double,
+      batchDurationMs: Long)
+
+  /** Listener collecting progress events for later SQL analysis. */
+  final class ProgressCollector extends StreamingQueryListener {
+    private val buf = new ConcurrentLinkedQueue[BatchProgress]()
+    def progresses: Seq[BatchProgress] = buf.iterator().asScala.toSeq
+
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      buf.add(BatchProgress(
+        Option(p.name).getOrElse(p.id.toString), p.batchId, p.numInputRows,
+        p.inputRowsPerSecond, p.processedRowsPerSecond,
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(0L)))
+    }
+  }
+
+  def progressDF(spark: SparkSession, c: ProgressCollector): DataFrame = {
+    import spark.implicits._
+    c.progresses.toDF()
+  }
+}

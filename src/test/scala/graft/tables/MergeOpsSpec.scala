@@ -1,0 +1,72 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.tables.MergeOps._
+
+class MergeOpsSpec extends SparkTestBase {
+
+  private def customer = Tables.t(spark, sf, "customer")
+
+  test("merge rewrites only files containing matched rows") {
+    // 5 files; source touches keys in one partition range only
+    val t = GraftTable.create(spark, scratch("prune"), customer.schema)
+    val parts = customer.repartitionByRange(5, col("c_custkey"))
+    t.append(parts)
+    val filesBefore = t.filesAt().size
+    assert(filesBefore >= 5)
+    val source = customer.filter(col("c_custkey") <= 10)
+      .withColumn("c_acctbal", lit(0.0))
+    val c = MergeOps.mergeInto(t, source, "target.c_custkey = source.c_custkey",
+      matched = Seq(WhenMatched(None, UpdateAll)))
+    // only the file(s) holding keys 1..10 were rewritten
+    assert(c.metrics("numTargetFilesRemoved") < filesBefore)
+    assert(t.read().filter(col("c_acctbal") === 0.0).count() ===
+      customer.filter(col("c_custkey") <= 10).count())
+    assert(t.read().count() === customer.count())
+  }
+
+  test("conditional update with extra predicate leaves other rows alone") {
+    val t = GraftTable.createFrom(spark, scratch("cond"), customer)
+    MergeOps.mergeInto(t, customer, "target.c_custkey = source.c_custkey",
+      matched = Seq(WhenMatched(Some("target.c_acctbal < 0"),
+        UpdateSet(Map("c_acctbal" -> "0.0")))))
+    assert(t.read().filter(col("c_acctbal") < 0).count() === 0)
+    val untouched = customer.filter(col("c_acctbal") >= 0).count()
+    assert(t.read().filter(col("c_acctbal") >= 0).count() >= untouched)
+  }
+
+  test("insert-only merge suppresses already-present keys") {
+    val t = GraftTable.createFrom(spark, scratch("insonly"), customer.limit(100))
+    MergeOps.mergeInto(t, customer, "target.c_custkey = source.c_custkey",
+      matched = Nil,
+      notMatched = Seq(WhenNotMatched(None, InsertAll)))
+    assert(t.read().count() === customer.count()) // no duplicates
+    assert(t.read().select("c_custkey").distinct().count() === customer.count())
+  }
+
+  test("multiple source matches raise MultipleMatchException") {
+    val t = GraftTable.createFrom(spark, scratch("multi"), customer.limit(20))
+    intercept[MultipleMatchException] {
+      MergeOps.mergeInto(t, customer.limit(20).union(customer.limit(20)),
+        "target.c_custkey = source.c_custkey",
+        matched = Seq(WhenMatched(None, UpdateAll)))
+    }
+  }
+
+  test("delete with no matching rows is a metadata-only commit") {
+    val t = GraftTable.createFrom(spark, scratch("nodel"), customer)
+    val files = t.filesAt()
+    MergeOps.delete(t, "c_custkey < 0")
+    assert(t.filesAt() === files) // nothing rewritten
+    assert(t.read().count() === customer.count())
+  }
+
+  test("update applies expression only where predicate holds") {
+    val t = GraftTable.createFrom(spark, scratch("upd"), customer)
+    MergeOps.update(t, Map("c_mktsegment" -> "'VIP'"), "c_acctbal > 9000")
+    val vip = t.read().filter(col("c_mktsegment") === "VIP").count()
+    assert(vip === customer.filter(col("c_acctbal") > 9000).count())
+  }
+}

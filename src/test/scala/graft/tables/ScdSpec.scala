@@ -1,0 +1,83 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+class ScdSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val scd2Schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("_start_at", StringType), StructField("_end_at", StringType),
+    StructField("_is_current", BooleanType)))
+
+  test("scd2 chains versions across three batches") {
+    val t = GraftTable.create(spark, scratch("scd2"), scd2Schema)
+    def batch(seq: String, rows: (Long, String)*) =
+      rows.toSeq.toDF("id", "name").withColumn("_seq", lit(seq))
+
+    Scd.scd2Merge(t, batch("2024-01-01", 1L -> "a", 2L -> "b"),
+      Seq("id"), Seq("name"), "_seq")
+    Scd.scd2Merge(t, batch("2024-02-01", 1L -> "a2", 3L -> "c"),
+      Seq("id"), Seq("name"), "_seq")
+    Scd.scd2Merge(t, batch("2024-03-01", 1L -> "a3"),
+      Seq("id"), Seq("name"), "_seq")
+
+    val rows = t.read().orderBy("id", "_start_at")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), Option(r.getString(3)), r.getBoolean(4)))
+    assert(rows.toSeq === Seq(
+      (1L, "a", "2024-01-01", Some("2024-02-01"), false),
+      (1L, "a2", "2024-02-01", Some("2024-03-01"), false),
+      (1L, "a3", "2024-03-01", None, true),
+      (2L, "b", "2024-01-01", None, true),
+      (3L, "c", "2024-02-01", None, true)))
+  }
+
+  test("scd2 unchanged rows are not re-versioned") {
+    val t = GraftTable.create(spark, scratch("scd2same"), scd2Schema)
+    def batch(seq: String, rows: (Long, String)*) =
+      rows.toSeq.toDF("id", "name").withColumn("_seq", lit(seq))
+    Scd.scd2Merge(t, batch("2024-01-01", 1L -> "a"), Seq("id"), Seq("name"), "_seq")
+    Scd.scd2Merge(t, batch("2024-02-01", 1L -> "a"), Seq("id"), Seq("name"), "_seq")
+    assert(t.read().count() === 1) // same value → single current row
+  }
+
+  private val scd1Schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType),
+    StructField("seq", LongType)))
+
+  test("applyChanges SCD1 ignores out-of-order older rows") {
+    val t = GraftTable.create(spark, scratch("ooo"), scd1Schema)
+    val b1 = Seq((1L, "new", 10L), (2L, "x", 5L)).toDF("id", "v", "seq")
+      .withColumn("op", lit("UPSERT"))
+    Scd.applyChangesScd1(t, b1, Seq("id"), "seq")
+    // late batch: id=1 with OLDER seq must lose; id=2 with newer seq wins
+    val b2 = Seq((1L, "stale", 3L), (2L, "y", 9L)).toDF("id", "v", "seq")
+      .withColumn("op", lit("UPSERT"))
+    Scd.applyChangesScd1(t, b2, Seq("id"), "seq")
+    val m = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "new", 2L -> "y"))
+  }
+
+  test("applyChanges SCD1 delete-when removes keys") {
+    val t = GraftTable.create(spark, scratch("cdcdel"), scd1Schema)
+    val b1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "seq")
+      .withColumn("op", lit("UPSERT"))
+    Scd.applyChangesScd1(t, b1, Seq("id"), "seq")
+    val b2 = Seq((1L, "a", 2L)).toDF("id", "v", "seq")
+      .withColumn("op", lit("DELETE"))
+    Scd.applyChangesScd1(t, b2, Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"))
+    assert(t.read().collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("applyChanges dedupes the batch to latest per key first") {
+    val t = GraftTable.create(spark, scratch("dedupb"), scd1Schema)
+    val b = Seq((1L, "v1", 1L), (1L, "v2", 2L), (1L, "v3", 3L)).toDF("id", "v", "seq")
+      .withColumn("op", lit("UPSERT"))
+    Scd.applyChangesScd1(t, b, Seq("id"), "seq")
+    assert(t.read().collect().map(_.getString(1)).toSeq === Seq("v3"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("shingles handles short documents") {
+    val df = Seq("one two", "a b c d e f").toDF("text")
+      .select(TextOps.shingles(col("text"), 5).as("sh"))
+    val sizes = df.select(size(col("sh"))).collect().map(_.getInt(0))
+    assert(sizes.toSeq === Seq(0, 2))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val fps = Seq("Hello  World", "hello world", "other")
+      .toDF("text").select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("langId picks dominant stopword language, und when none") {
+    val preds = Seq(
+      "the cat and the dog of the house",
+      "el gato y la casa de que",
+      "xyzzy qwerty")
+      .toDF("text").select(TextOps.langId(col("text"))).collect().map(_.getString(0))
+    assert(preds.toSeq === Seq("en", "es", "und"))
+  }
+
+  test("exactDedup keeps lowest id per duplicate group") {
+    val docs = Seq((5L, "same text"), (2L, "same  TEXT"), (9L, "unique"))
+      .toDF("doc_id", "text")
+    val kept = DedupOps.exactDedup(docs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(2L, 9L))
+  }
+
+  test("minhash LSH finds the same pairs as exact jaccard on testdata") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val exact = DedupOps.jaccardPairs(docs, 5, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLshPairs(docs, 5, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty) // testdata ships natural near-dups
+  }
+
+  test("simhash distance is zero for identical docs, small for near-dups") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words entirely here now then")).toDF("doc_id", "text")
+    val sigs = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+  }
+}
