@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All query batches, in SURVEY.md §2 order. */
   def batches: Seq[QueryBatch] =
-    Seq(Relational, TableOps, TextQueries, VectorQueries, StreamQueries)
+    Seq(Relational, TableOps, TextQueries, VectorQueries, StreamQueries,
+      SqlQueries, ServiceQueries)
 
   private lazy val catalog: Seq[GQ] = batches.flatMap(_.queries)
 

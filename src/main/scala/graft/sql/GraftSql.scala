@@ -1,0 +1,340 @@
+package graft.sql
+
+import java.nio.file.Paths
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables._
+
+/** SQL front-end: a thin statement router that gives the reference's SQL
+  * dialect (SURVEY.md §7.4) over the engine.
+  *
+  * Spark 4 already accepts `expr::type`, `SELECT * EXCEPT`, `DECLARE/SET
+  * VARIABLE` and `ILIKE` natively, so the router only adds:
+  *
+  *  - `col:path::type` JSON path projection → `get_json_object` rewrite
+  *    (`DP/Step 1:318-322`)
+  *  - engine statements over GraftTables: COPY INTO, MERGE INTO, OPTIMIZE,
+  *    DESCRIBE HISTORY, RESTORE, VACUUM, TRUNCATE, DELETE, UPDATE,
+  *    CREATE TABLE AS SELECT, `VERSION AS OF` time travel
+  *
+  * Anything else passes through `spark.sql` with catalog tables registered
+  * as temp views — so the whole relational surface stays Catalyst's.
+  */
+final class GraftSql(val spark: SparkSession, val basePath: String) {
+
+  private val catalog = mutable.LinkedHashMap[String, GraftTable]()
+
+  def table(name: String): GraftTable = catalog.getOrElse(name,
+    sys.error(s"unknown graft table: $name"))
+
+  def register(name: String, t: GraftTable): Unit = catalog(name) = t
+
+  def createTable(name: String, schema: org.apache.spark.sql.types.StructType,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val t = GraftTable.create(spark, Paths.get(basePath, name).toString, schema, properties)
+    register(name, t); t
+  }
+
+  def tableNames: Seq[String] = catalog.keys.toSeq
+
+  // ---- entry point -------------------------------------------------------
+
+  def sql(statement: String): DataFrame = {
+    val s = statement.trim.stripSuffix(";").trim
+    val u = s.toUpperCase
+    if (u.startsWith("COPY INTO")) copyInto(s)
+    else if (u.startsWith("MERGE INTO")) merge(s)
+    else if (u.startsWith("OPTIMIZE")) optimize(s)
+    else if (u.startsWith("DESCRIBE HISTORY")) table(s.split("\\s+")(2)).history
+    else if (u.startsWith("RESTORE")) restore(s)
+    else if (u.startsWith("VACUUM")) vacuum(s)
+    else if (u.startsWith("TRUNCATE")) { table(s.split("\\s+").last).truncate(); emptyResult }
+    else if (u.startsWith("DELETE FROM")) delete(s)
+    else if (u.startsWith("UPDATE ")) update(s)
+    else if (u.startsWith("CREATE TABLE") || u.startsWith("CREATE OR REPLACE TABLE")) ctas(s)
+    else passthrough(s)
+  }
+
+  /** Run a `;`-separated chain (the reference's notebook-cell pattern,
+    * `HF/transactions.py:489-526`); returns the last result. */
+  def sqlChain(statements: String): DataFrame =
+    statements.split(";").map(_.trim).filter(_.nonEmpty)
+      .map(sql).lastOption.getOrElse(emptyResult)
+
+  private def emptyResult: DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF("result")
+  }
+
+  // ---- pass-through SELECT/SQL with rewrites -----------------------------
+
+  private def passthrough(s: String): DataFrame = {
+    catalog.foreach { case (n, t) => t.read().createOrReplaceTempView(n) }
+    spark.sql(rewriteTimeTravel(JsonPathRewrite(s)))
+  }
+
+  /** `FROM t VERSION AS OF n` → temp view of the snapshot. */
+  private def rewriteTimeTravel(s: String): String = {
+    val re = "(?i)\\b(\\w+)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+    re.replaceAllIn(s, m => {
+      val (name, v) = (m.group(1), m.group(2).toLong)
+      val viewName = s"${name}__v$v"
+      table(name).read(versionAsOf = v).createOrReplaceTempView(viewName)
+      viewName
+    })
+  }
+
+  // ---- COPY INTO ---------------------------------------------------------
+
+  private val copyRe =
+    ("(?is)COPY\\s+INTO\\s+(\\w+)\\s+FROM\\s+(?:'([^']+)'|\\(\\s*SELECT\\s+(.*?)\\s+FROM\\s+'([^']+)'\\s*\\))" +
+      "\\s+FILEFORMAT\\s*=\\s*(\\w+)" +
+      "(?:\\s+PATTERN\\s*=\\s*'([^']+)')?" +
+      "(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?" +
+      "(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?\\s*").r
+
+  private def parseKvList(s: String): Map[String, String] =
+    if (s == null || s.trim.isEmpty) Map.empty
+    else s.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split("=", 2).map(_.trim.stripPrefix("'").stripSuffix("'"))
+      k -> v
+    }.toMap
+
+  private def copyInto(s: String): DataFrame = s match {
+    case copyRe(name, directPath, projs, subqueryPath, fmt, pattern, fmtOpts, copyOpts) =>
+      val t = table(name)
+      val path = Option(directPath).getOrElse(subqueryPath)
+      val opts = parseKvList(fmtOpts)
+      val copts = parseKvList(copyOpts)
+      val transform: DataFrame => DataFrame =
+        if (projs == null) identity
+        else df => df.selectExpr(splitTopLevel(projs): _*)
+      val n = Ingest.copyInto(t, path,
+        format = fmt.toLowerCase,
+        options = opts,
+        pattern = Option(pattern).getOrElse("*"),
+        transform = transform,
+        force = copts.getOrElse("force", "false").toBoolean)
+      import spark.implicits._
+      Seq(n).toDF("num_affected_rows")
+    case _ => sys.error(s"cannot parse COPY INTO: $s")
+  }
+
+  // ---- MERGE INTO --------------------------------------------------------
+
+  /** Split on top-level commas (not inside parens/quotes). */
+  private def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var depth = 0; var inQ = false; val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case c if c == sep && depth == 0 && !inQ =>
+        out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
+  /** Index just past the balanced close paren for the open at `start`. */
+  private def balancedEnd(s: String, start: Int): Int = {
+    var depth = 0; var i = start; var inQ = false
+    while (i < s.length) {
+      s(i) match {
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ =>
+          depth -= 1
+          if (depth == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    sys.error(s"unbalanced parens in: $s")
+  }
+
+  private def merge(s: String): DataFrame = {
+    catalog.foreach { case (n, t) => t.read().createOrReplaceTempView(n) }
+    val upper = s.toUpperCase
+    // manual scan: MERGE INTO <t> [AS] [a] USING <(subquery)|view> [AS] [a]
+    // ON <cond> WHEN ... (regexes can't handle arbitrarily nested parens)
+    val usingIdx = upper.indexOf(" USING ")
+    require(usingIdx > 0, s"cannot parse MERGE INTO: $s")
+    val targetTokens = s.substring("MERGE INTO".length, usingIdx)
+      .trim.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+    val (name, tAlias) = (targetTokens(0), targetTokens.lift(1))
+    var i = usingIdx + " USING ".length
+    while (s(i).isWhitespace) i += 1
+    val (usingPart, afterUsing) =
+      if (s(i) == '(') { val e = balancedEnd(s, i); (s.substring(i, e), e) }
+      else { val e = s.indexWhere(c => c.isWhitespace, i); (s.substring(i, e), e) }
+    val onIdx = upper.indexOf(" ON ", afterUsing)
+    require(onIdx > 0, s"MERGE missing ON: $s")
+    val sAlias = s.substring(afterUsing, onIdx).trim.split("\\s+")
+      .filterNot(t => t.isEmpty || t.equalsIgnoreCase("AS")).headOption
+    val whenIdx = upper.indexOf("WHEN ", onIdx)
+    require(whenIdx > 0, s"MERGE missing WHEN clauses: $s")
+    val onCond = s.substring(onIdx + 4, whenIdx).trim
+    val whenPart = s.substring(whenIdx)
+    runMerge(s, name, tAlias, usingPart, sAlias, onCond, whenPart)
+  }
+
+  private def runMerge(s: String, name: String, tAlias: Option[String],
+      usingPart: String, sAlias: Option[String],
+      onCond: String, whenPart: String): DataFrame = {
+        val t = table(name)
+        val source =
+          if (usingPart.startsWith("("))
+            spark.sql(JsonPathRewrite(usingPart.stripPrefix("(").stripSuffix(")")))
+          else spark.table(usingPart)
+        val tq = tAlias.getOrElse(name)
+        val sq = sAlias.getOrElse(if (usingPart.startsWith("(")) "source" else usingPart)
+        def requalify(e: String): String =
+          e.replaceAll(s"(?i)\\b$tq\\.", "target.")
+            .replaceAll(s"(?i)\\b$sq\\.", "source.")
+
+        val whenRe = "(?is)WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+(.*?)(?=\\s*WHEN\\s+(?:NOT\\s+)?MATCHED|$)".r
+        var matched = Seq.empty[MergeOps.WhenMatched]
+        var notMatched = Seq.empty[MergeOps.WhenNotMatched]
+        whenRe.findAllMatchIn(whenPart).foreach { m =>
+          val isNot = m.group(1) != null
+          val cond = Option(m.group(2)).map(requalify)
+          val action = m.group(3).trim
+          val au = action.toUpperCase
+          if (!isNot) {
+            val a =
+              if (au == "DELETE") MergeOps.DeleteAction
+              else if (au.startsWith("UPDATE")) {
+                val setPart = action.replaceFirst("(?is)UPDATE\\s+SET\\s+", "").trim
+                if (setPart == "*") MergeOps.UpdateAll
+                else MergeOps.UpdateSet(splitTopLevel(setPart).map { kv =>
+                  val Array(k, v) = kv.split("=", 2)
+                  k.trim.replaceFirst(s"(?i)^$tq\\.", "") -> requalify(v.trim)
+                }.toMap)
+              } else sys.error(s"bad MATCHED action: $action")
+            matched :+= MergeOps.WhenMatched(cond, a)
+          } else {
+            val a =
+              if (au.replaceAll("\\s+", " ") == "INSERT *") MergeOps.InsertAll
+              else {
+                val insRe = "(?is)INSERT\\s*\\(([^)]*)\\)\\s*VALUES\\s*\\((.*)\\)".r
+                action match {
+                  case insRe(cols, vals) =>
+                    MergeOps.InsertValues(
+                      splitTopLevel(cols).map(_.trim)
+                        .zip(splitTopLevel(vals).map(v => requalify(v.trim))).toMap)
+                  case _ => sys.error(s"bad NOT MATCHED action: $action")
+                }
+              }
+            notMatched :+= MergeOps.WhenNotMatched(cond, a)
+          }
+        }
+        val c = MergeOps.mergeInto(t, source, requalify(onCond), matched, notMatched)
+        import spark.implicits._
+        Seq(c.version).toDF("version")
+  }
+
+  // ---- maintenance statements -------------------------------------------
+
+  private def optimize(s: String): DataFrame = {
+    val re = "(?is)OPTIMIZE\\s+(\\w+)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?".r
+    s match {
+      case re(name, z) =>
+        val zcols = Option(z).map(splitTopLevel(_).map(_.trim)).getOrElse(Nil)
+        val c = Maintenance.optimize(table(name), zcols)
+        import spark.implicits._
+        Seq((c.version, c.metrics.getOrElse("numFilesAdded", 0L),
+          c.metrics.getOrElse("numFilesRemoved", 0L)))
+          .toDF("version", "numFilesAdded", "numFilesRemoved")
+      case _ => sys.error(s"cannot parse OPTIMIZE: $s")
+    }
+  }
+
+  private def restore(s: String): DataFrame = {
+    val re = "(?is)RESTORE\\s+(?:TABLE\\s+)?(\\w+)\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+    s match {
+      case re(name, v) =>
+        table(name).restoreTo(v.toLong)
+        import spark.implicits._
+        Seq(v.toLong).toDF("restored_to_version")
+      case _ => sys.error(s"cannot parse RESTORE: $s")
+    }
+  }
+
+  private def vacuum(s: String): DataFrame = {
+    val name = s.split("\\s+")(1)
+    val deleted = table(name).vacuum()
+    import spark.implicits._
+    Seq(deleted.size.toLong).toDF("files_deleted")
+  }
+
+  private def delete(s: String): DataFrame = {
+    val re = "(?is)DELETE\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.*))?".r
+    s match {
+      case re(name, pred) =>
+        if (pred == null) table(name).truncate()
+        else MergeOps.delete(table(name), pred)
+        emptyResult
+      case _ => sys.error(s"cannot parse DELETE: $s")
+    }
+  }
+
+  private def update(s: String): DataFrame = {
+    val re = "(?is)UPDATE\\s+(\\w+)\\s+SET\\s+(.*?)(?:\\s+WHERE\\s+(.*))?$".r
+    s match {
+      case re(name, setPart, pred) =>
+        val assignments = splitTopLevel(setPart).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k.trim -> v.trim
+        }.toMap
+        MergeOps.update(table(name), assignments, Option(pred).getOrElse("true"))
+        emptyResult
+      case _ => sys.error(s"cannot parse UPDATE: $s")
+    }
+  }
+
+  private def ctas(s: String): DataFrame = {
+    val re = ("(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+(\\w+)" +
+      "(?:\\s+TBLPROPERTIES\\s*\\(([^)]*)\\))?\\s+AS\\s+(.*)").r
+    s match {
+      case re(name, props, select) =>
+        val df = passthrough(select)
+        val path = Paths.get(basePath, name).toString
+        if (catalog.contains(name) || GraftTable.exists(path)) {
+          val t = if (catalog.contains(name)) table(name) else GraftTable.load(spark, path)
+          t.overwrite(df)
+          register(name, t)
+        } else {
+          register(name, GraftTable.createFrom(spark, path, df, parseKvList(props)))
+        }
+        emptyResult
+      case _ => sys.error(s"cannot parse CREATE TABLE: $s")
+    }
+  }
+}
+
+/** `col:path::type` / `col:path` JSON path syntax → `get_json_object`
+  * (rewrite happens outside string literals only). */
+object JsonPathRewrite {
+  private val withCast = "(?<![\\w:'])(\\w+):((?:\\w+)(?:\\.\\w+)*)::(\\w+)".r
+  private val noCast = "(?<![\\w:'])(\\w+):((?:\\w+)(?:\\.\\w+)*)(?![\\w:(])".r
+
+  def apply(sql: String): String = {
+    // split on single quotes; rewrite only unquoted segments
+    val parts = sql.split("'", -1)
+    parts.zipWithIndex.map { case (p, i) =>
+      if (i % 2 == 1) p // inside a string literal
+      else {
+        val a = withCast.replaceAllIn(p, m =>
+          s"CAST(get_json_object(${m.group(1)}, '@@DOLLAR@@.${m.group(2)}') AS ${m.group(3)})")
+        noCast.replaceAllIn(a, m =>
+          s"get_json_object(${m.group(1)}, '@@DOLLAR@@.${m.group(2)}')")
+      }
+    }.mkString("'").replace("@@DOLLAR@@", "$")
+  }
+}

@@ -47,6 +47,8 @@ object Ingest {
     val fresh = candidates.map(_.toAbsolutePath.toString).filterNot(already)
     if (fresh.isEmpty) return 0L
 
+    // tolerate TIMESTAMP(NANOS) parquet (read as long; callers convert)
+    t.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = t.spark.read.options(options)
     val raw = format match {
       case "parquet" => reader.parquet(fresh: _*)
