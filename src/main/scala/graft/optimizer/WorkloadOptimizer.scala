@@ -1,0 +1,197 @@
+package graft.optimizer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.ExprId
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, SubqueryAlias}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.GraftTable
+
+/** Workload-driven auto-tuning: the delta-optimizer algorithm
+  * (`OPT:1714-1967`) re-expressed Spark-first.
+  *
+  * Differences from the reference, by design:
+  *  - Column-usage extraction walks the *analyzed* Catalyst plan
+  *    (`Join`/`Filter`/`Aggregate` nodes, attribution via `ExprId` →
+  *    relation leaf), so join/filter/group flags are exact — the
+  *    reference approximates with per-row sqlglot regex UDFs
+  *    (`OPT:533-688`).
+  *  - Ranking ties break on column name (deterministic reruns).
+  *
+  * Pipeline: profile query history → per-column usage flags + per-table
+  * runtime metrics → cardinality sampling (one wide agg per table,
+  * `OPT:1327-1341`) → min-max scaling (`OPT:1161-1242`) → the reference's
+  * scoring equation verbatim (`OPT:1767-1799`) → ranked ZORDER/ANALYZE
+  * strategy + executable command strings (`OPT:1809-1941`).
+  */
+object WorkloadOptimizer {
+
+  final case class QueryRecord(sql: String, durationMs: Long)
+
+  final case class ColumnUsage(table: String, column: String,
+      nJoin: Long, nFilter: Long, nGroup: Long, nQueries: Long,
+      totalRuntimeMs: Long)
+
+  /** Exact per-column usage from the analyzed plans of the workload.
+    * Tables must be resolvable (registered temp views / catalog). */
+  def profileQueries(spark: SparkSession, queries: Seq[QueryRecord],
+      knownTables: Set[String]): Seq[ColumnUsage] = {
+    val acc = mutable.Map[(String, String), ColumnUsage]()
+    queries.foreach { q =>
+      val plan =
+        try spark.sql(q.sql).queryExecution.analyzed
+        catch { case _: Exception => null }
+      if (plan != null) {
+        // ExprId → (table, column) from the table-aliased leaves
+        val attr = mutable.Map[ExprId, (String, String)]()
+        plan.foreach {
+          case s: SubqueryAlias if knownTables.contains(s.alias) =>
+            s.output.foreach(a => attr.getOrElseUpdate(a.exprId, (s.alias, a.name)))
+          case _ =>
+        }
+        def bump(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            kind: String): Unit =
+          e.references.foreach { a =>
+            attr.get(a.exprId).foreach { case (t, c) =>
+              val cur = acc.getOrElse((t, c), ColumnUsage(t, c, 0, 0, 0, 0, 0))
+              acc((t, c)) = kind match {
+                case "join" => cur.copy(nJoin = cur.nJoin + 1)
+                case "filter" => cur.copy(nFilter = cur.nFilter + 1)
+                case "group" => cur.copy(nGroup = cur.nGroup + 1)
+              }
+            }
+          }
+        plan.foreach {
+          case j: Join => j.condition.foreach(bump(_, "join"))
+          case f: Filter => bump(f.condition, "filter")
+          case a: Aggregate => a.groupingExpressions.foreach(bump(_, "group"))
+          case _ =>
+        }
+        // per-query table-level stats land on every used column of the table
+        val usedTables = attr.values.map(_._1).toSet
+        acc.keys.filter(k => usedTables.contains(k._1)).foreach { k =>
+          val cur = acc(k)
+          acc(k) = cur.copy(nQueries = cur.nQueries + 1,
+            totalRuntimeMs = cur.totalRuntimeMs + q.durationMs)
+        }
+      }
+    }
+    acc.values.toSeq
+  }
+
+  /** Columns referenced by write predicates in a table's commit history
+    * (merge-predicate mining, `OPT:1345-1423`). */
+  def writePredicateColumns(t: GraftTable, columns: Seq[String]): Set[String] = {
+    val preds = t.commits
+      .filter(c => Set("MERGE", "DELETE", "UPDATE").contains(c.operation))
+      .flatMap(_.operationParameters.get("predicate"))
+    columns.filter(c => preds.exists(p =>
+      s"(?i)\\b$c\\b".r.findFirstIn(p).isDefined)).toSet
+  }
+
+  /** One wide agg per table: sampled distinct counts per column
+    * (`OPT:1327-1341`). */
+  def cardinalityStats(df: DataFrame, sampleSize: Int = 1000000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.limit(sampleSize)
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("__total") +:
+      cols.map(c => approx_count_distinct(col(c)).as(s"__d_$c"))
+    val row = sample.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getLong(0)
+    cols.zipWithIndex.map { case (c, i) =>
+      val d = row.getLong(i + 1)
+      (c, total, d, if (total == 0) 0.0 else d.toDouble / total)
+    }.toDF("column", "total_in_sample", "distinct_in_sample", "cardinality_proportion")
+  }
+
+  final case class Strategy(table: String, zorderCols: Seq[String],
+      analyzeCols: Seq[String], optimizeCommand: String, analyzeCommand: String)
+
+  /** Build the ranked per-table strategy. `tables` maps name → (data,
+    * optional GraftTable for write-history mining). */
+  def buildStrategy(
+      spark: SparkSession,
+      queries: Seq[QueryRecord],
+      tables: Map[String, (DataFrame, Option[GraftTable])],
+      optimizeMethod: String = "both",
+      minDistinct: Long = 100,
+      maxZorderCols: Int = 2): Seq[Strategy] = {
+    import spark.implicits._
+    tables.foreach { case (n, (df, _)) => df.createOrReplaceTempView(n) }
+
+    val usage = profileQueries(spark, queries, tables.keySet)
+    if (usage.isEmpty) return Nil
+    val usageDF = usage.toDF()
+
+    val cards = tables.toSeq.map { case (n, (df, _)) =>
+      cardinalityStats(df).withColumn("table", lit(n))
+    }.reduce(_ unionByName _)
+
+    val writeCols = tables.toSeq.flatMap { case (n, (df, gt)) =>
+      gt.map(t => writePredicateColumns(t, df.columns.toSeq))
+        .getOrElse(Set.empty).map(c => (n, c))
+    }.toDF("table", "column").withColumn("is_used_in_writes", lit(1))
+
+    // min-max scaling of the workload metrics across the whole profile
+    // (`OPT:1161-1242`); the scale helper mirrors read_statistics_scaled_results
+    def scaled(c: String): org.apache.spark.sql.Column = {
+      val w = Window.partitionBy(lit(1))
+      val mn = min(col(c)).over(w); val mx = max(col(c)).over(w)
+      when(mx === mn, lit(0.5))
+        .otherwise((col(c) - mn) / (mx - mn))
+    }
+
+    val spine = usageDF
+      .withColumnRenamed("totalRuntimeMs", "total_runtime")
+      .join(cards, Seq("table", "column"), "left")
+      .join(writeCols, Seq("table", "column"), "left")
+      .na.fill(0, Seq("is_used_in_writes"))
+      .withColumn("is_used_in_reads",
+        when(col("nJoin") + col("nFilter") + col("nGroup") > 0, 1).otherwise(0))
+      .withColumn("query_ref_scaled", scaled("nQueries"))
+      .withColumn("runtime_scaled", scaled("total_runtime"))
+      .withColumn("occurrences_scaled", scaled("nJoin"))
+      .withColumn("card_scaled", scaled("cardinality_proportion"))
+
+    // THE CORE SCORING EQUATION (`OPT:1767-1787`), method weights preserved
+    val readTerm =
+      col("is_used_in_reads") * (lit(1)
+        + coalesce(col("query_ref_scaled"), lit(0))
+        + coalesce(col("runtime_scaled"), lit(0))
+        + coalesce(col("occurrences_scaled"), lit(0))
+        + when(col("nFilter") > 0, 1).otherwise(0)
+        + when(col("nJoin") > 0, 1).otherwise(0)
+        + when(col("nGroup") > 0, 1).otherwise(0)) *
+        (lit(0.001) + coalesce(col("card_scaled"), lit(0)))
+    val writeTerm = optimizeMethod match {
+      case "read" => lit(0.0)
+      case "write" => lit(5.0) * col("is_used_in_writes") *
+        (lit(0.001) + coalesce(col("card_scaled"), lit(0)))
+      case _ => col("is_used_in_writes") *
+        (lit(0.001) + coalesce(col("card_scaled"), lit(0)))
+    }
+
+    val rankW = Window.partitionBy("table")
+      .orderBy(col("raw_score").desc, col("column"))
+    val ranked = spine
+      .withColumn("raw_score", readTerm + writeTerm)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= maxZorderCols &&
+        col("is_used_in_reads") + col("is_used_in_writes") >= 1 &&
+        col("distinct_in_sample") >= minDistinct)
+
+    ranked.select("table", "column", "rank").collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (t, rows) =>
+        val z = rows.sortBy(_.getInt(2)).map(_.getString(1)).toSeq
+        Strategy(t, z, z,
+          s"OPTIMIZE $t ZORDER BY (${z.mkString(", ")})",
+          s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${z.mkString(", ")}")
+      }
+  }
+}

@@ -1,0 +1,153 @@
+package graft.tables
+
+import scala.collection.JavaConverters._
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.types._
+
+/** Per-file column min/max statistics for cross-file data skipping
+  * (SURVEY.md §4 "file pruning / data skipping"; the reference's ZORDER
+  * demos, `DP/Step 2:114-202`, get exactly this from Delta).
+  *
+  * Stats are harvested from parquet footers at write time (driver-side,
+  * one footer read per new file — the same metadata cost Delta pays in
+  * its commit protocol) and stored in the commit log. `prune` evaluates
+  * conjunctive `col <op> literal` predicates against the stats and
+  * returns only the files whose [min,max] range can match — so a point
+  * lookup on a range-clustered (OPTIMIZE ZORDER) table reads 1 file
+  * instead of all of them, at any table size.
+  */
+object FileStats {
+
+  type Stats = Map[String, (String, String)] // column -> (min, max) rendered
+
+  /** Read footer stats for `files` (absolute paths); returns per-file
+    * column → (min,max) for primitive columns that carry stats. */
+  def harvest(spark: SparkSession, files: Seq[String]): Map[String, Stats] = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val stats: Stats =
+        try {
+          val in = HadoopInputFile.fromPath(new HPath(f), conf)
+          val reader = ParquetFileReader.open(in)
+          try {
+            val acc = scala.collection.mutable.Map[String, (String, String)]()
+            reader.getFooter.getBlocks.asScala.foreach { block =>
+              block.getColumns.asScala.foreach { cc =>
+                val st = cc.getStatistics
+                if (st != null && st.hasNonNullValue && cc.getPath.size() == 1) {
+                  val name = cc.getPath.toDotString
+                  val (mn, mx) = (render(st.genericGetMin), render(st.genericGetMax))
+                  if (mn != null && mx != null) {
+                    val merged = acc.get(name) match {
+                      case Some((a, b)) => (minOf(a, mn, st), maxOf(b, mx, st))
+                      case None => (mn, mx)
+                    }
+                    acc(name) = merged
+                  }
+                }
+              }
+            }
+            acc.toMap
+          } finally reader.close()
+        } catch { case NonFatal(_) => Map.empty[String, (String, String)] }
+      f -> stats
+    }.toMap
+  }
+
+  private def render(v: Any): String = v match {
+    case b: Binary =>
+      try b.toStringUsingUTF8 catch { case NonFatal(_) => null }
+    case null => null
+    case other => other.toString
+  }
+
+  private def numeric(s: String): Option[BigDecimal] =
+    try Some(BigDecimal(s)) catch { case NonFatal(_) => None }
+
+  private def minOf(a: String, b: String, st: Any): String =
+    (numeric(a), numeric(b)) match {
+      case (Some(x), Some(y)) => if (x <= y) a else b
+      case _ => if (a <= b) a else b
+    }
+
+  private def maxOf(a: String, b: String, st: Any): String =
+    (numeric(a), numeric(b)) match {
+      case (Some(x), Some(y)) => if (x >= y) a else b
+      case _ => if (a >= b) a else b
+    }
+
+  // ---- predicate evaluation against stats --------------------------------
+
+  /** Conjuncts of `col <op> literal` shape extracted from a predicate. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Can a file with these stats possibly contain a matching row?
+    * Unknown shapes / missing stats ⇒ true (never prune incorrectly). */
+  def mightMatch(stats: Stats, predicate: Expression, schema: StructType): Boolean =
+    conjuncts(predicate).forall {
+      case cmp @ (_: EqualTo | _: LessThan | _: LessThanOrEqual |
+                  _: GreaterThan | _: GreaterThanOrEqual) =>
+        val (attrOpt, litOpt, flipped) = cmp.children match {
+          case Seq(a: Attribute, l: Literal) => (Some(a.name), Some(l), false)
+          case Seq(l: Literal, a: Attribute) => (Some(a.name), Some(l), true)
+          case Seq(u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute, l: Literal) =>
+            (Some(u.name), Some(l), false)
+          case Seq(l: Literal, u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute) =>
+            (Some(u.name), Some(l), true)
+          case _ => (None, None, false)
+        }
+        (attrOpt, litOpt) match {
+          case (Some(name), Some(lit)) =>
+            stats.get(name) match {
+              case Some((mn, mx)) =>
+                compareRange(mn, mx, lit, schema.find(_.name == name).map(_.dataType)) match {
+                  case None => true
+                  case Some((litVsMin, litVsMax)) =>
+                    cmp match {
+                      case _: EqualTo => litVsMin >= 0 && litVsMax <= 0
+                      case _: LessThan => // col < lit (or lit < col when flipped)
+                        if (!flipped) litVsMin > 0 else litVsMax < 0
+                      case _: LessThanOrEqual =>
+                        if (!flipped) litVsMin >= 0 else litVsMax <= 0
+                      case _: GreaterThan =>
+                        if (!flipped) litVsMax < 0 else litVsMin > 0
+                      case _: GreaterThanOrEqual =>
+                        if (!flipped) litVsMax <= 0 else litVsMin >= 0
+                      case _ => true
+                    }
+                }
+              case None => true
+            }
+          case _ => true
+        }
+      case _ => true // non-comparison conjunct: cannot prune on it
+    }
+
+  /** (compare(lit,min), compare(lit,max)) or None when incomparable. */
+  private def compareRange(mn: String, mx: String, lit: Literal,
+      dt: Option[DataType]): Option[(Int, Int)] = {
+    dt match {
+      case Some(_: NumericType) =>
+        for {
+          l <- numeric(String.valueOf(lit.value))
+          a <- numeric(mn); b <- numeric(mx)
+        } yield (l.compare(a), l.compare(b))
+      case Some(StringType) =>
+        val l = String.valueOf(
+          lit.value match { case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+                            case v => v })
+        Some((l.compareTo(mn), l.compareTo(mx)))
+      case _ => None
+    }
+  }
+}

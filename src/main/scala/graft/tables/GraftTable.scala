@@ -25,7 +25,8 @@ final case class Commit(
     schemaJson: String,
     properties: Map[String, String],
     identityHighWatermark: Long,
-    metrics: Map[String, Long])
+    metrics: Map[String, Long],
+    fileStats: Map[String, Map[String, (String, String)]] = Map.empty)
 
 /** Versioned Parquet table ("tacklelog"): a data directory plus a JSON
   * commit log, giving the Delta-style semantics the reference leans on —
@@ -130,6 +131,52 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   // ---- writes ------------------------------------------------------------
 
+  /** Footer stats for freshly written table-relative files. */
+  private[tables] def harvestStats(relFiles: Seq[String]): Map[String, Map[String, (String, String)]] = {
+    val abs = relFiles.map(f => Paths.get(path, f).toString)
+    val h = FileStats.harvest(spark, abs)
+    relFiles.zip(abs).map { case (rel, a) => rel -> h.getOrElse(a, Map.empty) }
+      .filter(_._2.nonEmpty).toMap
+  }
+
+  /** Per-file stats of the live files at a version (rel path → col →
+    * (min,max)). */
+  def statsAt(version: Long = Long.MaxValue): Map[String, Map[String, (String, String)]] =
+    commits.takeWhile(_.version <= version)
+      .foldLeft(Map.empty[String, Map[String, (String, String)]])(_ ++ _.fileStats)
+
+  /** Stats-pruned file list for a conjunctive predicate: only files whose
+    * min/max ranges can match. Falls back to all files on unknown shapes. */
+  def pruneFiles(predicateSql: String): (Seq[String], Int) = {
+    val all = filesAt()
+    val stats = statsAt()
+    val schema = schemaAt()
+    val pred =
+      try spark.sessionState.sqlParser.parseExpression(predicateSql)
+      catch { case NonFatal(_) => return (all, all.size) }
+    val base = Paths.get(path)
+    val kept = all.filter { abs =>
+      val rel = base.relativize(Paths.get(abs)).toString
+      stats.get(rel) match {
+        case Some(st) => FileStats.mightMatch(st, pred, schema)
+        case None => true
+      }
+    }
+    (kept, all.size)
+  }
+
+  /** Snapshot read with stats-based file skipping: `readWhere("l_orderkey
+    * = 42")` on a ZORDERed table opens only the overlapping files
+    * (`DP/Step 2` pruning behavior). The predicate is still applied. */
+  def readWhere(predicateSql: String): DataFrame = {
+    val (files, _) = pruneFiles(predicateSql)
+    val schema = schemaAt()
+    val df =
+      if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    df.filter(org.apache.spark.sql.functions.expr(predicateSql))
+  }
+
   /** Write `df` as new immutable files; returns table-relative file paths. */
   private[tables] def writeData(df: DataFrame): Seq[String] = {
     val sub = s"data/${UUID.randomUUID().toString.take(12)}"
@@ -157,7 +204,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       params: Map[String, String] = Map.empty,
       props: Map[String, String] = null,
       identity: Long = -1L,
-      metrics: Map[String, Long] = Map.empty): Commit = {
+      metrics: Map[String, Long] = Map.empty,
+      fileStats: Map[String, Map[String, (String, String)]] = Map.empty): Commit = {
     Files.createDirectories(logDir)
     val prev = commits.lastOption
     val c = Commit(
@@ -171,7 +219,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       properties = Option(props).getOrElse(prev.map(_.properties).getOrElse(Map.empty)),
       identityHighWatermark =
         if (identity >= 0) identity else prev.map(_.identityHighWatermark).getOrElse(0L),
-      metrics = metrics)
+      metrics = metrics,
+      fileStats = fileStats)
     val tmp = Files.createTempFile(logDir, ".commit", ".tmp")
     Files.write(tmp, renderCommit(c).getBytes("UTF-8"))
     val target = logDir.resolve(f"v${c.version}%020d.json")
@@ -188,7 +237,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       params: Map[String, String] = Map.empty): Commit = {
     val withId = assignIdentity(df)
     val files = writeData(withId._1)
-    val c = commit(operation, files, Nil, withId._1.schema, params, identity = withId._2)
+    val c = commit(operation, files, Nil, withId._1.schema, params, identity = withId._2,
+      fileStats = harvestStats(files))
     if (cdfEnabled && files.nonEmpty) writeChanges(
       spark.read.schema(withId._1.schema)
         .parquet(files.map(f => Paths.get(path, f).toString): _*)
@@ -201,7 +251,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val removed = filesAt().map(abs => Paths.get(path).relativize(Paths.get(abs)).toString)
     val withId = assignIdentity(df)
     val files = writeData(withId._1)
-    commit(operation, files, removed, withId._1.schema, identity = withId._2)
+    commit(operation, files, removed, withId._1.schema, identity = withId._2,
+      fileStats = harvestStats(files))
   }
 
   /** TRUNCATE: drop every live file, keep schema (`DP/Step 1:231`). */
@@ -332,6 +383,13 @@ object GraftTable {
     n.put("identityHighWatermark", c.identityHighWatermark)
     val m = n.putObject("metrics")
     c.metrics.foreach { case (k, v) => m.put(k, v) }
+    val fs = n.putObject("fileStats")
+    c.fileStats.foreach { case (file, cols) =>
+      val fo = fs.putObject(file)
+      cols.foreach { case (cname, (mn, mx)) =>
+        val arr = fo.putArray(cname); arr.add(mn); arr.add(mx)
+      }
+    }
     M.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
@@ -350,7 +408,13 @@ object GraftTable {
       properties = strMap(n.get("properties")),
       identityHighWatermark = n.get("identityHighWatermark").asLong(),
       metrics = n.get("metrics").fields().asScala
-        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+        .map(e => e.getKey -> e.getValue.asLong()).toMap,
+      fileStats = Option(n.get("fileStats")).map(fs =>
+        fs.fields().asScala.map { e =>
+          e.getKey -> e.getValue.fields().asScala.map { ce =>
+            ce.getKey -> (ce.getValue.get(0).asText(), ce.getValue.get(1).asText())
+          }.toMap
+        }.toMap).getOrElse(Map.empty))
   }
 }
 

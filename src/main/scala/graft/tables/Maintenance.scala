@@ -53,6 +53,7 @@ object Maintenance {
       metrics = Map(
         "numFilesRemoved" -> files.size.toLong,
         "numFilesAdded" -> added.size.toLong,
-        "bytesCompacted" -> totalBytes))
+        "bytesCompacted" -> totalBytes),
+      fileStats = t.harvestStats(added))
   }
 }

@@ -160,7 +160,8 @@ object MergeOps {
         Map("predicate" -> condition),
         metrics = Map(
           "numTargetFilesRemoved" -> touched.size.toLong,
-          "numTargetFilesAdded" -> added.size.toLong))
+          "numTargetFilesAdded" -> added.size.toLong),
+        fileStats = t.harvestStats(added))
 
       if (t.cdfEnabled) {
         val del = joined.filter(deleted)
@@ -198,7 +199,8 @@ object MergeOps {
     val added = t.writeData(kept)
     val rel = touched.map(f => Paths.get(t.path).toAbsolutePath
       .relativize(Paths.get(f).toAbsolutePath).toString)
-    val c = t.commit("DELETE", added, rel, schema, Map("predicate" -> predicate))
+    val c = t.commit("DELETE", added, rel, schema, Map("predicate" -> predicate),
+      fileStats = t.harvestStats(added))
     if (t.cdfEnabled) t.writeChanges(
       spark.read.schema(schema).parquet(touched: _*).filter(expr(predicate))
         .withColumn("_change_type", lit("delete"))
@@ -229,6 +231,7 @@ object MergeOps {
     val added = t.writeData(rewritten)
     val rel = touched.map(f => Paths.get(t.path).toAbsolutePath
       .relativize(Paths.get(f).toAbsolutePath).toString)
-    t.commit("UPDATE", added, rel, schema, Map("predicate" -> predicate))
+    t.commit("UPDATE", added, rel, schema, Map("predicate" -> predicate),
+      fileStats = t.harvestStats(added))
   }
 }

@@ -1,0 +1,48 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class FileStatsSpec extends SparkTestBase {
+
+  test("ZORDER + stats skipping: point lookup prunes most files") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val t = GraftTable.createFrom(spark, scratch("skip"), li)
+    // fragment, then cluster into 8 range files on the lookup key
+    t.setProperties(Map("graft.targetFileSize" -> (16 * 1024).toString))
+    Maintenance.optimize(t, zorderBy = Seq("l_orderkey"))
+    val total = t.filesAt().size
+    assert(total >= 4, s"expected several files, got $total")
+
+    val (kept, all) = t.pruneFiles("l_orderkey = 42")
+    assert(all === total)
+    assert(kept.size <= math.max(1, total / 4),
+      s"point lookup should prune most of $total files, kept ${kept.size}")
+
+    // correctness: pruned read == unpruned filter
+    val a = t.readWhere("l_orderkey = 42").count()
+    val b = li.filter(col("l_orderkey") === 42).count()
+    assert(a === b && a > 0)
+  }
+
+  test("range predicate prunes and stays correct") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val t = GraftTable.createFrom(spark, scratch("range"), li)
+    t.setProperties(Map("graft.targetFileSize" -> (16 * 1024).toString))
+    Maintenance.optimize(t, zorderBy = Seq("l_quantity"))
+    val (kept, all) = t.pruneFiles("l_quantity <= 3")
+    assert(kept.size < all)
+    assert(t.readWhere("l_quantity <= 3").count() ===
+      li.filter(col("l_quantity") <= 3).count())
+  }
+
+  test("unknown predicate shapes never prune (conservative)") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val t = GraftTable.createFrom(spark, scratch("cons"), li)
+    val (kept, all) = t.pruneFiles("l_returnflag LIKE 'A%'")
+    assert(kept.size === all)
+    val (kept2, all2) = t.pruneFiles("l_quantity + 1 = 5")
+    assert(kept2.size === all2)
+  }
+}
