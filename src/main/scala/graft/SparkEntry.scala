@@ -14,7 +14,7 @@ object SparkEntry {
   /** All query batches, in SURVEY.md §2 order. */
   def batches: Seq[QueryBatch] =
     Seq(Relational, TableOps, TextQueries, VectorQueries, StreamQueries,
-      SqlQueries, ServiceQueries, OptimizerQueries)
+      SqlQueries, ServiceQueries, OptimizerQueries, MultimodalQueries)
 
   private lazy val catalog: Seq[GQ] = batches.flatMap(_.queries)
 

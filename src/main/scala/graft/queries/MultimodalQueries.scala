@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.services.QueryReplay
+
+/** Multimodal-column plumbing + replay harness coverage. */
+object MultimodalQueries extends QueryBatch {
+
+  /** Binary media pipeline: text→blob, typed metadata, deterministic
+    * frame sampling, per-frame hash. The codec is stubbed (FakeCodec) but
+    * the dataflow — binary column, metadata struct, 1→N frame explode with
+    * no shuffle — is the real shape. */
+  private val q130 = GQ(
+    "q130_multimodal_frames",
+    (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("blob", col("text").cast("binary"))
+      val withMeta = Multimodal.withMediaMeta(docs, "blob", "video", "rawtext")
+      Multimodal.sampleFrames(withMeta, "blob", frameSize = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          sha2(col("frame"), 256).as("frame_sha"),
+          col("media_meta.size_bytes").as("size_bytes"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+            sha256(substr(text, CAST(i AS INTEGER) * 64 + 1, 64)) AS frame_sha,
+            CAST(length(text) AS BIGINT) AS size_bytes
+            FROM documents, UNNEST(range(CAST(ceil(length(text) / 64.0) AS INTEGER))) t(i)
+            WHERE i % 2 = 0
+            ORDER BY doc_id, frame_idx""")
+  )
+
+  /** Media feature extraction: fixed-length deterministic feature vector
+    * per blob (stub embedding); rows-only check — the hash-derived values
+    * are engine-specific, the shape/determinism is asserted in
+    * MultimodalSpec. */
+  private val q131 = GQ(
+    "q131_multimodal_features",
+    (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("blob", col("text").cast("binary"))
+      Multimodal.extractFeatures(docs, "blob", maxBytes = 128, dims = 8)
+        .select(col("doc_id"), col("media_features"))
+        .orderBy("doc_id")
+    },
+    None
+  )
+
+  /** Query replay: recorded workload re-issued at original offsets,
+    * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
+    * deterministic projection (id, rows, status). */
+  private val q132 = GQ(
+    "q132_query_replay",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val rs = QueryReplay.replay(s, Seq(
+        QueryReplay.ReplayRecord("q1", "SELECT count(*) FROM orders", 0),
+        QueryReplay.ReplayRecord("q2",
+          "SELECT count(*) FROM lineitem WHERE l_quantity > 25", 40),
+        QueryReplay.ReplayRecord("q3", "SELECT count(*) FROM no_such_table", 80)),
+        speedup = 4.0)
+      QueryReplay.resultsDF(s, rs)
+        .select("queryId", "rows", "status").orderBy("queryId")
+    },
+    Some("""SELECT * FROM (VALUES
+              ('q1', CAST(1 AS BIGINT), 'FINISHED'),
+              ('q2', CAST(1 AS BIGINT), 'FINISHED'),
+              ('q3', CAST(-1 AS BIGINT), 'FAILED')
+            ) r(queryId, rows, status) ORDER BY queryId""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q130, q131, q132)
+}

@@ -146,8 +146,8 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming) // before distinct: random pairs
+      .distinct()                           // sit at hamming ≈ 32 and vanish
       .select("d1", "d2")
     val grams = shingleTable(docs, n, idCol, textCol)
     verifyPairs(candidates, grams, threshold)
