@@ -14,7 +14,8 @@ object SparkEntry {
   /** All query batches, in SURVEY.md §2 order. */
   def batches: Seq[QueryBatch] =
     Seq(Relational, TableOps, TextQueries, VectorQueries, StreamQueries,
-      SqlQueries, ServiceQueries, OptimizerQueries, MultimodalQueries)
+      SqlQueries, ServiceQueries, OptimizerQueries, MultimodalQueries,
+      CoverageQueries)
 
   private lazy val catalog: Seq[GQ] = batches.flatMap(_.queries)
 

@@ -1,0 +1,108 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.sql.GraftSql
+import graft.streaming.StreamOps
+import graft.tables.{GraftTable, MergeOps}
+
+/** Remaining SURVEY.md §2 surface: materialized views, shallow clone,
+  * change-feed streaming, stream multiplexing.
+  */
+object CoverageQueries extends QueryBatch {
+
+  private def scratch(tag: String): String = {
+    val p = Paths.get("/root/repo/target/qtmp",
+      tag + "-" + java.util.UUID.randomUUID().toString.take(8))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Materialized view: stored definition, recompute-on-REFRESH
+    * (`DP/Step 6:140-152`). */
+  private val q140 = GQ(
+    "q140_materialized_view",
+    (s, dir) => {
+      val g = new GraftSql(s, scratch("mv"))
+      g.createTable("cust", Tables.t(s, dir, "customer").schema)
+      g.sql(s"COPY INTO cust FROM '$dir/customer.parquet' FILEFORMAT = PARQUET")
+      g.sql("""CREATE MATERIALIZED VIEW seg_stats AS
+               SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total
+               FROM cust GROUP BY c_mktsegment""")
+      g.sql("DELETE FROM cust WHERE c_acctbal < 0")
+      g.sql("REFRESH MATERIALIZED VIEW seg_stats")
+      g.sql("SELECT * FROM seg_stats ORDER BY c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total
+            FROM customer WHERE c_acctbal >= 0
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  /** Shallow clone: metadata-only copy reads the source's live files and
+    * is isolated from later source writes (`10-migrations/05-uc-upgrade`). */
+  private val q141 = GQ(
+    "q141_shallow_clone",
+    (s, dir) => {
+      val src = GraftTable.createFrom(s, scratch("sc-src"),
+        Tables.t(s, dir, "supplier"))
+      val clone = src.shallowCloneTo(scratch("sc-dst"))
+      src.append(Tables.t(s, dir, "supplier")) // clone must not see this
+      clone.read().select("s_suppkey", "s_name").orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey""")
+  )
+
+  /** Change feed as a stream source (`readChangeFeed`,
+    * `DP/Advanced CDC:339-345`): CDF rows from an append + delete arrive
+    * through a streaming read. */
+  private val q142 = GQ(
+    "q142_cdf_stream",
+    (s, dir) => {
+      val t = GraftTable.createFrom(s, scratch("cdfs"),
+        Tables.t(s, dir, "region"),
+        properties = Map("graft.enableChangeDataFeed" -> "true"))
+      MergeOps.delete(t, "r_regionkey >= 3")
+      val qn = "cdf_sink_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+      val q = StreamOps.changesStream(t)
+        .groupBy("_change_type").count()
+        .writeStream.outputMode("complete").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).orderBy("_change_type")
+    },
+    Some("""SELECT * FROM (VALUES
+              ('delete', (SELECT count(*) FROM region WHERE r_regionkey >= 3)),
+              ('insert', (SELECT count(*) FROM region))
+            ) c(_change_type, count) ORDER BY _change_type""")
+  )
+
+  /** Stream multiplexing: one source stream routed into N tables by a
+    * column (`Multi-plexing with Autoloader`). */
+  private val q143 = GQ(
+    "q143_multiplex",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val clicks = GraftTable.create(s, scratch("mx-clicks"), raw)
+      val errors = GraftTable.create(s, scratch("mx-errors"), raw)
+      StreamOps.multiplex(stream, "event_type",
+        Map("click" -> clicks, "error" -> errors), scratch("mx-ckpt"))
+      import s.implicits._
+      Seq(("click", clicks.read().count()), ("error", errors.read().count()))
+        .toDF("route", "n").orderBy("route")
+    },
+    Some("""SELECT * FROM (VALUES
+              ('click', (SELECT count(*) FROM events WHERE event_type = 'click')),
+              ('error', (SELECT count(*) FROM events WHERE event_type = 'error'))
+            ) m(route, n) ORDER BY route""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q140, q141, q142, q143)
+}

@@ -55,8 +55,37 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     else if (u.startsWith("TRUNCATE")) { table(s.split("\\s+").last).truncate(); emptyResult }
     else if (u.startsWith("DELETE FROM")) delete(s)
     else if (u.startsWith("UPDATE ")) update(s)
+    else if (u.startsWith("CREATE MATERIALIZED VIEW") ||
+             u.startsWith("CREATE OR REPLACE MATERIALIZED VIEW")) createMV(s)
+    else if (u.startsWith("REFRESH MATERIALIZED VIEW")) refreshMV(s.split("\\s+").last)
     else if (u.startsWith("CREATE TABLE") || u.startsWith("CREATE OR REPLACE TABLE")) ctas(s)
     else passthrough(s)
+  }
+
+  // ---- materialized views (recompute-on-refresh, `DP/Step 6:140-152`) ----
+
+  private def createMV(s: String): DataFrame = {
+    val re = "(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+(\\w+)\\s+AS\\s+(.*)".r
+    s match {
+      case re(name, select) =>
+        val df = passthrough(select)
+        val path = Paths.get(basePath, name).toString
+        val t =
+          if (catalog.contains(name)) { val x = table(name); x.overwrite(df); x }
+          else GraftTable.createFrom(spark, path, df)
+        t.setProperties(Map("graft.mv.definition" -> select.trim))
+        register(name, t)
+        emptyResult
+      case _ => sys.error(s"cannot parse CREATE MATERIALIZED VIEW: $s")
+    }
+  }
+
+  private def refreshMV(name: String): DataFrame = {
+    val t = table(name)
+    val defn = t.properties.getOrElse("graft.mv.definition",
+      sys.error(s"$name is not a materialized view"))
+    t.overwrite(passthrough(defn), "REFRESH MATERIALIZED VIEW")
+    emptyResult
   }
 
   /** Run a `;`-separated chain (the reference's notebook-cell pattern,

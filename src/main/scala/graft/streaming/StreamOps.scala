@@ -53,6 +53,34 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Stream over a table's change feed (`readChangeFeed` source shape,
+    * `DP/Advanced CDC:339-345`): a file stream over the `_changes` dirs,
+    * exactly-once via the caller's checkpoint. */
+  def changesStream(t: GraftTable): DataFrame = {
+    val schema = t.changes().schema
+    t.spark.readStream.schema(schema)
+      .parquet(java.nio.file.Paths.get(t.path, "_changes").toString + "/v*")
+  }
+
+  /** Multiplex one stream into N tables by a routing column
+    * (`Multi-plexing with Autoloader` controller pattern): each route is
+    * its own filtered foreachBatch append with its own checkpoint. */
+  def multiplex(stream: DataFrame, routeCol: String,
+      routes: Map[String, GraftTable], checkpointBase: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    routes.foreach { case (value, target) =>
+      val q = stream.filter(col(routeCol) === value).writeStream
+        .option("checkpointLocation", s"$checkpointBase/$value")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          target.append(batch, "STREAMING UPDATE")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
+
   /** Captured per-batch progress (the reference dumps these JSON events to
     * a table and queries rows/s — `OBS/stream-monitoring:134-211`). */
   final case class BatchProgress(

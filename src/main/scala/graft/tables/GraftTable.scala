@@ -177,11 +177,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     df.filter(org.apache.spark.sql.functions.expr(predicateSql))
   }
 
-  /** Write `df` as new immutable files; returns table-relative file paths. */
+  /** Write `df` as new immutable files; returns table-relative file paths.
+    * Honors `graft.bloomFilterColumns` (comma-separated) via parquet
+    * column bloom filters (`CREATE BLOOMFILTER INDEX`, `DP/Step 1:308-313`). */
   private[tables] def writeData(df: DataFrame): Seq[String] = {
     val sub = s"data/${UUID.randomUUID().toString.take(12)}"
     val dest = Paths.get(path, sub)
-    df.write.mode(SaveMode.Overwrite).parquet(dest.toString)
+    val w = properties.get("graft.bloomFilterColumns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Array.empty[String])
+      .foldLeft(df.write.mode(SaveMode.Overwrite)) { (wr, c) =>
+        wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+    w.parquet(dest.toString)
     Files.list(dest).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => s"$sub/${p.getFileName}").toSeq.sorted
@@ -297,6 +305,26 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       rel
     }
     dest.commit("CLONE", copied, Nil, schemaAt(), Map("source" -> path))
+    dest
+  }
+
+  /** SHALLOW CLONE: new table whose commit references the source's live
+    * files in place (metadata-only, zero data copy). Caveat (same as
+    * Delta's): VACUUMing the source after it rewrites breaks the clone's
+    * links — deep-clone or re-clone before vacuuming the source. */
+  def shallowCloneTo(destPath: String): GraftTable = {
+    val dest = GraftTable.create(spark, destPath, schemaAt(), properties)
+    // absolute source paths recorded relative to the dest via ".." hops is
+    // brittle; store absolute by making the commit path-relative a no-op:
+    // we register files under a symlink dir inside the clone.
+    val linkDir = Paths.get(destPath, "data", "shallow")
+    Files.createDirectories(linkDir)
+    val rels = filesAt().zipWithIndex.map { case (src, i) =>
+      val link = linkDir.resolve(f"f$i%05d-${Paths.get(src).getFileName}")
+      Files.createSymbolicLink(link, Paths.get(src).toAbsolutePath)
+      Paths.get(destPath).relativize(link).toString
+    }
+    dest.commit("SHALLOW CLONE", rels, Nil, schemaAt(), Map("source" -> path))
     dest
   }
 
