@@ -39,13 +39,16 @@ object VectorQueries extends QueryBatch {
   private val q81 = GQ(
     "q81_embedding_near_dup",
     (s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+      // pre-normalize once per vector (unit length, double) so the pair
+      // stage is a bare dot product — O(pairs·d) instead of
+      // O(pairs·(d + 2 norms))
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        VectorOps.normalized(col("embedding")).as("v"))
       e.alias("a")
         .join(e.alias("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          round(VectorOps.cosine(col("a.embedding"), col("b.embedding")) + lit(1e-9), 4)
-            .as("sim"))
+          round(VectorOps.dotPre(col("a.v"), col("b.v")) + lit(1e-9), 4).as("sim"))
         .filter(col("sim") >= 0.35)
         .orderBy("id1", "id2")
     },

@@ -25,31 +25,46 @@ object DedupOps {
       .drop("__fp", "__rn")
   }
 
-  /** (doc_id, shingle) exploded distinct-shingle pairs. */
+  /** (doc_id, shingle) exploded distinct-shingle pairs. The words array is
+    * materialized first so the tokenizing split runs once per document
+    * (see TextOps.shinglesFromWords). */
   def shingleTable(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol).as("doc_id"), TextOps.words(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        explode(TextOps.shinglesFromWords(col("__w"), n)).as("shingle"))
 
-  /** All-pairs n-gram Jaccard ≥ threshold via shingle-inverted-index join:
-    * docs sharing a shingle become candidate pairs; exact Jaccard from
-    * intersection counts + per-doc set sizes. */
+  /** All-pairs n-gram Jaccard ≥ threshold, exact.
+    *
+    * Candidate generation uses *prefix filtering* (PPJoin family, exact):
+    * order each doc's shingles rarest-first (global frequency, shingle as
+    * tie-break) and index only the first `|x| - ceil(t·|x|) + 1` — any
+    * pair with Jaccard ≥ t must share an indexed shingle, and hot
+    * shingles (the quadratic blowup in a naive inverted-index join) drop
+    * out of the index almost entirely. Candidates are then verified with
+    * full-set intersection counts, so the output is exactly the naive
+    * join's. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val grams = shingleTable(docs, n, idCol, textCol)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = grams.alias("a")
-      .join(grams.alias("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
+    val grams = shingleTable(docs, n, idCol, textCol).persist()
+    try {
+      val freq = grams.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+      val szW = Window.partitionBy("doc_id")
+      val prefix = grams.join(freq, "shingle")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("sz", count(lit(1)).over(szW))
+        .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .select("doc_id", "shingle")
+      val candidates = prefix.alias("a")
+        .join(prefix.alias("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      // materialize before unpersisting grams (a lazy return would
+      // recompute the shingle table three times in verifyPairs)
+      verifyPairs(candidates, grams, threshold).localCheckpoint(eager = true)
+    } finally grams.unpersist()
   }
 
   /** MinHash signatures: numHashes independent permutations approximated by
@@ -89,21 +104,25 @@ object DedupOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      verifyPairs(candidates, grams, threshold)
+      verifyPairs(candidates, grams, threshold).localCheckpoint(eager = true)
     } finally grams.unpersist()
   }
 
   /** Exact-Jaccard verification of candidate pairs against the shingle
-    * table (no false positives escape the sketch stage). */
+    * table (no false positives escape the sketch stage).
+    *
+    * Intersections come from `array_intersect` over per-doc shingle-set
+    * arrays joined to each side of the pair — two hash joins keyed on
+    * doc id (broadcast when the set table is small) instead of an
+    * exploded (pair × shingle) join, which blows up to |candidates|·|doc|
+    * rows when a weak sketch over-generates candidates. */
   def verifyPairs(candidates: DataFrame, grams: DataFrame, threshold: Double): DataFrame = {
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = candidates
-      .join(grams.toDF("d1", "shingle"), "d1")
-      .join(grams.toDF("d2", "shingle"), Seq("d2", "shingle"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    candidates.join(inter, Seq("d1", "d2"), "inner")
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+    val sets = grams.groupBy("doc_id")
+      .agg(collect_list("shingle").as("sh"), count(lit(1)).as("sz"))
+    candidates
+      .join(sets.toDF("d1", "sh1", "sz1"), "d1")
+      .join(sets.toDF("d2", "sh2", "sz2"), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -132,7 +151,7 @@ object DedupOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    val sigs = simhash(docs, idCol, textCol)
+    val sigs = simhash(docs, idCol, textCol).persist() // read by both join sides
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until nChunks).map { c =>
         struct(lit(c).as("chunk"),
@@ -149,7 +168,8 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming) // before distinct: random pairs
       .distinct()                           // sit at hamming ≈ 32 and vanish
       .select("d1", "d2")
-    val grams = shingleTable(docs, n, idCol, textCol)
-    verifyPairs(candidates, grams, threshold)
+    val grams = shingleTable(docs, n, idCol, textCol).persist()
+    try verifyPairs(candidates, grams, threshold).localCheckpoint(eager = true)
+    finally grams.unpersist()
   }
 }

@@ -25,6 +25,18 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-normalized double vector — compute once per row, then cosine of
+    * two normalized vectors is a bare dot product. */
+  def normalized(a: Column): Column = {
+    val d = transform(a, x => x.cast("double"))
+    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, v) => acc + v))
+    transform(d, x => x / n)
+  }
+
+  /** Dot product of already-double arrays (no per-element casts). */
+  def dotPre(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   /** Exact top-k by cosine against one query vector. Plans as a single
     * scan + TakeOrderedAndProject — no shuffle of the embedding column. */
   def cosineTopK(emb: DataFrame, queryVec: Seq[Double], k: Int,
