@@ -104,5 +104,50 @@ object CoverageQueries extends QueryBatch {
             ) m(route, n) ORDER BY route""")
   )
 
-  override def queries: Seq[GQ] = Seq(q140, q141, q142, q143)
+  /** The c360 churn-features gold table (`C360/01.1:257-273`): user dims ⋈
+    * per-user order stats ⋈ per-user event stats, datediff features, and a
+    * registered model-scoring UDF (`predict_churn` stub, §2.11). */
+  private val q144 = GQ(
+    "q144_churn_features",
+    (s, dir) => {
+      graft.functions.ModelUdf.registerChurnStub(s)
+      val c = Tables.t(s, dir, "customer")
+      val o = Tables.t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_spent"),
+          max("o_orderdate").as("last_order"))
+      val e = Tables.t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .join(e, col("c_custkey") === col("user_id"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spent"), lit(0.0)).as("total_spent"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(datediff(lit("2002-01-01").cast("date"), col("last_order")),
+            lit(9999)).as("days_since_last_order"))
+        .withColumn("churn_pred",
+          expr("predict_churn(days_since_last_order, n_orders)"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+            coalesce(n_orders, 0) AS n_orders,
+            coalesce(total_spent, 0.0) AS total_spent,
+            coalesce(n_events, 0) AS n_events,
+            coalesce(date_diff('day', CAST(last_order AS DATE), DATE '2002-01-01'), 9999)
+              AS days_since_last_order,
+            CASE WHEN coalesce(date_diff('day', CAST(last_order AS DATE), DATE '2002-01-01'), 9999) > 1500
+                   OR coalesce(n_orders, 0) < 3 THEN 1 ELSE 0 END AS churn_pred
+            FROM customer
+            LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,
+                              round(sum(o_totalprice), 2) AS total_spent,
+                              max(o_orderdate) AS last_order
+                       FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+            LEFT JOIN (SELECT user_id, count(*) AS n_events
+                       FROM events GROUP BY user_id) e ON c_custkey = user_id
+            ORDER BY c_custkey""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q140, q141, q142, q143, q144)
 }

@@ -59,6 +59,11 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
              u.startsWith("CREATE OR REPLACE MATERIALIZED VIEW")) createMV(s)
     else if (u.startsWith("REFRESH MATERIALIZED VIEW")) refreshMV(s.split("\\s+").last)
     else if (u.startsWith("CREATE TABLE") || u.startsWith("CREATE OR REPLACE TABLE")) ctas(s)
+    else if (u.startsWith("GRANT") || u.startsWith("REVOKE")) {
+      // catalog ACLs are out of engine scope (SURVEY §2.4): accept and log
+      org.slf4j.LoggerFactory.getLogger(getClass).info(s"ignoring ACL statement: $s")
+      emptyResult
+    }
     else passthrough(s)
   }
 

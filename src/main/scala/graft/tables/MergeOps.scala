@@ -231,7 +231,17 @@ object MergeOps {
     val added = t.writeData(rewritten)
     val rel = touched.map(f => Paths.get(t.path).toAbsolutePath
       .relativize(Paths.get(f).toAbsolutePath).toString)
-    t.commit("UPDATE", added, rel, schema, Map("predicate" -> predicate),
+    val c = t.commit("UPDATE", added, rel, schema, Map("predicate" -> predicate),
       fileStats = t.harvestStats(added))
+    if (t.cdfEnabled) t.writeChanges(
+      spark.read.schema(schema).parquet(touched: _*).filter(expr(predicate))
+        .select(schema.fieldNames.toSeq.map { cn =>
+          assignments.get(cn)
+            .map(e => expr(e).cast(schema(cn).dataType).as(cn))
+            .getOrElse(col(cn))
+        }: _*)
+        .withColumn("_change_type", lit("update_postimage"))
+        .withColumn("_commit_version", lit(c.version)), c.version)
+    c
   }
 }

@@ -1,0 +1,55 @@
+package graft.sql
+
+import graft.{SparkTestBase, Tables}
+
+class GraftSqlSpec extends SparkTestBase {
+
+  test("JSON path rewrite: cast, no-cast, nested, quote-protected") {
+    assert(JsonPathRewrite("SELECT props:k::int FROM t") ===
+      "SELECT CAST(get_json_object(props, '$.k') AS int) FROM t")
+    assert(JsonPathRewrite("SELECT details:flow.output FROM t") ===
+      "SELECT get_json_object(details, '$.flow.output') FROM t")
+    // `::` casts without a json path are untouched
+    assert(JsonPathRewrite("SELECT id::bigint FROM t") === "SELECT id::bigint FROM t")
+    // colons inside string literals are untouched
+    assert(JsonPathRewrite("SELECT 'a:b' FROM t") === "SELECT 'a:b' FROM t")
+  }
+
+  test("merge parser handles nested parens and aliases") {
+    val g = new GraftSql(spark, scratch("sqlspec"))
+    g.createTable("tgt", Tables.t(spark, sf, "customer").schema)
+    g.sql(s"COPY INTO tgt FROM '$sf/customer.parquet' FILEFORMAT = PARQUET")
+    // USING subquery with window (3 paren levels) + UPDATE SET expr
+    g.sql("""MERGE INTO tgt AS t
+             USING (SELECT * FROM (
+                      SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                                   ORDER BY c_acctbal DESC) AS rn
+                      FROM tgt) x WHERE rn = 1) AS s
+             ON t.c_custkey = s.c_custkey
+             WHEN MATCHED THEN UPDATE SET c_mktsegment = 'TOP'""")
+    val tops = g.table("tgt").read()
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "TOP").count()
+    assert(tops === 25) // one per nation
+  }
+
+  test("unknown table and unparsable statements raise errors") {
+    val g = new GraftSql(spark, scratch("sqlerr"))
+    intercept[RuntimeException] { g.sql("OPTIMIZE nope") }
+    intercept[RuntimeException] { g.sql("MERGE INTO x USING y") } // no ON
+  }
+
+  test("GRANT/REVOKE are accepted as no-ops") {
+    val g = new GraftSql(spark, scratch("acl"))
+    assert(g.sql("GRANT SELECT ON TABLE x TO `analysts`").count() === 0)
+  }
+
+  test("sqlChain runs statements in order and returns the last result") {
+    val g = new GraftSql(spark, scratch("chain"))
+    g.createTable("t1", Tables.t(spark, sf, "region").schema)
+    val out = g.sqlChain(s"""
+      COPY INTO t1 FROM '$sf/region.parquet' FILEFORMAT = PARQUET;
+      DELETE FROM t1 WHERE r_regionkey >= 3;
+      SELECT count(*) AS n FROM t1""")
+    assert(out.head().getLong(0) === 3)
+  }
+}
