@@ -149,5 +149,66 @@ object CoverageQueries extends QueryBatch {
             ORDER BY c_custkey""")
   )
 
-  override def queries: Seq[GQ] = Seq(q140, q141, q142, q143, q144)
+  /** Hive-style partitioned table (`PARTITIONED BY`, `DP/Step 1:164`):
+    * partition values recovered from the k=v layout, partition-pruned
+    * read equals the plain filter. */
+  private val q145 = GQ(
+    "q145_partitioned_table",
+    (s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("part"), o.schema,
+        Map("graft.partitionBy" -> "o_orderstatus"))
+      t.append(o)
+      t.readWhere("o_orderstatus = 'F'")
+        .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderstatus = 'F' ORDER BY o_orderkey""")
+  )
+
+  /** Schema evolution on append (mergeSchema, `C360/01.5:161`): old rows
+    * read null for late-added columns, both directions. */
+  private val q146 = GQ(
+    "q146_schema_evolution",
+    (s, dir) => {
+      val c = Tables.t(s, dir, "customer").select("c_custkey", "c_name")
+      val t = GraftTable.createFrom(s, scratch("evo"), c)
+      t.append(Tables.t(s, dir, "customer")
+        .select(col("c_custkey") + 1000000, col("c_name"), col("c_acctbal"))
+        .toDF("c_custkey", "c_name", "c_acctbal"))
+      t.read().orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer
+            UNION ALL
+            SELECT c_custkey + 1000000, c_name, c_acctbal FROM customer
+            ORDER BY c_custkey""")
+  )
+
+  /** SQL session variables (`DECLARE/SET VARIABLE`, `DP/Step 15:56-183`) —
+    * native in Spark 4; the variable drives a parameterized filter. */
+  private val q147 = GQ(
+    "q147_sql_variables",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("DECLARE OR REPLACE VARIABLE qty_floor DOUBLE DEFAULT 0.0")
+      s.sql("SET VARIABLE qty_floor = 45.0")
+      s.sql("""SELECT l_returnflag, count(*) AS n FROM lineitem
+               WHERE l_quantity >= qty_floor
+               GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+            WHERE l_quantity >= 45.0
+            GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** Direct file query (``SELECT * FROM parquet.`path` ``, `C360/01.5:108`). */
+  private val q148 = GQ(
+    "q148_direct_file_query",
+    (s, dir) => s.sql(
+      s"SELECT r_regionkey, r_name FROM parquet.`$dir/region.parquet` ORDER BY r_regionkey"),
+    Some("""SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""")
+  )
+
+  override def queries: Seq[GQ] =
+    Seq(q140, q141, q142, q143, q144, q145, q146, q147, q148)
 }

@@ -94,11 +94,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   // ---- reads -------------------------------------------------------------
 
+  /** Partition columns (Hive-style layout) configured for this table. */
+  def partitionColumns: Seq[String] =
+    properties.get("graft.partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
   /** Snapshot read (optionally `VERSION AS OF`). */
   def read(versionAsOf: Long = Long.MaxValue): DataFrame = {
     val schema = schemaAt(versionAsOf)
     val files = filesAt(versionAsOf)
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else if (partitionColumns.nonEmpty)
+      // basePath lets Spark recover partition columns from the k=v dirs
+      spark.read.schema(schema).option("basePath", path).parquet(files: _*)
     else spark.read.schema(schema).parquet(files: _*)
   }
 
@@ -157,10 +165,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val base = Paths.get(path)
     val kept = all.filter { abs =>
       val rel = base.relativize(Paths.get(abs)).toString
-      stats.get(rel) match {
-        case Some(st) => FileStats.mightMatch(st, pred, schema)
-        case None => true
-      }
+      // Hive-style k=v path segments are exact per-file stats (partition
+      // pruning unified with footer-stats skipping)
+      val partStats: Map[String, (String, String)] = rel.split("/").toSeq
+        .filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> (v, v)
+        }.toMap
+      val st = stats.getOrElse(rel, Map.empty) ++ partStats
+      if (st.isEmpty) true else FileStats.mightMatch(st, pred, schema)
     }
     (kept, all.size)
   }
@@ -173,6 +186,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val schema = schemaAt()
     val df =
       if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else if (partitionColumns.nonEmpty)
+        spark.read.schema(schema).option("basePath", path).parquet(files: _*)
       else spark.read.schema(schema).parquet(files: _*)
     df.filter(org.apache.spark.sql.functions.expr(predicateSql))
   }
@@ -189,10 +204,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .foldLeft(df.write.mode(SaveMode.Overwrite)) { (wr, c) =>
         wr.option(s"parquet.bloom.filter.enabled#$c", "true")
       }
-    w.parquet(dest.toString)
-    Files.list(dest).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => s"$sub/${p.getFileName}").toSeq.sorted
+    val parts = partitionColumns.filter(df.columns.contains)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dest.toString)
+    Files.walk(dest).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(p => Paths.get(path).relativize(p).toString).toSeq.sorted
   }
 
   private[tables] def writeChanges(df: DataFrame, version: Long): Unit =
@@ -244,8 +260,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def append(df: DataFrame, operation: String = "WRITE",
       params: Map[String, String] = Map.empty): Commit = {
     val withId = assignIdentity(df)
-    val files = writeData(withId._1)
-    val c = commit(operation, files, Nil, withId._1.schema, params, identity = withId._2,
+    val data = evolveSchema(withId._1)
+    val files = writeData(data)
+    val c = commit(operation, files, Nil, data.schema, params, identity = withId._2,
       fileStats = harvestStats(files))
     if (cdfEnabled && files.nonEmpty) writeChanges(
       spark.read.schema(withId._1.schema)
@@ -338,6 +355,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     require(idCol.nonEmpty, "no identity column configured")
     val mx = read().agg(max(col(idCol))).head().getLong(0)
     commit("SYNC IDENTITY", Nil, Nil, schemaAt(), identity = mx)
+  }
+
+  /** Schema evolution on append (`mergeSchema` semantics,
+    * `C360/01.5:161`): the table schema becomes old ∪ new columns; rows
+    * missing a column carry null (old files read null for new columns via
+    * parquet by-name resolution). */
+  private def evolveSchema(df: DataFrame): DataFrame = {
+    if (commits.isEmpty) return df
+    val old = schemaAt()
+    if (old.fieldNames.toSeq == df.schema.fieldNames.toSeq) return df
+    val oldNames = old.fieldNames.toSet
+    val merged = StructType(
+      old.fields ++ df.schema.fields.filterNot(f => oldNames(f.name)))
+    val filled = merged.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+    }
+    filled.select(merged.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
   /** If an identity column is configured and absent/null in `df`, assign
