@@ -170,5 +170,21 @@ object TextQueries extends QueryBatch {
             FROM documents ORDER BY doc_id""")
   )
 
-  override def queries: Seq[GQ] = Seq(q70, q71, q72, q73, q74, q75, q76, q77)
+  /** Native-codegen rolling-hash fingerprint (custom Catalyst Expression
+    * with doGenCode): 56-bit polynomial hash, cheap non-crypto dedup key;
+    * oracle replays the same recurrence with list_reduce. */
+  private val q78 = GQ(
+    "q78_rolling_fingerprint",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.rolling_hash(s, col("text")).as("rh"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT), [ascii(c) FOR c IN string_split(text, '')]),
+              (acc, c) -> (acc * 31 + c) % 72057594037927936) AS rh
+            FROM documents ORDER BY doc_id""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }
