@@ -55,6 +55,9 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     else if (u.startsWith("TRUNCATE")) { table(s.split("\\s+").last).truncate(); emptyResult }
     else if (u.startsWith("DELETE FROM")) delete(s)
     else if (u.startsWith("UPDATE ")) update(s)
+    else if (u.startsWith("CREATE OR REFRESH STREAMING TABLE") ||
+             u.startsWith("CREATE STREAMING TABLE")) createStreamingTable(s)
+    else if (u.startsWith("CREATE BLOOMFILTER INDEX")) bloomIndex(s)
     else if (u.startsWith("CREATE MATERIALIZED VIEW") ||
              u.startsWith("CREATE OR REPLACE MATERIALIZED VIEW")) createMV(s)
     else if (u.startsWith("REFRESH MATERIALIZED VIEW")) refreshMV(s.split("\\s+").last)
@@ -82,6 +85,40 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
         register(name, t)
         emptyResult
       case _ => sys.error(s"cannot parse CREATE MATERIALIZED VIEW: $s")
+    }
+  }
+
+  /** `CREATE OR REFRESH STREAMING TABLE t AS <select>` (`DP/Step 6:63-76`):
+    * incremental-refresh semantics — the definition is stored and re-run on
+    * each CREATE OR REFRESH, mirroring the ST/MV orchestrator's blocking
+    * refresh (`HF/stmvorchestrator.py`). */
+  private def createStreamingTable(s: String): DataFrame = {
+    val re = "(?is)CREATE\\s+(?:OR\\s+REFRESH\\s+)?STREAMING\\s+TABLE\\s+(\\w+)\\s+AS\\s+(.*)".r
+    s match {
+      case re(name, select) =>
+        val df = passthrough(select)
+        if (catalog.contains(name)) table(name).overwrite(df, "REFRESH STREAMING TABLE")
+        else {
+          val t = GraftTable.createFrom(spark, Paths.get(basePath, name).toString, df)
+          t.setProperties(Map("graft.st.definition" -> select.trim))
+          register(name, t)
+        }
+        emptyResult
+      case _ => sys.error(s"cannot parse CREATE STREAMING TABLE: $s")
+    }
+  }
+
+  /** `CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS(c1, c2 ...)`
+    * (`DP/Step 1:308-313`): future writes carry parquet column bloom
+    * filters for those columns. */
+  private def bloomIndex(s: String): DataFrame = {
+    val re = "(?is)CREATE\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?(\\w+)\\s+FOR\\s+COLUMNS\\s*\\(([^)]*)\\)".r
+    s match {
+      case re(name, cols) =>
+        val cleaned = splitTopLevel(cols).map(_.trim.split("\\s+")(0)).mkString(",")
+        table(name).setProperties(Map("graft.bloomFilterColumns" -> cleaned))
+        emptyResult
+      case _ => sys.error(s"cannot parse CREATE BLOOMFILTER INDEX: $s")
     }
   }
 

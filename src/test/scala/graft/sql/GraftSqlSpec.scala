@@ -43,6 +43,24 @@ class GraftSqlSpec extends SparkTestBase {
     assert(g.sql("GRANT SELECT ON TABLE x TO `analysts`").count() === 0)
   }
 
+  test("streaming table refresh re-runs the stored definition") {
+    val g = new GraftSql(spark, scratch("st"))
+    g.createTable("base", Tables.t(spark, sf, "region").schema)
+    g.sql(s"COPY INTO base FROM '$sf/region.parquet' FILEFORMAT = PARQUET")
+    g.sql("CREATE OR REFRESH STREAMING TABLE st AS SELECT r_regionkey FROM base")
+    assert(g.table("st").read().count() === 5)
+    g.sql("DELETE FROM base WHERE r_regionkey >= 2")
+    g.sql("CREATE OR REFRESH STREAMING TABLE st AS SELECT r_regionkey FROM base")
+    assert(g.table("st").read().count() === 2)
+  }
+
+  test("bloomfilter index statement sets the write property") {
+    val g = new GraftSql(spark, scratch("bf"))
+    g.createTable("t", Tables.t(spark, sf, "part").schema)
+    g.sql("CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS(p_partkey, p_brand)")
+    assert(g.table("t").properties("graft.bloomFilterColumns") === "p_partkey,p_brand")
+  }
+
   test("sqlChain runs statements in order and returns the last result") {
     val g = new GraftSql(spark, scratch("chain"))
     g.createTable("t1", Tables.t(spark, sf, "region").schema)
