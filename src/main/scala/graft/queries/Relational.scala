@@ -560,10 +560,50 @@ object Relational extends QueryBatch {
             FROM part ORDER BY p_partkey""")
   )
 
+  /** STRUCT/MAP surface (`DP/Step 15:71-209`): named_struct field access,
+    * map literals, map_keys/map_values. */
+  private val q47 = GQ(
+    "q47_struct_map",
+    (s, dir) => {
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          struct(col("n_name").as("name"), col("n_regionkey").as("rk")).as("info"),
+          map(lit("nk"), col("n_nationkey").cast("long"),
+            lit("rk"), col("n_regionkey").cast("long")).as("m"))
+        .select(
+          col("n_nationkey"),
+          col("info.name").as("sname"),
+          array_join(map_keys(col("m")), ",").as("ks"),
+          expr("aggregate(map_values(m), 0L, (a, v) -> a + v)").as("vs"))
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT n_nationkey,
+            struct_pack(name := n_name, rk := n_regionkey).name AS sname,
+            array_to_string(map_keys(MAP {'nk': n_nationkey, 'rk': n_regionkey}), ',') AS ks,
+            CAST(list_sum(map_values(MAP {'nk': CAST(n_nationkey AS BIGINT),
+                                          'rk': CAST(n_regionkey AS BIGINT)})) AS BIGINT) AS vs
+            FROM nation ORDER BY n_nationkey""")
+  )
+
+  /** Custom typed UDAF: weighted average Aggregator (§2.11). */
+  private val q48 = GQ(
+    "q48_weighted_avg",
+    (s, dir) => {
+      graft.functions.WeightedAvg.register(s)
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag,
+               round(weighted_avg(l_extendedprice, l_quantity) + 1e-9, 2) AS wavg_price
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+            round(sum(l_extendedprice * l_quantity) / sum(l_quantity) + 1e-9, 2) AS wavg_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   override def queries: Seq[GQ] = Seq(
     q01, q02, q03, q04, q05, q06,
     q10, q11, q12, q13, q14, q15,
     q20, q21, q22, q23, q24,
     q30, q31, q32, q33,
-    q40, q41, q42, q43, q44, q45, q46)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }

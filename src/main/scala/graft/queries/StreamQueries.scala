@@ -175,5 +175,29 @@ object StreamQueries extends QueryBatch {
             FROM events""")
   )
 
-  override def queries: Seq[GQ] = Seq(q90, q91, q92, q93, q94)
+  /** Sliding event-time windows (2h window, 1h slide): each event lands in
+    * two epoch-aligned windows (streaming-extension surface beyond the
+    * reference's batch date_trunc bucketing). */
+  private val q95 = GQ(
+    "q95_sliding_window",
+    (s, dir) => {
+      val qn = "q95_sink_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+      val agg = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+        .orderBy("window_start")
+    },
+    Some("""SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS window_start,
+            count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events, UNNEST([0, 1]) t(o)
+            GROUP BY 1 ORDER BY 1""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q90, q91, q92, q93, q94, q95)
 }

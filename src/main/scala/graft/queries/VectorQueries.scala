@@ -41,14 +41,18 @@ object VectorQueries extends QueryBatch {
     (s, dir) => {
       // pre-normalize once per vector (unit length, double) so the pair
       // stage is a bare dot product — O(pairs·d) instead of
-      // O(pairs·(d + 2 norms))
+      // O(pairs·(d + 2 norms)). localCheckpoint truncates lineage:
+      // without it Catalyst inlines the normalization into the pair-level
+      // projection and recomputes it per pair.
       val e = emb(s, dir).select(col("vec_id"), col("label"),
         VectorOps.normalized(col("embedding")).as("v"))
+        .localCheckpoint(eager = true)
       e.alias("a")
         .join(e.alias("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          round(VectorOps.dotPre(col("a.v"), col("b.v")) + lit(1e-9), 4).as("sim"))
+          round(graft.functions.DotProduct.dot_product(s, col("a.v"), col("b.v"))
+            + lit(1e-9), 4).as("sim"))
         .filter(col("sim") >= 0.35)
         .orderBy("id1", "id2")
     },

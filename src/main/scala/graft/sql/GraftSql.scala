@@ -145,7 +145,18 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
 
   private def passthrough(s: String): DataFrame = {
     catalog.foreach { case (n, t) => t.read().createOrReplaceTempView(n) }
-    spark.sql(rewriteTimeTravel(JsonPathRewrite(s)))
+    spark.sql(rewriteTableChanges(rewriteTimeTravel(JsonPathRewrite(s))))
+  }
+
+  /** `table_changes('t', v)` TVF → temp view over the change feed
+    * (`DP/Advanced CDC:271,395`). */
+  private def rewriteTableChanges(s: String): String = {
+    val re = "(?i)table_changes\\s*\\(\\s*'(\\w+)'\\s*,\\s*(\\d+)\\s*\\)".r
+    re.replaceAllIn(s, m => {
+      val viewName = s"${m.group(1)}__changes_${m.group(2)}"
+      table(m.group(1)).changes(m.group(2).toLong).createOrReplaceTempView(viewName)
+      viewName
+    })
   }
 
   /** `FROM t VERSION AS OF n` → temp view of the snapshot. */

@@ -61,6 +61,18 @@ class GraftSqlSpec extends SparkTestBase {
     assert(g.table("t").properties("graft.bloomFilterColumns") === "p_partkey,p_brand")
   }
 
+  test("table_changes TVF reads the change feed in SQL") {
+    val g = new GraftSql(spark, scratch("tc"))
+    g.createTable("t", Tables.t(spark, sf, "region").schema,
+      Map("graft.enableChangeDataFeed" -> "true"))
+    g.sql(s"COPY INTO t FROM '$sf/region.parquet' FILEFORMAT = PARQUET")
+    g.sql("DELETE FROM t WHERE r_regionkey = 0")
+    val n = g.sql(
+      "SELECT count(*) AS n FROM table_changes('t', 2) WHERE _change_type = 'delete'")
+      .head().getLong(0)
+    assert(n === 1)
+  }
+
   test("sqlChain runs statements in order and returns the last result") {
     val g = new GraftSql(spark, scratch("chain"))
     g.createTable("t1", Tables.t(spark, sf, "region").schema)
