@@ -51,9 +51,31 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
     val qpm = if (total > 0) ok.size * 60.0 / total else 0.0
+
+    // concurrent QPM over the read-only relational subset (the reference's
+    // throughput mode: N workers, cache off). DDL/scratch-table queries are
+    // excluded — they share session temp-view names.
+    val conc = sys.env.getOrElse("SPARK_GRAFT_CONCURRENCY", "4").toInt
+    val readOnly = queries.filter(q => q._1.matches("^q[0-4].*"))
+    val concurrentQpm: Double =
+      if (conc <= 1 || readOnly.isEmpty) 0.0
+      else {
+        import java.util.concurrent.Executors
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        val pool = Executors.newFixedThreadPool(conc)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val t0 = System.nanoTime()
+        Await.result(Future.sequence(readOnly.map { case (_, fn) =>
+          Future { try timeOne(fn) catch { case _: Throwable => -1.0 } }
+        }), 30.minutes)
+        pool.shutdown()
+        readOnly.size * 60.0 / ((System.nanoTime() - t0) / 1e9)
+      }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -600,10 +600,63 @@ object Relational extends QueryBatch {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** Scalar-function battery 2 (`§2.10`): md5, initcap, split/reverse
+    * 3-part-name normalization (`OPT:1448-1459`), unix_timestamp. */
+  private val q49 = GQ(
+    "q49_string_funcs2",
+    (s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          md5(col("p_name")).as("name_md5"),
+          initcap(lower(col("p_brand"))).as("brand_ic"),
+          reverse(split(col("p_type"), " ")).getItem(0).as("last_word"),
+          concat(lit("c."), col("p_brand")).as("three_part"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+            md5(p_name) AS name_md5,
+            upper(substr(lower(p_brand), 1, 1)) || lower(substr(lower(p_brand), 2)) AS brand_ic,
+            string_split(p_type, ' ')[-1] AS last_word,
+            'c.' || p_brand AS three_part
+            FROM part ORDER BY p_partkey""")
+  )
+
+  /** Helper-API coverage: latestByKey + highWatermark + topKPerGroup
+    * composed (`graft.relational.Helpers`). */
+  private val q50h = GQ(
+    "q50_helpers_compose",
+    (s, dir) => {
+      import graft.relational.Helpers
+      val ev = t(s, dir, "events")
+      val latest = Helpers.latestByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
+      val wm = Helpers.highWatermark(ev, "ts")
+      val recent = Helpers.incrementalAfter(
+        ev, "ts", wm.map(w => new java.sql.Timestamp(
+          w.asInstanceOf[java.sql.Timestamp].getTime - 7L * 24 * 3600 * 1000)))
+      val top = Helpers.topKPerGroup(
+        ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+          .withColumn("ord", col("n") * 1000000 - col("user_id")),
+        Seq("event_type"), col("ord"), 1)
+      import s.implicits._
+      Seq((latest.count(), recent.count(), top.count())).toDF("n_latest", "n_recent", "n_top")
+    },
+    Some("""SELECT
+            (SELECT count(DISTINCT user_id) FROM events) AS n_latest,
+            (SELECT count(*) FROM events
+             WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)) AS n_recent,
+            (SELECT count(*) FROM (
+               SELECT event_type, dense_rank() OVER (PARTITION BY event_type
+                        ORDER BY n * 1000000 - user_id DESC) AS r
+               FROM (SELECT event_type, user_id, count(*) AS n FROM events
+                     GROUP BY event_type, user_id) g) rk
+             WHERE r <= 1) AS n_top""")
+  )
+
   override def queries: Seq[GQ] = Seq(
     q01, q02, q03, q04, q05, q06,
     q10, q11, q12, q13, q14, q15,
     q20, q21, q22, q23, q24,
     q30, q31, q32, q33,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50h)
 }

@@ -55,6 +55,22 @@ class MergeOpsSpec extends SparkTestBase {
     }
   }
 
+  test("merge emits update_postimage/insert/delete change-feed rows") {
+    val t = GraftTable.createFrom(spark, scratch("mcdf"), customer.limit(10),
+      properties = Map("graft.enableChangeDataFeed" -> "true"))
+    val source = customer.limit(12) // 10 matched + 2 new
+      .withColumn("c_acctbal", col("c_acctbal") + 1)
+    MergeOps.mergeInto(t, source, "target.c_custkey = source.c_custkey",
+      matched = Seq(
+        WhenMatched(Some("target.c_custkey = 0"), DeleteAction),
+        WhenMatched(None, UpdateAll)),
+      notMatched = Seq(WhenNotMatched(None, InsertAll)))
+    val byType = t.changes(fromVersion = 2)
+      .groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("delete" -> 1L, "update_postimage" -> 9L, "insert" -> 2L))
+  }
+
   test("delete with no matching rows is a metadata-only commit") {
     val t = GraftTable.createFrom(spark, scratch("nodel"), customer)
     val files = t.filesAt()
