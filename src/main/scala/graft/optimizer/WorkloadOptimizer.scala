@@ -35,52 +35,60 @@ object WorkloadOptimizer {
       nJoin: Long, nFilter: Long, nGroup: Long, nQueries: Long,
       totalRuntimeMs: Long)
 
-  /** Exact per-column usage from the analyzed plans of the workload.
-    * Tables must be resolvable (registered temp views / catalog). */
-  def profileQueries(spark: SparkSession, queries: Seq[QueryRecord],
-      knownTables: Set[String]): Seq[ColumnUsage] = {
+  /** Exact per-column usage from one analyzed plan. */
+  def usageFromPlan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      knownTables: Set[String], durationMs: Long): Seq[ColumnUsage] = {
     val acc = mutable.Map[(String, String), ColumnUsage]()
-    queries.foreach { q =>
-      val plan =
-        try spark.sql(q.sql).queryExecution.analyzed
-        catch { case _: Exception => null }
-      if (plan != null) {
-        // ExprId → (table, column) from the table-aliased leaves
-        val attr = mutable.Map[ExprId, (String, String)]()
-        plan.foreach {
-          case s: SubqueryAlias if knownTables.contains(s.alias) =>
-            s.output.foreach(a => attr.getOrElseUpdate(a.exprId, (s.alias, a.name)))
-          case _ =>
-        }
-        def bump(e: org.apache.spark.sql.catalyst.expressions.Expression,
-            kind: String): Unit =
-          e.references.foreach { a =>
-            attr.get(a.exprId).foreach { case (t, c) =>
-              val cur = acc.getOrElse((t, c), ColumnUsage(t, c, 0, 0, 0, 0, 0))
-              acc((t, c)) = kind match {
-                case "join" => cur.copy(nJoin = cur.nJoin + 1)
-                case "filter" => cur.copy(nFilter = cur.nFilter + 1)
-                case "group" => cur.copy(nGroup = cur.nGroup + 1)
-              }
-            }
+    // ExprId → (table, column) from the table-aliased leaves
+    val attr = mutable.Map[ExprId, (String, String)]()
+    plan.foreach {
+      case s: SubqueryAlias if knownTables.contains(s.alias) =>
+        s.output.foreach(a => attr.getOrElseUpdate(a.exprId, (s.alias, a.name)))
+      case _ =>
+    }
+    def bump(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        kind: String): Unit =
+      e.references.foreach { a =>
+        attr.get(a.exprId).foreach { case (t, c) =>
+          val cur = acc.getOrElse((t, c), ColumnUsage(t, c, 0, 0, 0, 0, 0))
+          acc((t, c)) = kind match {
+            case "join" => cur.copy(nJoin = cur.nJoin + 1)
+            case "filter" => cur.copy(nFilter = cur.nFilter + 1)
+            case "group" => cur.copy(nGroup = cur.nGroup + 1)
           }
-        plan.foreach {
-          case j: Join => j.condition.foreach(bump(_, "join"))
-          case f: Filter => bump(f.condition, "filter")
-          case a: Aggregate => a.groupingExpressions.foreach(bump(_, "group"))
-          case _ =>
-        }
-        // per-query table-level stats land on every used column of the table
-        val usedTables = attr.values.map(_._1).toSet
-        acc.keys.filter(k => usedTables.contains(k._1)).foreach { k =>
-          val cur = acc(k)
-          acc(k) = cur.copy(nQueries = cur.nQueries + 1,
-            totalRuntimeMs = cur.totalRuntimeMs + q.durationMs)
         }
       }
+    plan.foreach {
+      case j: Join => j.condition.foreach(bump(_, "join"))
+      case f: Filter => bump(f.condition, "filter")
+      case a: Aggregate => a.groupingExpressions.foreach(bump(_, "group"))
+      case _ =>
+    }
+    // per-query table-level stats land on every used column of the table
+    val usedTables = acc.keys.map(_._1).toSet
+    acc.keys.toSeq.filter(k => usedTables.contains(k._1)).foreach { k =>
+      val cur = acc(k)
+      acc(k) = cur.copy(nQueries = 1, totalRuntimeMs = durationMs)
     }
     acc.values.toSeq
   }
+
+  /** Merge usage rows across queries (sums per (table, column)). */
+  def mergeUsage(usage: Seq[ColumnUsage]): Seq[ColumnUsage] =
+    usage.groupBy(u => (u.table, u.column)).map { case ((t, c), us) =>
+      ColumnUsage(t, c, us.map(_.nJoin).sum, us.map(_.nFilter).sum,
+        us.map(_.nGroup).sum, us.map(_.nQueries).sum, us.map(_.totalRuntimeMs).sum)
+    }.toSeq
+
+  /** Exact per-column usage from the analyzed plans of the workload.
+    * Tables must be resolvable (registered temp views / catalog). */
+  def profileQueries(spark: SparkSession, queries: Seq[QueryRecord],
+      knownTables: Set[String]): Seq[ColumnUsage] =
+    mergeUsage(queries.flatMap { q =>
+      try usageFromPlan(spark.sql(q.sql).queryExecution.analyzed, knownTables, q.durationMs)
+      catch { case _: Exception => Nil }
+    })
 
   /** Columns referenced by write predicates in a table's commit history
     * (merge-predicate mining, `OPT:1345-1423`). */
@@ -123,8 +131,20 @@ object WorkloadOptimizer {
       maxZorderCols: Int = 2): Seq[Strategy] = {
     import spark.implicits._
     tables.foreach { case (n, (df, _)) => df.createOrReplaceTempView(n) }
-
     val usage = profileQueries(spark, queries, tables.keySet)
+    buildStrategyFromUsage(spark, usage, tables, optimizeMethod, minDistinct, maxZorderCols)
+  }
+
+  /** Strategy from pre-collected usage (e.g. a QueryMetrics collector's
+    * `workloadUsage` — the monitor→recommend loop). */
+  def buildStrategyFromUsage(
+      spark: SparkSession,
+      usage: Seq[ColumnUsage],
+      tables: Map[String, (DataFrame, Option[GraftTable])],
+      optimizeMethod: String = "both",
+      minDistinct: Long = 100,
+      maxZorderCols: Int = 2): Seq[Strategy] = {
+    import spark.implicits._
     if (usage.isEmpty) return Nil
     val usageDF = usage.toDF()
 

@@ -18,7 +18,8 @@ object QueryMetrics {
 
   final case class QueryRecord(
       funcName: String, durationMs: Long, tables: Seq[String],
-      hasShuffle: Boolean, hasBroadcast: Boolean, failed: Boolean)
+      hasShuffle: Boolean, hasBroadcast: Boolean, failed: Boolean,
+      usage: Seq[graft.optimizer.WorkloadOptimizer.ColumnUsage])
 
   final class Collector extends QueryExecutionListener {
     private val buf = new ConcurrentLinkedQueue[QueryRecord]()
@@ -31,14 +32,23 @@ object QueryMetrics {
       val tables = qe.analyzed.collect {
         case r: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => r.alias
       }.distinct
+      // extract column usage eagerly — retaining the plan would pin memory
+      val usage = graft.optimizer.WorkloadOptimizer
+        .usageFromPlan(qe.analyzed, tables.toSet, durationNs / 1000000)
       buf.add(QueryRecord(funcName, durationNs / 1000000, tables,
-        plan.contains("Exchange"), plan.contains("Broadcast"), failed))
+        plan.contains("Exchange"), plan.contains("Broadcast"), failed, usage))
     }
 
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
       record(funcName, qe, durationNs, failed = false)
     override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
       record(funcName, qe, 0L, failed = true)
+
+    /** Accumulated column usage across everything observed — feed this to
+      * `WorkloadOptimizer.buildStrategyFromUsage` to close the
+      * monitor→recommend loop. */
+    def workloadUsage: Seq[graft.optimizer.WorkloadOptimizer.ColumnUsage] =
+      graft.optimizer.WorkloadOptimizer.mergeUsage(records.flatMap(_.usage))
   }
 
   /** Install a collector on the session; caller keeps the handle. */
