@@ -83,5 +83,21 @@ object VectorQueries extends QueryBatch {
     None
   )
 
-  override def queries: Seq[GQ] = Seq(q80, q81, q82)
+  /** IVF-probed approximate top-k (k-means coarse quantizer, FAISS-style
+    * scale path). With nprobe = nlist the result is exactly brute force —
+    * which is what this gate query runs, so it hash-matches the q80
+    * oracle; sub-linear probing (`nprobe < nlist`) is asserted on planted
+    * neighbors in IvfSpec. */
+  private val q83 = GQ(
+    "q83_ivf_topk",
+    (s, dir) => graft.vector.Ivf.topK(
+        emb(s, dir), queryVec(s, dir), 10, nlist = 8, nprobe = 8, iters = 2)
+      .select("vec_id", "sim"),
+    Some(s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+             SELECT e.vec_id, round($cosineSql + 1e-9, 4) AS sim
+             FROM embeddings e, q
+             ORDER BY sim DESC, vec_id LIMIT 10""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q80, q81, q82, q83)
 }

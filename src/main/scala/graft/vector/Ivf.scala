@@ -1,0 +1,88 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a k-means coarse
+  * quantizer partitions the vectors into cells; queries probe only the
+  * `nprobe` nearest cells and exact-rerank inside — the standard scale
+  * path for similarity search (FAISS-style IVF-Flat), expressed as pure
+  * DataFrame programs.
+  *
+  * Scale design: centroids are tiny and broadcast; assignment is one
+  * narrow pass over the vectors (cross join with the broadcast centroid
+  * table + min-by); centroid recomputation shuffles on (cell, dim) —
+  * cardinality k·d, not N·d. Nothing is ever all-pairs, and the cell
+  * assignment can be persisted as a column for reuse (the "index").
+  */
+object Ivf {
+
+  /** Deterministic Lloyd's k-means over `array<float|double>` vectors:
+    * init = the k lowest-id vectors, `iters` assignment/recompute rounds.
+    * Returns (cell, centroid: array<double>). */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val v = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .localCheckpoint(eager = true)
+    var centroids = v.orderBy("id").limit(k)
+      .select((row_number().over(Window.orderBy("id")) - 1).as("cell"), col("v").as("c"))
+      .localCheckpoint(eager = true)
+    (1 to iters).foreach { _ =>
+      val assigned = assign(v, centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("c"))
+        .localCheckpoint(eager = true)
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: one narrow pass, centroids broadcast. */
+  private def assign(v: DataFrame, centroids: DataFrame): DataFrame =
+    v.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"),
+        struct(negate(VectorOps.dotPre(col("v"), col("c"))
+          / (VectorOps.normPre(col("v")) * VectorOps.normPre(col("c")))).as("negSim"),
+          col("cell").as("cell")).as("sc"))
+      .groupBy("id", "v").agg(min("sc").as("best"))
+      .select(col("id"), col("v"), col("best.cell").as("cell"))
+
+  /** Build the IVF index: every vector tagged with its cell. */
+  def index(emb: DataFrame, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val centroids = kmeansCentroids(emb, k, iters, idCol, vecCol)
+    val v = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    (assign(v, centroids), centroids)
+  }
+
+  /** Approximate top-k: probe the `nprobe` cells nearest the query, exact
+    * cosine rerank inside. With nprobe = nlist this is exact brute force.
+    */
+  def topK(emb: DataFrame, queryVec: Seq[Double], k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val (indexed, centroids) = index(emb, nlist, iters, idCol, vecCol)
+    val q = array(queryVec.map(lit): _*)
+    val probeCells = centroids
+      .select(col("cell"),
+        (VectorOps.dotPre(col("c"), q) /
+          (VectorOps.normPre(col("c")) * VectorOps.normPre(q))).as("sim"))
+      .orderBy(col("sim").desc).limit(nprobe)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    indexed.filter(col("cell").isin(probeCells: _*))
+      .select(col("id").as(idCol),
+        round(VectorOps.dotPre(col("v"), q) /
+          (VectorOps.normPre(col("v")) * VectorOps.normPre(q)) + lit(1e-9), 4).as("sim"),
+        col("cell"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

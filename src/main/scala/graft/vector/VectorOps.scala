@@ -37,6 +37,10 @@ object VectorOps {
   def dotPre(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Norm of an already-double array. */
+  def normPre(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
   /** Exact top-k by cosine against one query vector. Plans as a single
     * scan + TakeOrderedAndProject — no shuffle of the embedding column. */
   def cosineTopK(emb: DataFrame, queryVec: Seq[Double], k: Int,
