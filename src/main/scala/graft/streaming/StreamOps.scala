@@ -53,6 +53,17 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Stream a GraftTable as a source (`readStream.table(t)`,
+    * `DP/Step 5:182-189`): a file stream over the table's data dirs — each
+    * append commits new immutable files, which the file source picks up
+    * exactly once per checkpoint. OPTIMIZE/merge rewrites re-emit rewritten
+    * rows (the `ignoreChanges` caveat the reference documents); route
+    * through `changesStream` when row-level change semantics matter. */
+  def tableStream(t: GraftTable): DataFrame =
+    t.spark.readStream.schema(t.schemaAt())
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(java.nio.file.Paths.get(t.path, "data").toString + "/*")
+
   /** Stream over a table's change feed (`readChangeFeed` source shape,
     * `DP/Advanced CDC:339-345`): a file stream over the `_changes` dirs,
     * exactly-once via the caller's checkpoint. */

@@ -65,6 +65,20 @@ class StreamingSpec extends SparkTestBase {
     assert(Files.exists(Paths.get(schemaLoc, "_schema.json")))
   }
 
+  test("tableStream streams appends from a GraftTable exactly once") {
+    val src = graft.tables.GraftTable.createFrom(spark, scratch("ts-src"),
+      Tables.t(spark, sf, "region"))
+    val sink = graft.tables.GraftTable.create(spark, scratch("ts-sink"),
+      src.schemaAt())
+    val ckpt = scratch("ts-ckpt")
+    StreamOps.appendStream(StreamOps.tableStream(src), sink, ckpt)
+    assert(sink.read().count() === 5)
+    src.append(Tables.t(spark, sf, "nation")
+      .selectExpr("n_nationkey AS r_regionkey", "n_name AS r_name").limit(3))
+    StreamOps.appendStream(StreamOps.tableStream(src), sink, ckpt)
+    assert(sink.read().count() === 8) // only the 3 new rows arrived
+  }
+
   test("incremental streaming: second run picks up only new files") {
     val dir = scratch("inc-src")
     Files.createDirectories(Paths.get(dir))
