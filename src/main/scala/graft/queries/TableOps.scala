@@ -270,6 +270,54 @@ object TableOps extends QueryBatch {
             ORDER BY version""")
   )
 
+  /** APPLY CHANGES INTO — STORED AS SCD TYPE 2 (`CDC/01` + `DP/Step 3`):
+    * two CDC batches chain history rows; unchanged keys are not
+    * re-versioned; keys seen only once stay single-version. */
+  private val q62 = GQ(
+    "q62_apply_changes_scd2",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select("user_id", "value", "ts")
+      val mid = "2024-01-08 00:00:00"
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("_start_at", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("_end_at", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("_is_current", org.apache.spark.sql.types.BooleanType)))
+      val tbl = GraftTable.create(s, scratch("scd2ac"), schema)
+      Scd.applyChangesScd2(tbl,
+        ev.filter(col("ts") < lit(mid).cast("timestamp")), Seq("user_id"), "ts")
+      Scd.applyChangesScd2(tbl,
+        ev.filter(col("ts") >= lit(mid).cast("timestamp")), Seq("user_id"), "ts")
+      tbl.read().orderBy("user_id", "_start_at")
+    },
+    Some("""WITH b1 AS (SELECT user_id, value, ts FROM (
+              SELECT user_id, value, ts, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) rn
+              FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00') x WHERE rn = 1),
+            b2 AS (SELECT user_id, value, ts FROM (
+              SELECT user_id, value, ts, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) rn
+              FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00') x WHERE rn = 1),
+            bb AS (SELECT b1.user_id u, b1.value v1, b1.ts t1, b2.value v2, b2.ts t2
+                     FROM b1 JOIN b2 ON b1.user_id = b2.user_id)
+            SELECT user_id, value, _start_at, _end_at, _is_current FROM (
+              SELECT u AS user_id, v1 AS value, CAST(t1 AS TIMESTAMP) AS _start_at,
+                     CAST(t2 AS TIMESTAMP) AS _end_at, false AS _is_current
+              FROM bb WHERE v1 IS DISTINCT FROM v2
+              UNION ALL
+              SELECT u, v2, CAST(t2 AS TIMESTAMP), NULL, true
+              FROM bb WHERE v1 IS DISTINCT FROM v2
+              UNION ALL
+              SELECT u, v1, CAST(t1 AS TIMESTAMP), NULL, true
+              FROM bb WHERE v1 IS NOT DISTINCT FROM v2
+              UNION ALL
+              SELECT b1.user_id, b1.value, CAST(b1.ts AS TIMESTAMP), NULL, true
+              FROM b1 ANTI JOIN b2 USING (user_id)
+              UNION ALL
+              SELECT b2.user_id, b2.value, CAST(b2.ts AS TIMESTAMP), NULL, true
+              FROM b2 ANTI JOIN b1 USING (user_id)
+            ) r ORDER BY user_id, _start_at""")
+  )
+
   override def queries: Seq[GQ] = Seq(
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }

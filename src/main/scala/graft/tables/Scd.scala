@@ -39,12 +39,16 @@ object Scd {
     val diffCond = compareCols
       .map(c => s"NOT (target.$c <=> source.$c)").mkString(" OR ")
 
-    // Stage A (one merge): expire the current row when it changed.
+    // Stage A (one merge): expire the current row when it changed AND the
+    // update is newer than the current version — out-of-order rows older
+    // than the applied head are dropped, not retro-chained
+    // (`CDC/01:176-184` sequencing guarantee; full retro-insert is out of
+    // scope, same as the reference's batch SCD2 pattern).
     MergeOps.mergeInto(
       t, latest,
       condition = s"($keyCond) AND target.$currentCol = true",
       matched = Seq(MergeOps.WhenMatched(
-        Some(diffCond),
+        Some(s"($diffCond) AND source.$seqCol > target.$startCol"),
         MergeOps.UpdateSet(Map(
           endCol -> s"source.$seqCol",
           currentCol -> "false")))),
@@ -98,6 +102,52 @@ object Scd {
       MergeOps.InsertValues(cols.map(c => c -> s"source.$c").toMap)))
 
     MergeOps.mergeInto(t, latest, keyCond, matched, notMatched)
+  }
+
+  /** DLT APPLY CHANGES INTO — STORED AS SCD TYPE 2
+    * (`CDC/01:152-199` with SCD2 storage, `DP/Step 3:104-118`): history
+    * rows chain via startCol/endCol, deletes expire the current row
+    * without inserting a successor, out-of-order rows lose to the applied
+    * head.
+    */
+  def applyChangesScd2(
+      t: GraftTable,
+      cdc: DataFrame,
+      keys: Seq[String],
+      sequenceBy: String,
+      deleteWhen: Option[String] = None,
+      exceptCols: Seq[String] = Nil,
+      startCol: String = "_start_at",
+      endCol: String = "_end_at",
+      currentCol: String = "_is_current"): Unit = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(sequenceBy).desc)
+    val latest = cdc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .drop(exceptCols.filterNot(_ == sequenceBy): _*)
+
+    val (deletes, upserts) = deleteWhen match {
+      case Some(d) => (latest.filter(expr(d)), latest.filter(not(expr(d))))
+      case None => (null, latest)
+    }
+
+    val businessCols = t.schemaAt().fieldNames
+      .filterNot(Set(startCol, endCol, currentCol).contains)
+    val compareCols = businessCols.filterNot(keys.contains).toSeq
+
+    if (deletes != null && !deletes.isEmpty) {
+      val keyCond = keys.map(k => s"target.$k = source.$k").mkString(" AND ")
+      MergeOps.mergeInto(
+        t, deletes,
+        condition = s"($keyCond) AND target.$currentCol = true",
+        matched = Seq(MergeOps.WhenMatched(
+          Some(s"source.$sequenceBy > target.$startCol"),
+          MergeOps.UpdateSet(Map(
+            endCol -> s"source.$sequenceBy",
+            currentCol -> "false")))),
+        notMatched = Nil)
+    }
+    if (!upserts.isEmpty)
+      scd2Merge(t, upserts, keys, compareCols, sequenceBy, startCol, endCol, currentCol)
   }
 
   /** Qualify bare column references in a user predicate with `source.` so

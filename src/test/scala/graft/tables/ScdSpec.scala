@@ -45,6 +45,42 @@ class ScdSpec extends SparkTestBase {
     assert(t.read().count() === 1) // same value → single current row
   }
 
+  test("scd2 out-of-order: rows older than the applied head are dropped") {
+    val t = GraftTable.create(spark, scratch("scd2ooo"), scd2Schema)
+    def batch(seq: String, rows: (Long, String)*) =
+      rows.toSeq.toDF("id", "name").withColumn("_seq", lit(seq))
+    Scd.scd2Merge(t, batch("2024-05-01", 1L -> "new"), Seq("id"), Seq("name"), "_seq")
+    // late batch with an OLDER change must not expire/replace the head
+    Scd.scd2Merge(t, batch("2024-02-01", 1L -> "stale"), Seq("id"), Seq("name"), "_seq")
+    val rows = t.read().collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(1) === "new" && rows.head.getBoolean(4))
+  }
+
+  private val scd2acSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("_start_at", StringType), StructField("_end_at", StringType),
+    StructField("_is_current", BooleanType)))
+
+  test("applyChangesScd2: delete expires without successor; later upsert restarts chain") {
+    val t = GraftTable.create(spark, scratch("scd2del"), scd2acSchema)
+    def cdc(rows: (Long, String, String, String)*) =
+      rows.toSeq.toDF("id", "name", "seq", "op")
+    Scd.applyChangesScd2(t, cdc((1L, "a", "2024-01-01", "UPSERT")),
+      Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"), exceptCols = Seq("op"))
+    Scd.applyChangesScd2(t, cdc((1L, "a", "2024-02-01", "DELETE")),
+      Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"), exceptCols = Seq("op"))
+    val afterDelete = t.read().collect()
+    assert(afterDelete.length === 1)
+    assert(!afterDelete.head.getBoolean(4)) // expired, no current row
+    assert(afterDelete.head.getString(3) === "2024-02-01")
+    Scd.applyChangesScd2(t, cdc((1L, "c", "2024-03-01", "UPSERT")),
+      Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"), exceptCols = Seq("op"))
+    val chain = t.read().orderBy("_start_at").collect()
+    assert(chain.length === 2)
+    assert(chain(1).getString(1) === "c" && chain(1).getBoolean(4))
+  }
+
   private val scd1Schema = StructType(Seq(
     StructField("id", LongType), StructField("v", StringType),
     StructField("seq", LongType)))
