@@ -73,9 +73,28 @@ object Bench {
         readOnly.size * 60.0 / ((System.nanoTime() - t0) / 1e9)
       }
 
+    // ZORDER pruning comparison (the BASELINE.md point-lookup experiment:
+    // clustered table, point predicate → files skipped + latency ratio)
+    val pruning = {
+      import graft.tables.{GraftTable, Maintenance}
+      val dir = java.nio.file.Files.createTempDirectory("bench-prune")
+      val li = Tables.t(spark, sfDir, "lineitem")
+      val t = GraftTable.createFrom(spark, dir.toString + "/t", li)
+      t.setProperties(Map("graft.targetFileSize" -> (256 * 1024).toString))
+      Maintenance.optimize(t, zorderBy = Seq("l_orderkey"))
+      val (kept, totalFiles) = t.pruneFiles("l_orderkey = 4242")
+      def tm(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val fullSec = tm(t.read()
+        .filter(org.apache.spark.sql.functions.expr("l_orderkey = 4242")).count())
+      val prunedSec = tm(t.readWhere("l_orderkey = 4242").count())
+      f""""pruning":{"files_total":$totalFiles,"files_read":${kept.size},"full_scan_sec":$fullSec%.3f,"pruned_sec":$prunedSec%.3f}"""
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
