@@ -145,7 +145,25 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
 
   private def passthrough(s: String): DataFrame = {
     catalog.foreach { case (n, t) => t.read().createOrReplaceTempView(n) }
-    spark.sql(rewriteTableChanges(rewriteTimeTravel(JsonPathRewrite(s))))
+    spark.sql(rewriteFileTvfs(rewriteTableChanges(rewriteTimeTravel(JsonPathRewrite(s)))))
+  }
+
+  /** `cloud_files('path', 'format')` / `read_files('path', format =>
+    * 'fmt')` TVFs (`DP/Step 3:33-66`, `DP/Step 6:73-76`): SQL-level file
+    * ingestion — batch-resolved here; the streaming variant is the
+    * AutoLoad API. */
+  private def rewriteFileTvfs(s: String): String = {
+    val cf = "(?i)cloud_files\\s*\\(\\s*'([^']+)'\\s*,\\s*'(\\w+)'\\s*\\)".r
+    val rf = "(?i)read_files\\s*\\(\\s*'([^']+)'\\s*(?:,\\s*format\\s*=>\\s*'(\\w+)')?[^)]*\\)".r
+    def load(path: String, fmt: String): String = {
+      val viewName = "files_" + Integer.toHexString((path + fmt).hashCode).takeWhile(_ != '-')
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.format(fmt).load(path).createOrReplaceTempView(viewName)
+      viewName
+    }
+    val a = cf.replaceAllIn(s, m => load(m.group(1), m.group(2).toLowerCase))
+    rf.replaceAllIn(a, m =>
+      load(m.group(1), Option(m.group(2)).map(_.toLowerCase).getOrElse("parquet")))
   }
 
   /** `table_changes('t', v)` TVF → temp view over the change feed

@@ -61,6 +61,26 @@ class GraftSqlSpec extends SparkTestBase {
     assert(g.table("t").properties("graft.bloomFilterColumns") === "p_partkey,p_brand")
   }
 
+  test("cloud_files / read_files TVFs resolve to file reads in SQL") {
+    val g = new GraftSql(spark, scratch("tvf"))
+    val n1 = g.sql(s"SELECT count(*) AS n FROM cloud_files('$sf/region.parquet', 'parquet')")
+      .head().getLong(0)
+    assert(n1 === 5)
+    val n2 = g.sql(s"SELECT count(*) AS n FROM read_files('$sf/nation.parquet', format => 'parquet')")
+      .head().getLong(0)
+    assert(n2 === 25)
+  }
+
+  test("Sources.fromRows rehydrates client-fetched records; remote compare diffs") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
+    val local = graft.sources.Sources.fromRows(spark, Seq(Row(1, "a"), Row(2, "b")), schema)
+    val remote = graft.sources.Sources.fromRows(spark, Seq(Row(1, "a"), Row(2, "x")), schema)
+    val rep = graft.sources.Sources.compareWithRemote(local, remote)
+    assert(rep.matched === 1 && rep.onlyInA === 1 && rep.onlyInB === 1)
+  }
+
   test("table_changes TVF reads the change feed in SQL") {
     val g = new GraftSql(spark, scratch("tc"))
     g.createTable("t", Tables.t(spark, sf, "region").schema,
