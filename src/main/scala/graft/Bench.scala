@@ -92,9 +92,32 @@ object Bench {
       f""""pruning":{"files_total":$totalFiles,"files_read":${kept.size},"full_scan_sec":$fullSec%.3f,"pruned_sec":$prunedSec%.3f}"""
     }
 
+    // merge-batch latency, fragmented vs compacted target (BASELINE.md
+    // note (c): the Step-2 experiment)
+    val mergeCmp = {
+      import graft.tables.{GraftTable, Maintenance, MergeOps}
+      import org.apache.spark.sql.functions.{col, lit}
+      val dir = java.nio.file.Files.createTempDirectory("bench-merge")
+      val o = Tables.t(spark, sfDir, "orders")
+      val batch = o.limit(1000).withColumn("o_totalprice", lit(0.0))
+      def mergeInto(t: GraftTable): Double = {
+        val t0 = System.nanoTime()
+        MergeOps.mergeInto(t, batch, "target.o_orderkey = source.o_orderkey",
+          matched = Seq(MergeOps.WhenMatched(None, MergeOps.UpdateAll)))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val frag = GraftTable.create(spark, dir.toString + "/frag", o.schema)
+      frag.append(o.repartition(64)) // 64 small files
+      val fragSec = mergeInto(frag)
+      val comp = GraftTable.createFrom(spark, dir.toString + "/comp", o)
+      Maintenance.optimize(comp, zorderBy = Seq("o_orderkey"))
+      val compSec = mergeInto(comp)
+      f""""merge_fragmented_sec":$fragSec%.3f,"merge_compacted_sec":$compSec%.3f"""
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$mergeCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
