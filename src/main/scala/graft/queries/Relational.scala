@@ -438,7 +438,7 @@ object Relational extends QueryBatch {
         .orderBy("event_type")
     },
     Some("""SELECT event_type,
-            sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
             count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k
             FROM events GROUP BY event_type ORDER BY event_type""")
   )

@@ -45,7 +45,7 @@ object SqlQueries extends QueryBatch {
                FROM silver_events GROUP BY event_type ORDER BY event_type""")
     },
     Some("""SELECT event_type,
-            sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
             count(*) AS n
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                                                ORDER BY ts DESC, event_id DESC) AS rn
