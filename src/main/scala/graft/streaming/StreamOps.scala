@@ -62,6 +62,9 @@ object StreamOps {
   def tableStream(t: GraftTable): DataFrame =
     t.spark.readStream.schema(t.schemaAt())
       .option("pathGlobFilter", "*.parquet")
+      // partition values are in the files (GraftTable __part_ layout);
+      // recursiveFileLookup disables Hive partition inference on the dirs
+      .option("recursiveFileLookup", "true")
       .parquet(java.nio.file.Paths.get(t.path, "data").toString + "/*")
 
   /** Stream over a table's change feed (`readChangeFeed` source shape,

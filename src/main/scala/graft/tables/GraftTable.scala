@@ -99,16 +99,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     properties.get("graft.partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
-  /** Snapshot read (optionally `VERSION AS OF`). */
-  def read(versionAsOf: Long = Long.MaxValue): DataFrame = {
-    val schema = schemaAt(versionAsOf)
-    val files = filesAt(versionAsOf)
-    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else if (partitionColumns.nonEmpty)
-      // basePath lets Spark recover partition columns from the k=v dirs
-      spark.read.schema(schema).option("basePath", path).parquet(files: _*)
-    else spark.read.schema(schema).parquet(files: _*)
+  /** Read a specific set of this table's data files. Partition values are
+    * stored in the files themselves (writeData partitions the directory
+    * layout by a `__part_` *copy* of each partition column), so no Hive
+    * partition inference is needed — inference breaks across multiple
+    * commit dirs (CONFLICTING_DIRECTORY_STRUCTURES) and would resolve the
+    * columns to null under a raw `spark.read.parquet(files)`. Every
+    * internal reader (DML rewrites, CDF re-reads, streams) goes through
+    * here; recursiveFileLookup disables inference on the `__part_k=v`
+    * segments. */
+  private[graft] def readFiles(files: Seq[String], readSchema: StructType = null): DataFrame = {
+    val s = Option(readSchema).getOrElse(schemaAt())
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    else spark.read.schema(s).option("recursiveFileLookup", "true").parquet(files: _*)
   }
+
+  /** Snapshot read (optionally `VERSION AS OF`). */
+  def read(versionAsOf: Long = Long.MaxValue): DataFrame =
+    readFiles(filesAt(versionAsOf), schemaAt(versionAsOf))
 
   /** DESCRIBE HISTORY equivalent (`DP/Step 1:235-239`). */
   def history: DataFrame = {
@@ -165,12 +173,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val base = Paths.get(path)
     val kept = all.filter { abs =>
       val rel = base.relativize(Paths.get(abs)).toString
-      // Hive-style k=v path segments are exact per-file stats (partition
+      // __part_k=v path segments are exact per-file stats (partition
       // pruning unified with footer-stats skipping)
       val partStats: Map[String, (String, String)] = rel.split("/").toSeq
         .filter(_.contains("=")).map { seg =>
           val Array(k, v) = seg.split("=", 2)
-          k -> (v, v)
+          k.stripPrefix("__part_") -> (v, v)
         }.toMap
       val st = stats.getOrElse(rel, Map.empty) ++ partStats
       if (st.isEmpty) true else FileStats.mightMatch(st, pred, schema)
@@ -183,13 +191,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * (`DP/Step 2` pruning behavior). The predicate is still applied. */
   def readWhere(predicateSql: String): DataFrame = {
     val (files, _) = pruneFiles(predicateSql)
-    val schema = schemaAt()
-    val df =
-      if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else if (partitionColumns.nonEmpty)
-        spark.read.schema(schema).option("basePath", path).parquet(files: _*)
-      else spark.read.schema(schema).parquet(files: _*)
-    df.filter(org.apache.spark.sql.functions.expr(predicateSql))
+    readFiles(files).filter(org.apache.spark.sql.functions.expr(predicateSql))
   }
 
   /** Write `df` as new immutable files; returns table-relative file paths.
@@ -198,14 +200,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[tables] def writeData(df: DataFrame): Seq[String] = {
     val sub = s"data/${UUID.randomUUID().toString.take(12)}"
     val dest = Paths.get(path, sub)
+    val parts = partitionColumns.filter(df.columns.contains)
+    // Partition the directory layout by a __part_ COPY of each partition
+    // column so the real column stays in the parquet files: reads never
+    // depend on partition inference (which breaks across commit dirs) and
+    // footer stats cover partition columns too. The duplicate column
+    // dict/RLE-encodes to ~nothing.
+    val toWrite = parts.foldLeft(df)((d, c) => d.withColumn(s"__part_$c", col(c)))
     val w = properties.get("graft.bloomFilterColumns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty))
       .getOrElse(Array.empty[String])
-      .foldLeft(df.write.mode(SaveMode.Overwrite)) { (wr, c) =>
+      .foldLeft(toWrite.write.mode(SaveMode.Overwrite)) { (wr, c) =>
         wr.option(s"parquet.bloom.filter.enabled#$c", "true")
       }
-    val parts = partitionColumns.filter(df.columns.contains)
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dest.toString)
+    (if (parts.nonEmpty) w.partitionBy(parts.map("__part_" + _): _*) else w).parquet(dest.toString)
     Files.walk(dest).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .map(p => Paths.get(path).relativize(p).toString).toSeq.sorted
@@ -265,8 +273,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val c = commit(operation, files, Nil, data.schema, params, identity = withId._2,
       fileStats = harvestStats(files))
     if (cdfEnabled && files.nonEmpty) writeChanges(
-      spark.read.schema(withId._1.schema)
-        .parquet(files.map(f => Paths.get(path, f).toString): _*)
+      readFiles(files.map(f => Paths.get(path, f).toString), data.schema)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(c.version)), c.version)
     c

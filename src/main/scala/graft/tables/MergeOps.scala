@@ -48,7 +48,6 @@ object MergeOps {
       matched: Seq[WhenMatched] = Nil,
       notMatched: Seq[WhenNotMatched] = Nil,
       failOnMultipleMatches: Boolean = true): Commit = {
-    val spark = t.spark
     val schema = t.schemaAt()
     val cols = schema.fieldNames.toSeq
     val allFiles = t.filesAt()
@@ -83,7 +82,7 @@ object MergeOps {
     val touched: Seq[String] =
       if (allFiles.isEmpty || matched.isEmpty) Nil
       else {
-        val target = spark.read.schema(schema).parquet(allFiles: _*)
+        val target = t.readFiles(allFiles, schema)
           .withColumn("__file", col("_metadata.file_path"))
         target.alias("target")
           .join(source.alias("source"), expr(condition), "left_semi")
@@ -93,10 +92,7 @@ object MergeOps {
     val untouchedKept = allFiles.diff(touched)
 
     // -- 2. full-outer rewrite of touched rows vs source -------------------
-    val tt =
-      if (touched.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(touched: _*)
+    val tt = t.readFiles(touched, schema)
     val tAug = tt.withColumn("__t", lit(true)).withColumn("__rid", monotonically_increasing_id())
     val sAug = source.withColumn("__s", lit(true))
     val joined = tAug.alias("target")
@@ -184,25 +180,24 @@ object MergeOps {
   /** DELETE FROM t WHERE predicate (`C360/01.5:305`): anti-rewrite of only
     * the files containing matching rows. */
   def delete(t: GraftTable, predicate: String): Commit = {
-    val spark = t.spark
     val schema = t.schemaAt()
     val allFiles = t.filesAt()
     if (allFiles.isEmpty) return t.commit("DELETE", Nil, Nil, schema)
-    val df = spark.read.schema(schema).parquet(allFiles: _*)
+    val df = t.readFiles(allFiles, schema)
     val touched = df.withColumn("__file", col("_metadata.file_path"))
       .filter(expr(predicate))
       .select("__file").distinct().collect()
       .map(r => Paths.get(new java.net.URI(r.getString(0))).toString).toSeq
     if (touched.isEmpty)
       return t.commit("DELETE", Nil, Nil, schema, Map("predicate" -> predicate))
-    val kept = spark.read.schema(schema).parquet(touched: _*).filter(not(expr(predicate)))
+    val kept = t.readFiles(touched, schema).filter(not(expr(predicate)))
     val added = t.writeData(kept)
     val rel = touched.map(f => Paths.get(t.path).toAbsolutePath
       .relativize(Paths.get(f).toAbsolutePath).toString)
     val c = t.commit("DELETE", added, rel, schema, Map("predicate" -> predicate),
       fileStats = t.harvestStats(added))
     if (t.cdfEnabled) t.writeChanges(
-      spark.read.schema(schema).parquet(touched: _*).filter(expr(predicate))
+      t.readFiles(touched, schema).filter(expr(predicate))
         .withColumn("_change_type", lit("delete"))
         .withColumn("_commit_version", lit(c.version)), c.version)
     c
@@ -210,18 +205,17 @@ object MergeOps {
 
   /** UPDATE t SET col = expr WHERE predicate (`DP/Step 1:195-199`). */
   def update(t: GraftTable, assignments: Map[String, String], predicate: String): Commit = {
-    val spark = t.spark
     val schema = t.schemaAt()
     val allFiles = t.filesAt()
     if (allFiles.isEmpty) return t.commit("UPDATE", Nil, Nil, schema)
-    val df = spark.read.schema(schema).parquet(allFiles: _*)
+    val df = t.readFiles(allFiles, schema)
     val touched = df.withColumn("__file", col("_metadata.file_path"))
       .filter(expr(predicate))
       .select("__file").distinct().collect()
       .map(r => Paths.get(new java.net.URI(r.getString(0))).toString).toSeq
     if (touched.isEmpty)
       return t.commit("UPDATE", Nil, Nil, schema, Map("predicate" -> predicate))
-    val rewritten = spark.read.schema(schema).parquet(touched: _*)
+    val rewritten = t.readFiles(touched, schema)
       .select(schema.fieldNames.toSeq.map { c =>
         assignments.get(c)
           .map(e => when(expr(predicate), expr(e)).otherwise(col(c))
@@ -234,7 +228,7 @@ object MergeOps {
     val c = t.commit("UPDATE", added, rel, schema, Map("predicate" -> predicate),
       fileStats = t.harvestStats(added))
     if (t.cdfEnabled) t.writeChanges(
-      spark.read.schema(schema).parquet(touched: _*).filter(expr(predicate))
+      t.readFiles(touched, schema).filter(expr(predicate))
         .select(schema.fieldNames.toSeq.map { cn =>
           assignments.get(cn)
             .map(e => expr(e).cast(schema(cn).dataType).as(cn))
