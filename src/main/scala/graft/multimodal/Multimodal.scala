@@ -52,12 +52,20 @@ object Multimodal {
     def resizeBytes(blob: Column, maxBytes: Int): Column =
       substring(blob, 1, maxBytes)
 
-    /** Feature vector: 8 deterministic hash-derived doubles per blob —
-      * the shape (fixed-length Array[Double] per row) real embedding
-      * extraction produces. */
-    def features(blob: Column, dims: Int = 8): Column =
+    /** Feature vector: `dims` deterministic hash-derived doubles in [0,1)
+      * per blob — the shape (fixed-length Array[Double] per row) real
+      * embedding extraction produces. A 56-bit polynomial hash of the
+      * bytes with a per-dim affine mix: pure codegen'd column exprs, and
+      * exactly replayable in plain SQL (list_reduce) so the gate query
+      * has a DuckDB oracle. */
+    def features(blob: Column, dims: Int = 8): Column = {
+      val mod = 72057594037927936L // 2^56: products stay inside signed 64-bit
+      val rh = aggregate(
+        split(blob.cast("string"), ""), lit(0L),
+        (acc, c) => pmod(acc * 31 + ascii(c), lit(mod)))
       array((0 until dims).map(i =>
-        (pmod(xxhash64(lit(i), blob), lit(1000000L)).cast("double") / 1000000.0)): _*)
+        (pmod(rh * 31 + lit(i), lit(mod)) % 1000000L).cast("double") / 1000000.0): _*)
+    }
   }
 
   /** Deterministic frame sampling: split a blob into `frameSize`-byte

@@ -34,19 +34,30 @@ object MultimodalQueries extends QueryBatch {
   )
 
   /** Media feature extraction: fixed-length deterministic feature vector
-    * per blob (stub embedding); rows-only check — the hash-derived values
-    * are engine-specific, the shape/determinism is asserted in
-    * MultimodalSpec. */
+    * per blob (stub embedding). Output is exploded to scalar
+    * (doc_id, dim, feature) rows — the driver's checker can't sort/hash
+    * raw array cells — and the polynomial-hash features are replayed
+    * exactly in the DuckDB oracle via list_reduce. */
   private val q131 = GQ(
     "q131_multimodal_features",
     (s, dir) => {
       val docs = Tables.t(s, dir, "documents")
         .withColumn("blob", col("text").cast("binary"))
       Multimodal.extractFeatures(docs, "blob", maxBytes = 128, dims = 8)
-        .select(col("doc_id"), col("media_features"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), posexplode(col("media_features")).as(Seq("dim", "feature")))
+        .orderBy("doc_id", "dim")
     },
-    None
+    Some("""SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+            CAST((rh * 31 + dim) % 72057594037927936 % 1000000 AS DOUBLE)
+              / 1000000.0 AS feature
+            FROM (SELECT doc_id,
+                    list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        [ascii(c) FOR c IN string_split(substr(text, 1, 128), '')]),
+                      (acc, c) -> (acc * 31 + c) % 72057594037927936) AS rh
+                  FROM documents),
+                 UNNEST(range(8)) t(dim)
+            ORDER BY doc_id, dim""")
   )
 
   /** Query replay: recorded workload re-issued at original offsets,
