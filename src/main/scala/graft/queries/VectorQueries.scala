@@ -34,28 +34,18 @@ object VectorQueries extends QueryBatch {
              ORDER BY sim DESC, vec_id LIMIT 10""")
   )
 
-  /** Blocked all-pairs near-dup mining: label acts as the IVF-style
-    * partition (at 100 TB: block by coarse quantizer cell, never N²). */
+  /** Within-label all-pairs near-dup mining, exact, with bounded task
+    * size: labels larger than the block size are split triangle-wise so a
+    * hot label spreads its inherently quadratic block across the cluster
+    * instead of one task (VectorOps.exactPairsWithinKey). blockSize=200
+    * exercises the splitting at gate scale; at 100 TB it would be sized
+    * to executor memory. */
   private val q81 = GQ(
     "q81_embedding_near_dup",
-    (s, dir) => {
-      // pre-normalize once per vector (unit length, double) so the pair
-      // stage is a bare dot product — O(pairs·d) instead of
-      // O(pairs·(d + 2 norms)). localCheckpoint truncates lineage:
-      // without it Catalyst inlines the normalization into the pair-level
-      // projection and recomputes it per pair.
-      val e = emb(s, dir).select(col("vec_id"), col("label"),
-        VectorOps.normalized(col("embedding")).as("v"))
-        .localCheckpoint(eager = true)
-      e.alias("a")
-        .join(e.alias("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          round(graft.functions.DotProduct.dot_product(s, col("a.v"), col("b.v"))
-            + lit(1e-9), 4).as("sim"))
-        .filter(col("sim") >= 0.35)
-        .orderBy("id1", "id2")
-    },
+    (s, dir) =>
+      VectorOps.exactPairsWithinKey(emb(s, dir), "label", 0.35, blockSize = 200,
+          dotFn = (a, b) => graft.functions.DotProduct.dot_product(s, a, b))
+        .orderBy("id1", "id2"),
     Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
             round(list_sum(list_transform(range(64),
                     i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))

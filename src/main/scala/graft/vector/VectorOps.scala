@@ -96,6 +96,50 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Exact within-key all-pairs at cosine ≥ threshold, with *bounded task
+    * size*. An exact similarity join under a grouping key is inherently
+    * Θ(Σ m_key²); the scale hazard is not the total work but a hot key
+    * landing its whole m² block on one task (straggler/OOM). Keys larger
+    * than `blockSize` are split into G = ⌈m/blockSize⌉ sub-groups and
+    * joined triangle-wise: each row is replicated to the G cells
+    * (min(g,k), max(g,k)), every pair meets in exactly one cell, and no
+    * cell exceeds ~(2·blockSize)² comparisons — the quadratic work
+    * spreads evenly across the cluster. Use the LSH/IVF variants when
+    * approximate recall is acceptable; this is the exact path.
+    *
+    * `dotFn` computes similarity of two unit vectors (defaults to the
+    * codegen-friendly fold; callers can pass a native Expression). */
+  def exactPairsWithinKey(emb: DataFrame, keyCol: String, threshold: Double,
+      blockSize: Int = 4096, idCol: String = "vec_id", vecCol: String = "embedding",
+      dotFn: (Column, Column) => Column = dotPre): DataFrame = {
+    val sizes = emb.groupBy(keyCol).agg(count(lit(1)).as("__m"))
+    // normalize once per vector; localCheckpoint truncates lineage so
+    // Catalyst cannot inline the normalization into the per-pair projection
+    val withG = emb.join(sizes, keyCol)
+      .withColumn("__nblk", ceil(col("__m") / lit(blockSize)).cast("int"))
+      .withColumn("__blk", pmod(xxhash64(col(idCol)), col("__nblk")).cast("int"))
+      .select(col(keyCol), col(idCol), normalized(col(vecCol)).as("__v"),
+        col("__nblk"), col("__blk"))
+      .localCheckpoint(true)
+    val cells = withG.withColumn("__cell",
+        explode(transform(sequence(lit(0), col("__nblk") - 1),
+          k => struct(least(col("__blk"), k).as("i"), greatest(col("__blk"), k).as("j")))))
+      .select(col(keyCol), col(idCol), col("__v"), col("__blk"),
+        col("__cell.i").as("__i"), col("__cell.j").as("__j"))
+    cells.alias("a")
+      .join(cells.alias("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") &&
+          col("a.__i") === col("b.__i") && col("a.__j") === col("b.__j") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          // same-group pairs share all G cells; count them only on the
+          // diagonal (different-group pairs meet in exactly one cell)
+          (col("a.__blk") =!= col("b.__blk") ||
+            (col("a.__i") === col("a.__blk") && col("a.__j") === col("a.__blk"))))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        round(dotFn(col("a.__v"), col("b.__v")) + lit(1e-9), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** All-pairs near-duplicates by embedding cosine ≥ threshold, LSH-blocked:
     * only same-bucket pairs are compared (plus the caller can lower nPlanes
     * to raise recall). Never materializes the full N² product. */

@@ -34,6 +34,26 @@ class VectorOpsSpec extends SparkTestBase {
     assert((1 to 5).forall(i => got.contains(100000L + i)))
   }
 
+  test("exactPairsWithinKey equals the naive within-key join at any block size") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    def naive = {
+      val e = emb.select(col("vec_id"), col("label"),
+        VectorOps.normalized(col("embedding")).as("v")).localCheckpoint(true)
+      e.alias("a").join(e.alias("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          round(VectorOps.dotPre(col("a.v"), col("b.v")) + lit(1e-9), 4).as("sim"))
+        .filter(col("sim") >= 0.35)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val want = naive
+    for (bs <- Seq(7, 50, 1000000)) {
+      val got = VectorOps.exactPairsWithinKey(emb, "label", 0.35, blockSize = bs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"blockSize=$bs")
+    }
+  }
+
   test("nearDupPairs finds planted duplicate pair and no false positives") {
     val emb = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
     val v = emb.filter(col("vec_id") === 7).head().getSeq[Float](1).toArray
