@@ -101,14 +101,18 @@ object WorkloadOptimizer {
   }
 
   /** One wide agg per table: sampled distinct counts per column
-    * (`OPT:1327-1341`). */
-  def cardinalityStats(df: DataFrame, sampleSize: Int = 1000000): DataFrame = {
+    * (`OPT:1327-1341`). `exact` switches HLL to exact COUNT(DISTINCT) —
+    * the gate queries use it for cross-engine determinism; approximate is
+    * the 100 TB default. */
+  def cardinalityStats(df: DataFrame, sampleSize: Int = 1000000,
+      exact: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sample = df.limit(sampleSize)
     val cols = df.columns.toSeq
     val aggs = count(lit(1)).as("__total") +:
-      cols.map(c => approx_count_distinct(col(c)).as(s"__d_$c"))
+      cols.map(c => (if (exact) countDistinct(col(c))
+                     else approx_count_distinct(col(c))).as(s"__d_$c"))
     val row = sample.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getLong(0)
     cols.zipWithIndex.map { case (c, i) =>
@@ -128,11 +132,13 @@ object WorkloadOptimizer {
       tables: Map[String, (DataFrame, Option[GraftTable])],
       optimizeMethod: String = "both",
       minDistinct: Long = 100,
-      maxZorderCols: Int = 2): Seq[Strategy] = {
+      maxZorderCols: Int = 2,
+      exactCardinality: Boolean = false): Seq[Strategy] = {
     import spark.implicits._
     tables.foreach { case (n, (df, _)) => df.createOrReplaceTempView(n) }
     val usage = profileQueries(spark, queries, tables.keySet)
-    buildStrategyFromUsage(spark, usage, tables, optimizeMethod, minDistinct, maxZorderCols)
+    buildStrategyFromUsage(spark, usage, tables, optimizeMethod, minDistinct,
+      maxZorderCols, exactCardinality)
   }
 
   /** Strategy from pre-collected usage (e.g. a QueryMetrics collector's
@@ -143,13 +149,14 @@ object WorkloadOptimizer {
       tables: Map[String, (DataFrame, Option[GraftTable])],
       optimizeMethod: String = "both",
       minDistinct: Long = 100,
-      maxZorderCols: Int = 2): Seq[Strategy] = {
+      maxZorderCols: Int = 2,
+      exactCardinality: Boolean = false): Seq[Strategy] = {
     import spark.implicits._
     if (usage.isEmpty) return Nil
     val usageDF = usage.toDF()
 
     val cards = tables.toSeq.map { case (n, (df, _)) =>
-      cardinalityStats(df).withColumn("table", lit(n))
+      cardinalityStats(df, exact = exactCardinality).withColumn("table", lit(n))
     }.reduce(_ unionByName _)
 
     val writeCols = tables.toSeq.flatMap { case (n, (df, gt)) =>

@@ -27,9 +27,11 @@ object OptimizerQueries extends QueryBatch {
          WHERE l_shipdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey""", 15000))
 
   /** Strategy output: which columns the tuner would ZORDER each table by.
-    * Rows-only check (the scoring pipeline is asserted property-wise in
-    * WorkloadOptimizerSpec; no SQL-expressible oracle since profiling
-    * walks Catalyst plans). */
+    * The Catalyst plan profiling of the fixed workload is data-independent,
+    * so the oracle hardcodes the profiled usage tuples and replays the
+    * whole scaling → scoring → ranking pipeline in SQL over live exact
+    * cardinalities (the gate runs exactCardinality; HLL is the 100 TB
+    * default). */
   private val q120 = GQ(
     "q120_workload_optimizer",
     (s, dir) => {
@@ -38,12 +40,64 @@ object OptimizerQueries extends QueryBatch {
         "orders" -> (Tables.t(s, dir, "orders"), None),
         "customer" -> (Tables.t(s, dir, "customer"), None),
         "lineitem" -> (Tables.t(s, dir, "lineitem"), None))
-      WorkloadOptimizer.buildStrategy(s, workload(dir), tables, minDistinct = 50)
+      WorkloadOptimizer.buildStrategy(s, workload(dir), tables, minDistinct = 50,
+          exactCardinality = true)
         .map(st => (st.table, st.zorderCols.mkString(","), st.optimizeCommand))
         .toDF("table", "zorder_cols", "optimize_command")
         .orderBy("table")
     },
-    None
+    Some("""WITH usage(tbl, col, n_join, n_filter, n_group, n_queries, total_runtime) AS (
+              VALUES ('customer','c_custkey',1,0,0,1,9000),
+                     ('customer','c_mktsegment',0,0,1,1,9000),
+                     ('lineitem','l_orderkey',1,0,0,1,15000),
+                     ('lineitem','l_shipdate',0,1,0,1,15000),
+                     ('orders','o_custkey',1,0,1,2,24000),
+                     ('orders','o_orderdate',0,1,0,1,4000),
+                     ('orders','o_orderkey',1,1,0,2,16000),
+                     ('orders','o_orderpriority',0,0,1,1,4000)),
+            cards(tbl, col, total, dist) AS (
+              SELECT 'customer','c_custkey', count(*), count(DISTINCT c_custkey) FROM customer
+              UNION ALL SELECT 'customer','c_mktsegment', count(*), count(DISTINCT c_mktsegment) FROM customer
+              UNION ALL SELECT 'lineitem','l_orderkey', count(*), count(DISTINCT l_orderkey) FROM lineitem
+              UNION ALL SELECT 'lineitem','l_shipdate', count(*), count(DISTINCT l_shipdate) FROM lineitem
+              UNION ALL SELECT 'orders','o_custkey', count(*), count(DISTINCT o_custkey) FROM orders
+              UNION ALL SELECT 'orders','o_orderdate', count(*), count(DISTINCT o_orderdate) FROM orders
+              UNION ALL SELECT 'orders','o_orderkey', count(*), count(DISTINCT o_orderkey) FROM orders
+              UNION ALL SELECT 'orders','o_orderpriority', count(*), count(DISTINCT o_orderpriority) FROM orders),
+            spine AS (
+              SELECT u.*, c.dist, CAST(c.dist AS DOUBLE) / c.total AS card_prop
+              FROM usage u JOIN cards c ON u.tbl = c.tbl AND u.col = c.col),
+            scaled AS (
+              SELECT *,
+                CASE WHEN max(n_queries) OVER () = min(n_queries) OVER () THEN 0.5
+                     ELSE CAST(n_queries - min(n_queries) OVER () AS DOUBLE)
+                          / (max(n_queries) OVER () - min(n_queries) OVER ()) END AS query_ref_scaled,
+                CASE WHEN max(total_runtime) OVER () = min(total_runtime) OVER () THEN 0.5
+                     ELSE CAST(total_runtime - min(total_runtime) OVER () AS DOUBLE)
+                          / (max(total_runtime) OVER () - min(total_runtime) OVER ()) END AS runtime_scaled,
+                CASE WHEN max(n_join) OVER () = min(n_join) OVER () THEN 0.5
+                     ELSE CAST(n_join - min(n_join) OVER () AS DOUBLE)
+                          / (max(n_join) OVER () - min(n_join) OVER ()) END AS occurrences_scaled,
+                CASE WHEN max(card_prop) OVER () = min(card_prop) OVER () THEN 0.5
+                     ELSE (card_prop - min(card_prop) OVER ())
+                          / (max(card_prop) OVER () - min(card_prop) OVER ()) END AS card_scaled
+              FROM spine),
+            ranked AS (
+              SELECT tbl, col, dist,
+                row_number() OVER (PARTITION BY tbl ORDER BY
+                  (CASE WHEN n_join + n_filter + n_group > 0 THEN 1 ELSE 0 END)
+                    * (1 + query_ref_scaled + runtime_scaled + occurrences_scaled
+                       + CASE WHEN n_filter > 0 THEN 1 ELSE 0 END
+                       + CASE WHEN n_join > 0 THEN 1 ELSE 0 END
+                       + CASE WHEN n_group > 0 THEN 1 ELSE 0 END)
+                    * (0.001 + card_scaled) DESC, col) AS rnk
+              FROM scaled)
+            SELECT tbl AS "table",
+              string_agg(col, ',' ORDER BY rnk) AS zorder_cols,
+              'OPTIMIZE ' || tbl || ' ZORDER BY ('
+                || string_agg(col, ', ' ORDER BY rnk) || ')' AS optimize_command
+            FROM ranked WHERE rnk <= 2 AND dist >= 50
+            GROUP BY tbl ORDER BY tbl""")
   )
 
   /** Stats-based file skipping correctness: a point lookup through

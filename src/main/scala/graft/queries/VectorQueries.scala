@@ -64,13 +64,43 @@ object VectorQueries extends QueryBatch {
             ORDER BY id1, id2""")
   )
 
-  /** LSH-bucketed approximate top-k (scale path). Rows-only gate check —
-    * approximate recall vs the exact baseline is asserted in
-    * VectorOpsSpec, not hash-compared. */
+  /** LSH-bucketed approximate top-k (scale path). The sign-hyperplane
+    * matrix is 8×64 data-independent constants (xxhash64 parity bits), so
+    * the oracle inlines it as bitstrings and replays bucketing, neighbor
+    * probing, and the exact rerank in SQL. Recall vs the exact baseline
+    * is additionally asserted in VectorOpsSpec. */
   private val q82 = GQ(
     "q82_lsh_topk",
     (s, dir) => VectorOps.lshTopK(emb(s, dir), queryVec(s, dir), 10, nPlanes = 8),
-    None
+    Some("""WITH planes(ps) AS (SELECT [
+              '0111100100110110000010010101010000011001101101011100110000100111',
+              '1010110111001101100011110101101101100110000001100000010000010011',
+              '1001100010011111011010100000100011110011010110111000101111010010',
+              '1011110101011001111010111010110010011001111101001110001001111001',
+              '0011101011110101011000100101101010100000000011110111000101110011',
+              '0001000111100001111000110110110100011110100011010100011110101001',
+              '0111001001011111000000010100011100111100110111101000110111101011',
+              '0101000010101011100101101000101001111000011000100011101111000001']),
+            vb AS (
+              SELECT e.vec_id, e.embedding,
+                CAST(list_sum(list_transform(range(8), p ->
+                  CASE WHEN list_sum(list_transform(range(64), i ->
+                        e.embedding[i+1]::DOUBLE *
+                        (CASE WHEN substr(ps[CAST(p+1 AS INTEGER)], CAST(i+1 AS INTEGER), 1) = '1'
+                              THEN 1.0 ELSE -1.0 END))) > 0
+                    THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
+              FROM embeddings e, planes),
+            q AS (SELECT embedding, bucket AS qb FROM vb WHERE vec_id = 0)
+            SELECT v.vec_id,
+              round(list_sum(list_transform(range(64), i -> v.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE))
+                / (sqrt(list_sum(list_transform(range(64), i -> v.embedding[i+1]::DOUBLE * v.embedding[i+1]::DOUBLE)))
+                 * sqrt(list_sum(list_transform(range(64), i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE))))
+                + 1e-9, 4) AS sim,
+              v.bucket
+            FROM vb v, q
+            WHERE v.bucket = q.qb
+               OR xor(v.bucket, q.qb) IN (1, 2, 4, 8, 16, 32, 64, 128)
+            ORDER BY sim DESC, vec_id LIMIT 10""")
   )
 
   /** IVF-probed approximate top-k (k-means coarse quantizer, FAISS-style
