@@ -29,16 +29,24 @@ object FileStats {
 
   /** Read footer stats for `files` (absolute paths); returns per-file
     * column → (min,max) for primitive columns that carry stats. */
-  def harvest(spark: SparkSession, files: Seq[String]): Map[String, Stats] = {
+  def harvest(spark: SparkSession, files: Seq[String]): Map[String, Stats] =
+    harvestWithRows(spark, files).map { case (f, (_, s)) => f -> s }
+
+  /** As `harvest`, plus the footer row count per file — one footer read
+    * yields both, so writers can record output-row metrics without an
+    * extra count() pass over the data. */
+  def harvestWithRows(spark: SparkSession, files: Seq[String]): Map[String, (Long, Stats)] = {
     val conf = spark.sessionState.newHadoopConf()
     files.map { f =>
-      val stats: Stats =
+      val res: (Long, Stats) =
         try {
           val in = HadoopInputFile.fromPath(new HPath(f), conf)
           val reader = ParquetFileReader.open(in)
           try {
+            var rows = 0L
             val acc = scala.collection.mutable.Map[String, (String, String)]()
             reader.getFooter.getBlocks.asScala.foreach { block =>
+              rows += block.getRowCount
               block.getColumns.asScala.foreach { cc =>
                 val st = cc.getStatistics
                 if (st != null && st.hasNonNullValue && cc.getPath.size() == 1) {
@@ -54,10 +62,10 @@ object FileStats {
                 }
               }
             }
-            acc.toMap
+            (rows, acc.toMap)
           } finally reader.close()
-        } catch { case NonFatal(_) => Map.empty[String, (String, String)] }
-      f -> stats
+        } catch { case NonFatal(_) => (0L, Map.empty[String, (String, String)]) }
+      f -> res
     }.toMap
   }
 

@@ -56,12 +56,40 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   // ---- log access --------------------------------------------------------
 
+  /** Parsed commit log. The log is append-only, so parses are cached
+    * session-wide (keyed by table path, shared across GraftTable
+    * instances) and extended incrementally: a call re-lists the directory
+    * (cheap) but reads/parses only commit files it has not seen. Cold
+    * start bootstraps from the newest checkpoint file (written every
+    * `checkpointInterval` commits) plus the tail — O(1) file reads per
+    * operation after warm-up instead of O(versions), O(tail) on a fresh
+    * JVM instead of O(versions). */
   def commits: Seq[Commit] = {
     if (!Files.isDirectory(logDir)) return Nil
-    Files.list(logDir).iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-      .toSeq.sortBy(_.getFileName.toString)
-      .map(p => parseCommit(new String(Files.readAllBytes(p), "UTF-8")))
+    val entries = listDir(logDir).map(_.getFileName.toString)
+    val names = entries.filter(_.matches("v\\d+\\.json")).sorted.toVector
+    val cached = logCache.get(path)
+    if (cached != null && cached._1 == names) return cached._2
+    val parsed: Vector[Commit] =
+      if (cached != null && names.startsWith(cached._1))
+        cached._2 ++ names.drop(cached._1.size).map(readCommitFile)
+      else {
+        // fresh (or diverged) view: start from the newest checkpoint ≤ tip
+        val ckpts = entries.filter(_.matches("checkpoint-v\\d+\\.json")).sorted
+        val base: Vector[Commit] = ckpts.lastOption.map { c =>
+          logFileReads.incrementAndGet()
+          parseCommitList(new String(Files.readAllBytes(logDir.resolve(c)), "UTF-8")).toVector
+        }.getOrElse(Vector.empty)
+        val have = base.map(c => f"v${c.version}%020d.json").toSet
+        base ++ names.filterNot(have).map(readCommitFile)
+      }
+    logCache.put(path, (names, parsed))
+    parsed
+  }
+
+  private def readCommitFile(name: String): Commit = {
+    logFileReads.incrementAndGet()
+    parseCommit(new String(Files.readAllBytes(logDir.resolve(name)), "UTF-8"))
   }
 
   def currentVersion: Long = commits.lastOption.map(_.version).getOrElse(-1L)
@@ -148,11 +176,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   // ---- writes ------------------------------------------------------------
 
   /** Footer stats for freshly written table-relative files. */
-  private[tables] def harvestStats(relFiles: Seq[String]): Map[String, Map[String, (String, String)]] = {
+  private[tables] def harvestStats(relFiles: Seq[String]): Map[String, Map[String, (String, String)]] =
+    harvestStatsAndRows(relFiles)._1
+
+  /** Footer stats plus total row count (one footer read per file). */
+  private[tables] def harvestStatsAndRows(
+      relFiles: Seq[String]): (Map[String, Map[String, (String, String)]], Long) = {
     val abs = relFiles.map(f => Paths.get(path, f).toString)
-    val h = FileStats.harvest(spark, abs)
-    relFiles.zip(abs).map { case (rel, a) => rel -> h.getOrElse(a, Map.empty) }
+    val h = FileStats.harvestWithRows(spark, abs)
+    val stats = relFiles.zip(abs)
+      .map { case (rel, a) => rel -> h.get(a).map(_._2).getOrElse(Map.empty) }
       .filter(_._2.nonEmpty).toMap
+    (stats, h.values.map(_._1).sum)
   }
 
   /** Per-file stats of the live files at a version (rel path → col →
@@ -214,9 +249,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         wr.option(s"parquet.bloom.filter.enabled#$c", "true")
       }
     (if (parts.nonEmpty) w.partitionBy(parts.map("__part_" + _): _*) else w).parquet(dest.toString)
-    Files.walk(dest).iterator().asScala
+    walkDir(dest)
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .map(p => Paths.get(path).relativize(p).toString).toSeq.sorted
+      .map(p => Paths.get(path).relativize(p).toString).sorted
   }
 
   private[tables] def writeChanges(df: DataFrame, version: Long): Unit =
@@ -262,6 +297,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         Files.deleteIfExists(tmp)
         throw new ConcurrentCommitException(s"version ${c.version} already committed", e)
     }
+    // extend the session cache in place (no re-list/re-parse on next read)
+    val cachedNow = logCache.get(path)
+    if (cachedNow != null && prev.map(_.version).getOrElse(-1L) ==
+        cachedNow._2.lastOption.map(_.version).getOrElse(-1L))
+      logCache.put(path, (cachedNow._1 :+ target.getFileName.toString, cachedNow._2 :+ c))
+    // periodic checkpoint: one file holding the full parsed log so a cold
+    // start reads checkpoint + tail instead of every v*.json
+    if (c.version > 0 && c.version % checkpointInterval == 0) {
+      val all = commits
+      val ck = Files.createTempFile(logDir, ".ckpt", ".tmp")
+      Files.write(ck, renderCommitList(all).getBytes("UTF-8"))
+      Files.move(ck, logDir.resolve(f"checkpoint-v${c.version}%020d.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     c
   }
 
@@ -270,8 +319,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val withId = assignIdentity(df)
     val data = evolveSchema(withId._1)
     val files = writeData(data)
-    val c = commit(operation, files, Nil, data.schema, params, identity = withId._2,
-      fileStats = harvestStats(files))
+    val (stats, nRows) = harvestStatsAndRows(files)
+    val c = commit(operation, files, Nil, data.schema, params,
+      identity = if (withId._2 >= 0) withId._2 + nRows else -1L,
+      metrics = Map("numOutputRows" -> nRows),
+      fileStats = stats)
     if (cdfEnabled && files.nonEmpty) writeChanges(
       readFiles(files.map(f => Paths.get(path, f).toString), data.schema)
         .withColumn("_change_type", lit("insert"))
@@ -308,7 +360,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val referenced = (keepFrom to currentVersion).flatMap(filesAt(_))
       .map(f => Paths.get(f).toAbsolutePath.normalize.toString).toSet
     if (!Files.isDirectory(dataDir)) return Nil
-    val deleted = Files.walk(dataDir).iterator().asScala
+    val deleted = walkDir(dataDir)
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .filterNot(p => referenced.contains(p.toAbsolutePath.normalize.toString))
       .toList
@@ -382,21 +434,28 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     filled.select(merged.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
-  /** If an identity column is configured and absent/null in `df`, assign
-    * ids above the high watermark. Ids are allocated per-commit from the
-    * log (SURVEY.md §7.4) — per-partition offsets via zipWithIndex, no
-    * driver-side loop, so this scales to arbitrarily large appends. */
+  /** If an identity column is configured and absent in `df`, assign dense
+    * ids above the high watermark. Per-partition offsets come from one
+    * count pass, then the ids are stamped in the write pass itself — two
+    * jobs total (dense sequential ids cannot be done in fewer), no
+    * driver-side loop, so this scales to arbitrarily large appends.
+    * Returns (df-with-ids, previous high watermark) — the caller advances
+    * the watermark by the committed row count, so no extra count() job. */
   private def assignIdentity(df: DataFrame): (DataFrame, Long) = {
     val idCol = properties.getOrElse("graft.identity.column", "")
     if (idCol.isEmpty || df.columns.contains(idCol)) return (df, -1L)
     val hw = identityHighWatermark
     val schema = StructType(
       org.apache.spark.sql.types.StructField(idCol, LongType, nullable = false) +: df.schema.fields)
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq((hw + 1 + i) +: r.toSeq)
+    val rdd0 = df.rdd
+    val counts = rdd0.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var next = hw + offsets(i)
+      it.map { r => next += 1; Row.fromSeq(next +: r.toSeq) }
     }
-    val n = df.count()
-    (spark.createDataFrame(rdd, schema), hw + n)
+    (spark.createDataFrame(rdd, schema), hw)
   }
 }
 
@@ -408,6 +467,34 @@ object GraftTable {
   }
 
   private val M = new ObjectMapper()
+
+  /** Session-wide parsed-log cache: table path → (sorted commit-file
+    * names, parsed commits). Shared across GraftTable instances so
+    * repeated `load()`s of the same table stay O(1). */
+  private val logCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Vector[String], Vector[Commit])]()
+
+  private[tables] def clearLogCache(path: String): Unit = logCache.remove(path)
+
+  /** Count of physical log-file reads (commit files + checkpoints) —
+    * observable in tests asserting O(1) reads after warm-up. */
+  private[tables] val logFileReads = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Commits between state checkpoints (cold-start reads ckpt + tail). */
+  private val checkpointInterval = 10L
+
+  /** Loan-pattern directory listing/walk — the returned streams hold an
+    * open directory FD until closed, which leaks under the idiomatic
+    * `.iterator().asScala` chaining. */
+  private[tables] def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  private[tables] def walkDir(p: Path): Seq[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
 
   class ConcurrentCommitException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)
@@ -463,8 +550,15 @@ object GraftTable {
     M.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
-  private[tables] def parseCommit(json: String): Commit = {
-    val n = M.readTree(json)
+  private[tables] def renderCommitList(cs: Seq[Commit]): String =
+    cs.map(renderCommit).mkString("[", ",\n", "]")
+
+  private[tables] def parseCommitList(json: String): Seq[Commit] =
+    M.readTree(json).elements().asScala.map(parseNode).toSeq
+
+  private[tables] def parseCommit(json: String): Commit = parseNode(M.readTree(json))
+
+  private def parseNode(n: JsonNode): Commit = {
     def strMap(f: JsonNode): Map[String, String] =
       f.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     Commit(

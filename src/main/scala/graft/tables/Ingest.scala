@@ -40,10 +40,10 @@ object Ingest {
     val dir = Paths.get(sourceDir)
     val candidates =
       if (Files.isRegularFile(dir)) Seq(dir)
-      else Files.walk(dir).iterator().asScala
+      else GraftTable.walkDir(dir)
         .filter(Files.isRegularFile(_))
         .filter(p => matcher.matches(p.getFileName))
-        .toSeq.sortBy(_.toString)
+        .sortBy(_.toString)
     val fresh = candidates.map(_.toAbsolutePath.toString).filterNot(already)
     if (fresh.isEmpty) return 0L
 
@@ -56,9 +56,11 @@ object Ingest {
       case "csv" => reader.csv(fresh: _*)
       case other => reader.format(other).load(fresh: _*)
     }
-    val df = transform(raw)
-    val n = df.count()
-    t.append(df, "COPY INTO", Map("sourceDir" -> sourceDir, "pattern" -> pattern))
+    // row count comes from the written files' footers (harvested during
+    // commit anyway) — no separate count() pass over the source
+    val c = t.append(transform(raw), "COPY INTO",
+      Map("sourceDir" -> sourceDir, "pattern" -> pattern))
+    val n = c.metrics.getOrElse("numOutputRows", 0L)
 
     // update ledger atomically (write-then-move)
     val all = (already ++ fresh).toSeq.sorted
