@@ -199,12 +199,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Stats-pruned file list for a conjunctive predicate: only files whose
     * min/max ranges can match. Falls back to all files on unknown shapes. */
   def pruneFiles(predicateSql: String): (Seq[String], Int) = {
+    val pred =
+      try spark.sessionState.sqlParser.parseExpression(predicateSql)
+      catch { case NonFatal(_) => val all = filesAt(); return (all, all.size) }
+    pruneFilesByExpr(pred)
+  }
+
+  /** As `pruneFiles`, over an already-built predicate expression. */
+  private[graft] def pruneFilesByExpr(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression): (Seq[String], Int) = {
     val all = filesAt()
     val stats = statsAt()
     val schema = schemaAt()
-    val pred =
-      try spark.sessionState.sqlParser.parseExpression(predicateSql)
-      catch { case NonFatal(_) => return (all, all.size) }
     val base = Paths.get(path)
     val kept = all.filter { abs =>
       val rel = base.relativize(Paths.get(abs)).toString

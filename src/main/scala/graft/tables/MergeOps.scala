@@ -34,6 +34,58 @@ object MergeOps {
 
   final class MultipleMatchException(msg: String) extends RuntimeException(msg)
 
+  /** target.col = source.col equi-pairs extracted from a merge condition's
+    * conjuncts (either operand order). */
+  private[tables] def equiKeyPairs(spark: org.apache.spark.sql.SparkSession,
+      condition: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def side(e: Expression): Option[(String, String)] = e match {
+      case u: UnresolvedAttribute if u.nameParts.length == 2 =>
+        Some((u.nameParts.head.toLowerCase, u.nameParts(1)))
+      case _ => None
+    }
+    try conjuncts(spark.sessionState.sqlParser.parseExpression(condition)).flatMap {
+      case EqualTo(l, r) => (side(l), side(r)) match {
+        case (Some(("target", tc)), Some(("source", sc))) => Some((tc, sc))
+        case (Some(("source", sc)), Some(("target", tc))) => Some((tc, sc))
+        case _ => None
+      }
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** Candidate target files for a merge: aggregate the source's key
+    * min/max once and stats-prune the target's file list before the
+    * touched-file semi-join. On a range-clustered 100 TB target this is
+    * the difference between scanning the table per merge and scanning the
+    * overlapping GBs. Returns (candidates, total). */
+  private[tables] def pruneTargetFiles(t: GraftTable, source: DataFrame,
+      condition: String): (Seq[String], Int) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    val all = t.filesAt()
+    val pairs = equiKeyPairs(t.spark, condition)
+      .filter { case (_, sc) => source.columns.contains(sc) }
+    if (pairs.isEmpty || all.isEmpty) return (all, all.size)
+    val aggs = pairs.zipWithIndex.flatMap { case ((_, sc), i) =>
+      Seq(min(col(sc)).as(s"__mn$i"), max(col(sc)).as(s"__mx$i")) }
+    val row = source.agg(aggs.head, aggs.tail: _*).head()
+    // a null min ⇒ empty source (or all-null key): equality can never match
+    if (pairs.indices.exists(i => row.isNullAt(2 * i))) return (Nil, all.size)
+    val pred = pairs.zipWithIndex.map { case ((tc, _), i) =>
+      val dt = row.schema(2 * i).dataType
+      And(
+        GreaterThanOrEqual(UnresolvedAttribute(tc), Literal.create(row.get(2 * i), dt)),
+        LessThanOrEqual(UnresolvedAttribute(tc), Literal.create(row.get(2 * i + 1), dt)))
+    }.reduce[org.apache.spark.sql.catalyst.expressions.Expression](And(_, _))
+    t.pruneFilesByExpr(pred)
+  }
+
   /** MERGE `source` into `t` on `condition` (SQL expr over aliases
     * `target` and `source`). Clauses apply first-match-wins, as in SQL
     * MERGE. A target row matched by >1 source rows raises
@@ -56,8 +108,10 @@ object MergeOps {
     // full target (matched rows must be suppressed even though no file is
     // touched) and append.
     if (matched.isEmpty) {
+      // suppression anti-join only needs target rows whose keys can match
+      val (cand, _) = pruneTargetFiles(t, source, condition)
       val notYet = source.alias("source")
-        .join(t.read().alias("target"), expr(condition), "left_anti")
+        .join(t.readFiles(cand, schema).alias("target"), expr(condition), "left_anti")
       var prior: Column = lit(false)
       val iFlags = notMatched.map { m =>
         val f = m.condition.map(expr).getOrElse(lit(true)) && !prior
@@ -79,17 +133,19 @@ object MergeOps {
     }
 
     // -- 1. touched-file pruning ------------------------------------------
+    // stats-prune candidates with the source keys' min/max before the
+    // semi-join, so discovery scans only range-overlapping files
+    val (candidateFiles, _) = pruneTargetFiles(t, source, condition)
     val touched: Seq[String] =
-      if (allFiles.isEmpty || matched.isEmpty) Nil
+      if (candidateFiles.isEmpty || matched.isEmpty) Nil
       else {
-        val target = t.readFiles(allFiles, schema)
+        val target = t.readFiles(candidateFiles, schema)
           .withColumn("__file", col("_metadata.file_path"))
         target.alias("target")
           .join(source.alias("source"), expr(condition), "left_semi")
           .select("__file").distinct().collect()
           .map(r => Paths.get(new java.net.URI(r.getString(0))).toString).toSeq
       }
-    val untouchedKept = allFiles.diff(touched)
 
     // -- 2. full-outer rewrite of touched rows vs source -------------------
     val tt = t.readFiles(touched, schema)
@@ -156,7 +212,9 @@ object MergeOps {
         Map("predicate" -> condition),
         metrics = Map(
           "numTargetFilesRemoved" -> touched.size.toLong,
-          "numTargetFilesAdded" -> added.size.toLong),
+          "numTargetFilesAdded" -> added.size.toLong,
+          "numCandidateFiles" -> candidateFiles.size.toLong,
+          "numTargetFilesTotal" -> allFiles.size.toLong),
         fileStats = t.harvestStats(added))
 
       if (t.cdfEnabled) {
@@ -181,8 +239,9 @@ object MergeOps {
     * the files containing matching rows. */
   def delete(t: GraftTable, predicate: String): Commit = {
     val schema = t.schemaAt()
-    val allFiles = t.filesAt()
-    if (allFiles.isEmpty) return t.commit("DELETE", Nil, Nil, schema)
+    val allFiles = t.pruneFiles(predicate)._1 // stats-prune the discovery scan
+    if (allFiles.isEmpty) return t.commit("DELETE", Nil, Nil, schema,
+      Map("predicate" -> predicate))
     val df = t.readFiles(allFiles, schema)
     val touched = df.withColumn("__file", col("_metadata.file_path"))
       .filter(expr(predicate))
@@ -206,8 +265,9 @@ object MergeOps {
   /** UPDATE t SET col = expr WHERE predicate (`DP/Step 1:195-199`). */
   def update(t: GraftTable, assignments: Map[String, String], predicate: String): Commit = {
     val schema = t.schemaAt()
-    val allFiles = t.filesAt()
-    if (allFiles.isEmpty) return t.commit("UPDATE", Nil, Nil, schema)
+    val allFiles = t.pruneFiles(predicate)._1 // stats-prune the discovery scan
+    if (allFiles.isEmpty) return t.commit("UPDATE", Nil, Nil, schema,
+      Map("predicate" -> predicate))
     val df = t.readFiles(allFiles, schema)
     val touched = df.withColumn("__file", col("_metadata.file_path"))
       .filter(expr(predicate))

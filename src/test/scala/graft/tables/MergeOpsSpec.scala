@@ -27,6 +27,32 @@ class MergeOpsSpec extends SparkTestBase {
     assert(t.read().count() === customer.count())
   }
 
+  test("merge discovery scan is stats-pruned to range-overlapping files") {
+    val t = GraftTable.create(spark, scratch("statprune"), customer.schema)
+    t.append(customer.repartitionByRange(8, col("c_custkey")))
+    val total = t.filesAt().size
+    assert(total >= 8)
+    val source = customer.filter(col("c_custkey").between(5, 15))
+      .withColumn("c_acctbal", lit(-1.0))
+    val c = MergeOps.mergeInto(t, source, "target.c_custkey = source.c_custkey",
+      matched = Seq(WhenMatched(None, UpdateAll)))
+    // the semi-join read only files whose [min,max] overlaps keys 5..15
+    assert(c.metrics("numCandidateFiles") < total.toLong)
+    assert(c.metrics("numCandidateFiles") >= c.metrics("numTargetFilesRemoved"))
+    assert(t.read().filter(col("c_acctbal") === -1.0).count() === 11)
+    assert(t.read().count() === customer.count())
+  }
+
+  test("empty merge source touches nothing") {
+    val t = GraftTable.createFrom(spark, scratch("emptysrc"), customer.limit(50))
+    val c = MergeOps.mergeInto(t, customer.filter(lit(false)),
+      "target.c_custkey = source.c_custkey",
+      matched = Seq(WhenMatched(None, UpdateAll)),
+      notMatched = Seq(WhenNotMatched(None, InsertAll)))
+    assert(c.metrics("numTargetFilesRemoved") === 0L)
+    assert(t.read().count() === 50)
+  }
+
   test("conditional update with extra predicate leaves other rows alone") {
     val t = GraftTable.createFrom(spark, scratch("cond"), customer)
     MergeOps.mergeInto(t, customer, "target.c_custkey = source.c_custkey",
