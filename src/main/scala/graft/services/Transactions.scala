@@ -56,7 +56,7 @@ final class Transaction(g: GraftSql) {
   /** Execute a `;`-separated SQL chain transactionally: all statements run,
     * or every touched table is restored to its pre-chain version. */
   def executeSqlTransaction(chain: String): DataFrame = {
-    val statements = chain.split(";").map(_.trim).filter(_.nonEmpty)
+    val statements = graft.sql.SqlText.splitStatements(chain)
     statements.flatMap(alteredTables).distinct.foreach(snapshot)
     try {
       statements.map(g.sql).lastOption.getOrElse(

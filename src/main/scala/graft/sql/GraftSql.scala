@@ -131,9 +131,11 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
   }
 
   /** Run a `;`-separated chain (the reference's notebook-cell pattern,
-    * `HF/transactions.py:489-526`); returns the last result. */
+    * `HF/transactions.py:489-526`); returns the last result. Splitting is
+    * quote-aware — a ';' inside a string literal does not break the
+    * statement. */
   def sqlChain(statements: String): DataFrame =
-    statements.split(";").map(_.trim).filter(_.nonEmpty)
+    SqlText.splitStatements(statements)
       .map(sql).lastOption.getOrElse(emptyResult)
 
   private def emptyResult: DataFrame = {
@@ -167,26 +169,36 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
   }
 
   /** `table_changes('t', v)` TVF → temp view over the change feed
-    * (`DP/Advanced CDC:271,395`). */
+    * (`DP/Advanced CDC:271,395`). Unregistered names are left untouched
+    * for Spark to report. */
   private def rewriteTableChanges(s: String): String = {
     val re = "(?i)table_changes\\s*\\(\\s*'(\\w+)'\\s*,\\s*(\\d+)\\s*\\)".r
     re.replaceAllIn(s, m => {
-      val viewName = s"${m.group(1)}__changes_${m.group(2)}"
-      table(m.group(1)).changes(m.group(2).toLong).createOrReplaceTempView(viewName)
-      viewName
+      if (!catalog.contains(m.group(1))) scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val viewName = s"${m.group(1)}__changes_${m.group(2)}"
+        table(m.group(1)).changes(m.group(2).toLong).createOrReplaceTempView(viewName)
+        viewName
+      }
     })
   }
 
-  /** `FROM t VERSION AS OF n` → temp view of the snapshot. */
-  private def rewriteTimeTravel(s: String): String = {
-    val re = "(?i)\\b(\\w+)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
-    re.replaceAllIn(s, m => {
-      val (name, v) = (m.group(1), m.group(2).toLong)
-      val viewName = s"${name}__v$v"
-      table(name).read(versionAsOf = v).createOrReplaceTempView(viewName)
-      viewName
-    })
-  }
+  /** `FROM t VERSION AS OF n` → temp view of the snapshot. Runs only
+    * outside string literals, and only rewrites identifiers registered in
+    * the catalog — anything else passes through unchanged. */
+  private def rewriteTimeTravel(s: String): String =
+    SqlText.mapOutsideLiterals(s) { seg =>
+      val re = "(?i)\\b(\\w+)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+      re.replaceAllIn(seg, m => {
+        val (name, v) = (m.group(1), m.group(2).toLong)
+        if (!catalog.contains(name)) scala.util.matching.Regex.quoteReplacement(m.matched)
+        else {
+          val viewName = s"${name}__v$v"
+          table(name).read(versionAsOf = v).createOrReplaceTempView(viewName)
+          viewName
+        }
+      })
+    }
 
   // ---- COPY INTO ---------------------------------------------------------
 
@@ -367,9 +379,28 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     }
   }
 
+  /** VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [FORCE]. Defaults to
+    * the 7-day safety window (GraftTable.vacuum()); zero retention
+    * deletes every non-current file — breaking time travel, RESTORE,
+    * shallow clones, and transaction rollback — so it requires FORCE. */
   private def vacuum(s: String): DataFrame = {
-    val name = s.split("\\s+")(1)
-    val deleted = table(name).vacuum()
+    val re = "(?is)VACUUM\\s+(\\w+)(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+FORCE)?\\s*".r
+    val deleted = s match {
+      case re(name, n, unit, force) =>
+        val t = table(name)
+        Option(n).map(_.toLong) match {
+          case None => t.vacuum()
+          case Some(v) =>
+            val retainVersions =
+              if (unit.equalsIgnoreCase("HOURS")) t.versionsWithinHours(v.toDouble)
+              else v.toInt
+            if (retainVersions == 0 && force == null)
+              sys.error("VACUUM RETAIN 0 deletes all history (time travel, " +
+                "RESTORE, clones); add FORCE to proceed")
+            t.vacuum(retainVersions)
+        }
+      case _ => sys.error(s"cannot parse VACUUM: $s")
+    }
     import spark.implicits._
     Seq(deleted.size.toLong).toDF("files_deleted")
   }
@@ -415,6 +446,31 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
         emptyResult
       case _ => sys.error(s"cannot parse CREATE TABLE: $s")
     }
+  }
+}
+
+/** Quote-aware text helpers for the SQL router: single-quoted literals
+  * must survive regex rewrites and ';' splitting. */
+object SqlText {
+
+  /** Apply `f` to every segment of `sql` outside single-quoted literals. */
+  def mapOutsideLiterals(sql: String)(f: String => String): String =
+    sql.split("'", -1).zipWithIndex
+      .map { case (p, i) => if (i % 2 == 1) p else f(p) }
+      .mkString("'")
+
+  /** Split a chain on ';' occurring outside single-quoted literals. */
+  def splitStatements(sql: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var inQuote = false
+    sql.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 }
 

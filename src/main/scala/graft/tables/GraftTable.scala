@@ -359,9 +359,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       Map("restoredVersion" -> version.toString))
   }
 
+  /** Number of versions committed within the last `hours` (age→version
+    * retention conversion for VACUUM RETAIN ... HOURS). */
+  def versionsWithinHours(hours: Double): Int = {
+    val horizon = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
+    commits.count(_.timestampMs >= horizon)
+  }
+
+  /** VACUUM with the default 7-day safety window (the reference's
+    * default): every version committed in the last 7 days stays
+    * time-travelable; only files referenced by no retained version are
+    * deleted. */
+  def vacuum(): Seq[String] = vacuum(versionsWithinHours(7 * 24))
+
   /** VACUUM: physically delete files no longer referenced by any version
-    * newer than the retention horizon. */
-  def vacuum(retainVersions: Int = 0): Seq[String] = {
+    * newer than the retention horizon. `retainVersions = 0` keeps only
+    * the current snapshot — time travel, RESTORE, shallow clones, and
+    * rollback to older versions stop working; the SQL route requires an
+    * explicit FORCE for it. */
+  def vacuum(retainVersions: Int): Seq[String] = {
     val keepFrom = math.max(0L, currentVersion - retainVersions)
     val referenced = (keepFrom to currentVersion).flatMap(filesAt(_))
       .map(f => Paths.get(f).toAbsolutePath.normalize.toString).toSet

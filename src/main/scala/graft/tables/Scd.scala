@@ -56,6 +56,19 @@ object Scd {
 
     // Stage B (second merge): insert the new current version for keys whose
     // current row is now absent/expired (covers both changed and new keys).
+    // Guarded by the per-key applied-sequence high watermark over ALL
+    // history rows (current or not): without it, an out-of-order event
+    // older than an applied delete/expiry would find no current row and
+    // resurrect the key with a stale sequence. `>=` keeps the normal path
+    // alive — stage A just expired the current row AT the source sequence.
+    val applied = t.read()
+      .join(latest.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(greatest(max(col(startCol)), max(col(endCol))).as("__applied_hw"))
+    val guarded = latest.join(applied, keys, "left")
+      .filter(col("__applied_hw").isNull || col(seqCol) >= col("__applied_hw"))
+      .drop("__applied_hw")
+
     val businessCols = t.schemaAt().fieldNames
       .filterNot(Set(startCol, endCol, currentCol).contains)
     val insertAssignments =
@@ -64,7 +77,7 @@ object Scd {
           endCol -> "CAST(NULL AS STRING)",
           currentCol -> "true")
     MergeOps.mergeInto(
-      t, latest,
+      t, guarded,
       condition = s"($keyCond) AND target.$currentCol = true",
       matched = Nil,
       notMatched = Seq(MergeOps.WhenNotMatched(None,

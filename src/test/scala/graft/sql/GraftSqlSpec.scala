@@ -102,4 +102,34 @@ class GraftSqlSpec extends SparkTestBase {
       SELECT count(*) AS n FROM t1""")
     assert(out.head().getLong(0) === 3)
   }
+
+  test("statement splitting and rewrites are quote-aware") {
+    assert(SqlText.splitStatements("SELECT 'a;b' AS x; SELECT 2") ===
+      Seq("SELECT 'a;b' AS x", "SELECT 2"))
+    val g = new GraftSql(spark, scratch("quotes"))
+    g.createTable("qt", Tables.t(spark, sf, "region").schema)
+    g.sql(s"COPY INTO qt FROM '$sf/region.parquet' FILEFORMAT = PARQUET")
+    // ';' inside a literal must not split; literal mentioning VERSION AS OF
+    // and an unregistered identifier must pass through untouched
+    val out = g.sqlChain(
+      "SELECT 'qt VERSION AS OF 9; still one literal' AS s, count(*) AS n FROM qt")
+    val row = out.head()
+    assert(row.getString(0) === "qt VERSION AS OF 9; still one literal")
+    assert(row.getLong(1) === 5)
+    // real time travel still rewrites
+    assert(g.sql("SELECT count(*) AS n FROM qt VERSION AS OF 0").head().getLong(0) === 0)
+  }
+
+  test("VACUUM defaults to a safe retention and requires FORCE for zero") {
+    val g = new GraftSql(spark, scratch("vac"))
+    g.createTable("vt", Tables.t(spark, sf, "region").schema)
+    g.sql(s"COPY INTO vt FROM '$sf/region.parquet' FILEFORMAT = PARQUET")
+    g.sql("DELETE FROM vt WHERE r_regionkey = 0") // v2 rewrites a file
+    // default VACUUM: 7-day window keeps everything committed just now
+    assert(g.sql("VACUUM vt").head().getLong(0) === 0L)
+    assert(g.sql("SELECT count(*) FROM vt VERSION AS OF 1").head().getLong(0) === 5)
+    intercept[RuntimeException](g.sql("VACUUM vt RETAIN 0 VERSIONS"))
+    // explicit FORCE destroys history
+    assert(g.sql("VACUUM vt RETAIN 0 VERSIONS FORCE").head().getLong(0) > 0L)
+  }
 }

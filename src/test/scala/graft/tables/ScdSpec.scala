@@ -57,6 +57,29 @@ class ScdSpec extends SparkTestBase {
     assert(rows.head.getString(1) === "new" && rows.head.getBoolean(4))
   }
 
+  test("scd2 out-of-order event older than an applied delete does not resurrect the key") {
+    val t = GraftTable.create(spark, scratch("scd2res"), scd2Schema)
+    def cdc(rows: (Long, String, String, String)*) =
+      rows.toSeq.toDF("id", "name", "seq", "op")
+    Scd.applyChangesScd2(t, cdc((1L, "a", "2024-01-01", "UPSERT")),
+      Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"), exceptCols = Seq("op"))
+    Scd.applyChangesScd2(t, cdc((1L, "a", "2024-03-01", "DELETE")),
+      Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"), exceptCols = Seq("op"))
+    // late event BETWEEN the insert and the delete: must stay dead
+    Scd.applyChangesScd2(t, cdc((1L, "ghost", "2024-02-01", "UPSERT")),
+      Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"), exceptCols = Seq("op"))
+    val rows = t.read().collect()
+    assert(rows.length === 1, "resurrected a deleted key from a stale event")
+    assert(!rows.head.getBoolean(4))
+    assert(rows.head.getString(3) === "2024-03-01")
+    // a genuinely newer event restarts the chain
+    Scd.applyChangesScd2(t, cdc((1L, "reborn", "2024-04-01", "UPSERT")),
+      Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"), exceptCols = Seq("op"))
+    val chain = t.read().orderBy("_start_at").collect()
+    assert(chain.length === 2)
+    assert(chain(1).getString(1) === "reborn" && chain(1).getBoolean(4))
+  }
+
   private val scd2acSchema = StructType(Seq(
     StructField("id", LongType), StructField("name", StringType),
     StructField("_start_at", StringType), StructField("_end_at", StringType),
