@@ -67,13 +67,10 @@ object CoverageQueries extends QueryBatch {
         Tables.t(s, dir, "region"),
         properties = Map("graft.enableChangeDataFeed" -> "true"))
       MergeOps.delete(t, "r_regionkey >= 3")
-      val qn = "cdf_sink_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-      val q = StreamOps.changesStream(t)
-        .groupBy("_change_type").count()
-        .writeStream.outputMode("complete").format("memory").queryName(qn)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn).orderBy("_change_type")
+      val agg = StreamOps.changesStream(t).groupBy("_change_type").count()
+      val sink = GraftTable.create(s, scratch("cdfsink"), agg.schema)
+      StreamOps.completeToTable(agg, sink, scratch("cdfck"))
+        .read().orderBy("_change_type")
     },
     Some("""SELECT * FROM (VALUES
               ('delete', (SELECT count(*) FROM region WHERE r_regionkey >= 3)),

@@ -39,20 +39,19 @@ object StreamQueries extends QueryBatch {
     else st
   }
 
-  /** Tumbling-window streaming aggregation → memory sink (complete mode);
-    * epoch-aligned 1h windows equal batch date_trunc('hour'). */
+  /** Tumbling-window streaming aggregation → GraftTable sink (complete
+    * mode via foreachBatch overwrite — distributed write, nothing buffers
+    * on the driver); epoch-aligned 1h windows equal batch
+    * date_trunc('hour'). */
   private val q90 = GQ(
     "q90_stream_hourly",
     (s, dir) => {
-      val qn = "q90_sink_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
       val agg = eventsStream(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(qn)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn)
+      val sink = GraftTable.create(s, scratch("q90t"), agg.schema)
+      StreamOps.completeToTable(agg, sink, scratch("q90ck"))
+        .read()
         .select(col("window.start").as("hour"), col("event_type"),
           col("n_events"), col("sum_value"))
         .orderBy("hour", "event_type")
@@ -157,15 +156,17 @@ object StreamQueries extends QueryBatch {
   )
 
   /** Stream monitoring: per-batch progress totals
-    * (`OBS/stream-monitoring:134-211`). */
+    * (`OBS/stream-monitoring:134-211`). The monitored query itself writes
+    * to a table sink; the metric comes from the progress events. */
   private val q94 = GQ(
     "q94_stream_monitor",
     (s, dir) => {
       import s.implicits._
-      val qn = "q94_sink_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-      val q = eventsStream(s, dir)
-        .groupBy("event_type").count()
-        .writeStream.outputMode("complete").format("memory").queryName(qn)
+      val agg = eventsStream(s, dir).groupBy("event_type").count()
+      val sink = GraftTable.create(s, scratch("q94t"), agg.schema)
+      val q = agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", scratch("q94ck"))
+        .foreachBatch { (b: DataFrame, _: Long) => sink.overwrite(b); () }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val total = q.recentProgress.map(_.numInputRows).sum
@@ -181,15 +182,12 @@ object StreamQueries extends QueryBatch {
   private val q95 = GQ(
     "q95_sliding_window",
     (s, dir) => {
-      val qn = "q95_sink_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
       val agg = eventsStream(s, dir)
         .groupBy(window(col("ts"), "2 hours", "1 hour"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(qn)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn)
+      val sink = GraftTable.create(s, scratch("q95t"), agg.schema)
+      StreamOps.completeToTable(agg, sink, scratch("q95ck"))
+        .read()
         .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
         .orderBy("window_start")
     },
@@ -199,5 +197,86 @@ object StreamQueries extends QueryBatch {
             GROUP BY 1 ORDER BY 1""")
   )
 
-  override def queries: Seq[GQ] = Seq(q90, q91, q92, q93, q94, q95)
+  /** Stream-static enrichment join (the DLT silver pattern,
+    * `LOANS/02:116-123,150-154`): the events stream joins the static
+    * customer dim in-flight (broadcastable at 100 TB — the dim is the
+    * small side), enriched rows append to a silver table, and the gate
+    * aggregates the silver table. */
+  private val q96 = GQ(
+    "q96_stream_static_join",
+    (s, dir) => {
+      val dim = Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = eventsStream(s, dir)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select("user_id", "event_type", "value", "c_mktsegment")
+      val silver = GraftTable.create(s, scratch("q96t"), enriched.schema)
+      StreamOps.appendStream(enriched, silver, scratch("q96ck"))
+      silver.read()
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value") + lit(1e-9), 2).as("sum_value"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+            round(sum(value) + 1e-9, 2) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  /** DLT event-log analysis (`LOANS/03-Log-Analysis.sql:77-104`): the
+    * pipeline persists flow_progress events with a JSON details column;
+    * the gate queries it through the `details:path::type` rewrite,
+    * extracting per-flow output rows and the silver flow's expectation
+    * counters. */
+  private val q97 = GQ(
+    "q97_event_log_analysis",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val logPath = scratch("q97log")
+      val p = new Pipeline(s, eventLogPath = Some(logPath))
+      p.table("bronze_events")(_ => Tables.t(s, dir, "events"))
+      p.table("silver_events", deps = Seq("bronze_events"),
+        expectations = Seq(
+          Expectations.expectOrDrop("valid_user", "user_id >= 0"),
+          Expectations.expect("has_value", "value IS NOT NULL"))) { live =>
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        live("bronze_events")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+      p.run()
+      val g = new graft.sql.GraftSql(s, scratch("q97sql"))
+      g.register("pipeline_events", GraftTable.load(s, logPath))
+      g.sql("""SELECT
+                 details:flow_progress.flow_name AS flow,
+                 details:flow_progress.metrics.num_output_rows::bigint AS output_rows,
+                 details:flow_progress.data_quality.expectations[0].name AS exp_name,
+                 details:flow_progress.data_quality.expectations[0].failed_records::bigint AS failed,
+                 details:flow_progress.data_quality.expectations[0].passed_records::bigint AS passed
+               FROM pipeline_events
+               WHERE event_type = 'flow_progress'
+               ORDER BY flow""")
+    },
+    Some("""WITH dedup AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) d WHERE rn = 1)
+            SELECT * FROM (
+              SELECT 'bronze_events' AS flow,
+                     (SELECT count(*) FROM events) AS output_rows,
+                     CAST(NULL AS VARCHAR) AS exp_name,
+                     CAST(NULL AS BIGINT) AS failed, CAST(NULL AS BIGINT) AS passed
+              UNION ALL
+              SELECT 'silver_events',
+                     (SELECT count(*) FROM dedup WHERE user_id >= 0),
+                     'has_value',
+                     (SELECT count(*) FROM dedup WHERE value IS NULL),
+                     (SELECT count(*) FROM dedup)
+                       - (SELECT count(*) FROM dedup WHERE value IS NULL))
+            ORDER BY flow""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q90, q91, q92, q93, q94, q95, q96, q97)
 }

@@ -477,8 +477,10 @@ object SqlText {
 /** `col:path::type` / `col:path` JSON path syntax → `get_json_object`
   * (rewrite happens outside string literals only). */
 object JsonPathRewrite {
-  private val withCast = "(?<![\\w:'])(\\w+):((?:\\w+)(?:\\.\\w+)*)::(\\w+)".r
-  private val noCast = "(?<![\\w:'])(\\w+):((?:\\w+)(?:\\.\\w+)*)(?![\\w:(])".r
+  // path segments: .field and [index] hops (details:a.b[0].c::bigint)
+  private val seg = "(?:\\w+)(?:(?:\\.\\w+)|(?:\\[\\d+\\]))*"
+  private val withCast = s"(?<![\\w:'])(\\w+):($seg)::(\\w+)".r
+  private val noCast = s"(?<![\\w:'])(\\w+):($seg)(?![\\w:(\\[])".r
 
   def apply(sql: String): String = {
     // split on single quotes; rewrite only unquoted segments

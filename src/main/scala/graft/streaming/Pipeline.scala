@@ -13,8 +13,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Each flow's body receives the already-materialized upstream datasets —
   * the `live.x` reference model. Materialization boundaries are explicit
   * (persist), so a 100 TB pipeline only recomputes each layer once.
+  *
+  * With `eventLogPath` set, run() also persists the events to a
+  * queryable GraftTable in the DLT event_log shape — (timestamp,
+  * event_type, details) with the flow_progress payload as a JSON
+  * `details` column — so the reference's Log-Analysis queries run
+  * against it via the `details:flow_progress...` path syntax.
   */
-final class Pipeline(spark: SparkSession) {
+final class Pipeline(spark: SparkSession, eventLogPath: Option[String] = None) {
 
   final case class Flow(
       name: String,
@@ -23,7 +29,8 @@ final class Pipeline(spark: SparkSession) {
       body: Map[String, DataFrame] => DataFrame)
 
   final case class FlowEvent(
-      flow: String, status: String, rows: Long, violations: Map[String, Long])
+      flow: String, status: String, rows: Long, violations: Map[String, Long],
+      inputRows: Long = 0L)
 
   private val flows = mutable.LinkedHashMap[String, Flow]()
   private val eventLog = mutable.ArrayBuffer[FlowEvent]()
@@ -48,28 +55,42 @@ final class Pipeline(spark: SparkSession) {
       f.deps.foreach(visit)
       val raw = f.body(done.toMap)
       val out = Expectations(raw, f.expectations)
-      val violations: Map[String, Long] =
-        if (f.expectations.isEmpty) Map.empty
+      val (violations, inputRows): (Map[String, Long], Long) =
+        if (f.expectations.isEmpty) (Map.empty, 0L)
         else {
+          import org.apache.spark.sql.functions.{count, expr, lit, not, sum, when}
           val aggs = f.expectations.map(r =>
-            org.apache.spark.sql.functions.sum(
-              org.apache.spark.sql.functions.when(
-                org.apache.spark.sql.functions.not(
-                  org.apache.spark.sql.functions.expr(r.predicate)), 1L).otherwise(0L))
-              .as(r.name))
+            sum(when(not(expr(r.predicate)), 1L).otherwise(0L)).as(r.name)) :+
+            count(lit(1)).as("__in")
           val row = raw.agg(aggs.head, aggs.tail: _*).head()
-          f.expectations.zipWithIndex.map { case (r, i) =>
+          (f.expectations.zipWithIndex.map { case (r, i) =>
             r.name -> (if (row.isNullAt(i)) 0L else row.getLong(i))
-          }.toMap
+          }.toMap, row.getLong(f.expectations.size))
         }
       val cached = out.persist()
-      eventLog += FlowEvent(name, "COMPLETED", cached.count(), violations)
+      eventLog += FlowEvent(name, "COMPLETED", cached.count(), violations, inputRows)
       visiting -= name
       done(name) = cached
       cached
     })
     flows.keys.foreach(visit)
+    persistEventLog()
     done.toMap
+  }
+
+  /** Write the run's events to the event-log table (DLT event_log shape:
+    * timestamp, event_type, details-JSON). */
+  private def persistEventLog(): Unit = eventLogPath.foreach { path =>
+    import spark.implicits._
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val rows = eventLog.toSeq.map { e =>
+      (now, "flow_progress", Pipeline.detailsJson(e))
+    }
+    val df = rows.toDF("timestamp", "event_type", "details")
+    val t =
+      if (graft.tables.GraftTable.exists(path)) graft.tables.GraftTable.load(spark, path)
+      else graft.tables.GraftTable.create(spark, path, df.schema)
+    t.append(df, "PIPELINE EVENTS")
   }
 
   /** Event log as a DataFrame (flow_progress analytics shape). */
@@ -79,5 +100,28 @@ final class Pipeline(spark: SparkSession) {
       (e.flow, e.status, e.rows,
         e.violations.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")))
       .toDF("flow", "status", "rows", "violations")
+  }
+}
+
+object Pipeline {
+  /** DLT-style flow_progress details payload
+    * (`LOANS/03-Log-Analysis.sql:77-104` reads exactly these paths). */
+  private[streaming] def detailsJson(e: Pipeline#FlowEvent): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    val fp = root.putObject("flow_progress")
+    fp.put("flow_name", e.flow)
+    fp.put("status", e.status)
+    fp.putObject("metrics").put("num_output_rows", e.rows)
+    if (e.violations.nonEmpty) {
+      val exps = fp.putObject("data_quality").putArray("expectations")
+      e.violations.toSeq.sortBy(_._1).foreach { case (name, failed) =>
+        val x = exps.addObject()
+        x.put("name", name)
+        x.put("failed_records", failed)
+        x.put("passed_records", e.inputRows - failed)
+      }
+    }
+    m.writeValueAsString(root)
   }
 }

@@ -40,6 +40,24 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Drive a streaming aggregation to completion (availableNow, complete
+    * output mode) through foreachBatch overwriting a GraftTable — the
+    * scale-shaped replacement for a driver-side memory sink: each
+    * micro-batch's full result is written distributed and the caller
+    * reads the table back, so nothing buffers on the driver. */
+  def completeToTable(agg: DataFrame, target: GraftTable, checkpoint: String): GraftTable = {
+    val q = agg.writeStream.outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        target.overwrite(batch, "STREAMING COMPLETE")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    target
+  }
+
   /** Append-only streaming sink into a GraftTable. */
   def appendStream(stream: DataFrame, target: GraftTable, checkpoint: String): Unit = {
     val q = stream.writeStream
