@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.Tables
+
+/** Classic TPC-H query corpus over the driver's star schema, giving the
+  * bench a standard externally-comparable workload (the reference runs the
+  * full TPC-DS 2.4 suite the same way,
+  * `30-performance/TPC-DS Runner/notebooks/run_tpcds_benchmarking.py`).
+  *
+  * The driver's tables are a trimmed TPC-H (no partsupp; no comment,
+  * commit/receipt-date, shipmode, container, address or phone columns), so
+  * queries needing those are adapted: the join/aggregation shape — the
+  * part that exercises the engine — is preserved, the missing-column
+  * predicates are substituted (noted per query). Dates target the
+  * generated 1995–2001 range. One SQL string serves both Spark and the
+  * DuckDB oracle; every float aggregate is rounded with the +1e-9 epsilon
+  * idiom for cross-engine hash parity.
+  */
+object TpchQueries extends QueryBatch {
+
+  private def gq(name: String, sql: String): GQ =
+    GQ(name, (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, Some(sql))
+
+  /** Q1 pricing summary — faithful. */
+  private val h01 = gq("q160_tpch01_pricing",
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+       round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 2) AS sum_charge,
+       round(avg(l_quantity) + 1e-9, 2) AS avg_qty,
+       round(avg(l_extendedprice) + 1e-9, 2) AS avg_price,
+       round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""")
+
+  /** Q3 shipping priority — faithful minus the absent o_shippriority. */
+  private val h03 = gq("q161_tpch03_ship_priority",
+    """SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+       GROUP BY o_orderkey, o_orderdate
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""")
+
+  /** Q4 order-priority checking — adapted: the late-delivery EXISTS uses
+    * l_shipdate > o_orderdate (no commit/receipt dates in the schema). */
+  private val h04 = gq("q162_tpch04_order_priority",
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
+  /** Q5 local-supplier volume — faithful. */
+  private val h05 = gq("q163_tpch05_local_supplier",
+    """SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY n_name ORDER BY revenue DESC, n_name""")
+
+  /** Q6 forecast revenue change — faithful. */
+  private val h06 = gq("q164_tpch06_forecast_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount) + 1e-9, 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+
+  /** Q7 volume shipping between two nations — faithful. */
+  private val h07 = gq("q165_tpch07_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume) + 1e-9, 2) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
+                    l_extendedprice * (1 - l_discount) AS volume
+             FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+               AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+               AND c_nationkey = n2.n_nationkey
+               AND ((n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_7')
+                 OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_6'))
+               AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                                  AND TIMESTAMP '1998-12-31 00:00:00') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year""")
+
+  /** Q8 national market share — faithful (p_type domain is single-word). */
+  private val h08 = gq("q166_tpch08_market_share",
+    """SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_8' THEN volume ELSE 0 END)
+             / sum(volume) + 1e-9, 4) AS mkt_share
+       FROM (SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+                    l_extendedprice * (1 - l_discount) AS volume,
+                    n2.n_name AS nation
+             FROM part, supplier, lineitem, orders, customer,
+                  nation n1, nation n2, region
+             WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+               AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+               AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+               AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+               AND o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                                   AND TIMESTAMP '1998-12-31 00:00:00'
+               AND p_type = 'ECONOMY') all_nations
+       GROUP BY o_year ORDER BY o_year""")
+
+  /** Q9 product-type profit — adapted: amount omits ps_supplycost (no
+    * partsupp table); nation/year grouping shape preserved. The sum runs
+    * in DECIMAL: exact and order-independent, so both engines round the
+    * large per-group totals identically (a double sum here differed in
+    * the 8th digit and flipped the 2-decimal rounding). */
+  private val h09 = gq("q167_tpch09_product_profit",
+    """SELECT nation, o_year,
+       round(sum(CAST(amount AS DECIMAL(18, 6))), 2) AS sum_profit
+       FROM (SELECT n_name AS nation,
+                    CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+                    l_extendedprice * (1 - l_discount) AS amount
+             FROM part, supplier, lineitem, orders, nation
+             WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+               AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+               AND p_name LIKE '%widget%') profit
+       GROUP BY nation, o_year ORDER BY nation, o_year DESC""")
+
+  /** Q10 returned-item reporting — faithful minus absent address/phone. */
+  private val h10 = gq("q168_tpch10_returned_items",
+    """SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+       round(c_acctbal + 1e-9, 2) AS c_acctbal, n_name
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""")
+
+  /** Q13 customer order-count distribution — adapted: no o_comment
+    * exclusion filter (column absent). */
+  private val h13 = gq("q169_tpch13_order_distribution",
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey) c_orders
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+
+  /** Q14 promotion-effect revenue share — faithful. */
+  private val h14 = gq("q170_tpch14_promo_effect",
+    """SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS promo_revenue
+       FROM lineitem, part
+       WHERE l_partkey = p_partkey
+         AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""")
+
+  /** Q15 top supplier — faithful, with the revenue view's argmax done via
+    * a rank() window instead of a correlated max. */
+  private val h15 = gq("q171_tpch15_top_supplier",
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier,
+            (SELECT supplier_no, total_revenue FROM
+              (SELECT supplier_no, total_revenue,
+                      rank() OVER (ORDER BY total_revenue DESC) AS rnk
+               FROM revenue) ranked
+             WHERE rnk = 1) top_rev
+       WHERE s_suppkey = supplier_no ORDER BY s_suppkey""")
+
+  /** Q17 small-quantity-order revenue — adapted: p_container filter
+    * replaced by a p_size bound (column absent). */
+  private val h17 = gq("q172_tpch17_small_quantity",
+    """SELECT round(sum(l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+       FROM lineitem l1, part
+       WHERE p_partkey = l1.l_partkey AND p_brand = 'Brand#23' AND p_size <= 10
+         AND l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""")
+
+  /** Q18 large-volume customers — faithful (threshold scaled to the
+    * generated quantity domain). */
+  private val h18 = gq("q173_tpch18_large_volume",
+    """SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       round(o_totalprice + 1e-9, 2) AS o_totalprice,
+       round(sum(l_quantity) + 1e-9, 2) AS sum_qty
+       FROM customer, orders, lineitem
+       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                            GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+         AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+
+  /** Q19 discounted revenue — adapted: p_container/l_shipmode disjunct
+    * terms replaced by p_size bands (columns absent); OR-of-ANDs join
+    * shape preserved. */
+  private val h19 = gq("q174_tpch19_discounted_revenue",
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey AND (
+         (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+          AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+          AND l_quantity BETWEEN 20 AND 30))""")
+
+  /** Q22 global sales opportunity — adapted: the c_phone country-code
+    * prefix becomes c_nationkey membership (column absent), and the
+    * no-orders anti-join is scoped to recent orders (this generator gives
+    * every customer at least one order ever); the above-average-balance +
+    * anti-join shape is faithful. */
+  private val h22 = gq("q175_tpch22_sales_opportunity",
+    """SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal) + 1e-9, 2) AS totacctbal
+       FROM customer
+       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+         AND c_nationkey IN (1, 3, 10, 13, 17, 21, 24)
+         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       GROUP BY c_nationkey ORDER BY c_nationkey""")
+
+  override def queries: Seq[GQ] = Seq(h01, h03, h04, h05, h06, h07, h08, h09,
+    h10, h13, h14, h15, h17, h18, h19, h22)
+}

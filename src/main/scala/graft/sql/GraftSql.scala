@@ -62,6 +62,7 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
              u.startsWith("CREATE OR REPLACE MATERIALIZED VIEW")) createMV(s)
     else if (u.startsWith("REFRESH MATERIALIZED VIEW")) refreshMV(s.split("\\s+").last)
     else if (u.startsWith("CREATE TABLE") || u.startsWith("CREATE OR REPLACE TABLE")) ctas(s)
+    else if (u.startsWith("ALTER TABLE")) alterTable(s)
     else if (u.startsWith("GRANT") || u.startsWith("REVOKE")) {
       // catalog ACLs are out of engine scope (SURVEY §2.4): accept and log
       org.slf4j.LoggerFactory.getLogger(getClass).info(s"ignoring ACL statement: $s")
@@ -429,19 +430,44 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     }
   }
 
+  /** ALTER TABLE: CLUSTER BY (liquid-clustering layout key), SET
+    * TBLPROPERTIES, SYNC IDENTITY. */
+  private def alterTable(s: String): DataFrame = {
+    val cluster = "(?is)ALTER\\s+TABLE\\s+(\\w+)\\s+CLUSTER\\s+BY\\s*(?:\\(([^)]*)\\)|(NONE))\\s*".r
+    val props = "(?is)ALTER\\s+TABLE\\s+(\\w+)\\s+SET\\s+TBLPROPERTIES\\s*\\(([^)]*)\\)\\s*".r
+    val sync = "(?is)ALTER\\s+TABLE\\s+(\\w+)\\s+SYNC\\s+IDENTITY\\s*".r
+    s match {
+      case cluster(name, cols, none) =>
+        val v = if (none != null) "" else
+          splitTopLevel(cols).map(_.trim).filter(_.nonEmpty).mkString(",")
+        table(name).setProperties(Map("graft.clusterBy" -> v))
+      case props(name, kvs) => table(name).setProperties(parseKvList(kvs))
+      case sync(name) => table(name).syncIdentity()
+      case _ => sys.error(s"cannot parse ALTER TABLE: $s")
+    }
+    emptyResult
+  }
+
   private def ctas(s: String): DataFrame = {
     val re = ("(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+(\\w+)" +
+      "(?:\\s+CLUSTER\\s+BY\\s*\\(([^)]*)\\))?" +
       "(?:\\s+TBLPROPERTIES\\s*\\(([^)]*)\\))?\\s+AS\\s+(.*)").r
     s match {
-      case re(name, props, select) =>
+      case re(name, cluster, props, select) =>
         val df = passthrough(select)
         val path = Paths.get(basePath, name).toString
+        val clusterProps = Option(cluster)
+          .map(c => Map("graft.clusterBy" ->
+            splitTopLevel(c).map(_.trim).filter(_.nonEmpty).mkString(",")))
+          .getOrElse(Map.empty)
         if (catalog.contains(name) || GraftTable.exists(path)) {
           val t = if (catalog.contains(name)) table(name) else GraftTable.load(spark, path)
           t.overwrite(df)
+          if (clusterProps.nonEmpty) t.setProperties(clusterProps)
           register(name, t)
         } else {
-          register(name, GraftTable.createFrom(spark, path, df, parseKvList(props)))
+          register(name, GraftTable.createFrom(spark, path, df,
+            parseKvList(props) ++ clusterProps))
         }
         emptyResult
       case _ => sys.error(s"cannot parse CREATE TABLE: $s")

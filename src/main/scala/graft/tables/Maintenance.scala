@@ -29,8 +29,15 @@ object Maintenance {
   }
 
   /** OPTIMIZE [ZORDER BY (cols)]: rewrite the table into
-    * ceil(bytes / targetFileSize) files, range-clustered by `zorderBy`. */
+    * ceil(bytes / targetFileSize) files, range-clustered by `zorderBy`.
+    * Without explicit columns, a `graft.clusterBy` table property (set by
+    * `CLUSTER BY` DDL — liquid-clustering surface) supplies the layout
+    * key, so a bare OPTIMIZE re-clusters incrementally ingested data. */
   def optimize(t: GraftTable, zorderBy: Seq[String] = Nil): Commit = {
+    val zorderByEff =
+      if (zorderBy.nonEmpty) zorderBy
+      else t.properties.get("graft.clusterBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val files = t.filesAt()
     if (files.isEmpty) return t.commit("OPTIMIZE", Nil, Nil, t.schemaAt())
     val totalBytes = files.map(f => Files.size(Paths.get(f))).sum
@@ -40,16 +47,16 @@ object Maintenance {
 
     val df = t.read()
     val clustered =
-      if (zorderBy.nonEmpty)
-        df.repartitionByRange(nFiles, zorderBy.map(col): _*)
-          .sortWithinPartitions(zorderBy.map(col): _*)
+      if (zorderByEff.nonEmpty)
+        df.repartitionByRange(nFiles, zorderByEff.map(col): _*)
+          .sortWithinPartitions(zorderByEff.map(col): _*)
       else df.coalesce(nFiles)
 
     val added = t.writeData(clustered)
     val removed = files.map(f => Paths.get(t.path).toAbsolutePath
       .relativize(Paths.get(f).toAbsolutePath).toString)
     t.commit("OPTIMIZE", added, removed, t.schemaAt(),
-      Map("zOrderBy" -> zorderBy.mkString(",")),
+      Map("zOrderBy" -> zorderByEff.mkString(",")),
       metrics = Map(
         "numFilesRemoved" -> files.size.toLong,
         "numFilesAdded" -> added.size.toLong,

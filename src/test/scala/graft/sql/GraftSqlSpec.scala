@@ -120,6 +120,23 @@ class GraftSqlSpec extends SparkTestBase {
     assert(g.sql("SELECT count(*) AS n FROM qt VERSION AS OF 0").head().getLong(0) === 0)
   }
 
+  test("CLUSTER BY DDL drives bare OPTIMIZE's layout") {
+    val g = new GraftSql(spark, scratch("cluster"))
+    g.sqlChain(s"""
+      CREATE TABLE ct CLUSTER BY (c_custkey) AS
+        SELECT * FROM parquet.`$sf/customer.parquet`;
+      OPTIMIZE ct""")
+    val t = g.table("ct")
+    assert(t.properties("graft.clusterBy") === "c_custkey")
+    val opt = t.commits.filter(_.operation == "OPTIMIZE").last
+    assert(opt.operationParameters("zOrderBy") === "c_custkey")
+    // re-key via ALTER; NONE clears
+    g.sql("ALTER TABLE ct CLUSTER BY (c_nationkey, c_custkey)")
+    assert(g.table("ct").properties("graft.clusterBy") === "c_nationkey,c_custkey")
+    g.sql("ALTER TABLE ct CLUSTER BY NONE")
+    assert(g.table("ct").properties("graft.clusterBy") === "")
+  }
+
   test("VACUUM defaults to a safe retention and requires FORCE for zero") {
     val g = new GraftSql(spark, scratch("vac"))
     g.createTable("vt", Tables.t(spark, sf, "region").schema)
