@@ -105,11 +105,16 @@ object WorkloadOptimizer {
     * the gate queries use it for cross-engine determinism; approximate is
     * the 100 TB default. */
   def cardinalityStats(df: DataFrame, sampleSize: Int = 1000000,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false, onlyCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sample = df.limit(sampleSize)
-    val cols = df.columns.toSeq
+    // limit() funnels the scan through one task (GlobalLimit) — only worth
+    // it for the HLL sample bound; exact mode (gate) scans distributed,
+    // matching the full-table oracle
+    val sample = if (exact) df else df.limit(sampleSize)
+    val cols =
+      if (onlyCols.isEmpty) df.columns.toSeq
+      else df.columns.toSeq.filter(onlyCols.contains)
     val aggs = count(lit(1)).as("__total") +:
       cols.map(c => (if (exact) countDistinct(col(c))
                      else approx_count_distinct(col(c))).as(s"__d_$c"))
@@ -155,9 +160,17 @@ object WorkloadOptimizer {
     if (usage.isEmpty) return Nil
     val usageDF = usage.toDF()
 
-    val cards = tables.toSeq.map { case (n, (df, _)) =>
-      cardinalityStats(df, exact = exactCardinality).withColumn("table", lit(n))
-    }.reduce(_ unionByName _)
+    // stats only for columns the workload references — the spine joins on
+    // usage rows, so distinct-counting unreferenced columns is wasted work
+    // (and exact COUNT(DISTINCT) over every column of a wide fact table
+    // is a multi-shuffle expand)
+    val usedByTable = usage.groupBy(_.table).map { case (t, us) =>
+      t -> us.map(_.column).distinct }
+    val cards = tables.toSeq.filter(t => usedByTable.contains(t._1))
+      .map { case (n, (df, _)) =>
+        cardinalityStats(df, exact = exactCardinality,
+          onlyCols = usedByTable(n)).withColumn("table", lit(n))
+      }.reduce(_ unionByName _)
 
     val writeCols = tables.toSeq.flatMap { case (n, (df, gt)) =>
       gt.map(t => writePredicateColumns(t, df.columns.toSeq))

@@ -71,7 +71,8 @@ object MergeOps {
     val all = t.filesAt()
     val pairs = equiKeyPairs(t.spark, condition)
       .filter { case (_, sc) => source.columns.contains(sc) }
-    if (pairs.isEmpty || all.isEmpty) return (all, all.size)
+    // nothing to prune on a handful of files — skip the source agg job
+    if (pairs.isEmpty || all.size <= 4) return (all, all.size)
     val aggs = pairs.zipWithIndex.flatMap { case ((_, sc), i) =>
       Seq(min(col(sc)).as(s"__mn$i"), max(col(sc)).as(s"__mx$i")) }
     val row = source.agg(aggs.head, aggs.tail: _*).head()

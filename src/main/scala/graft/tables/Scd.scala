@@ -61,13 +61,17 @@ object Scd {
     // older than an applied delete/expiry would find no current row and
     // resurrect the key with a stale sequence. `>=` keeps the normal path
     // alive — stage A just expired the current row AT the source sequence.
-    val applied = t.read()
-      .join(latest.select(keys.map(col): _*).distinct(), keys, "left_semi")
-      .groupBy(keys.map(col): _*)
-      .agg(greatest(max(col(startCol)), max(col(endCol))).as("__applied_hw"))
-    val guarded = latest.join(applied, keys, "left")
-      .filter(col("__applied_hw").isNull || col(seqCol) >= col("__applied_hw"))
-      .drop("__applied_hw")
+    val guarded =
+      if (t.filesAt().isEmpty) latest // empty target: nothing applied yet
+      else {
+        val applied = t.read()
+          .join(latest.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .groupBy(keys.map(col): _*)
+          .agg(greatest(max(col(startCol)), max(col(endCol))).as("__applied_hw"))
+        latest.join(applied, keys, "left")
+          .filter(col("__applied_hw").isNull || col(seqCol) >= col("__applied_hw"))
+          .drop("__applied_hw")
+      }
 
     val businessCols = t.schemaAt().fieldNames
       .filterNot(Set(startCol, endCol, currentCol).contains)
