@@ -278,5 +278,36 @@ object StreamQueries extends QueryBatch {
             ORDER BY flow""")
   )
 
-  override def queries: Seq[GQ] = Seq(q90, q91, q92, q93, q94, q95, q96, q97)
+  /** Session windows (30-minute inactivity gap) — completes the
+    * event-time window family (tumbling q90, sliding q95). Computed with
+    * Spark's native session_window aggregation; the oracle replays the
+    * session semantics (new session when the gap to the previous event is
+    * ≥ the timeout — Spark's window is [first, last+gap)) as a
+    * gaps-and-islands window query. */
+  private val q98 = GQ(
+    "q98_session_window",
+    (s, dir) => Tables.t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value") + lit(1e-9), 2).as("sum_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH marked AS (
+              SELECT user_id, ts, value, event_id,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events),
+            sessions AS (
+              SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT min(ts) AS session_start, user_id,
+                   count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
+            FROM sessions GROUP BY user_id, sid
+            ORDER BY user_id, session_start""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98)
 }
