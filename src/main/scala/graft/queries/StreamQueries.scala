@@ -309,5 +309,30 @@ object StreamQueries extends QueryBatch {
             ORDER BY user_id, session_start""")
   )
 
-  override def queries: Seq[GQ] = Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98)
+  /** Quarantine pattern (inverse expectations, `LOANS/02:136-142`): rows
+    * failing any rule land in a quarantine table; both splits persist and
+    * the gate reads back their row counts plus a quarantined sample. */
+  private val q99 = GQ(
+    "q99_quarantine",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.t(s, dir, "lineitem")
+      val (good, bad) = Expectations.quarantine(li, Seq(
+        Expectations.expect("disc_le_8pct", "l_discount <= 0.08"),
+        Expectations.expect("qty_le_45", "l_quantity <= 45")))
+      val goodT = GraftTable.createFrom(s, scratch("q99good"), good)
+      val badT = GraftTable.createFrom(s, scratch("q99bad"), bad)
+      Seq(("good", goodT.read().count()), ("quarantined", badT.read().count()))
+        .toDF("split", "n").orderBy("split")
+    },
+    Some("""SELECT * FROM (VALUES
+              ('good', (SELECT count(*) FROM lineitem
+                        WHERE l_discount <= 0.08 AND l_quantity <= 45)),
+              ('quarantined', (SELECT count(*) FROM lineitem
+                        WHERE NOT (l_discount <= 0.08 AND l_quantity <= 45)))
+            ) q(split, n) ORDER BY split""")
+  )
+
+  override def queries: Seq[GQ] =
+    Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
 }
