@@ -206,6 +206,37 @@ object CoverageQueries extends QueryBatch {
     Some("""SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""")
   )
 
+  /** Deletion-vector (merge-on-read) deletes: two overlapping DELETEs add
+    * (file, row-index) sidecars without rewriting a single data file —
+    * asserted via the zero-files-changed history — then OPTIMIZE
+    * materializes them; the survivors must match batch SQL both before
+    * and after. */
+  private val q149 = GQ(
+    "q149_deletion_vectors",
+    (s, dir) => {
+      val t = GraftTable.createFrom(s, scratch("dvq"),
+        Tables.t(s, dir, "lineitem"),
+        properties = Map("graft.deletionVectors" -> "true"))
+      MergeOps.delete(t, "l_quantity > 45")
+      MergeOps.delete(t, "l_discount > 0.08")
+      val deletesRewroteFiles = t.commits
+        .filter(_.operation == "DELETE")
+        .exists(c => c.addedFiles.nonEmpty || c.removedFiles.nonEmpty)
+      require(!deletesRewroteFiles, "DV deletes must not rewrite data files")
+      graft.tables.Maintenance.optimize(t)
+      require(t.dvAt().isEmpty, "OPTIMIZE must clear deletion vectors")
+      t.read()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity") + lit(1e-9), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+            round(sum(l_quantity) + 1e-9, 2) AS sum_qty
+            FROM lineitem
+            WHERE NOT (l_quantity > 45) AND NOT (l_discount > 0.08)
+            GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q140, q141, q142, q143, q144, q145, q146, q147, q148)
+    Seq(q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
 }

@@ -26,7 +26,11 @@ final case class Commit(
     properties: Map[String, String],
     identityHighWatermark: Long,
     metrics: Map[String, Long],
-    fileStats: Map[String, Map[String, (String, String)]] = Map.empty)
+    fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
+    // deletion-vector sidecar files (merge-on-read deletes), same
+    // add/remove delta semantics as data files
+    addedDvFiles: Seq[String] = Nil,
+    removedDvFiles: Seq[String] = Nil)
 
 /** Versioned Parquet table ("tacklelog"): a data directory plus a JSON
   * commit log, giving the Delta-style semantics the reference leans on —
@@ -108,6 +112,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     live.toSeq.map(f => Paths.get(path, f).toString)
   }
 
+  /** Live deletion-vector files (absolute paths) at a version. */
+  def dvAt(version: Long = Long.MaxValue): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    commits.takeWhile(_.version <= version).foreach { c =>
+      c.removedDvFiles.foreach(live -= _)
+      c.addedDvFiles.foreach(live += _)
+    }
+    live.toSeq.map(f => Paths.get(path, f).toString)
+  }
+
+  /** Merge-on-read deletes enabled (`graft.deletionVectors` property):
+    * DELETE writes a (file, row position) sidecar instead of rewriting
+    * data files; reads anti-join it away. */
+  def dvEnabled: Boolean =
+    properties.getOrElse("graft.deletionVectors", "false") == "true"
+
   def schemaAt(version: Long = Long.MaxValue): StructType = {
     val cs = commits.takeWhile(_.version <= version)
     require(cs.nonEmpty, s"$path has no commits <= $version")
@@ -136,15 +156,32 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * internal reader (DML rewrites, CDF re-reads, streams) goes through
     * here; recursiveFileLookup disables inference on the `__part_k=v`
     * segments. */
-  private[graft] def readFiles(files: Seq[String], readSchema: StructType = null): DataFrame = {
+  private[graft] def readFiles(files: Seq[String], readSchema: StructType = null): DataFrame =
+    readFilesWithPos(files, readSchema).drop(DvFileCol, DvPosCol)
+
+  /** As readFiles, but keeps the (__dv_file, __dv_pos) provenance columns
+    * — the delete path records them into deletion vectors. Live DVs (at
+    * the latest version) are already anti-joined away, so callers never
+    * see deleted rows. */
+  private[graft] def readFilesWithPos(files: Seq[String],
+      readSchema: StructType = null, dvVersion: Long = Long.MaxValue): DataFrame = {
     val s = Option(readSchema).getOrElse(schemaAt())
-    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
-    else spark.read.schema(s).option("recursiveFileLookup", "true").parquet(files: _*)
+    if (files.isEmpty) {
+      val withPos = s.add(DvFileCol, StringType).add(DvPosCol, LongType)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withPos)
+    }
+    val df = spark.read.schema(s).option("recursiveFileLookup", "true").parquet(files: _*)
+      .withColumn(DvFileCol, col("_metadata.file_path"))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    val dv = dvAt(dvVersion)
+    if (dv.isEmpty) df
+    else df.join(spark.read.parquet(dv: _*), Seq(DvFileCol, DvPosCol), "left_anti")
   }
 
   /** Snapshot read (optionally `VERSION AS OF`). */
   def read(versionAsOf: Long = Long.MaxValue): DataFrame =
-    readFiles(filesAt(versionAsOf), schemaAt(versionAsOf))
+    readFilesWithPos(filesAt(versionAsOf), schemaAt(versionAsOf), versionAsOf)
+      .drop(DvFileCol, DvPosCol)
 
   /** DESCRIBE HISTORY equivalent (`DP/Step 1:235-239`). */
   def history: DataFrame = {
@@ -260,6 +297,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .map(p => Paths.get(path).relativize(p).toString).sorted
   }
 
+  /** Write a deletion-vector sidecar — rows of (__dv_file, __dv_pos) —
+    * and return its table-relative parquet paths plus the row count. */
+  private[tables] def writeDv(df: DataFrame): (Seq[String], Long) = {
+    val sub = s"dv/${UUID.randomUUID().toString.take(12)}"
+    val dest = Paths.get(path, sub)
+    df.write.mode(SaveMode.Overwrite).parquet(dest.toString)
+    val rels = walkDir(dest)
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(p => Paths.get(path).relativize(p).toString).sorted
+    val rows = FileStats.harvestWithRows(spark,
+      rels.map(f => Paths.get(path, f).toString)).values.map(_._1).sum
+    (rels, rows)
+  }
+
   private[tables] def writeChanges(df: DataFrame, version: Long): Unit =
     df.write.mode(SaveMode.Overwrite)
       .parquet(Paths.get(path, "_changes", s"v$version").toString)
@@ -278,7 +329,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       props: Map[String, String] = null,
       identity: Long = -1L,
       metrics: Map[String, Long] = Map.empty,
-      fileStats: Map[String, Map[String, (String, String)]] = Map.empty): Commit = {
+      fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
+      addedDv: Seq[String] = Nil,
+      removedDv: Seq[String] = Nil): Commit = {
     Files.createDirectories(logDir)
     val prev = commits.lastOption
     val c = Commit(
@@ -293,7 +346,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       identityHighWatermark =
         if (identity >= 0) identity else prev.map(_.identityHighWatermark).getOrElse(0L),
       metrics = metrics,
-      fileStats = fileStats)
+      fileStats = fileStats,
+      addedDvFiles = addedDv,
+      removedDvFiles = removedDv)
     val tmp = Files.createTempFile(logDir, ".commit", ".tmp")
     Files.write(tmp, renderCommit(c).getBytes("UTF-8"))
     val target = logDir.resolve(f"v${c.version}%020d.json")
@@ -347,16 +402,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   /** TRUNCATE: drop every live file, keep schema (`DP/Step 1:231`). */
   def truncate(): Commit = {
-    val removed = filesAt().map(abs => Paths.get(path).relativize(Paths.get(abs)).toString)
-    commit("TRUNCATE", Nil, removed, schemaAt())
+    def rel(p: String) = Paths.get(path).relativize(Paths.get(p)).toString
+    commit("TRUNCATE", Nil, filesAt().map(rel), schemaAt(),
+      removedDv = dvAt().map(rel))
   }
 
   /** RESTORE TABLE ... VERSION AS OF v (`HF/transactions.py:420-449`). */
   def restoreTo(version: Long): Commit = {
-    val want = filesAt(version).map(abs => Paths.get(path).relativize(Paths.get(abs)).toString)
-    val cur = filesAt().map(abs => Paths.get(path).relativize(Paths.get(abs)).toString)
+    def rel(p: String) = Paths.get(path).relativize(Paths.get(p)).toString
+    val want = filesAt(version).map(rel)
+    val cur = filesAt().map(rel)
+    val wantDv = dvAt(version).map(rel)
+    val curDv = dvAt().map(rel)
     commit("RESTORE", want.diff(cur), cur.diff(want), schemaAt(version),
-      Map("restoredVersion" -> version.toString))
+      Map("restoredVersion" -> version.toString),
+      addedDv = wantDv.diff(curDv), removedDv = curDv.diff(wantDv))
   }
 
   /** Number of versions committed within the last `hours` (age→version
@@ -379,10 +439,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * explicit FORCE for it. */
   def vacuum(retainVersions: Int): Seq[String] = {
     val keepFrom = math.max(0L, currentVersion - retainVersions)
-    val referenced = (keepFrom to currentVersion).flatMap(filesAt(_))
+    val referenced = (keepFrom to currentVersion)
+      .flatMap(v => filesAt(v) ++ dvAt(v))
       .map(f => Paths.get(f).toAbsolutePath.normalize.toString).toSet
-    if (!Files.isDirectory(dataDir)) return Nil
-    val deleted = walkDir(dataDir)
+    val dvDir = Paths.get(path, "dv")
+    val roots = Seq(dataDir, dvDir).filter(Files.isDirectory(_))
+    if (roots.isEmpty) return Nil
+    val deleted = roots.flatMap(walkDir)
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .filterNot(p => referenced.contains(p.toAbsolutePath.normalize.toString))
       .toList
@@ -393,16 +456,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** DEEP CLONE: copy live files + fresh single-commit log
     * (`10-migrations/05-uc-upgrade`). */
   def cloneTo(destPath: String): GraftTable = {
+    // DV sidecars key on the source's file URIs, which change under
+    // copy/symlink — clones of DV-carrying tables materialize the deletes
+    if (dvAt().nonEmpty) {
+      val dest = GraftTable.create(spark, destPath, schemaAt(), properties)
+      dest.append(read(), "CLONE", Map("source" -> path, "materializedDv" -> "true"))
+      return dest
+    }
     val dest = GraftTable.create(spark, destPath, schemaAt(), properties)
-    val files = filesAt()
-    val copied = files.map { src =>
-      val rel = s"data/clone-${UUID.randomUUID().toString.take(8)}-${Paths.get(src).getFileName}"
+    def copyAll(srcs: Seq[String], sub: String): Seq[String] = srcs.map { src =>
+      val rel = s"$sub/clone-${UUID.randomUUID().toString.take(8)}-${Paths.get(src).getFileName}"
       val d = Paths.get(destPath, rel)
       Files.createDirectories(d.getParent)
       Files.copy(Paths.get(src), d, StandardCopyOption.REPLACE_EXISTING)
       rel
     }
-    dest.commit("CLONE", copied, Nil, schemaAt(), Map("source" -> path))
+    dest.commit("CLONE", copyAll(filesAt(), "data"), Nil, schemaAt(),
+      Map("source" -> path))
     dest
   }
 
@@ -411,18 +481,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * Delta's): VACUUMing the source after it rewrites breaks the clone's
     * links — deep-clone or re-clone before vacuuming the source. */
   def shallowCloneTo(destPath: String): GraftTable = {
+    if (dvAt().nonEmpty) return cloneTo(destPath) // see cloneTo: DV paths don't survive links
     val dest = GraftTable.create(spark, destPath, schemaAt(), properties)
     // absolute source paths recorded relative to the dest via ".." hops is
     // brittle; store absolute by making the commit path-relative a no-op:
     // we register files under a symlink dir inside the clone.
-    val linkDir = Paths.get(destPath, "data", "shallow")
-    Files.createDirectories(linkDir)
-    val rels = filesAt().zipWithIndex.map { case (src, i) =>
-      val link = linkDir.resolve(f"f$i%05d-${Paths.get(src).getFileName}")
-      Files.createSymbolicLink(link, Paths.get(src).toAbsolutePath)
-      Paths.get(destPath).relativize(link).toString
+    def linkAll(srcs: Seq[String], sub: String): Seq[String] = {
+      val linkDir = Paths.get(destPath, sub, "shallow")
+      Files.createDirectories(linkDir)
+      srcs.zipWithIndex.map { case (src, i) =>
+        val link = linkDir.resolve(f"f$i%05d-${Paths.get(src).getFileName}")
+        Files.createSymbolicLink(link, Paths.get(src).toAbsolutePath)
+        Paths.get(destPath).relativize(link).toString
+      }
     }
-    dest.commit("SHALLOW CLONE", rels, Nil, schemaAt(), Map("source" -> path))
+    dest.commit("SHALLOW CLONE", linkAll(filesAt(), "data"), Nil, schemaAt(),
+      Map("source" -> path))
     dest
   }
 
@@ -505,6 +579,10 @@ object GraftTable {
   /** Commits between state checkpoints (cold-start reads ckpt + tail). */
   private val checkpointInterval = 10L
 
+  /** Column names for deletion-vector provenance (file URI + row index). */
+  private[graft] val DvFileCol = "__dv_file"
+  private[graft] val DvPosCol = "__dv_pos"
+
   /** Loan-pattern directory listing/walk — the returned streams hold an
     * open directory FD until closed, which leaks under the idiomatic
     * `.iterator().asScala` chaining. */
@@ -569,6 +647,8 @@ object GraftTable {
         val arr = fo.putArray(cname); arr.add(mn); arr.add(mx)
       }
     }
+    val adv = n.putArray("addedDvFiles"); c.addedDvFiles.foreach(adv.add)
+    val rdv = n.putArray("removedDvFiles"); c.removedDvFiles.foreach(rdv.add)
     M.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
@@ -600,7 +680,11 @@ object GraftTable {
           e.getKey -> e.getValue.fields().asScala.map { ce =>
             ce.getKey -> (ce.getValue.get(0).asText(), ce.getValue.get(1).asText())
           }.toMap
-        }.toMap).getOrElse(Map.empty))
+        }.toMap).getOrElse(Map.empty),
+      addedDvFiles = Option(n.get("addedDvFiles"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+      removedDvFiles = Option(n.get("removedDvFiles"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
   }
 }
 

@@ -53,10 +53,13 @@ object Maintenance {
       else df.coalesce(nFiles)
 
     val added = t.writeData(clustered)
-    val removed = files.map(f => Paths.get(t.path).toAbsolutePath
-      .relativize(Paths.get(f).toAbsolutePath).toString)
+    def rel(f: String) = Paths.get(t.path).toAbsolutePath
+      .relativize(Paths.get(f).toAbsolutePath).toString
+    val removed = files.map(rel)
+    // the rewrite materialized any deletion vectors (read() applies them)
     t.commit("OPTIMIZE", added, removed, t.schemaAt(),
       Map("zOrderBy" -> zorderByEff.mkString(",")),
+      removedDv = t.dvAt().map(rel),
       metrics = Map(
         "numFilesRemoved" -> files.size.toLong,
         "numFilesAdded" -> added.size.toLong,

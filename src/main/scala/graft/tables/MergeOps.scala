@@ -140,8 +140,11 @@ object MergeOps {
     val touched: Seq[String] =
       if (candidateFiles.isEmpty || matched.isEmpty) Nil
       else {
-        val target = t.readFiles(candidateFiles, schema)
-          .withColumn("__file", col("_metadata.file_path"))
+        // __dv_file (kept by readFilesWithPos) is the file marker — the
+        // _metadata column does not survive the DV anti-join
+        val target = t.readFilesWithPos(candidateFiles, schema)
+          .drop(GraftTable.DvPosCol)
+          .withColumnRenamed(GraftTable.DvFileCol, "__file")
         target.alias("target")
           .join(source.alias("source"), expr(condition), "left_semi")
           .select("__file").distinct().collect()
@@ -243,8 +246,10 @@ object MergeOps {
     val allFiles = t.pruneFiles(predicate)._1 // stats-prune the discovery scan
     if (allFiles.isEmpty) return t.commit("DELETE", Nil, Nil, schema,
       Map("predicate" -> predicate))
-    val df = t.readFiles(allFiles, schema)
-    val touched = df.withColumn("__file", col("_metadata.file_path"))
+    if (t.dvEnabled) return deleteWithDv(t, predicate, allFiles, schema)
+    val df = t.readFilesWithPos(allFiles, schema).drop(GraftTable.DvPosCol)
+      .withColumnRenamed(GraftTable.DvFileCol, "__file")
+    val touched = df
       .filter(expr(predicate))
       .select("__file").distinct().collect()
       .map(r => Paths.get(new java.net.URI(r.getString(0))).toString).toSeq
@@ -263,14 +268,46 @@ object MergeOps {
     c
   }
 
+  /** Merge-on-read DELETE: record matched rows' (file, position) in a
+    * deletion-vector sidecar instead of rewriting files — an
+    * O(matched rows) metadata-speed write where the copy-on-write path
+    * rewrites whole files; reads anti-join the DV away. OPTIMIZE
+    * materializes and clears DVs. */
+  private def deleteWithDv(t: GraftTable, predicate: String,
+      candidateFiles: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Commit = {
+    // readFilesWithPos excludes already-deleted rows, so DV entries never
+    // duplicate across successive deletes
+    val matched = t.readFilesWithPos(candidateFiles, schema)
+      .filter(expr(predicate))
+    val dels = matched.select(GraftTable.DvFileCol, GraftTable.DvPosCol)
+    val (dvRels, nDeleted) = t.writeDv(dels)
+    if (nDeleted == 0) {
+      dvRels.foreach(f => java.nio.file.Files.deleteIfExists(Paths.get(t.path, f)))
+      return t.commit("DELETE", Nil, Nil, schema, Map("predicate" -> predicate))
+    }
+    val c = t.commit("DELETE", Nil, Nil, schema,
+      Map("predicate" -> predicate, "deletionVector" -> "true"),
+      metrics = Map("numDeletedRows" -> nDeleted),
+      addedDv = dvRels)
+    if (t.cdfEnabled) t.writeChanges(
+      t.readFilesWithPos(candidateFiles, schema, dvVersion = c.version - 1)
+        .filter(expr(predicate))
+        .drop(GraftTable.DvFileCol, GraftTable.DvPosCol)
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("_commit_version", lit(c.version)), c.version)
+    c
+  }
+
   /** UPDATE t SET col = expr WHERE predicate (`DP/Step 1:195-199`). */
   def update(t: GraftTable, assignments: Map[String, String], predicate: String): Commit = {
     val schema = t.schemaAt()
     val allFiles = t.pruneFiles(predicate)._1 // stats-prune the discovery scan
     if (allFiles.isEmpty) return t.commit("UPDATE", Nil, Nil, schema,
       Map("predicate" -> predicate))
-    val df = t.readFiles(allFiles, schema)
-    val touched = df.withColumn("__file", col("_metadata.file_path"))
+    val df = t.readFilesWithPos(allFiles, schema).drop(GraftTable.DvPosCol)
+      .withColumnRenamed(GraftTable.DvFileCol, "__file")
+    val touched = df
       .filter(expr(predicate))
       .select("__file").distinct().collect()
       .map(r => Paths.get(new java.net.URI(r.getString(0))).toString).toSeq
