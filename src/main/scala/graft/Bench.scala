@@ -115,9 +115,31 @@ object Bench {
       f""""merge_fragmented_sec":$fragSec%.3f,"merge_compacted_sec":$compSec%.3f"""
     }
 
+    // DELETE latency: deletion-vector (merge-on-read) vs copy-on-write on
+    // the same predicate — the DV value proposition is O(matched rows)
+    // sidecar writes instead of file rewrites
+    val deleteCmp = {
+      import graft.tables.{GraftTable, MergeOps}
+      val dir = java.nio.file.Files.createTempDirectory("bench-dv")
+      val li = Tables.t(spark, sfDir, "lineitem")
+      def timeDelete(t: GraftTable): Double = {
+        val t0 = System.nanoTime()
+        MergeOps.delete(t, "l_quantity > 48")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cow = GraftTable.create(spark, dir.toString + "/cow", li.schema)
+      cow.append(li.repartition(16))
+      val cowSec = timeDelete(cow)
+      val dv = GraftTable.create(spark, dir.toString + "/dv", li.schema,
+        Map("graft.deletionVectors" -> "true"))
+      dv.append(li.repartition(16))
+      val dvSec = timeDelete(dv)
+      f""""delete_cow_sec":$cowSec%.3f,"delete_dv_sec":$dvSec%.3f"""
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$mergeCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -356,11 +356,13 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
   // ---- maintenance statements -------------------------------------------
 
   private def optimize(s: String): DataFrame = {
-    val re = "(?is)OPTIMIZE\\s+(\\w+)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?".r
+    val re = "(?is)OPTIMIZE\\s+(\\w+)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?(\\s+INCREMENTAL)?\\s*".r
     s match {
-      case re(name, z) =>
+      case re(name, z, inc) =>
         val zcols = Option(z).map(splitTopLevel(_).map(_.trim)).getOrElse(Nil)
-        val c = Maintenance.optimize(table(name), zcols)
+        val c =
+          if (inc != null) Maintenance.optimizeIncremental(table(name), zcols)
+          else Maintenance.optimize(table(name), zcols)
         import spark.implicits._
         Seq((c.version, c.metrics.getOrElse("numFilesAdded", 0L),
           c.metrics.getOrElse("numFilesRemoved", 0L)))

@@ -75,8 +75,10 @@ object StreamOps {
     * `DP/Step 5:182-189`): a file stream over the table's data dirs — each
     * append commits new immutable files, which the file source picks up
     * exactly once per checkpoint. OPTIMIZE/merge rewrites re-emit rewritten
-    * rows (the `ignoreChanges` caveat the reference documents); route
-    * through `changesStream` when row-level change semantics matter. */
+    * rows (the `ignoreChanges` caveat the reference documents), and
+    * deletion-vector deletes are not retracted from the stream (file
+    * contents are unchanged); route through `changesStream` when
+    * row-level change semantics matter. */
   def tableStream(t: GraftTable): DataFrame =
     t.spark.readStream.schema(t.schemaAt())
       .option("pathGlobFilter", "*.parquet")

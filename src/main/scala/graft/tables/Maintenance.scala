@@ -66,4 +66,46 @@ object Maintenance {
         "bytesCompacted" -> totalBytes),
       fileStats = t.harvestStats(added))
   }
+
+  /** Incremental OPTIMIZE: compact only files below
+    * `smallFileFraction × targetFileSize` — what repeated small appends
+    * leave behind — and leave well-sized files alone. A full-table
+    * rewrite per OPTIMIZE is a non-starter at 100 TB; this is the
+    * steady-state maintenance pass (Delta's OPTIMIZE compacts exactly
+    * this way: only files under minFileSize are rewritten). Deletion
+    * vectors are untouched — entries for rewritten files dangle
+    * harmlessly (the rewrite materialized them), entries for skipped
+    * files stay live; a full `optimize` clears them all. */
+  def optimizeIncremental(t: GraftTable, zorderBy: Seq[String] = Nil,
+      smallFileFraction: Double = 0.5): Commit = {
+    val zorderByEff =
+      if (zorderBy.nonEmpty) zorderBy
+      else t.properties.get("graft.clusterBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val target = t.properties.get("graft.targetFileSize")
+      .map(parseSize).getOrElse(DefaultTargetFileBytes)
+    val small = t.filesAt()
+      .filter(f => Files.size(Paths.get(f)) < (target * smallFileFraction).toLong)
+    if (small.size < 2)
+      return t.commit("OPTIMIZE", Nil, Nil, t.schemaAt(),
+        Map("zOrderBy" -> zorderByEff.mkString(","), "incremental" -> "true"))
+    val totalBytes = small.map(f => Files.size(Paths.get(f))).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
+    val df = t.readFiles(small)
+    val clustered =
+      if (zorderByEff.nonEmpty)
+        df.repartitionByRange(nFiles, zorderByEff.map(col): _*)
+          .sortWithinPartitions(zorderByEff.map(col): _*)
+      else df.coalesce(nFiles)
+    val added = t.writeData(clustered)
+    def rel(f: String) = Paths.get(t.path).toAbsolutePath
+      .relativize(Paths.get(f).toAbsolutePath).toString
+    t.commit("OPTIMIZE", added, small.map(rel), t.schemaAt(),
+      Map("zOrderBy" -> zorderByEff.mkString(","), "incremental" -> "true"),
+      metrics = Map(
+        "numFilesRemoved" -> small.size.toLong,
+        "numFilesAdded" -> added.size.toLong,
+        "bytesCompacted" -> totalBytes),
+      fileStats = t.harvestStats(added))
+  }
 }

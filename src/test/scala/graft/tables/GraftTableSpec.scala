@@ -44,6 +44,28 @@ class GraftTableSpec extends SparkTestBase {
     assert(c.read().count() === 30) // clone unaffected
   }
 
+  test("incremental OPTIMIZE compacts only small files") {
+    val li = graft.Tables.t(spark, sf, "lineitem")
+    val t = GraftTable.create(spark, scratch("incropt"), li.schema,
+      Map("graft.targetFileSize" -> (64 * 1024).toString))
+    t.append(li.coalesce(1))                       // one well-sized file
+    val big = t.filesAt()
+    (1 to 5).foreach(i =>                          // five tiny appends
+      t.append(li.filter(org.apache.spark.sql.functions.col("l_orderkey") % 97 === i)
+        .coalesce(1)))
+    val before = t.filesAt().size
+    val c = Maintenance.optimizeIncremental(t)
+    assert(c.operationParameters("incremental") === "true")
+    assert(c.metrics("numFilesRemoved") === (before - big.size).toLong)
+    assert(t.filesAt().toSet.intersect(big.toSet) === big.toSet,
+      "the well-sized file must survive untouched")
+    assert(t.read().count() === li.count() +
+      (1 to 5).map(i => li.filter(org.apache.spark.sql.functions.col("l_orderkey") % 97 === i).count()).sum)
+    // nothing left to compact: second pass is a no-op commit
+    val c2 = Maintenance.optimizeIncremental(t)
+    assert(c2.addedFiles.isEmpty && c2.removedFiles.isEmpty)
+  }
+
   test("vacuum deletes only unreferenced files") {
     val t = GraftTable.createFrom(spark, scratch("vac"), customer)
     t.overwrite(customer.limit(5))
