@@ -237,6 +237,34 @@ object CoverageQueries extends QueryBatch {
             GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** Incremental MV maintenance: the view is refreshed from append deltas
+    * only (partial-aggregate MERGE; refresh cost ∝ new data) and must
+    * equal the batch aggregation over the final source — the scale path
+    * past the reference's full-recompute refresh. The incremental-path
+    * requirement is asserted in-query. */
+  private val q150 = GQ(
+    "q150_incremental_mv",
+    (s, dir) => {
+      import graft.tables.IncrementalMv
+      val o = Tables.t(s, dir, "orders")
+      val src = GraftTable.createFrom(s, scratch("imv-src"),
+        o.filter(col("o_orderkey") % 3 === 0))
+      val view = IncrementalMv.create(s, scratch("imv"),
+        src, Seq("o_orderstatus"), Seq("o_totalprice"))
+      src.append(o.filter(col("o_orderkey") % 3 === 1))
+      src.append(o.filter(col("o_orderkey") % 3 === 2))
+      val r = IncrementalMv.refresh(src, view, Seq("o_orderstatus"), Seq("o_totalprice"))
+      require(r.incremental, "append-only deltas must refresh incrementally")
+      view.read()
+        .select(col("o_orderstatus"), col("cnt"),
+          round(col("sum_o_totalprice") + lit(1e-9), 2).as("sum_total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS cnt,
+            round(sum(o_totalprice) + 1e-9, 2) AS sum_total
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
+    Seq(q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 }

@@ -1,0 +1,73 @@
+package graft.tables
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance for grouped count/sum
+  * aggregates (avg derives as sum/cnt at read time).
+  *
+  * The reference's ST/MV refresh fully recomputes
+  * (`HF/stmvorchestrator.py`); this is the scale path beyond it: each
+  * refresh reads only the source files appended since the last applied
+  * version and MERGEs the partial aggregates into the view — refresh
+  * cost ∝ new data, not table size. Any non-append commit since the
+  * watermark (rewrite, delete, deletion vector) voids the delta
+  * assumption and the refresh falls back to a full recompute of exactly
+  * the same result.
+  *
+  * View schema: keys ++ `cnt` ++ `sum_<col>` per summed column; the
+  * applied source version is tracked in the view's
+  * `graft.mv.appliedVersion` property.
+  */
+object IncrementalMv {
+
+  final case class Refresh(appliedVersion: Long, incremental: Boolean)
+
+  private def aggOf(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +: sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Bring `view` up to date with `source`. */
+  def refresh(source: GraftTable, view: GraftTable,
+      keys: Seq[String], sumCols: Seq[String]): Refresh = {
+    val applied = view.properties.get("graft.mv.appliedVersion").map(_.toLong).getOrElse(-1L)
+    val cur = source.currentVersion
+    if (cur == applied) return Refresh(cur, incremental = true)
+    val since = source.commits.filter(_.version > applied)
+    val appendOnly = applied >= 0 && since.forall(c =>
+      c.removedFiles.isEmpty && c.addedDvFiles.isEmpty && c.removedDvFiles.isEmpty)
+
+    if (!appendOnly) {
+      view.overwrite(aggOf(source.read(), keys, sumCols), "REFRESH MV (full)")
+      view.setProperties(view.properties + ("graft.mv.appliedVersion" -> cur.toString))
+      return Refresh(cur, incremental = false)
+    }
+
+    val newFiles = since.flatMap(_.addedFiles)
+      .map(f => Paths.get(source.path, f).toString)
+    if (newFiles.nonEmpty) {
+      val delta = aggOf(source.readFiles(newFiles), keys, sumCols)
+      val keyCond = keys.map(k => s"target.$k = source.$k").mkString(" AND ")
+      val updates = Map("cnt" -> "target.cnt + source.cnt") ++
+        sumCols.map(c => s"sum_$c" ->
+          s"coalesce(target.sum_$c, 0) + coalesce(source.sum_$c, 0)")
+      MergeOps.mergeInto(view, delta, keyCond,
+        matched = Seq(MergeOps.WhenMatched(None, MergeOps.UpdateSet(updates))),
+        notMatched = Seq(MergeOps.WhenNotMatched(None, MergeOps.InsertAll)))
+    }
+    view.setProperties(view.properties + ("graft.mv.appliedVersion" -> cur.toString))
+    Refresh(cur, incremental = true)
+  }
+
+  /** Create the view table and run the first (full) refresh. */
+  def create(spark: org.apache.spark.sql.SparkSession, path: String,
+      source: GraftTable, keys: Seq[String], sumCols: Seq[String]): GraftTable = {
+    val df = aggOf(source.read(), keys, sumCols)
+    val view = GraftTable.createFrom(spark, path, df)
+    view.setProperties(Map("graft.mv.appliedVersion" -> source.currentVersion.toString))
+    view
+  }
+}

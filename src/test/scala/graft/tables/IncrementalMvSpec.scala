@@ -1,0 +1,54 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class IncrementalMvSpec extends SparkTestBase {
+
+  private def orders = Tables.t(spark, sf, "orders")
+
+  private def expect(src: GraftTable): Map[String, (Long, Double)] = src.read()
+    .groupBy("o_orderstatus")
+    .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("sum_o_totalprice"))
+    .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  private def got(view: GraftTable): Map[String, (Long, Double)] = view.read()
+    .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("incremental refresh equals full recompute across appends") {
+    val src = GraftTable.createFrom(spark, scratch("mvsrc"),
+      orders.filter(col("o_orderkey") % 3 === 0))
+    val view = IncrementalMv.create(spark, scratch("mv"),
+      src, Seq("o_orderstatus"), Seq("o_totalprice"))
+    assert(got(view).keySet === expect(src).keySet)
+
+    src.append(orders.filter(col("o_orderkey") % 3 === 1))
+    val r1 = IncrementalMv.refresh(src, view, Seq("o_orderstatus"), Seq("o_totalprice"))
+    assert(r1.incremental, "append-only delta must take the incremental path")
+    val (g1, e1) = (got(view), expect(src))
+    assert(g1.keySet === e1.keySet)
+    g1.foreach { case (k, (c, s)) =>
+      assert(c === e1(k)._1)
+      assert(math.abs(s - e1(k)._2) < 1e-6, k)
+    }
+
+    // idempotent when nothing changed
+    val r2 = IncrementalMv.refresh(src, view, Seq("o_orderstatus"), Seq("o_totalprice"))
+    assert(r2.incremental && got(view) === g1)
+  }
+
+  test("non-append history falls back to a full recompute") {
+    val src = GraftTable.createFrom(spark, scratch("mvsrc2"), orders)
+    val view = IncrementalMv.create(spark, scratch("mv2"),
+      src, Seq("o_orderstatus"), Seq("o_totalprice"))
+    MergeOps.delete(src, "o_totalprice > 100000")
+    val r = IncrementalMv.refresh(src, view, Seq("o_orderstatus"), Seq("o_totalprice"))
+    assert(!r.incremental, "a delete must force the full path")
+    val (g, e) = (got(view), expect(src))
+    assert(g.keySet === e.keySet)
+    g.foreach { case (k, (c, s)) =>
+      assert(c === e(k)._1); assert(math.abs(s - e(k)._2) < 1e-6)
+    }
+  }
+}
