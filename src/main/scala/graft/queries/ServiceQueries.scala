@@ -82,5 +82,64 @@ object ServiceQueries extends QueryBatch {
     Some("""SELECT p_partkey, p_size, p_retailprice FROM part ORDER BY p_partkey""")
   )
 
-  override def queries: Seq[GQ] = Seq(q110, q111, q112)
+  /** Salted skew join: the hot-key pre-split (salt on the big side,
+    * replicate the small side) must produce exactly the plain join's
+    * aggregate — the explicit variant of AQE's skew-join handling for
+    * pathological single-key skew. */
+  private val q113 = GQ(
+    "q113_salted_skew_join",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      // manufacture skew: map most orders onto one customer key
+      val skewed = graft.Tables.t(s, dir, "orders")
+        .withColumn("cust",
+          when(col("o_orderkey") % 4 =!= 0, lit(1L)).otherwise(col("o_custkey")))
+      val dim = graft.Tables.t(s, dir, "customer")
+        .select(col("c_custkey").as("cust"), col("c_mktsegment"))
+      graft.perf.Layout.saltedJoin(skewed, dim, "cust")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice") + lit(1e-9), 2).as("total"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+            round(sum(o_totalprice) + 1e-9, 2) AS total
+            FROM (SELECT o_totalprice,
+                    CASE WHEN o_orderkey % 4 <> 0 THEN 1 ELSE o_custkey END AS cust
+                  FROM orders) o
+            JOIN customer ON cust = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  /** Bucketed co-located join: both sides bucketed+sorted on the join key
+    * plan without a shuffle exchange (asserted in-query) and still equal
+    * the plain join. */
+  private val q114 = GQ(
+    "q114_bucketed_join",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val suffix = java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"DROP TABLE IF EXISTS b_orders_$suffix")
+      s.sql(s"DROP TABLE IF EXISTS b_cust_$suffix")
+      graft.perf.Layout.writeBucketed(
+        graft.Tables.t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+        s"b_orders_$suffix", Seq("o_custkey"), 8)
+      graft.perf.Layout.writeBucketed(
+        graft.Tables.t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        s"b_cust_$suffix", Seq("c_custkey"), 8)
+      val joined = s.table(s"b_orders_$suffix")
+        .join(s.table(s"b_cust_$suffix"), col("o_custkey") === col("c_custkey"))
+      require(graft.perf.Layout.isShuffleFree(
+        joined.groupBy("o_custkey").count()),
+        "co-bucketed join must plan without a shuffle exchange")
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice") + lit(1e-9), 2).as("total"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+            round(sum(o_totalprice) + 1e-9, 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q110, q111, q112, q113, q114)
 }
