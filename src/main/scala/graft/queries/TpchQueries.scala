@@ -120,16 +120,21 @@ object TpchQueries extends QueryBatch {
        GROUP BY o_year ORDER BY o_year""")
 
   /** Q9 product-type profit — adapted: amount omits ps_supplycost (no
-    * partsupp table); nation/year grouping shape preserved. The sum runs
-    * in DECIMAL: exact and order-independent, so both engines round the
-    * large per-group totals identically (a double sum here differed in
-    * the 8th digit and flipped the 2-decimal rounding). */
+    * partsupp table); nation/year grouping shape preserved. The amount is
+    * computed in DECIMAL from the exact-2dp base columns (double→decimal
+    * of a 2dp value is unambiguous in both engines), so the sum is exact
+    * and order-independent; the final CAST to DOUBLE keeps the output
+    * column float64 on both sides — Spark's parquet DECIMAL renders
+    * `1973898.40` via pandas Decimal while DuckDB's .df() gives float64
+    * `1973898.4`, which broke the driver's string-hash on trailing-zero
+    * rows in round 2 even though every value matched. */
   private val h09 = gq("q167_tpch09_product_profit",
     """SELECT nation, o_year,
-       round(sum(CAST(amount AS DECIMAL(18, 6))), 2) AS sum_profit
+       CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
        FROM (SELECT n_name AS nation,
                     CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
-                    l_extendedprice * (1 - l_discount) AS amount
+                    CAST(l_extendedprice AS DECIMAL(12, 2))
+                      * (1 - CAST(l_discount AS DECIMAL(4, 2))) AS amount
              FROM part, supplier, lineitem, orders, nation
              WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
                AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey

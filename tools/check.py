@@ -52,21 +52,34 @@ def main() -> None:
             n_bad += 1
             continue
         bad_cols = []
+        weak_cols = []
         for c in g.columns:
             a, b = g[c], w[c]
             try:
+                # Strict pass first: the driver's gate hashes str() forms, so
+                # a dtype/representation divergence (Decimal('1.40') vs 1.4,
+                # int64 vs float64) fails it even when values match.
+                strict = (a.isna() & b.isna()) | (a.astype(str) == b.astype(str))
+                if strict.all():
+                    continue
                 if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                     am, bm = a.astype(float), b.astype(float)
                     mism = ~((am.isna() & bm.isna()) | ((am - bm).abs() <= 1e-9))
                 else:
-                    mism = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
+                    mism = ~strict
+                i = (~strict).idxmax()
                 if mism.any():
-                    i = mism.idxmax()
                     bad_cols.append(f"{c} (row {i}: {a[i]!r} vs {b[i]!r})")
+                else:
+                    weak_cols.append(f"{c} (row {i}: {a[i]!r} vs {b[i]!r})")
             except Exception as e:
                 bad_cols.append(f"{c} (compare error {e})")
         if bad_cols:
             print(f"FAIL {name}: value mismatch in {bad_cols[:3]}")
+            n_bad += 1
+        elif weak_cols:
+            print(f"WEAK {name}: values match but str/dtype differs "
+                  f"(driver hash would FAIL) in {weak_cols[:3]}")
             n_bad += 1
         else:
             print(f"ok   {name} ({len(g)} rows)")
