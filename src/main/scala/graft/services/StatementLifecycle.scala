@@ -31,7 +31,7 @@ final class StatementLifecycle(g: graft.sql.GraftSql, chunkSize: Int = 1000) {
       rowCount: Int, nextChunkIndex: Option[Int])
 
   private final class Entry {
-    @volatile var state: State = Pending
+    val state = new java.util.concurrent.atomic.AtomicReference[State](Pending)
     @volatile var rows: Vector[Seq[Any]] = Vector.empty
     @volatile var columns: Seq[String] = Nil
     @volatile var error: String = null
@@ -57,18 +57,25 @@ final class StatementLifecycle(g: graft.sql.GraftSql, chunkSize: Int = 1000) {
     entries.put(id, e)
     e.future = pool.submit(new Runnable {
       override def run(): Unit = {
-        e.state = Running
+        // CAS Pending→Running: a cancel that already landed (between
+        // dequeue and here) must not be overwritten back to Running
+        if (!e.state.compareAndSet(Pending, Running)) return
         try {
           val (cols, rows) = body()
           e.columns = cols
           e.rows = rows
-          // a cancel that raced the finish wins, like the reference's API
-          if (e.state == Running) e.state = Succeeded
+          // a cancel that raced the finish wins, like the reference's API;
+          // an interrupt the body swallowed counts as a cancel too
+          if (Thread.interrupted()) e.state.compareAndSet(Running, Canceled)
+          else e.state.compareAndSet(Running, Succeeded)
         } catch {
-          case _: InterruptedException => e.state = Canceled
+          case _: InterruptedException => e.state.set(Canceled)
           case NonFatal(ex) =>
             e.error = ex.getMessage
-            e.state = Failed
+            // keep CANCELED sticky: interrupt-triggered secondary failures
+            // (e.g. a closed channel) still report the cancel
+            e.state.compareAndSet(Running, Failed)
+            e.state.compareAndSet(Pending, Failed)
         }
       }
     })
@@ -78,21 +85,25 @@ final class StatementLifecycle(g: graft.sql.GraftSql, chunkSize: Int = 1000) {
   private def entry(id: String): Entry =
     Option(entries.get(id)).getOrElse(sys.error(s"unknown statement: $id"))
 
-  def status(id: String): String = entry(id).state.name
+  def status(id: String): String = entry(id).state.get.name
 
   def errorMessage(id: String): Option[String] = Option(entry(id).error)
 
   /** Best-effort cancel; true when the statement ended CANCELED. */
   def cancel(id: String): Boolean = {
     val e = entry(id)
-    e.state match {
-      case Pending | Running =>
-        e.state = Canceled
-        Option(e.future).foreach(_.cancel(true))
-        true
-      case Canceled => true
-      case _ => false // already finished
+    while (true) {
+      e.state.get match {
+        case s @ (Pending | Running) =>
+          if (e.state.compareAndSet(s, Canceled)) {
+            Option(e.future).foreach(_.cancel(true))
+            return true
+          } // else: state moved under us — re-examine
+        case Canceled => return true
+        case _ => return false // already finished
+      }
     }
+    false // unreachable
   }
 
   /** Poll until terminal state (SUCCEEDED/FAILED/CANCELED) or timeout. */

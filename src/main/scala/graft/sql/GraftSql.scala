@@ -478,24 +478,56 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
 }
 
 /** Quote-aware text helpers for the SQL router: single-quoted literals
-  * must survive regex rewrites and ';' splitting. */
+  * must survive regex rewrites and ';' splitting. Both Spark escape forms
+  * are honored inside literals — doubled `''` (two adjacent literals to
+  * the scanner, same net effect) and backslash `\'` (the backslash
+  * consumes the next char, so the quote does NOT close the literal:
+  * `'it\'s; done'` stays one literal and its `;` never splits). */
 object SqlText {
+
+  /** (text, isLiteral) runs of `sql`; literal runs include their quotes. */
+  private def runs(sql: String): Seq[(String, Boolean)] = {
+    val out = scala.collection.mutable.Buffer[(String, Boolean)]()
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) {
+        if (c == '\\' && i + 1 < sql.length) { cur += c; cur += sql.charAt(i + 1); i += 1 }
+        else if (c == '\'') {
+          cur += c; out += ((cur.toString, true)); cur.clear(); inQuote = false
+        } else cur += c
+      } else if (c == '\'') {
+        if (cur.nonEmpty) out += ((cur.toString, false))
+        cur.clear(); cur += c; inQuote = true
+      } else cur += c
+      i += 1
+    }
+    if (cur.nonEmpty) out += ((cur.toString, inQuote))
+    out.toSeq
+  }
 
   /** Apply `f` to every segment of `sql` outside single-quoted literals. */
   def mapOutsideLiterals(sql: String)(f: String => String): String =
-    sql.split("'", -1).zipWithIndex
-      .map { case (p, i) => if (i % 2 == 1) p else f(p) }
-      .mkString("'")
+    runs(sql).map { case (s, lit) => if (lit) s else f(s) }.mkString
 
   /** Split a chain on ';' occurring outside single-quoted literals. */
   def splitStatements(sql: String): Seq[String] = {
     val out = scala.collection.mutable.Buffer[String]()
     val cur = new StringBuilder
-    var inQuote = false
-    sql.foreach {
-      case '\'' => inQuote = !inQuote; cur += '\''
-      case ';' if !inQuote => out += cur.toString; cur.clear()
-      case c => cur += c
+    runs(sql).foreach {
+      case (s, true) => cur ++= s
+      case (s, false) =>
+        var rest = s
+        var j = rest.indexOf(';')
+        while (j >= 0) {
+          cur ++= rest.substring(0, j)
+          out += cur.toString; cur.clear()
+          rest = rest.substring(j + 1)
+          j = rest.indexOf(';')
+        }
+        cur ++= rest
     }
     out += cur.toString
     out.iterator.map(_.trim).filter(_.nonEmpty).toSeq
@@ -510,17 +542,13 @@ object JsonPathRewrite {
   private val withCast = s"(?<![\\w:'])(\\w+):($seg)::(\\w+)".r
   private val noCast = s"(?<![\\w:'])(\\w+):($seg)(?![\\w:(\\[])".r
 
-  def apply(sql: String): String = {
-    // split on single quotes; rewrite only unquoted segments
-    val parts = sql.split("'", -1)
-    parts.zipWithIndex.map { case (p, i) =>
-      if (i % 2 == 1) p // inside a string literal
-      else {
-        val a = withCast.replaceAllIn(p, m =>
-          s"CAST(get_json_object(${m.group(1)}, '@@DOLLAR@@.${m.group(2)}') AS ${m.group(3)})")
-        noCast.replaceAllIn(a, m =>
-          s"get_json_object(${m.group(1)}, '@@DOLLAR@@.${m.group(2)}')")
-      }
-    }.mkString("'").replace("@@DOLLAR@@", "$")
-  }
+  def apply(sql: String): String =
+    // rewrite only unquoted segments (same literal scanner as SqlText,
+    // so backslash-escaped quotes don't desync the segmentation)
+    SqlText.mapOutsideLiterals(sql) { p =>
+      val a = withCast.replaceAllIn(p, m =>
+        s"CAST(get_json_object(${m.group(1)}, '@@DOLLAR@@.${m.group(2)}') AS ${m.group(3)})")
+      noCast.replaceAllIn(a, m =>
+        s"get_json_object(${m.group(1)}, '@@DOLLAR@@.${m.group(2)}')")
+    }.replace("@@DOLLAR@@", "$")
 }

@@ -170,9 +170,37 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val withPos = s.add(DvFileCol, StringType).add(DvPosCol, LongType)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withPos)
     }
-    val df = spark.read.schema(s).option("recursiveFileLookup", "true").parquet(files: _*)
+    def withPos(df: DataFrame): DataFrame = df
       .withColumn(DvFileCol, col("_metadata.file_path"))
       .withColumn(DvPosCol, col("_metadata.row_index"))
+    // Legacy-layout detection: files written before the __part_ scheme use
+    // bare Hive `k=v` segments and do NOT store the partition column in
+    // the parquet data — they need per-write-root partition inference
+    // (inference across roots throws CONFLICTING_DIRECTORY_STRUCTURES,
+    // which is why the modern layout stores column copies instead).
+    val parts = partitionColumns
+    def legacyKeyIdx(abs: String): Int = {
+      val p = Paths.get(abs).toAbsolutePath
+      (0 until p.getNameCount).indexWhere { i =>
+        val seg = p.getName(i).toString
+        val j = seg.indexOf('=')
+        j > 0 && !seg.startsWith("__part_") && parts.contains(seg.substring(0, j))
+      }
+    }
+    val (legacy, modern) =
+      if (parts.isEmpty) (Nil, files) else files.partition(legacyKeyIdx(_) >= 0)
+    val modernDf: Option[DataFrame] =
+      if (modern.isEmpty) None
+      else Some(withPos(
+        spark.read.schema(s).option("recursiveFileLookup", "true").parquet(modern: _*)))
+    val legacyDfs: Seq[DataFrame] = legacy.groupBy { abs =>
+      val p = Paths.get(abs).toAbsolutePath
+      p.getRoot.resolve(p.subpath(0, legacyKeyIdx(abs))).toString
+    }.toSeq.map { case (root, fs) =>
+      withPos(spark.read.schema(s).option("basePath", root).parquet(fs: _*))
+        .select((s.fieldNames.toSeq :+ DvFileCol :+ DvPosCol).map(col): _*)
+    }
+    val df = (modernDf.toSeq ++ legacyDfs).reduce(_ unionByName _)
     val dv = dvAt(dvVersion)
     if (dv.isEmpty) df
     else df.join(spark.read.parquet(dv: _*), Seq(DvFileCol, DvPosCol), "left_anti")
@@ -376,12 +404,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   def append(df: DataFrame, operation: String = "WRITE",
-      params: Map[String, String] = Map.empty): Commit = {
+      params: Map[String, String] = Map.empty,
+      extraProps: Map[String, String] = Map.empty): Commit = {
     val withId = assignIdentity(df)
     val data = evolveSchema(withId._1)
     val files = writeData(data)
     val (stats, nRows) = harvestStatsAndRows(files)
     val c = commit(operation, files, Nil, data.schema, params,
+      props = if (extraProps.isEmpty) null else properties ++ extraProps,
       identity = if (withId._2 >= 0) withId._2 + nRows else -1L,
       metrics = Map("numOutputRows" -> nRows),
       fileStats = stats)
@@ -392,12 +422,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     c
   }
 
-  def overwrite(df: DataFrame, operation: String = "OVERWRITE"): Commit = {
-    val removed = filesAt().map(abs => Paths.get(path).relativize(Paths.get(abs)).toString)
+  def overwrite(df: DataFrame, operation: String = "OVERWRITE",
+      extraProps: Map[String, String] = Map.empty): Commit = {
+    def rel(p: String) = Paths.get(path).relativize(Paths.get(p)).toString
+    val removed = filesAt().map(rel)
     val withId = assignIdentity(df)
     val files = writeData(withId._1)
+    // stale DV sidecars must go with the data files they index, or they
+    // stay live-referenced forever (vacuum can't reclaim, reads keep
+    // anti-joining them, clones always take the materialize path)
     commit(operation, files, removed, withId._1.schema, identity = withId._2,
-      fileStats = harvestStats(files))
+      props = if (extraProps.isEmpty) null else properties ++ extraProps,
+      fileStats = harvestStats(files),
+      removedDv = dvAt().map(rel))
   }
 
   /** TRUNCATE: drop every live file, keep schema (`DP/Step 1:231`). */

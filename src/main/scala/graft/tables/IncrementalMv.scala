@@ -30,35 +30,47 @@ object IncrementalMv {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Bring `view` up to date with `source`. */
+  /** Bring `view` up to date with `source`, exactly as of the source
+    * version observed at entry. The delta window is bounded on BOTH ends
+    * (`applied < v <= cur`) and the full-recompute path reads `AS OF cur`:
+    * a commit landing mid-refresh is left for the next refresh instead of
+    * being silently folded in with a lower recorded watermark (which would
+    * double-apply it next time). The new appliedVersion rides in the same
+    * commit as the data change (merge/overwrite `extraProps`), so a crash
+    * between "apply" and "record" cannot split them. */
   def refresh(source: GraftTable, view: GraftTable,
       keys: Seq[String], sumCols: Seq[String]): Refresh = {
     val applied = view.properties.get("graft.mv.appliedVersion").map(_.toLong).getOrElse(-1L)
     val cur = source.currentVersion
     if (cur == applied) return Refresh(cur, incremental = true)
-    val since = source.commits.filter(_.version > applied)
+    val since = source.commits.filter(c => c.version > applied && c.version <= cur)
     val appendOnly = applied >= 0 && since.forall(c =>
       c.removedFiles.isEmpty && c.addedDvFiles.isEmpty && c.removedDvFiles.isEmpty)
+    val versionProp = Map("graft.mv.appliedVersion" -> cur.toString)
 
     if (!appendOnly) {
-      view.overwrite(aggOf(source.read(), keys, sumCols), "REFRESH MV (full)")
-      view.setProperties(view.properties + ("graft.mv.appliedVersion" -> cur.toString))
+      view.overwrite(aggOf(source.read(cur), keys, sumCols), "REFRESH MV (full)",
+        extraProps = versionProp)
       return Refresh(cur, incremental = false)
     }
 
     val newFiles = since.flatMap(_.addedFiles)
       .map(f => Paths.get(source.path, f).toString)
     if (newFiles.nonEmpty) {
-      val delta = aggOf(source.readFiles(newFiles), keys, sumCols)
+      // DV state pinned to cur too: a deletion vector committed after cur
+      // (mid-refresh) must not suppress rows of this window's files
+      val windowRows = source.readFilesWithPos(newFiles, dvVersion = cur)
+        .drop(GraftTable.DvFileCol, GraftTable.DvPosCol)
+      val delta = aggOf(windowRows, keys, sumCols)
       val keyCond = keys.map(k => s"target.$k = source.$k").mkString(" AND ")
       val updates = Map("cnt" -> "target.cnt + source.cnt") ++
         sumCols.map(c => s"sum_$c" ->
           s"coalesce(target.sum_$c, 0) + coalesce(source.sum_$c, 0)")
       MergeOps.mergeInto(view, delta, keyCond,
         matched = Seq(MergeOps.WhenMatched(None, MergeOps.UpdateSet(updates))),
-        notMatched = Seq(MergeOps.WhenNotMatched(None, MergeOps.InsertAll)))
-    }
-    view.setProperties(view.properties + ("graft.mv.appliedVersion" -> cur.toString))
+        notMatched = Seq(MergeOps.WhenNotMatched(None, MergeOps.InsertAll)),
+        extraProps = versionProp)
+    } else view.setProperties(versionProp)
     Refresh(cur, incremental = true)
   }
 

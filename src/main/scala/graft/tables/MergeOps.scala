@@ -100,7 +100,8 @@ object MergeOps {
       condition: String,
       matched: Seq[WhenMatched] = Nil,
       notMatched: Seq[WhenNotMatched] = Nil,
-      failOnMultipleMatches: Boolean = true): Commit = {
+      failOnMultipleMatches: Boolean = true,
+      extraProps: Map[String, String] = Map.empty): Commit = {
     val schema = t.schemaAt()
     val cols = schema.fieldNames.toSeq
     val allFiles = t.filesAt()
@@ -130,7 +131,7 @@ object MergeOps {
       }
       val anyInsert = iFlags.foldLeft(lit(false))(_ || _)
       val rows = notYet.filter(anyInsert).select(cols.map(insValue): _*)
-      return t.append(rows, "MERGE", Map("predicate" -> condition))
+      return t.append(rows, "MERGE", Map("predicate" -> condition), extraProps)
     }
 
     // -- 1. touched-file pruning ------------------------------------------
@@ -214,6 +215,7 @@ object MergeOps {
         .relativize(Paths.get(f).toAbsolutePath).toString)
       val c = t.commit("MERGE", added, rel, schema,
         Map("predicate" -> condition),
+        props = if (extraProps.isEmpty) null else t.properties ++ extraProps,
         metrics = Map(
           "numTargetFilesRemoved" -> touched.size.toLong,
           "numTargetFilesAdded" -> added.size.toLong,

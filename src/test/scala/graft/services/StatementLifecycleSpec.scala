@@ -47,4 +47,34 @@ class StatementLifecycleSpec extends SparkTestBase {
     assert(!lc.cancel(quick)) // already finished
     assert(lc.status(quick) === "SUCCEEDED")
   }
+
+  test("a successful cancel() never ends SUCCEEDED, at any race timing") {
+    val lc = new StatementLifecycle(mkSql("lc4"))
+    // hammer the submit/cancel window: with the old unconditional
+    // state=Running transition, a cancel landing between dequeue and the
+    // transition was overwritten and the statement finished SUCCEEDED
+    (1 to 200).foreach { i =>
+      val id = lc.submitBody(() => (Seq("x"), Vector(Seq(i))))
+      val canceled = lc.cancel(id)
+      val terminal = lc.await(id, timeoutMs = 5000)
+      if (canceled)
+        assert(terminal === "CANCELED", s"iteration $i: cancel() returned " +
+          s"true but the statement ended $terminal")
+      else assert(terminal === "SUCCEEDED")
+    }
+  }
+
+  test("a body that swallows the interrupt still ends CANCELED") {
+    val lc = new StatementLifecycle(mkSql("lc5"))
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val id = lc.submitBody { () =>
+      started.countDown()
+      try Thread.sleep(60000)
+      catch { case _: InterruptedException => /* swallowed */ }
+      (Seq("x"), Vector(Seq(1)))
+    }
+    started.await()
+    assert(lc.cancel(id))
+    assert(lc.await(id, timeoutMs = 5000) === "CANCELED")
+  }
 }

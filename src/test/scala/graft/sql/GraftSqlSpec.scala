@@ -120,6 +120,22 @@ class GraftSqlSpec extends SparkTestBase {
     assert(g.sql("SELECT count(*) AS n FROM qt VERSION AS OF 0").head().getLong(0) === 0)
   }
 
+  test("backslash-escaped quotes do not desync splitting or rewrites") {
+    // \' inside a literal must not toggle the in-quote state: the ';' and
+    // the second statement stay intact
+    assert(SqlText.splitStatements("""SELECT 'it\'s; done' AS x; SELECT 2""") ===
+      Seq("""SELECT 'it\'s; done' AS x""", "SELECT 2"))
+    // doubled '' still works (scanner sees two adjacent literals)
+    assert(SqlText.splitStatements("SELECT 'a''b;c' AS x; SELECT 2") ===
+      Seq("SELECT 'a''b;c' AS x", "SELECT 2"))
+    // escaped backslash before the closing quote: 'a\\' ends the literal
+    assert(SqlText.splitStatements("""SELECT 'a\\'; SELECT 2""") ===
+      Seq("""SELECT 'a\\'""", "SELECT 2"))
+    // mapOutsideLiterals must not rewrite inside the \'-carrying literal
+    val mapped = SqlText.mapOutsideLiterals("""X 'it\'s X' X""")(_.replace("X", "Y"))
+    assert(mapped === """Y 'it\'s X' Y""")
+  }
+
   test("CLUSTER BY DDL drives bare OPTIMIZE's layout") {
     val g = new GraftSql(spark, scratch("cluster"))
     g.sqlChain(s"""

@@ -91,6 +91,18 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(deep.read().count() === expect)
   }
 
+  test("overwrite drops live DV sidecars with the data files") {
+    val t = mkDv("dv8")
+    MergeOps.delete(t, "l_quantity > 45")
+    assert(t.dvAt().nonEmpty)
+    t.overwrite(lineitem.limit(100))
+    assert(t.dvAt().isEmpty, "stale DVs must not survive an overwrite")
+    assert(t.read().count() === 100)
+    // with no version retention the orphaned sidecars are reclaimable
+    val deleted = t.vacuum(0)
+    assert(deleted.exists(_.contains("/dv/")))
+  }
+
   test("MERGE and UPDATE on a DV table see only live rows") {
     val t = mkDv("dv7")
     MergeOps.delete(t, "l_quantity > 45")

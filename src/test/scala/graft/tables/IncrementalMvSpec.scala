@@ -38,6 +38,21 @@ class IncrementalMvSpec extends SparkTestBase {
     assert(r2.incremental && got(view) === g1)
   }
 
+  test("appliedVersion rides in the same commit as the data change") {
+    val src = GraftTable.createFrom(spark, scratch("mvsrc3"), orders)
+    val view = IncrementalMv.create(spark, scratch("mv3"),
+      src, Seq("o_orderstatus"), Seq("o_totalprice"))
+    src.append(orders.limit(500))
+    val before = view.currentVersion
+    IncrementalMv.refresh(src, view, Seq("o_orderstatus"), Seq("o_totalprice"))
+    // exactly one commit: the MERGE carries the new watermark — no separate
+    // SET TBLPROPERTIES that a crash could split off
+    assert(view.currentVersion === before + 1)
+    val c = view.commitAt(view.currentVersion)
+    assert(c.operation === "MERGE")
+    assert(c.properties("graft.mv.appliedVersion") === src.currentVersion.toString)
+  }
+
   test("non-append history falls back to a full recompute") {
     val src = GraftTable.createFrom(spark, scratch("mvsrc2"), orders)
     val view = IncrementalMv.create(spark, scratch("mv2"),
