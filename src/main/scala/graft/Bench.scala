@@ -137,9 +137,23 @@ object Bench {
       f""""delete_cow_sec":$cowSec%.3f,"delete_dv_sec":$dvSec%.3f"""
     }
 
+    // The harness keeps only the last ~2000 chars of stdout: a JSON line
+    // carrying all ~110 per-query timings is front-truncated there and
+    // never parses. So: (1) the full map goes to a file + a prefixed
+    // detail line (greppable, not mistakable for the metric line), and
+    // (2) the FINAL line is a compact JSON — headline numbers plus the
+    // slowest queries — sized to survive the tail buffer intact.
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val full =
+      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
+    println(s"[bench-detail] $full")
+    val slowest = ok.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$slowest,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
