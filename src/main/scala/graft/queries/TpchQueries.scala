@@ -244,6 +244,125 @@ object TpchQueries extends QueryBatch {
                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
        GROUP BY c_nationkey ORDER BY c_nationkey""")
 
-  override def queries: Seq[GQ] = Seq(h01, h03, h04, h05, h06, h07, h08, h09,
-    h10, h13, h14, h15, h17, h18, h19, h22)
+  /** Q2 minimum-cost supplier — adapted: no partsupp table, so the supply
+    * relation derives from lineitem (observed (part, supplier) pairs;
+    * cost = min unit price, an exact IEEE division identical in both
+    * engines — no rounding, so the correlated min-equality selects the
+    * same rows). Correlated-scalar-min + 4-way dim join shape faithful. */
+  private val h02 = gq("q176_tpch02_min_cost_supplier",
+    """WITH supply AS (
+         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                min(l_extendedprice / l_quantity) AS ps_supplycost
+         FROM lineitem GROUP BY 1, 2)
+       SELECT round(s_acctbal + 1e-9, 2) AS s_acctbal, s_name, n_name,
+              p_partkey, p_brand
+       FROM part, supply, supplier, nation, region
+       WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'EUROPE'
+         AND ps_supplycost = (SELECT min(s2.ps_supplycost)
+                              FROM supply s2, supplier, nation, region
+                              WHERE p_partkey = s2.ps_partkey
+                                AND s2.ps_suppkey = s_suppkey
+                                AND s_nationkey = n_nationkey
+                                AND n_regionkey = r_regionkey
+                                AND r_name = 'EUROPE')
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")
+
+  /** Q11 important stock — adapted: national part value derives from
+    * lineitem volume instead of partsupp availqty·cost. Sums run in exact
+    * DECIMAL and the fraction threshold is integer-scaled (val·1000 >
+    * total) so the HAVING boundary cannot flip between engines. */
+  private val h11 = gq("q177_tpch11_important_stock",
+    """WITH nat_supply AS (
+         SELECT l_partkey,
+                sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS val
+         FROM lineitem, supplier, nation
+         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_name = 'NATION_3'
+         GROUP BY l_partkey)
+       SELECT l_partkey AS ps_partkey, CAST(val AS DOUBLE) AS value
+       FROM nat_supply
+       WHERE val * 1000 > (SELECT sum(val) FROM nat_supply)
+       ORDER BY value DESC, ps_partkey""")
+
+  /** Q12 shipping-mode priority — adapted: no l_shipmode/commit/receipt
+    * dates; the mode dimension becomes l_returnflag and "late" becomes
+    * shipped >60 days after ordering. The CASE-bucketed priority counting
+    * join shape is faithful. */
+  private val h12 = gq("q178_tpch12_shipmode_priority",
+    """SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders, lineitem
+       WHERE o_orderkey = l_orderkey
+         AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+  /** Q16 parts/supplier relationship — adapted: partsupp derives from
+    * distinct lineitem pairs; the complaints-comment supplier exclusion
+    * becomes a negative-balance NOT IN; PROMO stands in for the excluded
+    * type prefix. Distinct-count + anti-membership shape faithful. */
+  private val h16 = gq("q179_tpch16_parts_supplier",
+    """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+       FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+             FROM lineitem) partsupp, part
+       WHERE p_partkey = ps_partkey
+         AND p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+         AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+         AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+
+  /** Q20 potential part promotion — adapted: availqty derives as total
+    * shipped quantity per (part, supplier); quantities are integer-valued
+    * doubles so the sums are exact in both engines. The triple-nested
+    * IN/correlated-half-sum shape is faithful. */
+  private val h20 = gq("q180_tpch20_part_promotion",
+    """SELECT s_name, round(s_acctbal + 1e-9, 2) AS s_acctbal
+       FROM supplier, nation
+       WHERE s_suppkey IN (
+           SELECT ps_suppkey FROM (
+             SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                    sum(l_quantity) AS ps_availqty
+             FROM lineitem GROUP BY 1, 2) partsupp
+           WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%gear%')
+             AND ps_availqty > (SELECT 0.5 * sum(l_quantity) FROM lineitem
+                                WHERE l_partkey = ps_partkey
+                                  AND l_suppkey = ps_suppkey
+                                  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+         AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+       ORDER BY s_name""")
+
+  /** Q21 suppliers who kept orders waiting — adapted: "late" is shipped
+    * >60 days after ordering (no commit/receipt dates). The
+    * EXISTS(other supplier) / NOT EXISTS(other late supplier) pair over
+    * multi-supplier F orders is faithful. */
+  private val h21 = gq("q181_tpch21_waiting_suppliers",
+    """SELECT s_name, count(*) AS numwait
+       FROM supplier, lineitem l1, orders, nation
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         AND o_orderstatus = 'F'
+         AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")
+
+  override def queries: Seq[GQ] = Seq(h01, h02, h03, h04, h05, h06, h07, h08,
+    h09, h10, h11, h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22)
 }
