@@ -405,7 +405,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   def append(df: DataFrame, operation: String = "WRITE",
       params: Map[String, String] = Map.empty,
-      extraProps: Map[String, String] = Map.empty): Commit = {
+      extraProps: Map[String, String] = Map.empty,
+      extraMetrics: Map[String, Long] = Map.empty): Commit = {
     val withId = assignIdentity(df)
     val data = evolveSchema(withId._1)
     val files = writeData(data)
@@ -413,7 +414,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val c = commit(operation, files, Nil, data.schema, params,
       props = if (extraProps.isEmpty) null else properties ++ extraProps,
       identity = if (withId._2 >= 0) withId._2 + nRows else -1L,
-      metrics = Map("numOutputRows" -> nRows),
+      metrics = extraMetrics + ("numOutputRows" -> nRows),
       fileStats = stats)
     if (cdfEnabled && files.nonEmpty) writeChanges(
       readFiles(files.map(f => Paths.get(path, f).toString), data.schema)
