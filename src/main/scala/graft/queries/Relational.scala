@@ -653,10 +653,87 @@ object Relational extends QueryBatch {
              WHERE r <= 1) AS n_top""")
   )
 
+  // ---- §2.5 multi-dimensional aggregates ---------------------------------
+
+  /** ROLLUP: per-(flag, status) subtotals, per-flag totals, grand total in
+    * one pass — map-side partial aggregation replicates rows per grouping
+    * level, no extra scans. grouping_id() disambiguates the null rows. */
+  private val q34 = GQ(
+    "q34_rollup",
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity") + lit(1e-9), 2).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy("gid", "l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+            round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+            GROUPING(l_returnflag, l_linestatus) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY gid, l_returnflag, l_linestatus""")
+  )
+
+  /** GROUPING SETS: two independent breakdowns (by priority, by status)
+    * plus the grand total in one aggregation. */
+  private val q35 = GQ(
+    "q35_grouping_sets",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice) + 1e-9, 2) AS sum_price
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+               ORDER BY o_orderpriority, o_orderstatus, n""")
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+            round(sum(o_totalprice) + 1e-9, 2) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+            ORDER BY o_orderpriority, o_orderstatus, n""")
+  )
+
+  /** DataFrame pivot (CUBE's cousin the reference reaches via pandas):
+    * order counts+revenue spread across status columns per priority.
+    * Explicit pivot values keep the plan single-pass (no distinct scan). */
+  private val q36 = GQ(
+    "q36_pivot",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice") + lit(1e-9), 2))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+            round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) + 1e-9, 2) AS F,
+            round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) + 1e-9, 2) AS O,
+            round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) + 1e-9, 2) AS P
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** Exact percentiles/median per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both linear-interpolated; the
+    * approx_percentile sketch path stays spec-only since sketches differ
+    * across engines). */
+  private val q37 = GQ(
+    "q37_percentiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)") + lit(1e-9), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)") + lit(1e-9), 2).as("p90"),
+        round(expr("median(l_quantity)") + lit(1e-9), 2).as("med_qty"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+            round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 2) AS p50,
+            round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 2) AS p90,
+            round(median(l_quantity) + 1e-9, 2) AS med_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   override def queries: Seq[GQ] = Seq(
     q01, q02, q03, q04, q05, q06,
     q10, q11, q12, q13, q14, q15,
     q20, q21, q22, q23, q24,
-    q30, q31, q32, q33,
+    q30, q31, q32, q33, q34, q35, q36, q37,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50h)
 }

@@ -333,6 +333,37 @@ object StreamQueries extends QueryBatch {
             ) q(split, n) ORDER BY split""")
   )
 
+  /** Custom keyed state via mapGroupsWithState: per-user running event
+    * count / value sum / 30-minute-gap session counter held in the state
+    * store, driven availableNow through an update-mode keyed MERGE sink
+    * (multi-batch state continuation is pinned in StatefulSpec). Oracle:
+    * the q98-style gaps-and-islands SQL collapsed per user. */
+  private val q151 = GQ(
+    "q151_stateful_sessions",
+    (s, dir) => {
+      val upd = graft.streaming.Stateful.userSessions(eventsStream(s, dir), 30)
+        .toDF()
+      val sink = GraftTable.create(s, scratch("q151t"), upd.schema)
+      StreamOps.updateToTable(upd, sink, Seq("user_id"), scratch("q151ck"))
+        .read()
+        .select(col("user_id"), col("n"),
+          round(col("total_value") + lit(1e-9), 2).as("total_value"),
+          col("sessions"))
+        .orderBy("user_id")
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, value, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events)
+            SELECT user_id, count(*) AS n,
+                   round(sum(value) + 1e-9, 2) AS total_value,
+                   CAST(sum(new_session) + 1 AS BIGINT) AS sessions
+            FROM marked GROUP BY user_id ORDER BY user_id""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
+    Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q151)
 }

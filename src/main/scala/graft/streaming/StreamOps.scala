@@ -58,6 +58,28 @@ object StreamOps {
     target
   }
 
+  /** Drive an update-mode stream (stateful transforms, unwindowed aggs)
+    * to completion through a foreachBatch keyed MERGE: each micro-batch
+    * carries only the keys whose state changed, and the upsert folds them
+    * into the table — refresh cost ∝ changed keys, never table size. */
+  def updateToTable(updates: DataFrame, target: GraftTable,
+      keyCols: Seq[String], checkpoint: String): GraftTable = {
+    val cond = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
+    val q = updates.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MergeOps.mergeInto(
+          target, batch, cond,
+          matched = Seq(MergeOps.WhenMatched(None, MergeOps.UpdateAll)),
+          notMatched = Seq(MergeOps.WhenNotMatched(None, MergeOps.InsertAll)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    target
+  }
+
   /** Append-only streaming sink into a GraftTable. */
   def appendStream(stream: DataFrame, target: GraftTable, checkpoint: String): Unit = {
     val q = stream.writeStream
