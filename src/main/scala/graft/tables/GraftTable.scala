@@ -179,12 +179,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // (inference across roots throws CONFLICTING_DIRECTORY_STRUCTURES,
     // which is why the modern layout stores column copies instead).
     val parts = partitionColumns
+    // Only inspect segments BELOW the table root: a `k=v` directory above
+    // the table (e.g. the table living at /mnt/date=2020/tbl with a
+    // partition column `date`) must not flip modern files to the legacy
+    // branch, which would root basePath inference outside the table.
+    val tableDepth = Paths.get(path).toAbsolutePath.normalize.getNameCount
     def legacyKeyIdx(abs: String): Int = {
       val p = Paths.get(abs).toAbsolutePath
-      (0 until p.getNameCount).indexWhere { i =>
+      (tableDepth until p.getNameCount).indexWhere { i =>
         val seg = p.getName(i).toString
         val j = seg.indexOf('=')
         j > 0 && !seg.startsWith("__part_") && parts.contains(seg.substring(0, j))
+      } match {
+        case -1 => -1
+        case k  => k + tableDepth
       }
     }
     val (legacy, modern) =

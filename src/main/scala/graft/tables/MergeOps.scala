@@ -136,11 +136,14 @@ object MergeOps {
     // scale this is the difference between an append and a shuffle of the
     // overlap region.
     if (matched.isEmpty || touched.isEmpty) {
-      // matched-row suppression is only needed when matches are possible:
-      // with no candidate files, or with discovery having proven zero
-      // matched rows, the anti-join is the identity — skip it
+      // matched-row suppression: only skippable when no candidate file can
+      // possibly hold a match. When discovery proved zero matched rows we
+      // STILL anti-join — a nondeterministic source could produce different
+      // rows on re-evaluation, and the anti-join is cheap here (discovery
+      // already proved the semi-join selects nothing, so AQE sees an empty
+      // build side).
       val notYet =
-        if (candidateFiles.isEmpty || matched.nonEmpty) source.alias("source")
+        if (candidateFiles.isEmpty) source.alias("source")
         else source.alias("source")
           .join(t.readFiles(candidateFiles, schema).alias("target"),
             expr(condition), "left_anti")

@@ -54,6 +54,21 @@ class LegacyLayoutSpec extends SparkTestBase {
     assert(ks === Seq("a", "a", "c"))
   }
 
+  test("table rooted under a k=v directory keeps modern files modern") {
+    // A table that happens to live at .../k=2020/tbl, with `k` also being
+    // a partition column, must not misclassify modern files as legacy
+    // (that would root basePath inference above the table and corrupt the
+    // read partition values).
+    val root = Paths.get(scratch("legacy-root"), "k=2020", "tbl").toString
+    val df = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "k", "v")
+    val t = GraftTable.create(spark, root, df.schema,
+      Map("graft.partitionBy" -> "k"))
+    t.append(df)
+    val got = t.read().select("id", "k", "v").as[(Long, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", 10), (2L, "b", 20)))
+  }
+
   test("stats pruning handles bare k=v segments") {
     val t = legacyTable("legacy-prune")
     val (kept, total) = t.pruneFiles("k = 'a'")

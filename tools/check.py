@@ -67,10 +67,12 @@ def main() -> None:
                     mism = ~((am.isna() & bm.isna()) | ((am - bm).abs() <= 1e-9))
                 else:
                     mism = ~strict
-                i = (~strict).idxmax()
                 if mism.any():
+                    i = mism.idxmax()  # first REAL value mismatch, not a
+                    # representation-only row like '1.40' vs '1.4'
                     bad_cols.append(f"{c} (row {i}: {a[i]!r} vs {b[i]!r})")
                 else:
+                    i = (~strict).idxmax()
                     weak_cols.append(f"{c} (row {i}: {a[i]!r} vs {b[i]!r})")
             except Exception as e:
                 bad_cols.append(f"{c} (compare error {e})")
