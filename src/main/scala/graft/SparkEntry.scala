@@ -15,7 +15,7 @@ object SparkEntry {
   def batches: Seq[QueryBatch] =
     Seq(Relational, TableOps, TextQueries, VectorQueries, StreamQueries,
       SqlQueries, ServiceQueries, OptimizerQueries, MultimodalQueries,
-      CoverageQueries, TpchQueries)
+      CoverageQueries, TpchQueries, ExtAnalyticsQueries)
 
   private lazy val catalog: Seq[GQ] = batches.flatMap(_.queries)
 

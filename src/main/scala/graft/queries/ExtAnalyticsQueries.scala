@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Extension analytics beyond the reference's own surface (SURVEY.md §2.3
+  * "no as-of / interval joins appear in the reference"; BASELINE north-star
+  * LLM-pipeline scope): as-of joins, bucketed range joins, sketch-based
+  * approximate aggregates, and two more training-data text filters. Every
+  * implementation is the shape that survives 100 TB — single keyed shuffle
+  * for the as-of carry-forward, bucket-bounded candidate generation for the
+  * range join (never an unbounded inequality join), mergeable sketches for
+  * the approximate aggregates.
+  */
+object ExtAnalyticsQueries extends QueryBatch {
+
+  private def ev(s: SparkSession, dir: String) = Tables.t(s, dir, "events")
+
+  /** As-of join: for each click, the latest purchase of the same user at or
+    * before the click. Implemented as a union + carry-forward window — ONE
+    * shuffle on the join key, linear in input (the classic scalable as-of
+    * plan; a naive inequality join would be quadratic per user). Purchases
+    * are pre-deduped per (user, ts) so tie-breaking is deterministic in
+    * both engines.
+    */
+  private val q190 = GQ(
+    "q190_asof_join",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("p_value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      // role 0 sorts purchases before clicks at identical ts (ASOF is <=)
+      val tagged = purchases
+        .select(col("user_id"), col("ts"), lit(0).as("__role"),
+          col("p_value"), lit(null).cast("long").as("event_id"))
+        .unionByName(clicks.select(col("user_id"), col("ts"),
+          lit(1).as("__role"), lit(null).cast("double").as("p_value"),
+          col("event_id")))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("__role"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("p_ts",
+          last(when(col("__role") === 0, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("p_value_c", last(col("p_value"), ignoreNulls = true).over(w))
+        .filter(col("__role") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("p_ts"), col("p_value_c").as("p_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT user_id, ts, max(value) AS p_value
+                       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+                 c AS (SELECT event_id, user_id, ts
+                       FROM events WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+                   CAST(p.ts AS TIMESTAMP) AS p_ts, p.p_value
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND p.ts <= c.ts
+            ORDER BY event_id""")
+  )
+
+  /** Bucketed range join: per event, how many events of the same user fall
+    * within ±1 hour. The build side is exploded to its 3 adjacent hour
+    * buckets and the join is EQUI on (user, bucket) + a residual band
+    * filter — candidate sets are bounded by bucket population, never the
+    * full per-user history, so the plan stays shuffle-hash-joinable at any
+    * scale (same pigeonhole idea the dedup family uses).
+    */
+  private val q191 = GQ(
+    "q191_bucketed_range_join",
+    (s, dir) => {
+      val HourUs = 3600L * 1000 * 1000
+      val e = ev(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("epoch"))
+      val probe = e.withColumn("hb", floor(col("epoch") / HourUs))
+      val build = e.select(col("user_id").as("u2"), col("event_id").as("eid2"),
+          col("epoch").as("epoch2"))
+        .withColumn("hb", explode(array(
+          floor(col("epoch2") / HourUs) - 1,
+          floor(col("epoch2") / HourUs),
+          floor(col("epoch2") / HourUs) + 1)))
+      probe.join(build,
+          probe("user_id") === build("u2") && probe("hb") === build("hb") &&
+            abs(probe("epoch") - build("epoch2")) <= HourUs &&
+            probe("event_id") =!= build("eid2"),
+          "left")
+        .groupBy("event_id").agg(count(col("eid2")).as("neighbors"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT e1.event_id, count(e2.event_id) AS neighbors
+            FROM events e1 LEFT JOIN events e2
+              ON e1.user_id = e2.user_id AND e2.event_id <> e1.event_id
+             AND abs(epoch_us(e2.ts) - epoch_us(e1.ts)) <= 3600000000
+            GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Approximate distinct counts: HLL++ (`approx_count_distinct`) and an
+    * Apache DataSketches HLL sketch (`hll_sketch_agg` — partial-mergeable,
+    * the 100-TB path: sketches combine across partitions/days without
+    * re-scanning). Gate asserts both estimates land within 5% of the exact
+    * count — the oracle states the property, Spark must satisfy it.
+    */
+  private val q192 = GQ(
+    "q192_approx_distinct",
+    (s, dir) => {
+      val e = ev(s, dir)
+      e.groupBy("event_type").agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.01).as("__acd"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("__hll"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__acd") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("approx_ok"),
+          (abs(col("__hll") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("hll_ok"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   true AS approx_ok, true AS hll_ok
+            FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Approximate percentiles: `percentile_approx` (KLL-style mergeable
+    * quantile sketch) vs the exact interpolated percentile, asserted within
+    * 0.5% relative error. Exact values are the hash-compared output; the
+    * sketch quality is the gated property.
+    */
+  private val q193 = GQ(
+    "q193_approx_percentile",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+      li.groupBy("l_returnflag").agg(
+          expr("percentile(l_extendedprice, 0.5)").as("__em"),
+          expr("percentile(l_extendedprice, 0.95)").as("__e95"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("__am"),
+          expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("__a95"))
+        .select(col("l_returnflag"),
+          round(col("__em") + 1e-9, 2).as("median_price"),
+          round(col("__e95") + 1e-9, 2).as("p95_price"),
+          (abs(col("__am") - col("__em")) <= col("__em") * 0.005).as("median_ok"),
+          (abs(col("__a95") - col("__e95")) <= col("__e95") * 0.005).as("p95_ok"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 2) AS median_price,
+                   round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 2) AS p95_price,
+                   true AS median_ok, true AS p95_ok
+            FROM lineitem GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Within-document repetition filter (Gopher/C4-style quality rule):
+    * distinct-word ratio and top-single-word frequency ratio per document.
+    * Pure explode + two keyed aggregations — linear, no driver loops.
+    */
+  private val q194 = GQ(
+    "q194_repetition_filter",
+    (s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val words = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+      val perWord = words.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      perWord.groupBy("doc_id").agg(
+          sum("c").as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_c"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("n_distinct") / col("n_words") + 1e-9, 4).as("distinct_ratio"),
+          round(col("top_c") / col("n_words") + 1e-9, 4).as("top_word_ratio"),
+          (col("top_c") / col("n_words") > 0.1 ||
+            col("n_distinct") / col("n_words") < 0.3).as("repetitious"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+                 pw AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+                 agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                                count(*) AS n_distinct, max(c) AS top_c
+                         FROM pw GROUP BY 1)
+            SELECT doc_id, n_words,
+                   round(n_distinct / n_words::DOUBLE + 1e-9, 4) AS distinct_ratio,
+                   round(top_c / n_words::DOUBLE + 1e-9, 4) AS top_word_ratio,
+                   (top_c / n_words::DOUBLE > 0.1
+                     OR n_distinct / n_words::DOUBLE < 0.3) AS repetitious
+            FROM agg ORDER BY doc_id""")
+  )
+
+  /** TF-IDF top term per document: explode → tf per (doc, term), df per
+    * term, score = tf · ln(N/df), window top-1 (score desc, term asc).
+    * Two shuffles (term agg + doc window); df table is broadcast-sized
+    * relative to the corpus and the join key is the term — scales as a
+    * standard map-side-combined aggregation pipeline.
+    */
+  private val q195 = GQ(
+    "q195_tfidf_topterm",
+    (s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val n = d.count()
+      val words = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "term")
+        .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"),
+          round(col("score") + 1e-9, 4).as("tfidf"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+                 tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+                 df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+                 n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+                 scored AS (SELECT doc_id, term, tf * ln(n.n / df.df) AS score
+                            FROM tf JOIN df USING (term), n),
+                 ranked AS (SELECT doc_id, term, score, row_number() OVER
+                              (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+                            FROM scored)
+            SELECT doc_id, term AS top_term, round(score + 1e-9, 4) AS tfidf
+            FROM ranked WHERE rn = 1 ORDER BY doc_id""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q190, q191, q192, q193, q194, q195)
+}
