@@ -20,6 +20,20 @@ object Maintenance {
 
   private val DefaultTargetFileBytes = 128L * 1024 * 1024
 
+  /** Range-cluster `df` into `nFiles` output partitions. A single output
+    * file needs no range partitioning — `coalesce(1) + sortWithinPartitions`
+    * skips repartitionByRange's sampling pass AND the full-table shuffle
+    * (coalesce is a narrow dependency); the produced file is identically
+    * sorted. The multi-file path keeps the sampling+shuffle, which is the
+    * correct (and unavoidable) plan once file count > 1. */
+  private def clusterInto(df: org.apache.spark.sql.DataFrame,
+      zorderBy: Seq[String], nFiles: Int): org.apache.spark.sql.DataFrame =
+    if (zorderBy.isEmpty) df.coalesce(nFiles)
+    else if (nFiles == 1)
+      df.coalesce(1).sortWithinPartitions(zorderBy.map(col): _*)
+    else df.repartitionByRange(nFiles, zorderBy.map(col): _*)
+      .sortWithinPartitions(zorderBy.map(col): _*)
+
   def parseSize(s: String): Long = {
     val t = s.trim.toLowerCase
     if (t.endsWith("gb")) t.dropRight(2).trim.toLong * 1024 * 1024 * 1024
@@ -46,11 +60,7 @@ object Maintenance {
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
 
     val df = t.read()
-    val clustered =
-      if (zorderByEff.nonEmpty)
-        df.repartitionByRange(nFiles, zorderByEff.map(col): _*)
-          .sortWithinPartitions(zorderByEff.map(col): _*)
-      else df.coalesce(nFiles)
+    val clustered = clusterInto(df, zorderByEff, nFiles)
 
     val added = t.writeData(clustered)
     def rel(f: String) = Paths.get(t.path).toAbsolutePath
@@ -92,11 +102,7 @@ object Maintenance {
     val totalBytes = small.map(f => Files.size(Paths.get(f))).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
     val df = t.readFiles(small)
-    val clustered =
-      if (zorderByEff.nonEmpty)
-        df.repartitionByRange(nFiles, zorderByEff.map(col): _*)
-          .sortWithinPartitions(zorderByEff.map(col): _*)
-      else df.coalesce(nFiles)
+    val clustered = clusterInto(df, zorderByEff, nFiles)
     val added = t.writeData(clustered)
     def rel(f: String) = Paths.get(t.path).toAbsolutePath
       .relativize(Paths.get(f).toAbsolutePath).toString

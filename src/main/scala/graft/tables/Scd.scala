@@ -15,10 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
-  /** SCD2 merge: expire changed current rows, insert new versions.
+  /** SCD2 merge: expire changed current rows, insert new versions — as ONE
+    * merge, the reference's canonical staged-union pattern
+    * (`DP/Step 12:192-236`): the staged source unions a *keyed* copy of
+    * each changed row (matches the live current row → expire) with a
+    * *NULL-keyed* copy of each changed/new row (never matches → insert).
+    * One discovery pass, one rewrite join, one commit per batch — half the
+    * table scans and commit-log churn of the two-merge formulation, which
+    * is what matters when the batch is small and the target is 100 TB.
     *
-    * Target schema = business columns ++ (startCol, endCol, currentCol),
-    * where startCol/endCol take the type of `seqCol` in `updates`.
+    * Sequencing guarantees (`CDC/01:176-184`): rows older than the per-key
+    * applied high watermark (max over ALL history starts/ends — so an
+    * expired/deleted key cannot be resurrected by a stale event) are
+    * dropped; expiry additionally requires the update to be strictly newer
+    * than the current row's start.
+    *
+    * Target schema = business columns ++ (startCol, endCol, currentCol).
     * Change detection compares `compareCols`.
     */
   def scd2Merge(
@@ -30,65 +42,71 @@ object Scd {
       startCol: String = "_start_at",
       endCol: String = "_end_at",
       currentCol: String = "_is_current"): Commit = {
-    // latest row per key. (Deliberately NOT cached: measured at sf0.1,
-    // persisting this small deduped batch costs more in columnar cache
-    // build than the recompute it saves; Catalyst reuses the window's
-    // shuffle across the consuming jobs.)
+    val tgtSchema = t.schemaAt()
+    def tgtType(c: String) = tgtSchema(c).dataType
+
+    // latest row per key (the canonical ROW_NUMBER dedup idiom)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
     val latest = updates.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
 
-    val keyCond = keys.map(k => s"target.$k = source.$k").mkString(" AND ")
-    val diffCond = compareCols
-      .map(c => s"NOT (target.$c <=> source.$c)").mkString(" OR ")
-
-    // Stage A (one merge): expire the current row when it changed AND the
-    // update is newer than the current version — out-of-order rows older
-    // than the applied head are dropped, not retro-chained
-    // (`CDC/01:176-184` sequencing guarantee; full retro-insert is out of
-    // scope, same as the reference's batch SCD2 pattern).
-    MergeOps.mergeInto(
-      t, latest,
-      condition = s"($keyCond) AND target.$currentCol = true",
-      matched = Seq(MergeOps.WhenMatched(
-        Some(s"($diffCond) AND source.$seqCol > target.$startCol"),
-        MergeOps.UpdateSet(Map(
-          endCol -> s"source.$seqCol",
-          currentCol -> "false")))),
-      notMatched = Nil)
-
-    // Stage B (second merge): insert the new current version for keys whose
-    // current row is now absent/expired (covers both changed and new keys).
-    // Guarded by the per-key applied-sequence high watermark over ALL
-    // history rows (current or not): without it, an out-of-order event
-    // older than an applied delete/expiry would find no current row and
-    // resurrect the key with a stale sequence. `>=` keeps the normal path
-    // alive — stage A just expired the current row AT the source sequence.
-    val guarded =
-      if (t.filesAt().isEmpty) latest // empty target: nothing applied yet
+    // per-key target state: applied high watermark + the current row's
+    // start and compare values (null struct ⇔ no current row)
+    val enriched =
+      if (t.filesAt().isEmpty)
+        latest
+          .withColumn("__hw", lit(null).cast(tgtType(startCol)))
+          .withColumn("__cur_start", lit(null).cast(tgtType(startCol)))
+          .withColumn("__cur", lit(null).cast(org.apache.spark.sql.types.StructType(
+            compareCols.map(c => org.apache.spark.sql.types.StructField(c, tgtType(c))))))
       else {
-        val applied = t.read()
+        val state = t.read()
           .join(latest.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .groupBy(keys.map(col): _*)
-          .agg(greatest(max(col(startCol)), max(col(endCol))).as("__applied_hw"))
-        latest.join(applied, keys, "left")
-          .filter(col("__applied_hw").isNull || col(seqCol) >= col("__applied_hw"))
-          .drop("__applied_hw")
+          .agg(
+            greatest(max(col(startCol)), max(col(endCol))).as("__hw"),
+            first(when(col(currentCol), col(startCol)), ignoreNulls = true)
+              .as("__cur_start"),
+            first(when(col(currentCol), struct(compareCols.map(col): _*)),
+              ignoreNulls = true).as("__cur"))
+        latest.join(state, keys, "left")
       }
 
-    val businessCols = t.schemaAt().fieldNames
-      .filterNot(Set(startCol, endCol, currentCol).contains)
-    val insertAssignments =
-      businessCols.map(c => c -> s"source.$c").toMap ++
-        Map(startCol -> s"source.$seqCol",
-          endCol -> "CAST(NULL AS STRING)",
-          currentCol -> "true")
+    val srcCmp = struct(compareCols.map(c => col(c).cast(tgtType(c))): _*)
+    val changed = col("__cur").isNotNull && !(col("__cur") <=> srcCmp) &&
+      col(seqCol) > col("__cur_start")
+    val newKey = col("__cur").isNull &&
+      (col("__hw").isNull || col(seqCol) >= col("__hw"))
+
+    val businessCols = tgtSchema.fieldNames
+      .filterNot(Set(startCol, endCol, currentCol).contains).toSeq
+    val carry = (businessCols :+ seqCol).distinct
+
+    // staged source, materialized once via localCheckpoint: it feeds the
+    // merge's discovery + rewrite jobs, and an eager local checkpoint
+    // replaces each re-evaluation of the window + state join with a local
+    // block read. (Columnar `persist` was measured slower at sf0.1; the
+    // staged batch is small relative to the target by construction.)
+    val expireCopies = enriched.filter(changed).select(
+      keys.map(k => col(k).as(s"__mk_$k")) ++ carry.map(col): _*)
+    val insertCopies = enriched.filter(changed || newKey).select(
+      keys.map(k => lit(null).cast(tgtType(k)).as(s"__mk_$k")) ++ carry.map(col): _*)
+    val staged = expireCopies.unionByName(insertCopies).localCheckpoint(true)
+
+    val cond = keys.map(k => s"target.$k = source.__mk_$k").mkString(" AND ") +
+      s" AND target.$currentCol = true"
+    // failOnMultipleMatches off: one keyed copy per key by construction
     MergeOps.mergeInto(
-      t, guarded,
-      condition = s"($keyCond) AND target.$currentCol = true",
-      matched = Nil,
-      notMatched = Seq(MergeOps.WhenNotMatched(None,
-        MergeOps.InsertValues(insertAssignments))))
+      t, staged, cond,
+      matched = Seq(MergeOps.WhenMatched(None, MergeOps.UpdateSet(Map(
+        endCol -> s"source.$seqCol",
+        currentCol -> "false")))),
+      notMatched = Seq(MergeOps.WhenNotMatched(None, MergeOps.InsertValues(
+        businessCols.map(c => c -> s"source.$c").toMap ++ Map(
+          startCol -> s"source.$seqCol",
+          endCol -> "CAST(NULL AS STRING)",
+          currentCol -> "true")))),
+      failOnMultipleMatches = false)
   }
 
   /** DLT APPLY CHANGES INTO — SCD1: keep one row per key, newest `sequenceBy`
@@ -121,7 +139,9 @@ object Scd {
       deleteWhen.map(d => s"NOT (${qualifySource(d, latest.columns)})"),
       MergeOps.InsertValues(cols.map(c => c -> s"source.$c").toMap)))
 
-    MergeOps.mergeInto(t, latest, keyCond, matched, notMatched)
+    // deduped source + keyed target: multiple matches are impossible
+    MergeOps.mergeInto(t, latest, keyCond, matched, notMatched,
+      failOnMultipleMatches = false)
   }
 
   /** DLT APPLY CHANGES INTO — STORED AS SCD TYPE 2
@@ -145,6 +165,10 @@ object Scd {
       .filter(col("__rn") === 1).drop("__rn")
       .drop(exceptCols.filterNot(_ == sequenceBy): _*)
 
+    // emptiness probes: with no deleteWhen the split is the identity, so
+    // probe the RAW cdc (a limit-1 scan, no window shuffle) instead of
+    // evaluating the dedup just to test emptiness
+    if (deleteWhen.isEmpty && cdc.isEmpty) return
     val (deletes, upserts) = deleteWhen match {
       case Some(d) => (latest.filter(expr(d)), latest.filter(not(expr(d))))
       case None => (null, latest)
@@ -164,9 +188,10 @@ object Scd {
           MergeOps.UpdateSet(Map(
             endCol -> s"source.$sequenceBy",
             currentCol -> "false")))),
-        notMatched = Nil)
+        notMatched = Nil,
+        failOnMultipleMatches = false) // deletes deduped per key above
     }
-    if (!upserts.isEmpty)
+    if (deleteWhen.isEmpty || !upserts.isEmpty)
       scd2Merge(t, upserts, keys, compareCols, sequenceBy, startCol, endCol, currentCol)
   }
 
