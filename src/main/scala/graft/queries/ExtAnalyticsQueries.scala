@@ -235,5 +235,90 @@ object ExtAnalyticsQueries extends QueryBatch {
             FROM ranked WHERE rn = 1 ORDER BY doc_id""")
   )
 
-  override def queries: Seq[GQ] = Seq(q190, q191, q192, q193, q194, q195)
+  /** Cross-document boilerplate detection (substring-level dedup): the
+    * fraction of a document's distinct 8-grams that appear in at least one
+    * OTHER document. Gram-hash shuffle + two keyed aggregations — the
+    * linear-scan alternative to suffix-array dedup, and the standard
+    * "remove shared boilerplate spans" pass in training-data pipelines.
+    * Corpus = documents ∪ mutated near-copies (as the dedup family gates). */
+  private val q197 = GQ(
+    "q197_boilerplate_ngrams",
+    (s, dir) => {
+      val d = Tables.t(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.unionAll(
+        d.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra token extra2")).as("text")))
+      val words = corpus
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= 8)
+      val grams = words.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 8), i -> concat_ws(' ', slice(w, i + 1, 8)))"))
+          .as("g"))
+        .distinct()
+      val docFreq = grams.groupBy("g").agg(countDistinct(col("doc_id")).as("nd"))
+      grams.join(docFreq, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1).otherwise(0)).cast("long").as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("n_shared") / col("n_grams") + 1e-9, 4).as("shared_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text || ' extra token extra2'
+              FROM documents WHERE doc_id % 20 = 0),
+            words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') w
+                      FROM corpus),
+            grams AS (SELECT DISTINCT doc_id,
+                        w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' ||
+                        w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8] AS g
+                      FROM words, UNNEST(range(greatest(len(w) - 7, 0))) AS t(i)),
+            sh AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY 1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                   round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*) + 1e-9, 4)
+                     AS shared_ratio
+            FROM grams JOIN sh USING (g)
+            GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** Window-function extension coverage (SURVEY.md §2.6 "RANGE frames /
+    * ntile / lead / lag: not used — available natively"): lag/lead
+    * neighbors, an interval RANGE frame (trailing 1-hour sum, integer
+    * epoch bounds so both engines frame identically), and ntile quartiles
+    * within each user's timeline. */
+  private val q198 = GQ(
+    "q198_window_extensions",
+    (s, dir) => {
+      val HourUs = 3600L * 1000 * 1000
+      val e = ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val wRange = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-HourUs, 0)
+      e.select(col("event_id"),
+          lag("value", 1).over(wOrd).as("prev_value"),
+          lead("value", 1).over(wOrd).as("next_value"),
+          round(sum("value").over(wRange) + 1e-9, 2).as("hour_sum"),
+          ntile(4).over(wOrd).as("quartile"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+              lag(value) OVER w AS prev_value,
+              lead(value) OVER w AS next_value,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) + 1e-9, 2)
+                AS hour_sum,
+              CAST(ntile(4) OVER w AS INTEGER) AS quartile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ORDER BY event_id""")
+  )
+
+  override def queries: Seq[GQ] =
+    Seq(q190, q191, q192, q193, q194, q195, q197, q198)
 }

@@ -364,6 +364,32 @@ object StreamQueries extends QueryBatch {
             FROM marked GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** Streaming deduplication: every event is doubled, then
+    * `dropDuplicates` over the state store (with an event-time watermark
+    * bounding state) restores exactly-once rows into the sink — the
+    * standard at-least-once→exactly-once repair stage in front of a
+    * bronze table. The sink must equal the batch DISTINCT. */
+  private val q196 = GQ(
+    "q196_stream_dedup",
+    (s, dir) => {
+      val doubled = eventsStream(s, dir)
+        .withColumn("__copy", explode(array(lit(1), lit(2))))
+        .drop("__copy")
+      val dedup = doubled
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+      val sink = GraftTable.create(s, scratch("q196t"), dedup.schema)
+      StreamOps.appendStream(dedup, sink, scratch("q196ck"))
+      sink.read().groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+            count(DISTINCT event_id) AS n_distinct
+            FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q151)
+    Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q151, q196)
 }

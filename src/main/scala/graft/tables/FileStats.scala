@@ -37,36 +37,47 @@ object FileStats {
     * extra count() pass over the data. */
   def harvestWithRows(spark: SparkSession, files: Seq[String]): Map[String, (Long, Stats)] = {
     val conf = spark.sessionState.newHadoopConf()
-    files.map { f =>
-      val res: (Long, Stats) =
+    def one(f: String): (Long, Stats) =
+      try {
+        val in = HadoopInputFile.fromPath(new HPath(f), conf)
+        val reader = ParquetFileReader.open(in)
         try {
-          val in = HadoopInputFile.fromPath(new HPath(f), conf)
-          val reader = ParquetFileReader.open(in)
-          try {
-            var rows = 0L
-            val acc = scala.collection.mutable.Map[String, (String, String)]()
-            reader.getFooter.getBlocks.asScala.foreach { block =>
-              rows += block.getRowCount
-              block.getColumns.asScala.foreach { cc =>
-                val st = cc.getStatistics
-                if (st != null && st.hasNonNullValue && cc.getPath.size() == 1) {
-                  val name = cc.getPath.toDotString
-                  val (mn, mx) = (render(st.genericGetMin), render(st.genericGetMax))
-                  if (mn != null && mx != null) {
-                    val merged = acc.get(name) match {
-                      case Some((a, b)) => (minOf(a, mn, st), maxOf(b, mx, st))
-                      case None => (mn, mx)
-                    }
-                    acc(name) = merged
+          var rows = 0L
+          val acc = scala.collection.mutable.Map[String, (String, String)]()
+          reader.getFooter.getBlocks.asScala.foreach { block =>
+            rows += block.getRowCount
+            block.getColumns.asScala.foreach { cc =>
+              val st = cc.getStatistics
+              if (st != null && st.hasNonNullValue && cc.getPath.size() == 1) {
+                val name = cc.getPath.toDotString
+                val (mn, mx) = (render(st.genericGetMin), render(st.genericGetMax))
+                if (mn != null && mx != null) {
+                  val merged = acc.get(name) match {
+                    case Some((a, b)) => (minOf(a, mn, st), maxOf(b, mx, st))
+                    case None => (mn, mx)
                   }
+                  acc(name) = merged
                 }
               }
             }
-            (rows, acc.toMap)
-          } finally reader.close()
-        } catch { case NonFatal(_) => (0L, Map.empty[String, (String, String)]) }
-      f -> res
-    }.toMap
+          }
+          (rows, acc.toMap)
+        } finally reader.close()
+      } catch { case NonFatal(_) => (0L, Map.empty[String, (String, String)]) }
+    // footer reads are independent IO — harvest concurrently (an OPTIMIZE
+    // that wrote hundreds of files would otherwise pay a serial driver
+    // pass; Delta parallelizes its commit-stats collection the same way)
+    if (files.size <= 2) files.map(f => f -> one(f)).toMap
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.traverse(files)(f => Future(f -> one(f))), 10.minutes).toMap
+      finally pool.shutdown()
+    }
   }
 
   private def render(v: Any): String = v match {

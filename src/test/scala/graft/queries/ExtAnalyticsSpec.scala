@@ -53,6 +53,31 @@ class ExtAnalyticsSpec extends SparkTestBase {
       .filter(!col("median_ok") || !col("p95_ok")).count() === 0)
   }
 
+  test("q197 near-copy docs share nearly all their 8-grams") {
+    val out = run("q197_boilerplate_ngrams").cache()
+    assert(out.filter(col("shared_ratio") < 0 || col("shared_ratio") > 1).count() === 0)
+    // the mutated near-copies (doc_id >= 100000) consist mostly of grams
+    // shared with their originals (the appended mutation contributes a few
+    // unshared tail grams, more visible on short docs)
+    val copies = out.filter(col("doc_id") >= 100000)
+    assert(copies.count() > 0)
+    val avgShared = copies.agg(avg("shared_ratio")).head().getDouble(0)
+    assert(avgShared > 0.5, s"copies should share most grams, got $avgShared")
+    out.unpersist()
+  }
+
+  test("q198 window extensions: one row per event, frames well-formed") {
+    val out = run("q198_window_extensions").cache()
+    val n = graft.Tables.t(spark, sf, "events").count()
+    assert(out.count() === n)
+    assert(out.filter(col("quartile") < 1 || col("quartile") > 4).count() === 0)
+    // the trailing 1h sum includes the current row's value, so it is never
+    // null and at least one row per user has no predecessor (null lag)
+    assert(out.filter(col("hour_sum").isNull).count() === 0)
+    assert(out.filter(col("prev_value").isNull).count() > 0)
+    out.unpersist()
+  }
+
   test("q194 ratios well-formed; q195 one top term per doc") {
     val rep = run("q194_repetition_filter")
     assert(rep.filter(col("distinct_ratio") <= 0 || col("distinct_ratio") > 1 ||
