@@ -388,12 +388,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val tmp = Files.createTempFile(logDir, ".commit", ".tmp")
     Files.write(tmp, renderCommit(c).getBytes("UTF-8"))
     val target = logDir.resolve(f"v${c.version}%020d.json")
-    try Files.move(tmp, target) // no REPLACE_EXISTING: loser of the race throws
-    catch {
+    // Publish via hard link: link(2) fails with EEXIST *atomically*, so
+    // exactly one of N racing writers wins the version. (Files.move
+    // without REPLACE_EXISTING is check-then-rename — two racers can both
+    // pass the check and the second rename silently clobbers the first,
+    // losing a commit; caught by ConcurrencySpec.)
+    try {
+      try Files.createLink(target, tmp)
+      catch { case _: UnsupportedOperationException => Files.move(tmp, target) }
+    } catch {
       case NonFatal(e) =>
-        Files.deleteIfExists(tmp)
         throw new ConcurrentCommitException(s"version ${c.version} already committed", e)
-    }
+    } finally Files.deleteIfExists(tmp)
     // extend the session cache in place (no re-list/re-parse on next read)
     val cachedNow = logCache.get(path)
     if (cachedNow != null && prev.map(_.version).getOrElse(-1L) ==
