@@ -319,6 +319,104 @@ object ExtAnalyticsQueries extends QueryBatch {
             ORDER BY event_id""")
   )
 
+  /** Deterministic train/val/test split: multiplicative (Knuth) hash of the
+    * stable document id → bucket 0-99 → 80/10/10 split. Hash-based (not
+    * random) so the assignment is reproducible across reprocessing runs and
+    * engines, needs no coordination, and stays stable when the corpus
+    * grows — the standard split discipline for training corpora. Pure
+    * projection: zero shuffle at any scale. */
+  private val q199 = GQ(
+    "q199_hash_split",
+    (s, dir) => Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        (((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+              CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+                   WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Eval-set decontamination: flag training documents sharing any 5-gram
+    * with the held-out eval slice (doc_id % 50 = 0). Gram containment —
+    * not similarity — is the published decontamination rule (n-gram overlap
+    * with benchmark data). Grams ride the int64-hashed shingle table, the
+    * eval gram set is distinct-reduced before the join (broadcastable:
+    * eval sets are tiny next to the corpus), so cost is one keyed join on
+    * an 8-byte key, linear in corpus grams. */
+  private val q200 = GQ(
+    "q200_decontamination",
+    (s, dir) => {
+      val grams = graft.text.DedupOps.shingleTable(
+        Tables.t(s, dir, "documents").select("doc_id", "text"), 5)
+      val evalGrams = grams.filter(col("doc_id") % 50 === 0)
+        .select("shingle").distinct()
+      val train = grams.filter(col("doc_id") % 50 =!= 0)
+      val hits = train.join(evalGrams, Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("__nc"))
+      train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("__nc"), lit(0L)).as("n_shared"),
+          round(coalesce(col("__nc"), lit(0L)) / col("n_grams") + lit(1e-9), 4)
+            .as("contamination"),
+          (coalesce(col("__nc"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') w
+                           FROM documents),
+                 grams AS (SELECT DISTINCT doc_id,
+                             w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+                               || w[i+4] || ' ' || w[i+5] AS g
+                           FROM words, UNNEST(range(greatest(len(w) - 4, 0))) AS t(i)),
+                 ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+                 tr AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+                 tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+                 hit AS (SELECT doc_id, count(*) AS nc
+                         FROM tr WHERE g IN (SELECT g FROM ev) GROUP BY 1)
+            SELECT t.doc_id, t.n_grams,
+                   CAST(coalesce(h.nc, 0) AS BIGINT) AS n_shared,
+                   round(coalesce(h.nc, 0) / t.n_grams::DOUBLE + 1e-9, 4)
+                     AS contamination,
+                   coalesce(h.nc, 0) > 0 AS contaminated
+            FROM tot t LEFT JOIN hit h USING (doc_id) ORDER BY doc_id""")
+  )
+
+  /** Domain-mixture weighting: temperature-scaled (α = 0.5) sampling
+    * weights per language — w_d ∝ n_d^α — with the resulting up/down-
+    * sampling factor vs the natural proportion. One tiny aggregate (rows =
+    * number of domains) joined back against its own grand total: the
+    * domain table is always driver-size, so the whole computation is two
+    * map-side-combined aggregations regardless of corpus size. */
+  private val q201 = GQ(
+    "q201_domain_mixture",
+    (s, dir) => {
+      val counts = Tables.t(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(
+        sum(sqrt(col("n_docs"))).as("__z"), sum(col("n_docs")).as("__n"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          round(sqrt(col("n_docs")) / col("__z") + lit(1e-9), 6).as("weight"),
+          round((sqrt(col("n_docs")) / col("__z")) /
+            (col("n_docs") / col("__n")) + lit(1e-9), 4).as("sampling_factor"))
+        .orderBy("lang")
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+                 t AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs)::DOUBLE AS n FROM c)
+            SELECT lang, n_docs,
+                   round(sqrt(n_docs) / z + 1e-9, 6) AS weight,
+                   round((sqrt(n_docs) / z) / (n_docs / n) + 1e-9, 4)
+                     AS sampling_factor
+            FROM c, t ORDER BY lang""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q190, q191, q192, q193, q194, q195, q197, q198)
+    Seq(q190, q191, q192, q193, q194, q195, q197, q198, q199, q200, q201)
 }

@@ -186,5 +186,51 @@ object TextQueries extends QueryBatch {
             FROM documents ORDER BY doc_id""")
   )
 
-  override def queries: Seq[GQ] = Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78)
+  /** PII redaction (C4-style scrub): emails and phone numbers replaced with
+    * typed placeholder tokens, per-doc redaction counts kept for audit.
+    * Pure codegen'd regexp expressions — runs inside the scan projection
+    * with zero shuffle at any corpus size. The synthetic corpus carries no
+    * PII, so deterministic emails/phones are injected in-query (both
+    * engines build the identical corpus, as the dedup gates do). Patterns
+    * stay inside the Java-regex ∩ RE2 common subset so the DuckDB oracle
+    * replays them verbatim. */
+  private val q79 = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    GQ(
+      "q79_pii_redaction",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 10 === 0,
+              concat(lit(" contact user"), col("doc_id"), lit("@example.com ok")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 15 === 0, lit(" call 555-123-4567 now"))
+              .otherwise(lit(""))).as("text"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(phonePat), lit(0))).as("n_phones"),
+          regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>").as("redacted"))
+        .orderBy("doc_id"),
+      Some(s"""WITH corpus AS (
+                 SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 10 = 0
+                           THEN ' contact user' || doc_id || '@example.com ok'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 15 = 0
+                           THEN ' call 555-123-4567 now' ELSE '' END AS text
+                 FROM documents)
+               SELECT doc_id,
+                 len(regexp_extract_all(text, '$emailPat')) AS n_emails,
+                 len(regexp_extract_all(text, '$phonePat')) AS n_phones,
+                 regexp_replace(regexp_replace(text, '$emailPat', '<EMAIL>', 'g'),
+                   '$phonePat', '<PHONE>', 'g') AS redacted
+               FROM corpus ORDER BY doc_id""")
+    )
+  }
+
+  override def queries: Seq[GQ] =
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }
