@@ -231,6 +231,50 @@ object TextQueries extends QueryBatch {
     )
   }
 
+  /** Dedup cluster resolution: connected components over the exact
+    * near-dup pair graph (q74's pairs), min-doc-id representative per
+    * cluster, singletons keeping themselves — the "choose one survivor
+    * per duplicate cluster" step a dedup pipeline runs after pair mining.
+    * Oracle replays the component labeling with a recursive CTE over the
+    * same exact-Jaccard pair set. */
+  private val q202 = GQ(
+    "q202_dedup_clusters",
+    (s, dir) => {
+      val corpus = dupCorpus(s, dir)
+      val pairs = DedupOps.jaccardPairs(corpus, n = 5, threshold = 0.5)
+        .select("d1", "d2")
+      DedupOps.connectedComponents(pairs, corpus.select("doc_id"))
+        .withColumn("is_dup", col("cluster_rep") =!= col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $corpusSql,
+              words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w
+                        FROM corpus),
+              grams AS (SELECT DISTINCT doc_id,
+                          w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+                            || w[i+4] || ' ' || w[i+5] AS shingle
+                        FROM words, UNNEST(range(greatest(len(w) - 4, 0))) AS t(i)),
+              sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                        FROM grams a JOIN grams b
+                          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              pairs AS (SELECT d1, d2 FROM inter
+                        JOIN sizes s1 ON s1.doc_id = d1
+                        JOIN sizes s2 ON s2.doc_id = d2
+                        WHERE inter::DOUBLE / (s1.sz + s2.sz - inter) >= 0.5),
+              edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+                        UNION ALL SELECT d2, d1 FROM pairs),
+              reach(a, b) AS (SELECT u, v FROM edges
+                              UNION
+                              SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
+             SELECT c.doc_id,
+                    least(c.doc_id, coalesce(min(r.b), c.doc_id)) AS cluster_rep,
+                    least(c.doc_id, coalesce(min(r.b), c.doc_id)) <> c.doc_id AS is_dup
+             FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id
+             GROUP BY c.doc_id ORDER BY c.doc_id""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202)
 }

@@ -144,6 +144,48 @@ object DedupOps {
       .select(col("d1"), col("d2"), round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph: every node gets the
+    * minimum doc id of its component as `cluster_rep` (the canonical
+    * "keep one doc per duplicate cluster" resolution step that follows
+    * pair mining in a dedup pipeline).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels — one keyed shuffle per
+    * round, converging in O(component diameter) rounds (near-dup
+    * components are shallow: dup clusters are stars/short chains, so 2-3
+    * rounds in practice; pathological long chains would call for
+    * large-star/small-star, noted here for the 100-TB operator). Labels
+    * are eagerly checkpointed each round so lineage stays flat.
+    *
+    * @param edges (d1, d2) undirected pair edges
+    * @param nodes (doc_id) full node universe (singletons keep themselves)
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val sym = edges.select(col("d1").as("u"), col("d2").as("v"))
+      .unionAll(edges.select(col("d2").as("u"), col("d1").as("v")))
+      .persist()
+    sym.count()
+    var labels = nodes.select(col("doc_id").as("u"), col("doc_id").as("label"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym
+        .join(labels.select(col("u").as("v"), col("label").as("__nl")), "v")
+        .groupBy("u").agg(min("__nl").as("__nb"))
+      val next = labels
+        .join(nbrMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("__nb"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.u") === col("o.u"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("u").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** 64-bit SimHash over word unigrams: per-bit vote of each word's
     * xxhash64, assembled into a long. Bit k is set iff more than half the
     * tokens have bit k set (a ±1 vote sum > 0).

@@ -56,4 +56,15 @@ class TextSpec extends SparkTestBase {
     assert(sigs(1L) === sigs(2L))
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
   }
+
+  test("connected components labels chains, stars, and singletons") {
+    // component {1,2,3} is a chain (needs >1 propagation round), {5,6,7}
+    // a star around 5, {9} a singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (5L, 7L)).toDF("d1", "d2")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L).toDF("doc_id")
+    val reps = DedupOps.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L))
+  }
 }
