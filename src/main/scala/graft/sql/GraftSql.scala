@@ -148,7 +148,39 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
 
   private def passthrough(s: String): DataFrame = {
     catalog.foreach { case (n, t) => t.read().createOrReplaceTempView(n) }
-    spark.sql(rewriteFileTvfs(rewriteTableChanges(rewriteTimeTravel(JsonPathRewrite(s)))))
+    spark.sql(rewriteQualify(
+      rewriteFileTvfs(rewriteTableChanges(rewriteTimeTravel(JsonPathRewrite(s))))))
+  }
+
+  /** `QUALIFY <pred>` (window-function filtering without a subquery —
+    * DuckDB/Snowflake/BigQuery syntax; Spark has no native support):
+    * the predicate is injected into the select list as a boolean column
+    * (lateral column aliases make select-list aliases referable from it),
+    * the query is wrapped, and the wrapper filters on it:
+    *
+    *   SELECT <list> FROM t QUALIFY <pred> [ORDER BY/LIMIT ...]
+    *   → SELECT * EXCEPT (__q) FROM
+    *       (SELECT <list>, (<pred>) AS __q FROM t) WHERE __q [...]
+    *
+    * Top-level query block only (subquery QUALIFYs are out of scope);
+    * quote- and paren-aware so literals and CTE bodies never match. */
+  private def rewriteQualify(s: String): String = {
+    val qi = SqlText.topLevelIndexOf(s, "QUALIFY")
+    if (qi < 0) s
+    else {
+      val predEnd = Seq(
+        SqlText.topLevelIndexOf(s, "ORDER", qi + 7),
+        SqlText.topLevelIndexOf(s, "LIMIT", qi + 7))
+        .filter(_ >= 0).sorted.headOption.getOrElse(s.length)
+      val pred = s.substring(qi + "QUALIFY".length, predEnd).trim
+      val prefix = s.substring(0, qi).trim
+      val suffix = s.substring(predEnd)
+      val fi = SqlText.topLevelIndexOf(prefix, "FROM")
+      require(fi >= 0, "QUALIFY requires a FROM clause")
+      val injected =
+        prefix.substring(0, fi).trim + s", ($pred) AS __q " + prefix.substring(fi)
+      s"SELECT * EXCEPT (__q) FROM ($injected) WHERE __q $suffix"
+    }
   }
 
   /** `cloud_files('path', 'format')` / `read_files('path', format =>
@@ -511,6 +543,35 @@ object SqlText {
   /** Apply `f` to every segment of `sql` outside single-quoted literals. */
   def mapOutsideLiterals(sql: String)(f: String => String): String =
     runs(sql).map { case (s, lit) => if (lit) s else f(s) }.mkString
+
+  /** Index of the first word-boundary occurrence of `kw` (case-insensitive)
+    * at parenthesis depth 0 and outside single-quoted literals, or -1.
+    * Lets clause-level rewrites skip subqueries and CTE bodies. */
+  def topLevelIndexOf(sql: String, kw: String, from: Int = 0): Int = {
+    var inQuote = false
+    var depth = 0
+    var i = 0
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) {
+        if (c == '\\' && i + 1 < sql.length) i += 1
+        else if (c == '\'') inQuote = false
+      } else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (i >= from && depth == 0 &&
+              sql.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !isIdent(sql.charAt(i - 1))) &&
+              (i + kw.length >= sql.length || !isIdent(sql.charAt(i + kw.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
 
   /** Split a chain on ';' occurring outside single-quoted literals. */
   def splitStatements(sql: String): Seq[String] = {
