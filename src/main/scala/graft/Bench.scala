@@ -44,6 +44,13 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }
+      // release persisted/localCheckpointed blocks the query left behind:
+      // the ContextCleaner only reclaims them on driver GC, so across
+      // 134 × repeat runs they pile up in the BlockManager and late
+      // queries run under artificial memory/GC pressure (cache-off runs,
+      // like the reference's benchmark mode)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       val ok = times.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }

@@ -252,8 +252,12 @@ object ExtAnalyticsQueries extends QueryBatch {
       val words = corpus
         .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
         .filter(size(col("w")) >= 8)
+      // grams hashed to int64 at birth (as DedupOps.shingleTable): the
+      // distinct, the doc-frequency group-by, and the join all move 8-byte
+      // longs instead of ~40-byte strings — counts/ratios are unchanged up
+      // to 64-bit collisions
       val grams = words.select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w) - 8), i -> concat_ws(' ', slice(w, i + 1, 8)))"))
+          "transform(sequence(0, size(w) - 8), i -> xxhash64(concat_ws(' ', slice(w, i + 1, 8))))"))
           .as("g"))
         .distinct()
       val docFreq = grams.groupBy("g").agg(countDistinct(col("doc_id")).as("nd"))

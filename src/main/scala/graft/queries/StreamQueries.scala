@@ -365,10 +365,16 @@ object StreamQueries extends QueryBatch {
   )
 
   /** Streaming deduplication: every event is doubled, then
-    * `dropDuplicates` over the state store (with an event-time watermark
-    * bounding state) restores exactly-once rows into the sink — the
-    * standard at-least-once→exactly-once repair stage in front of a
-    * bronze table. The sink must equal the batch DISTINCT. */
+    * `dropDuplicatesWithinWatermark` over the state store restores
+    * exactly-once rows into the sink — the standard at-least-once→
+    * exactly-once repair stage in front of a bronze table. The
+    * within-watermark variant is what actually bounds state: plain
+    * `dropDuplicates("event_id")` never evicts keys that lack the event-
+    * time column, so its state grows with the full key universe; the
+    * within-watermark form drops a key's state once the watermark passes
+    * its first-seen event time (duplicates from at-least-once delivery
+    * arrive within the delay window, so output is identical). The sink
+    * must equal the batch DISTINCT. */
   private val q196 = GQ(
     "q196_stream_dedup",
     (s, dir) => {
@@ -377,7 +383,7 @@ object StreamQueries extends QueryBatch {
         .drop("__copy")
       val dedup = doubled
         .withWatermark("ts", "1 hour")
-        .dropDuplicates("event_id")
+        .dropDuplicatesWithinWatermark("event_id")
       val sink = GraftTable.create(s, scratch("q196t"), dedup.schema)
       StreamOps.appendStream(dedup, sink, scratch("q196ck"))
       sink.read().groupBy("event_type")
@@ -390,6 +396,40 @@ object StreamQueries extends QueryBatch {
             FROM events GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Per-flow explain-plan capture in the pipeline event log: every flow
+    * logs a `flow_definition` event carrying its physical plan (the
+    * reference logs the Spark plan per DLT flow) — the gate extracts the
+    * plan through the JSON-path syntax and asserts structural facts about
+    * it (present for every flow; the aggregation flow's plan contains a
+    * HashAggregate, the ingest flow's does not). */
+  private val q203 = GQ(
+    "q203_flow_explain",
+    (s, dir) => {
+      val logPath = scratch("q203log")
+      val p = new Pipeline(s, eventLogPath = Some(logPath))
+      p.table("bronze_docs")(_ => Tables.t(s, dir, "documents"))
+      p.table("lang_counts", deps = Seq("bronze_docs")) { live =>
+        live("bronze_docs").groupBy("lang").agg(count(lit(1)).as("n"))
+      }
+      p.run()
+      val g = new graft.sql.GraftSql(s, scratch("q203sql"))
+      g.register("pipeline_events", GraftTable.load(s, logPath))
+      g.sql("""SELECT
+                 details:flow_definition.flow_name AS flow,
+                 CAST(length(details:flow_definition.explain) > 0 AS BOOLEAN) AS has_plan,
+                 CAST(instr(details:flow_definition.explain, 'HashAggregate') > 0 AS BOOLEAN)
+                   AS has_agg
+               FROM pipeline_events
+               WHERE event_type = 'flow_definition'
+               ORDER BY flow""")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'bronze_docs' AS flow, true AS has_plan, false AS has_agg
+              UNION ALL
+              SELECT 'lang_counts', true, true)
+            ORDER BY flow""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q151, q196)
+    Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q151, q196, q203)
 }

@@ -128,7 +128,7 @@ object TextQueries extends QueryBatch {
       val d = docs(s, dir).select("doc_id", "text")
       val corpus = d.unionAll(
         d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      DedupOps.exactDedup(corpus).select("doc_id").orderBy("doc_id")
+      DedupOps.exactDedupIds(corpus).orderBy("doc_id")
     },
     Some("""SELECT doc_id FROM documents ORDER BY doc_id""")
   )

@@ -162,8 +162,15 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     *   → SELECT * EXCEPT (__q) FROM
     *       (SELECT <list>, (<pred>) AS __q FROM t) WHERE __q [...]
     *
-    * Top-level query block only (subquery QUALIFYs are out of scope);
-    * quote- and paren-aware so literals and CTE bodies never match. */
+    * `SELECT DISTINCT` is honored by moving DISTINCT to the wrapper
+    * (QUALIFY evaluates before DISTINCT in every engine that has it, so
+    * the window predicate must see pre-distinct rows and the __q helper
+    * column must not widen the distinct key). Top-level query block only
+    * (subquery QUALIFYs are out of scope); quote-, comment- and
+    * paren-aware so literals, quoted identifiers, comments, and CTE
+    * bodies never match. A bare column alias literally named `qualify`
+    * would still trigger — it is a reserved word in every QUALIFY
+    * dialect, so that spelling is rejected rather than guessed at. */
   private def rewriteQualify(s: String): String = {
     val qi = SqlText.topLevelIndexOf(s, "QUALIFY")
     if (qi < 0) s
@@ -177,9 +184,20 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
       val suffix = s.substring(predEnd)
       val fi = SqlText.topLevelIndexOf(prefix, "FROM")
       require(fi >= 0, "QUALIFY requires a FROM clause")
+      val si = SqlText.topLevelIndexOf(prefix, "SELECT")
+      val di = SqlText.topLevelIndexOf(prefix, "DISTINCT")
+      val isDistinct = si >= 0 && di > si && di < fi &&
+        prefix.substring(si + "SELECT".length, di).trim.isEmpty
+      val inner =
+        if (isDistinct) // strip DISTINCT from the inner block; reapply outside
+          prefix.substring(0, si) + "SELECT" +
+            prefix.substring(di + "DISTINCT".length)
+        else prefix
+      val innerFi = SqlText.topLevelIndexOf(inner, "FROM")
       val injected =
-        prefix.substring(0, fi).trim + s", ($pred) AS __q " + prefix.substring(fi)
-      s"SELECT * EXCEPT (__q) FROM ($injected) WHERE __q $suffix"
+        inner.substring(0, innerFi).trim + s", ($pred) AS __q " + inner.substring(innerFi)
+      val outerSel = if (isDistinct) "SELECT DISTINCT" else "SELECT"
+      s"$outerSel * EXCEPT (__q) FROM ($injected) WHERE __q $suffix"
     }
   }
 
@@ -545,10 +563,14 @@ object SqlText {
     runs(sql).map { case (s, lit) => if (lit) s else f(s) }.mkString
 
   /** Index of the first word-boundary occurrence of `kw` (case-insensitive)
-    * at parenthesis depth 0 and outside single-quoted literals, or -1.
-    * Lets clause-level rewrites skip subqueries and CTE bodies. */
+    * at parenthesis depth 0, outside single-quoted literals, outside
+    * double-quoted / backtick-quoted identifiers, and outside `--` and
+    * `/* */` comments, or -1. Lets clause-level rewrites skip subqueries,
+    * CTE bodies, quoted names, and commented-out text. */
   def topLevelIndexOf(sql: String, kw: String, from: Int = 0): Int = {
-    var inQuote = false
+    var inQuote = false   // '...'
+    var inDQuote = false  // "..."
+    var inBTick = false   // `...`
     var depth = 0
     var i = 0
     def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
@@ -557,8 +579,20 @@ object SqlText {
       if (inQuote) {
         if (c == '\\' && i + 1 < sql.length) i += 1
         else if (c == '\'') inQuote = false
+      } else if (inDQuote) {
+        if (c == '"') inDQuote = false
+      } else if (inBTick) {
+        if (c == '`') inBTick = false
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val nl = sql.indexOf('\n', i)
+        i = if (nl < 0) sql.length else nl
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        i = if (end < 0) sql.length else end + 1
       } else c match {
         case '\'' => inQuote = true
+        case '"' => inDQuote = true
+        case '`' => inBTick = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>

@@ -30,7 +30,7 @@ final class Pipeline(spark: SparkSession, eventLogPath: Option[String] = None) {
 
   final case class FlowEvent(
       flow: String, status: String, rows: Long, violations: Map[String, Long],
-      inputRows: Long = 0L)
+      inputRows: Long = 0L, explain: String = "")
 
   private val flows = mutable.LinkedHashMap[String, Flow]()
   private val eventLog = mutable.ArrayBuffer[FlowEvent]()
@@ -68,7 +68,13 @@ final class Pipeline(spark: SparkSession, eventLogPath: Option[String] = None) {
           }.toMap, row.getLong(f.expectations.size))
         }
       val cached = out.persist()
-      eventLog += FlowEvent(name, "COMPLETED", cached.count(), violations, inputRows)
+      // capture the flow's physical plan for the event log (the reference
+      // pipeline logs the Spark plan per flow, LOANS/03-Log-Analysis
+      // .sql:59-70 — the first thing a user reads when a flow is slow)
+      val plan = cached.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      eventLog += FlowEvent(name, "COMPLETED", cached.count(), violations,
+        inputRows, plan)
       visiting -= name
       done(name) = cached
       cached
@@ -83,8 +89,9 @@ final class Pipeline(spark: SparkSession, eventLogPath: Option[String] = None) {
   private def persistEventLog(): Unit = eventLogPath.foreach { path =>
     import spark.implicits._
     val now = new java.sql.Timestamp(System.currentTimeMillis())
-    val rows = eventLog.toSeq.map { e =>
-      (now, "flow_progress", Pipeline.detailsJson(e))
+    val rows = eventLog.toSeq.flatMap { e =>
+      Seq((now, "flow_definition", Pipeline.definitionJson(e)),
+        (now, "flow_progress", Pipeline.detailsJson(e)))
     }
     val df = rows.toDF("timestamp", "event_type", "details")
     val t =
@@ -122,6 +129,17 @@ object Pipeline {
         x.put("passed_records", e.inputRows - failed)
       }
     }
+    m.writeValueAsString(root)
+  }
+
+  /** flow_definition payload: the flow's physical plan, as the reference
+    * logs per DLT flow (`LOANS/03-Log-Analysis.sql:59-70`). */
+  private[streaming] def definitionJson(e: Pipeline#FlowEvent): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    val fd = root.putObject("flow_definition")
+    fd.put("flow_name", e.flow)
+    fd.put("explain", e.explain)
     m.writeValueAsString(root)
   }
 }

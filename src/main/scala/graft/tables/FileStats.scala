@@ -74,9 +74,16 @@ object FileStats {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, files.size))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(
-        Future.traverse(files)(f => Future(f -> one(f))), 10.minutes).toMap
-      finally pool.shutdown()
+      // stats are advisory pruning metadata: a stalled harvest must not
+      // abort the commit, so on timeout fall back to whatever completed
+      // (missing entries read as "no stats" → file is never pruned, which
+      // is safe) instead of letting the TimeoutException escape
+      val futures = files.map(f => f -> Future(f -> one(f)))
+      try Await.result(Future.sequence(futures.map(_._2)), 10.minutes).toMap
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          futures.flatMap { case (f, fut) => fut.value.flatMap(_.toOption) }.toMap
+      } finally pool.shutdown()
     }
   }
 

@@ -185,7 +185,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // branch, which would root basePath inference outside the table.
     val tableDepth = Paths.get(path).toAbsolutePath.normalize.getNameCount
     def legacyKeyIdx(abs: String): Int = {
-      val p = Paths.get(abs).toAbsolutePath
+      // normalize like tableDepth above: a '.'/'..' segment in the file
+      // path would otherwise shift name indices relative to the table
+      // root and misclassify files as legacy/modern
+      val p = Paths.get(abs).toAbsolutePath.normalize
       (tableDepth until p.getNameCount).indexWhere { i =>
         val seg = p.getName(i).toString
         val j = seg.indexOf('=')
@@ -202,7 +205,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       else Some(withPos(
         spark.read.schema(s).option("recursiveFileLookup", "true").parquet(modern: _*)))
     val legacyDfs: Seq[DataFrame] = legacy.groupBy { abs =>
-      val p = Paths.get(abs).toAbsolutePath
+      // same normalization as legacyKeyIdx — the index is positional
+      val p = Paths.get(abs).toAbsolutePath.normalize
       p.getRoot.resolve(p.subpath(0, legacyKeyIdx(abs))).toString
     }.toSeq.map { case (root, fs) =>
       withPos(spark.read.schema(s).option("basePath", root).parquet(fs: _*))

@@ -16,14 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Exact dedup: keep the lowest-id document per fingerprint. */
+  /** Exact dedup: keep the lowest-id document per fingerprint.
+    *
+    * `min_by` aggregation rather than a row_number window: the aggregate
+    * partial-combines map-side, so the exchange carries one surviving row
+    * per (fingerprint, input partition) instead of every input row — on a
+    * corpus that is mostly duplicates (the common 100-TB case) that is the
+    * difference between shuffling the deduped output and shuffling the
+    * whole corpus. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    val cols = docs.columns.toSeq
     docs.withColumn("__fp", TextOps.fingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__fp", "__rn")
+      .groupBy("__fp")
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
   }
+
+  /** Surviving ids only — for callers that don't need the full rows the
+    * exchange carries just (fingerprint, min id), nothing else; min_by in
+    * `exactDedup` would drag every column through the shuffle inside its
+    * struct (aggregate buffers defeat nested-column pruning). */
+  def exactDedupIds(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(TextOps.fingerprint(col(textCol)).as("__fp"), col(idCol))
+      .groupBy("__fp").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
 
   /** (doc_id, shingle) exploded distinct-shingle pairs, with the shingle
     * *hashed to int64* (xxhash64) at birth: every downstream exchange,
@@ -54,15 +70,18 @@ object DedupOps {
   /** Prefix-filter candidate pairs (d1 < d2, distinct) over a shingle
     * table: exact for Jaccard ≥ threshold (see jaccardPairs doc). */
   private def prefixCandidates(grams: DataFrame, threshold: Double): DataFrame = {
-    val freq = grams.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    // per-doc set sizes as a join (one row per doc; AQE broadcasts when
-    // small, and the big side is already hash-partitioned by doc_id from
-    // the window) instead of a second full-partition window pass
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val prefix = grams.join(freq, "shingle")
-      .withColumn("rn", row_number().over(w))
-      .join(sizes, "doc_id")
+    // two exchanges total: one by shingle (global frequency as an
+    // unordered window — same partition count as a groupBy+join back, but
+    // no second shuffle of the gram table and no join), then one by
+    // doc_id, where the ordered rank window and the unordered size window
+    // share the single exchange (same partitioning, two WindowExec passes)
+    val wDf = Window.partitionBy("shingle")
+    val wRn = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val wSz = Window.partitionBy("doc_id")
+    val prefix = grams
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("sz", count(lit(1)).over(wSz))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("doc_id", "shingle")
     prefix.alias("a")
@@ -149,41 +168,86 @@ object DedupOps {
     * "keep one doc per duplicate cluster" resolution step that follows
     * pair mining in a dedup pipeline).
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * of its own label and its neighbors' labels — one keyed shuffle per
-    * round, converging in O(component diameter) rounds (near-dup
-    * components are shallow: dup clusters are stars/short chains, so 2-3
-    * rounds in practice; pathological long chains would call for
-    * large-star/small-star, noted here for the 100-TB operator). Labels
-    * are eagerly checkpointed each round so lineage stays flat.
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14): each round rewires
+    * strictly-larger neighbors (large-star) then smaller neighbors
+    * (small-star) to the neighborhood minimum. Converges in O(log n)
+    * rounds *independent of component diameter* — a 10⁶-node chain costs
+    * ~20 rounds, not 10⁶, which is what makes the operator usable on a
+    * 100-TB pair graph. Each star op is a single keyed exchange (window
+    * min over the node key); convergence is detected by an order-free
+    * xxhash signature of the edge set folded into the same pass (one small
+    * aggregate instead of a full self-join diff), and `maxIters` bounds
+    * the loop defensively.
     *
     * @param edges (d1, d2) undirected pair edges
     * @param nodes (doc_id) full node universe (singletons keep themselves)
     */
-  def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame = {
-    val sym = edges.select(col("d1").as("u"), col("d2").as("v"))
-      .unionAll(edges.select(col("d2").as("u"), col("d1").as("v")))
-      .persist()
-    sym.count()
-    var labels = nodes.select(col("doc_id").as("u"), col("doc_id").as("label"))
-      .localCheckpoint(eager = true)
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = sym
-        .join(labels.select(col("u").as("v"), col("label").as("__nl")), "v")
-        .groupBy("u").agg(min("__nl").as("__nb"))
-      val next = labels
-        .join(nbrMin, Seq("u"), "left")
-        .select(col("u"),
-          least(col("label"), coalesce(col("__nb"), col("label"))).as("label"))
-        .localCheckpoint(eager = true)
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.u") === col("o.u"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      maxIters: Int = 64): DataFrame =
+    ccWithRounds(edges, nodes, maxIters)._1
+
+  /** As `connectedComponents`, also reporting the rounds-to-convergence
+    * (exposed for tests asserting the O(log n) bound). */
+  private[graft] def ccWithRounds(edges: DataFrame, nodes: DataFrame,
+      maxIters: Int = 64): (DataFrame, Int) = {
+    val wU = Window.partitionBy("u")
+
+    // large-star: for every node u, point each strictly-larger neighbor at
+    // min(Γ(u) ∪ {u}); keeps every component connected, strictly shrinks
+    // large-id fan-out
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      sym.withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
     }
-    sym.unpersist()
-    labels.select(col("u").as("doc_id"), col("label").as("cluster_rep"))
+
+    // small-star: orient edges big→small, point each node and its smaller
+    // neighbors at the neighborhood minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val withM = or.withColumn("m", min(col("v")).over(wU))
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .unionAll(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // order-free edge-set signature: equal sets ⇒ equal (count, hash-xor);
+    // unequal sets collide with P ≈ 2⁻⁶⁴ — the cheap fixed-point test
+    // (xor, not sum: ANSI-safe, cannot overflow; edges are distinct so
+    // nothing self-cancels)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var cur = edges.select(col("d1").as("u"), col("d2").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = true)
+    var sig = signature(cur)
+    var rounds = 0
+    var converged = cur.isEmpty
+    while (!converged) {
+      rounds += 1
+      if (rounds > maxIters)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds")
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      cur = next
+    }
+    // fixed point is a star forest: every non-root u carries (u, root)
+    val labels = nodes.select(col("doc_id"))
+      .join(cur.select(col("u").as("doc_id"), col("v").as("__rep")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__rep"), col("doc_id")).as("cluster_rep"))
+    (labels, rounds)
   }
 
   /** 64-bit SimHash over word unigrams: per-bit vote of each word's

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * path for similarity search (FAISS-style IVF-Flat), expressed as pure
   * DataFrame programs.
   *
-  * Scale design: centroids are tiny and broadcast; assignment is one
-  * narrow pass over the vectors (cross join with the broadcast centroid
-  * table + min-by); centroid recomputation shuffles on (cell, dim) —
+  * Scale design: centroids are tiny and inlined as a literal; assignment
+  * is one shuffle-free narrow pass over the vectors (transform +
+  * array_min argmin); centroid recomputation shuffles on (cell, dim) —
   * cardinality k·d, not N·d. Nothing is ever all-pairs, and the cell
   * assignment can be persisted as a column for reuse (the "index").
   */
@@ -43,15 +43,31 @@ object Ivf {
     centroids
   }
 
-  /** Nearest-centroid assignment: one narrow pass, centroids broadcast. */
-  private def assign(v: DataFrame, centroids: DataFrame): DataFrame =
-    v.crossJoin(broadcast(centroids))
+  /** Nearest-centroid assignment as a pure narrow projection: the k
+    * centroids are metadata-scale (topK already collects them to pick
+    * probe cells), so they are inlined as an array literal with their
+    * norms precomputed on the driver, and the argmin cell is a
+    * `transform` + `array_min` over that array — zero shuffle, zero join;
+    * nothing (in particular not the embedding vector, which previously
+    * rode the exchange as a grouping key) ever leaves its partition. */
+  private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cell"), col("c")).collect()
+    val centArr = array(cents.map { r =>
+      val c = r.getSeq[Double](1)
+      val n = math.sqrt(c.map(x => x * x).sum)
+      struct(lit(r.getInt(0)).as("cell"), array(c.map(lit): _*).as("c"),
+        lit(n).as("n"))
+    }.toSeq: _*)
+    v.withColumn("__nv", VectorOps.normPre(col("v")))
       .select(col("id"), col("v"),
-        struct(negate(VectorOps.dotPre(col("v"), col("c"))
-          / (VectorOps.normPre(col("v")) * VectorOps.normPre(col("c")))).as("negSim"),
-          col("cell").as("cell")).as("sc"))
-      .groupBy("id", "v").agg(min("sc").as("best"))
-      .select(col("id"), col("v"), col("best.cell").as("cell"))
+        array_min(transform(centArr, s =>
+          // struct ordering: min by negSim, ties to the lowest cell id —
+          // identical semantics to the previous min(struct(negSim, cell))
+          struct(negate(VectorOps.dotPre(col("v"), s.getField("c"))
+            / (col("__nv") * s.getField("n"))).as("negSim"),
+            s.getField("cell").as("cell"))))
+          .getField("cell").as("cell"))
+  }
 
   /** Build the IVF index: every vector tagged with its cell. */
   def index(emb: DataFrame, k: Int, iters: Int = 3,

@@ -32,6 +32,63 @@ class GraftSqlSpec extends SparkTestBase {
     assert(tops === 25) // one per nation
   }
 
+  test("QUALIFY: plain, with CTE, with ORDER BY/LIMIT, DISTINCT, comments") {
+    val g = new GraftSql(spark, scratch("qualify"))
+    g.createTable("nat", Tables.t(spark, sf, "nation").schema)
+    g.sql(s"COPY INTO nat FROM '$sf/nation.parquet' FILEFORMAT = PARQUET")
+
+    // plain: first nation per region == the subquery formulation
+    val plain = g.sql(
+      """SELECT n_nationkey FROM nat
+         QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1""")
+      .collect().map(_.getInt(0)).toSet
+    val expected = g.sql(
+      """SELECT n_nationkey FROM (
+           SELECT n_nationkey, row_number() OVER (PARTITION BY n_regionkey
+             ORDER BY n_nationkey) AS rn FROM nat) WHERE rn = 1""")
+      .collect().map(_.getInt(0)).toSet
+    assert(plain === expected && plain.size === 5)
+
+    // CTE before the QUALIFY block
+    val cte = g.sql(
+      """WITH x AS (SELECT n_nationkey, n_regionkey FROM nat)
+         SELECT n_nationkey FROM x
+         QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1""")
+      .collect().map(_.getInt(0)).toSet
+    assert(cte === expected)
+
+    // trailing ORDER BY / LIMIT survive outside the wrapper
+    val top3 = g.sql(
+      """SELECT n_nationkey FROM nat
+         QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1
+         ORDER BY n_nationkey DESC LIMIT 3""")
+      .collect().map(_.getInt(0)).toSeq
+    assert(top3 === expected.toSeq.sorted.reverse.take(3))
+
+    // SELECT DISTINCT: QUALIFY filters pre-distinct rows, DISTINCT applies
+    // to the filtered projection (not widened by the helper column)
+    val dq = g.sql(
+      """SELECT DISTINCT n_regionkey FROM nat
+         QUALIFY row_number() OVER (ORDER BY n_nationkey) <= 7""")
+      .collect().map(_.getInt(0)).toSet
+    val dExpected = g.sql(
+      """SELECT DISTINCT n_regionkey FROM (
+           SELECT n_regionkey, row_number() OVER (ORDER BY n_nationkey) AS rn
+           FROM nat) WHERE rn <= 7""")
+      .collect().map(_.getInt(0)).toSet
+    assert(dq === dExpected)
+
+    // the word QUALIFY in comments or string literals must not trigger
+    assert(g.sql(
+      "SELECT n_nationkey FROM nat -- QUALIFY pending review\nORDER BY n_nationkey LIMIT 2")
+      .count() === 2)
+    assert(g.sql(
+      "SELECT n_nationkey FROM nat /* no QUALIFY here */ ORDER BY n_nationkey LIMIT 2")
+      .count() === 2)
+    assert(g.sql("SELECT 'about QUALIFY' AS note FROM nat LIMIT 1")
+      .head().getString(0) === "about QUALIFY")
+  }
+
   test("unknown table and unparsable statements raise errors") {
     val g = new GraftSql(spark, scratch("sqlerr"))
     intercept[RuntimeException] { g.sql("OPTIMIZE nope") }

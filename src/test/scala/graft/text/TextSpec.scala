@@ -67,4 +67,16 @@ class TextSpec extends SparkTestBase {
     assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L))
   }
+
+  test("connected components converges in O(log n) rounds on a long chain") {
+    // a 50-node path is the diameter-stress case: naive min-label
+    // propagation needs ~49 rounds; alternating large-star/small-star
+    // must finish in O(log n) ≈ 6
+    val edges = (1L until 50L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val nodes = (1L to 50L).toDF("doc_id")
+    val (labels, rounds) = DedupOps.ccWithRounds(edges, nodes)
+    val reps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === (1L to 50L).map(_ -> 1L).toMap)
+    assert(rounds <= 8, s"expected O(log n) convergence, took $rounds rounds")
+  }
 }
