@@ -99,6 +99,42 @@ object Bench {
       f""""pruning":{"files_total":$totalFiles,"files_read":${kept.size},"full_scan_sec":$fullSec%.3f,"pruned_sec":$prunedSec%.3f}"""
     }
 
+    // 2-column Z-order: interleaved z-curve layout vs lexicographic
+    // range-cluster, same box predicate — the z-curve subdivides both
+    // dimensions, so the box should read fewer files than the
+    // leading-column-only pruning the lexicographic layout allows
+    val pruning2d = {
+      import graft.tables.{GraftTable, Maintenance}
+      val dir = java.nio.file.Files.createTempDirectory("bench-prune2d")
+      val li = Tables.t(spark, sfDir, "lineitem")
+      val Seq(okLo, okHi, pkLo, pkHi) = {
+        val r = li.agg(
+          org.apache.spark.sql.functions.min("l_orderkey"),
+          org.apache.spark.sql.functions.max("l_orderkey"),
+          org.apache.spark.sql.functions.min("l_partkey"),
+          org.apache.spark.sql.functions.max("l_partkey")).head()
+        Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      // boxes covering ~1/8 of each dimension at several offsets —
+      // aggregate files read models a box-query workload (a single box
+      // can land on a quad boundary where either layout happens to win)
+      def pct(lo: Long, hi: Long, f: Double): Long = lo + ((hi - lo) * f).toLong
+      val preds = Seq(0.05, 0.25, 0.45, 0.65, 0.85).map { f =>
+        s"l_orderkey >= ${pct(okLo, okHi, f)} AND l_orderkey <= ${pct(okLo, okHi, f + 0.125)} AND " +
+          s"l_partkey >= ${pct(pkLo, pkHi, f)} AND l_partkey <= ${pct(pkLo, pkHi, f + 0.125)}"
+      }
+      def mk(name: String, interleave: Boolean): (Int, Int) = {
+        val t = GraftTable.createFrom(spark, dir.toString + "/" + name, li)
+        t.setProperties(Map("graft.targetFileSize" -> (128 * 1024).toString))
+        Maintenance.optimize(t, zorderBy = Seq("l_orderkey", "l_partkey"),
+          interleave = interleave)
+        (preds.map(p => t.pruneFiles(p)._1.size).sum, t.pruneFiles(preds.head)._2)
+      }
+      val (zKept, zTotal) = mk("z", interleave = true)
+      val (rKept, _) = mk("r", interleave = false)
+      s""""pruning2d":{"files_total":$zTotal,"boxes":${preds.size},"files_read_zorder":$zKept,"files_read_range":$rKept}"""
+    }
+
     // merge-batch latency, fragmented vs compacted target (BASELINE.md
     // note (c): the Step-2 experiment)
     val mergeCmp = {
@@ -152,7 +188,7 @@ object Bench {
     // slowest queries — sized to survive the tail buffer intact.
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val full =
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
@@ -160,7 +196,7 @@ object Bench {
     val slowest = ok.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$slowest,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
+      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$slowest,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -371,9 +371,46 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       metrics: Map[String, Long] = Map.empty,
       fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
       addedDv: Seq[String] = Nil,
-      removedDv: Seq[String] = Nil): Commit = {
+      removedDv: Seq[String] = Nil,
+      schemaUnion: Boolean = false): Commit = {
     Files.createDirectories(logDir)
-    val prev = commits.lastOption
+    val cs = commits
+    val prev = cs.lastOption
+    // Write-write conflict detection (Delta's ConcurrentDeleteDelete
+    // semantics): the version is assigned from the tip read here, so a
+    // rewrite computed against an older snapshot would not collide on the
+    // version — but if a file this commit removes was already removed by
+    // an interleaved commit, both writers rewrote the same rows and
+    // publishing would duplicate them. Throw so Concurrency.retry
+    // recomputes against the fresh snapshot. Pure appends (removed empty)
+    // never conflict, matching Delta's append concurrency.
+    if (removed.nonEmpty || removedDv.nonEmpty) {
+      val live = scala.collection.mutable.Set[String]()
+      val liveDv = scala.collection.mutable.Set[String]()
+      cs.foreach { c0 =>
+        c0.removedFiles.foreach(live -= _); c0.addedFiles.foreach(live += _)
+        c0.removedDvFiles.foreach(liveDv -= _); c0.addedDvFiles.foreach(liveDv += _)
+      }
+      val gone = removed.filterNot(live) ++ removedDv.filterNot(liveDv)
+      if (gone.nonEmpty) throw new ConcurrentCommitException(
+        s"concurrent modification: ${gone.size} file(s) this $operation rewrites " +
+          s"were already removed by another writer (e.g. ${gone.head})", null)
+    }
+    // Data operations (append/merge/delete/update/optimize) pass
+    // schemaUnion=true: the version is assigned from the tip read HERE,
+    // so a writer whose snapshot predates a concurrent schema evolution
+    // would otherwise publish its stale captured schema and silently
+    // narrow the table (schema regression under racing writers — caught
+    // by ConcurrencySpec). Widening is monotone, so union with the
+    // current tip's schema is race-safe without a conflict/retry;
+    // intentionally exact ops (CREATE/REPLACE/RESTORE) keep union=false.
+    val effSchema =
+      if (!schemaUnion || prev.isEmpty) schema
+      else {
+        val tip = DataType.fromJson(prev.get.schemaJson)
+        val tipNames = tip.fieldNames.toSet
+        StructType(tip.fields ++ schema.fields.filterNot(f => tipNames(f.name)))
+      }
     val c = Commit(
       version = prev.map(_.version + 1).getOrElse(0L),
       timestampMs = System.currentTimeMillis(),
@@ -381,7 +418,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       operationParameters = params,
       addedFiles = added,
       removedFiles = removed,
-      schemaJson = schema.json,
+      schemaJson = effSchema.json,
       properties = Option(props).getOrElse(prev.map(_.properties).getOrElse(Map.empty)),
       identityHighWatermark =
         if (identity >= 0) identity else prev.map(_.identityHighWatermark).getOrElse(0L),
@@ -433,7 +470,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       props = if (extraProps.isEmpty) null else properties ++ extraProps,
       identity = if (withId._2 >= 0) withId._2 + nRows else -1L,
       metrics = extraMetrics + ("numOutputRows" -> nRows),
-      fileStats = stats)
+      fileStats = stats, schemaUnion = true)
     if (cdfEnabled && files.nonEmpty) writeChanges(
       readFiles(files.map(f => Paths.get(path, f).toString), data.schema)
         .withColumn("_change_type", lit("insert"))

@@ -4,34 +4,85 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
-/** OPTIMIZE / ZORDER-approx / targetFileSize compaction (SURVEY.md §4;
+/** OPTIMIZE / ZORDER / targetFileSize compaction (SURVEY.md §4;
   * reference `DP/Step 1:224,297`, `DP/Step 2`).
   *
-  * Z-ordering is approximated by `repartitionByRange(cols) +
-  * sortWithinPartitions(cols)`: each output file then covers a narrow range
-  * of the clustering keys, so parquet row-group min/max stats (and our
-  * per-file pruning) skip files exactly the way the reference's ZORDER
-  * demos show (`DP/Step 2:115-202` — 33/34 files pruned on a point
-  * lookup). Interleaved (true Z-curve) ordering matters only for
-  * multi-column box queries; range-cluster is the right first-order
-  * approximation and is what Delta's own OPTIMIZE does for 1 column.
+  * One clustering column is laid out with `repartitionByRange +
+  * sortWithinPartitions` — each output file covers a narrow key range, so
+  * parquet row-group min/max stats (and our per-file pruning) skip files
+  * exactly the way the reference's ZORDER demos show (`DP/Step 2:115-202`
+  * — 33/34 files pruned on a point lookup).
+  *
+  * Two or three numeric clustering columns get a true Z-curve: each
+  * column is equi-depth bucketed (one `approxQuantile` sketch pass whose
+  * boundaries are driver-collected — the same sampling cost Delta's
+  * RangePartitioner pays), the bucket ids are bit-interleaved into a
+  * z-value, and the table is range-clustered by that z-value. Files then
+  * subdivide ALL clustering dimensions at once, so a 2-column box query
+  * prunes ~√(per-dim selectivity) of the files instead of pruning on the
+  * leading column only, which is what lexicographic range-clustering
+  * degrades to at 100×. Non-numeric or >3 columns fall back to
+  * lexicographic range-cluster (documented approximation).
   */
 object Maintenance {
 
   private val DefaultTargetFileBytes = 128L * 1024 * 1024
+  private val ZBitsPerColumn = 8 // 256 equi-depth buckets per dimension
+
+  /** Bit-interleaved z-value over equi-depth bucket ids of `cols`
+    * (z-orderable columns only; caller checks). */
+  private def zValue(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    val nBuckets = 1 << ZBitsPerColumn
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // one sketch pass for every column together (dates/timestamps ride as
+    // epoch doubles); boundaries are tiny and become literals, so the
+    // bucket mapping is a narrow projection
+    val asDouble = cols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("double").as(s"__zc$i") }
+    val proj = df.select(asDouble: _*)
+    val bounds = proj.stat.approxQuantile(
+      cols.indices.map(i => s"__zc$i").toArray, probs, 0.001)
+    val bucketCols = cols.zip(bounds).map { case (c, bs) =>
+      val arr = array(bs.distinct.sorted.map(lit(_)): _*)
+      size(filter(arr, b => col(c).cast("double") >= b)).cast("long")
+    }
+    (0 until ZBitsPerColumn).flatMap { k =>
+      bucketCols.zipWithIndex.map { case (b, i) =>
+        shiftleft(shiftrightunsigned(b, k).bitwiseAND(lit(1L)),
+          k * cols.size + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  private def zOrderable(df: org.apache.spark.sql.DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
 
   /** Range-cluster `df` into `nFiles` output partitions. A single output
     * file needs no range partitioning — `coalesce(1) + sortWithinPartitions`
     * skips repartitionByRange's sampling pass AND the full-table shuffle
     * (coalesce is a narrow dependency); the produced file is identically
     * sorted. The multi-file path keeps the sampling+shuffle, which is the
-    * correct (and unavoidable) plan once file count > 1. */
-  private def clusterInto(df: org.apache.spark.sql.DataFrame,
-      zorderBy: Seq[String], nFiles: Int): org.apache.spark.sql.DataFrame =
+    * correct (and unavoidable) plan once file count > 1. `interleave`
+    * selects the Z-curve layout for 2-3 numeric columns (on by default;
+    * Bench's pruning experiment uses false as the comparison baseline). */
+  private[graft] def clusterInto(df: org.apache.spark.sql.DataFrame,
+      zorderBy: Seq[String], nFiles: Int, interleave: Boolean = true): org.apache.spark.sql.DataFrame =
     if (zorderBy.isEmpty) df.coalesce(nFiles)
     else if (nFiles == 1)
       df.coalesce(1).sortWithinPartitions(zorderBy.map(col): _*)
-    else df.repartitionByRange(nFiles, zorderBy.map(col): _*)
+    else if (interleave && zorderBy.size >= 2 && zorderBy.size <= 3 &&
+        zorderBy.forall(zOrderable(df, _))) {
+      val z = df.withColumn("__z", zValue(df, zorderBy))
+      z.repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    } else df.repartitionByRange(nFiles, zorderBy.map(col): _*)
       .sortWithinPartitions(zorderBy.map(col): _*)
 
   def parseSize(s: String): Long = {
@@ -47,20 +98,21 @@ object Maintenance {
     * Without explicit columns, a `graft.clusterBy` table property (set by
     * `CLUSTER BY` DDL — liquid-clustering surface) supplies the layout
     * key, so a bare OPTIMIZE re-clusters incrementally ingested data. */
-  def optimize(t: GraftTable, zorderBy: Seq[String] = Nil): Commit = {
+  def optimize(t: GraftTable, zorderBy: Seq[String] = Nil,
+      interleave: Boolean = true): Commit = {
     val zorderByEff =
       if (zorderBy.nonEmpty) zorderBy
       else t.properties.get("graft.clusterBy")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val files = t.filesAt()
-    if (files.isEmpty) return t.commit("OPTIMIZE", Nil, Nil, t.schemaAt())
+    if (files.isEmpty) return t.commit("OPTIMIZE", Nil, Nil, t.schemaAt(), schemaUnion = true)
     val totalBytes = files.map(f => Files.size(Paths.get(f))).sum
     val target = t.properties.get("graft.targetFileSize")
       .map(parseSize).getOrElse(DefaultTargetFileBytes)
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
 
     val df = t.read()
-    val clustered = clusterInto(df, zorderByEff, nFiles)
+    val clustered = clusterInto(df, zorderByEff, nFiles, interleave)
 
     val added = t.writeData(clustered)
     def rel(f: String) = Paths.get(t.path).toAbsolutePath
@@ -74,7 +126,7 @@ object Maintenance {
         "numFilesRemoved" -> files.size.toLong,
         "numFilesAdded" -> added.size.toLong,
         "bytesCompacted" -> totalBytes),
-      fileStats = t.harvestStats(added))
+      fileStats = t.harvestStats(added), schemaUnion = true)
   }
 
   /** Incremental OPTIMIZE: compact only files below
@@ -112,6 +164,6 @@ object Maintenance {
         "numFilesRemoved" -> small.size.toLong,
         "numFilesAdded" -> added.size.toLong,
         "bytesCompacted" -> totalBytes),
-      fileStats = t.harvestStats(added))
+      fileStats = t.harvestStats(added), schemaUnion = true)
   }
 }

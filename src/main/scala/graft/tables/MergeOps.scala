@@ -101,14 +101,25 @@ object MergeOps {
       matched: Seq[WhenMatched] = Nil,
       notMatched: Seq[WhenNotMatched] = Nil,
       failOnMultipleMatches: Boolean = true,
-      extraProps: Map[String, String] = Map.empty): Commit = {
+      extraProps: Map[String, String] = Map.empty,
+      schemaEvolution: Boolean = false): Commit = {
     // NOTE: the source is evaluated by up to 4 jobs (key-range agg,
     // touched-file semi-join, rewrite join, CDF). Measured at sf0.1,
     // persisting it here costs more than the recompute it saves (columnar
     // cache build + losing exchange reuse), so we do not cache — a caller
     // with a nondeterministic or very expensive source should persist or
     // checkpoint it before merging.
-    val schema = t.schemaAt()
+    val baseSchema = t.schemaAt()
+    // autoMerge semantics (the reference toggles schema.autoMerge around
+    // merges, OBS delta_sync): the committed schema becomes target ∪
+    // source columns; untouched files read null for new columns via
+    // parquet by-name resolution, target rows in the rewrite are
+    // null-filled below
+    val schema =
+      if (!schemaEvolution) baseSchema
+      else org.apache.spark.sql.types.StructType(baseSchema.fields ++
+        source.schema.fields.filterNot(f => baseSchema.fieldNames.contains(f.name)))
+    val newCols = schema.fields.filterNot(f => baseSchema.fieldNames.contains(f.name))
     val cols = schema.fieldNames.toSeq
     val allFiles = t.filesAt()
 
@@ -157,7 +168,10 @@ object MergeOps {
         val cases = notMatched.zip(iFlags).collect {
           case (WhenNotMatched(_, InsertValues(as)), f) =>
             (f, as.get(c).map(expr).getOrElse(lit(null)))
-          case (WhenNotMatched(_, InsertAll), f) => (f, col(s"source.$c"))
+          // INSERT * for a column the source lacks (table evolved past
+          // this writer's source): null, as Delta does
+          case (WhenNotMatched(_, InsertAll), f) =>
+            (f, if (source.columns.contains(c)) col(s"source.$c") else lit(null))
         }
         cases.foldRight(lit(null): Column) { case ((f, v), acc) => when(f, v).otherwise(acc) }
           .cast(schema(c).dataType).as(c)
@@ -169,7 +183,7 @@ object MergeOps {
       if (notMatched.isEmpty)
         return t.commit("MERGE", Nil, Nil, schema, Map("predicate" -> condition),
           props = if (extraProps.isEmpty) null else t.properties ++ extraProps,
-          metrics = mergeMetrics)
+          metrics = mergeMetrics, schemaUnion = true)
       val anyInsert = iFlags.foldLeft(lit(false))(_ || _)
       val rows = notYet.filter(anyInsert).select(cols.map(insValue): _*)
       return t.append(rows, "MERGE", Map("predicate" -> condition), extraProps,
@@ -177,7 +191,9 @@ object MergeOps {
     }
 
     // -- 2. full-outer rewrite of touched rows vs source -------------------
-    val tt = t.readFiles(touched, schema)
+    val tt = newCols.foldLeft(t.readFiles(touched, baseSchema)) { (d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
     val tAug = tt.withColumn("__t", lit(true)).withColumn("__rid", monotonically_increasing_id())
     val sAug = source.withColumn("__s", lit(true))
     val joined = tAug.alias("target")
@@ -221,11 +237,16 @@ object MergeOps {
         val cases: Seq[(Column, Column)] =
           matched.zip(mFlags).collect {
             case (WhenMatched(_, UpdateSet(as)), f) if as.contains(c) => (f, expr(as(c)))
-            case (WhenMatched(_, UpdateAll), f) => (f, col(s"source.$c"))
+            // UPDATE SET * / INSERT * for a column the source lacks (table
+            // evolved past this writer's source): keep the target value on
+            // update, null on insert — Delta's autoMerge semantics
+            case (WhenMatched(_, UpdateAll), f) =>
+              (f, if (source.columns.contains(c)) col(s"source.$c") else col(s"target.$c"))
           } ++ notMatched.zip(iFlags).collect {
             case (WhenNotMatched(_, InsertValues(as)), f) =>
               (f, as.get(c).map(expr).getOrElse(lit(null)))
-            case (WhenNotMatched(_, InsertAll), f) => (f, col(s"source.$c"))
+            case (WhenNotMatched(_, InsertAll), f) =>
+              (f, if (source.columns.contains(c)) col(s"source.$c") else lit(null))
           }
         cases.foldRight(col(s"target.$c")) { case ((f, v), acc) => when(f, v).otherwise(acc) }
           .cast(schema(c).dataType).as(c)
@@ -245,7 +266,7 @@ object MergeOps {
           "numTargetFilesAdded" -> added.size.toLong,
           "numCandidateFiles" -> candidateFiles.size.toLong,
           "numTargetFilesTotal" -> allFiles.size.toLong),
-        fileStats = t.harvestStats(added))
+        fileStats = t.harvestStats(added), schemaUnion = true)
 
       if (t.cdfEnabled) {
         val del = joined.filter(deleted)
@@ -271,7 +292,7 @@ object MergeOps {
     val schema = t.schemaAt()
     val allFiles = t.pruneFiles(predicate)._1 // stats-prune the discovery scan
     if (allFiles.isEmpty) return t.commit("DELETE", Nil, Nil, schema,
-      Map("predicate" -> predicate))
+      Map("predicate" -> predicate), schemaUnion = true)
     if (t.dvEnabled) return deleteWithDv(t, predicate, allFiles, schema)
     val df = t.readFilesWithPos(allFiles, schema).drop(GraftTable.DvPosCol)
       .withColumnRenamed(GraftTable.DvFileCol, "__file")
@@ -280,13 +301,13 @@ object MergeOps {
       .select("__file").distinct().collect()
       .map(r => Paths.get(new java.net.URI(r.getString(0))).toString).toSeq
     if (touched.isEmpty)
-      return t.commit("DELETE", Nil, Nil, schema, Map("predicate" -> predicate))
+      return t.commit("DELETE", Nil, Nil, schema, Map("predicate" -> predicate), schemaUnion = true)
     val kept = t.readFiles(touched, schema).filter(not(expr(predicate)))
     val added = t.writeData(kept)
     val rel = touched.map(f => Paths.get(t.path).toAbsolutePath
       .relativize(Paths.get(f).toAbsolutePath).toString)
     val c = t.commit("DELETE", added, rel, schema, Map("predicate" -> predicate),
-      fileStats = t.harvestStats(added))
+      fileStats = t.harvestStats(added), schemaUnion = true)
     if (t.cdfEnabled) t.writeChanges(
       t.readFiles(touched, schema).filter(expr(predicate))
         .withColumn("_change_type", lit("delete"))
@@ -310,12 +331,12 @@ object MergeOps {
     val (dvRels, nDeleted) = t.writeDv(dels)
     if (nDeleted == 0) {
       dvRels.foreach(f => java.nio.file.Files.deleteIfExists(Paths.get(t.path, f)))
-      return t.commit("DELETE", Nil, Nil, schema, Map("predicate" -> predicate))
+      return t.commit("DELETE", Nil, Nil, schema, Map("predicate" -> predicate), schemaUnion = true)
     }
     val c = t.commit("DELETE", Nil, Nil, schema,
       Map("predicate" -> predicate, "deletionVector" -> "true"),
       metrics = Map("numDeletedRows" -> nDeleted),
-      addedDv = dvRels)
+      addedDv = dvRels, schemaUnion = true)
     if (t.cdfEnabled) t.writeChanges(
       t.readFilesWithPos(candidateFiles, schema, dvVersion = c.version - 1)
         .filter(expr(predicate))
@@ -330,7 +351,7 @@ object MergeOps {
     val schema = t.schemaAt()
     val allFiles = t.pruneFiles(predicate)._1 // stats-prune the discovery scan
     if (allFiles.isEmpty) return t.commit("UPDATE", Nil, Nil, schema,
-      Map("predicate" -> predicate))
+      Map("predicate" -> predicate), schemaUnion = true)
     val df = t.readFilesWithPos(allFiles, schema).drop(GraftTable.DvPosCol)
       .withColumnRenamed(GraftTable.DvFileCol, "__file")
     val touched = df
@@ -338,7 +359,7 @@ object MergeOps {
       .select("__file").distinct().collect()
       .map(r => Paths.get(new java.net.URI(r.getString(0))).toString).toSeq
     if (touched.isEmpty)
-      return t.commit("UPDATE", Nil, Nil, schema, Map("predicate" -> predicate))
+      return t.commit("UPDATE", Nil, Nil, schema, Map("predicate" -> predicate), schemaUnion = true)
     val rewritten = t.readFiles(touched, schema)
       .select(schema.fieldNames.toSeq.map { c =>
         assignments.get(c)
@@ -350,7 +371,7 @@ object MergeOps {
     val rel = touched.map(f => Paths.get(t.path).toAbsolutePath
       .relativize(Paths.get(f).toAbsolutePath).toString)
     val c = t.commit("UPDATE", added, rel, schema, Map("predicate" -> predicate),
-      fileStats = t.harvestStats(added))
+      fileStats = t.harvestStats(added), schemaUnion = true)
     if (t.cdfEnabled) t.writeChanges(
       t.readFiles(touched, schema).filter(expr(predicate))
         .select(schema.fieldNames.toSeq.map { cn =>

@@ -1,0 +1,66 @@
+package graft.tables
+
+import graft.{SparkTestBase, Tables}
+
+/** Multi-column Z-order layout: the interleaved z-curve must (a) preserve
+  * the data exactly and (b) prune a 2-column box predicate to no more
+  * files than the lexicographic range-cluster layout — the whole point of
+  * interleaving is that files subdivide every clustering dimension, not
+  * just the leading one. */
+class ZorderSpec extends SparkTestBase {
+
+  private def boxPred(lo1: Long, hi1: Long, lo2: Long, hi2: Long) =
+    s"l_orderkey >= $lo1 AND l_orderkey <= $hi1 AND l_partkey >= $lo2 AND l_partkey <= $hi2"
+
+  test("2-column interleaved z-order preserves data and prunes box queries") {
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val expected = li.count()
+
+    def layout(interleave: Boolean): GraftTable = {
+      val t = GraftTable.createFrom(spark, scratch(s"zorder-$interleave"), li)
+      t.setProperties(Map("graft.targetFileSize" -> (2 * 1024).toString))
+      Maintenance.optimize(t, zorderBy = Seq("l_orderkey", "l_partkey"),
+        interleave = interleave)
+      t
+    }
+    val z = layout(interleave = true)
+    val r = layout(interleave = false)
+
+    // data unchanged by the rewrite (same rows, same aggregate)
+    assert(z.read().count() === expected)
+    assert(z.read().agg(org.apache.spark.sql.functions.sum("l_orderkey")).head().getLong(0) ===
+      r.read().agg(org.apache.spark.sql.functions.sum("l_orderkey")).head().getLong(0))
+
+    // boxes over ~1/4 of each dimension at several offsets: any single
+    // box can land adversarially on a quad boundary (where the z-curve
+    // fragments and lexicographic happens to win), so the comparison is
+    // aggregate files read over a spread of boxes — the honest model of a
+    // box-query workload
+    val stats = li.agg(
+      org.apache.spark.sql.functions.min("l_orderkey"),
+      org.apache.spark.sql.functions.max("l_orderkey"),
+      org.apache.spark.sql.functions.min("l_partkey"),
+      org.apache.spark.sql.functions.max("l_partkey")).head()
+    val (okLo, okHi, pkLo, pkHi) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    def pct(lo: Long, hi: Long, f: Double): Long = lo + ((hi - lo) * f).toLong
+    val preds = Seq(0.05, 0.3, 0.55, 0.7).map { f =>
+      boxPred(pct(okLo, okHi, f), pct(okLo, okHi, f + 0.25),
+        pct(pkLo, pkHi, f), pct(pkLo, pkHi, f + 0.25))
+    }
+    val zTotal = z.pruneFiles(preds.head)._2
+    val zSum = preds.map(p => z.pruneFiles(p)._1.size).sum
+    val rSum = preds.map(p => r.pruneFiles(p)._1.size).sum
+    info(s"files=$zTotal zSum=$zSum rSum=$rSum")
+    assert(zTotal > 4, s"layout produced too few files to test pruning ($zTotal)")
+    assert(zSum < rSum,
+      s"z-order read $zSum files over ${preds.size} boxes, range-cluster $rSum")
+    preds.foreach { p =>
+      assert(z.readWhere(p).count() ===
+        li.filter(org.apache.spark.sql.functions.expr(p)).count())
+      assert(r.readWhere(p).count() ===
+        li.filter(org.apache.spark.sql.functions.expr(p)).count())
+    }
+  }
+}
