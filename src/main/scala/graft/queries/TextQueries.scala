@@ -275,6 +275,48 @@ object TextQueries extends QueryBatch {
              GROUP BY c.doc_id ORDER BY c.doc_id""")
   )
 
+  /** Substring-level duplicated-span coverage (Lee et al. '21 span dedup,
+    * rolling-window formulation — see DedupOps.duplicatedSpans): per doc,
+    * how many token positions sit inside a ≥20-token span shared with
+    * another document. The mutated near-copies share (almost) their whole
+    * body with their originals, so both sides of each pair should show
+    * near-total coverage while unrelated docs show zero. Oracle replays
+    * the identical windows/islands algorithm over string windows (hashing
+    * only changes key width, not equality structure). */
+  private val q204 = GQ(
+    "q204_substring_spans",
+    (s, dir) => DedupOps.duplicatedSpans(dupCorpus(s, dir), windowTokens = 20)
+      .orderBy("doc_id"),
+    Some(s"""WITH $corpusSql,
+             words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w
+                       FROM corpus),
+             alldocs AS (SELECT doc_id, len(w) AS n_tokens FROM words),
+             wins AS (SELECT doc_id, i AS start,
+                        array_to_string(w[i+1:i+20], ' ') AS wh
+                      FROM words, UNNEST(range(greatest(len(w) - 19, 0))) AS t(i)),
+             shared AS (SELECT wh FROM wins GROUP BY wh
+                        HAVING count(DISTINCT doc_id) >= 2),
+             dup AS (SELECT doc_id, start FROM wins JOIN shared USING (wh)),
+             isl AS (SELECT doc_id, start,
+                       CASE WHEN start > coalesce(max(start + 20) OVER
+                              (PARTITION BY doc_id ORDER BY start
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS isnew
+                     FROM dup),
+             isl2 AS (SELECT doc_id, start,
+                        sum(isnew) OVER (PARTITION BY doc_id ORDER BY start) AS island
+                      FROM isl),
+             cov AS (SELECT doc_id, island, max(start + 20) - min(start) AS covered
+                     FROM isl2 GROUP BY 1, 2),
+             per AS (SELECT doc_id, sum(covered) AS dup_tokens FROM cov GROUP BY 1)
+             SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+                    CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                    round(coalesce(p.dup_tokens, 0)::DOUBLE / a.n_tokens + 1e-9, 4)
+                      AS dup_ratio
+             FROM alldocs a LEFT JOIN per p USING (doc_id)
+             ORDER BY a.doc_id""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204)
 }

@@ -101,6 +101,59 @@ object DedupOps {
     finally grams.unpersist()
   }
 
+  /** Substring-level duplicated-span statistics (the published heavier
+    * alternative to document-level dedup: remove repeated SPANS, not
+    * whole documents — "Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. '21, which uses suffix arrays).
+    *
+    * Spark-native formulation: hash every rolling `windowTokens`-token
+    * window (int64 at birth), find windows shared across ≥2 documents,
+    * and merge each document's overlapping duplicated windows into
+    * maximal spans (gaps-and-islands over window starts). A shared span
+    * of length L ≥ W is covered by all of its L−W+1 windows, so coverage
+    * is EXACT for spans ≥ W; spans shorter than W are not counted — W is
+    * the published minimum-match length (50 tokens in the paper), not an
+    * approximation knob.
+    *
+    * Scale: one (doc, window-hash) table shuffled on the 8-byte hash for
+    * the shared-window group-by + join-back, then one shuffle by doc for
+    * the interval merge — linear in corpus token count, no suffix-array
+    * construction, no all-pairs. Span *removal* is a trivial projection
+    * on top (keep tokens whose position falls outside the merged spans).
+    *
+    * @return (doc_id, n_tokens, dup_tokens, dup_ratio) for every doc
+    */
+  def duplicatedSpans(docs: DataFrame, windowTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = windowTokens
+    val words = docs.select(col(idCol).as("doc_id"),
+      TextOps.words(col(textCol)).as("__w"))
+    val allDocs = words.select(col("doc_id"), size(col("__w")).as("n_tokens"))
+    val wins = words.filter(size(col("__w")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $w), i -> xxhash64(concat_ws(' ', slice(__w, i + 1, $w))))"))
+        .as(Seq("start", "wh")))
+    val shared = wins.groupBy("wh").agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") >= 2).select("wh")
+    val dupWins = wins.join(shared, "wh").select("doc_id", "start")
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    val perDoc = dupWins
+      .withColumn("__prevMax",
+        max(col("start") + w).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__prevMax").isNull || col("start") > col("__prevMax"), 1).otherwise(0))
+      .withColumn("__island", sum("__new").over(byDoc))
+      .groupBy("doc_id", "__island")
+      .agg((max(col("start") + w) - min("start")).as("__covered"))
+      .groupBy("doc_id")
+      .agg(sum("__covered").as("dup_tokens"))
+    allDocs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens") / col("n_tokens") + lit(1e-9), 4))
+  }
+
   /** MinHash signatures: numHashes independent permutations approximated by
     * seeded xxhash64; signature j = min hash over the doc's shingles. */
   def minhashSignatures(grams: DataFrame, numHashes: Int): DataFrame = {

@@ -68,6 +68,23 @@ class TextSpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L))
   }
 
+  test("duplicatedSpans merges overlapping windows into exact span coverage") {
+    // docs 1 and 2 share a 25-token span S; window W=20 ⇒ the 6 shared
+    // window starts merge into one island covering exactly 25 tokens on
+    // each side; doc 3 shares nothing
+    val s25 = (1 to 25).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s25 + " " + (1 to 10).map(i => s"a$i").mkString(" ")),   // S + 10 unique
+      (2L, (1 to 8).map(i => s"b$i").mkString(" ") + " " + s25),    // 8 unique + S
+      (3L, (1 to 30).map(i => s"c$i").mkString(" ")))               // unrelated
+      .toDF("doc_id", "text")
+    val out = DedupOps.duplicatedSpans(docs, windowTokens = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((35L, 25L)))
+    assert(out(2L) === ((33L, 25L)))
+    assert(out(3L) === ((30L, 0L)))
+  }
+
   test("connected components converges in O(log n) rounds on a long chain") {
     // a 50-node path is the diameter-stress case: naive min-label
     // propagation needs ~49 rounds; alternating large-star/small-star
