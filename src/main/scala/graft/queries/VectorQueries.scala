@@ -119,5 +119,33 @@ object VectorQueries extends QueryBatch {
              ORDER BY sim DESC, vec_id LIMIT 10""")
   )
 
-  override def queries: Seq[GQ] = Seq(q80, q81, q82, q83)
+  /** Int8 scalar-quantization audit: per-vector scale + reconstruction
+    * error of the 4×-smaller int8 copy (VectorOps.int8QuantStats — pure
+    * scan projection; the storage path ANN rides at 100 TB). Oracle
+    * replays the identical sequential double arithmetic with DuckDB list
+    * lambdas. */
+  private val q84 = GQ(
+    "q84_int8_quantization",
+    (s, dir) => VectorOps.int8QuantStats(emb(s, dir)).orderBy("vec_id"),
+    Some("""WITH v AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+                 s AS (SELECT vec_id, v,
+                         greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+                           / 127 AS scale
+                       FROM v),
+                 d AS (SELECT vec_id, scale,
+                         list_transform(v, x -> x - round(x / scale) * scale) AS e,
+                         len(v) AS n
+                       FROM s)
+            SELECT vec_id,
+                   round(scale + 1e-12, 8) AS scale,
+                   round(list_sum(list_transform(e, x -> x * x)) / n + 1e-12, 8)
+                     AS mse,
+                   round(list_max(list_transform(e, x -> abs(x))) + 1e-12, 8)
+                     AS max_err
+            FROM d ORDER BY vec_id""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q80, q81, q82, q83, q84)
 }

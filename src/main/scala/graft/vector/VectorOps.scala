@@ -41,6 +41,31 @@ object VectorOps {
   def normPre(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
+  /** Symmetric int8 scalar quantization stats per vector: per-vector scale
+    * `max|v| / 127`, reconstruction MSE and max absolute error of
+    * `round(v/scale)*scale`. The storage-scale path for ANN at 100 TB —
+    * int8 cuts embedding bytes 4× before IVF/LSH bucketing — and a pure
+    * codegen'd projection (higher-order functions, no UDF, no shuffle):
+    * quantization quality is audited in the same scan that would write the
+    * quantized copy. Deterministic: sequential double arithmetic in array
+    * order, identical in any engine. */
+  def int8QuantStats(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    emb
+      .withColumn("__v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("__scale",
+        greatest(aggregate(col("__v"), lit(0.0), (a, x) => greatest(a, abs(x))),
+          lit(1e-30)) / 127)
+      .withColumn("__err", transform(col("__v"),
+        x => x - round(x / col("__scale")) * col("__scale")))
+      .select(col(idCol),
+        round(col("__scale") + lit(1e-12), 8).as("scale"),
+        round(aggregate(col("__err"), lit(0.0), (a, x) => a + x * x)
+          / size(col("__v")) + lit(1e-12), 8).as("mse"),
+        round(aggregate(col("__err"), lit(0.0), (a, x) => greatest(a, abs(x)))
+          + lit(1e-12), 8).as("max_err"))
+  }
+
   /** Exact top-k by cosine against one query vector. Plans as a single
     * scan + TakeOrderedAndProject — no shuffle of the embedding column. */
   def cosineTopK(emb: DataFrame, queryVec: Seq[Double], k: Int,
