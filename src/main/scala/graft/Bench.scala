@@ -23,6 +23,20 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Bound the in-memory status store: the bench drives ~10^4 jobs
+      // through one JVM and the default retention (1000 SQL executions,
+      // unbounded-ish job/stage history) grows the driver heap all run,
+      // taxing late queries with GC they didn't cause.
+      .config("spark.sql.ui.retainedExecutions", "25")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      // ContextCleaner only reclaims shuffle files/broadcasts when the
+      // driver GCs; the default periodic-GC interval (30 min) never fires
+      // inside a ~3 min bench, so dereferenced shuffle state from 137
+      // queries piles up in the block manager. (Backstop — the per-query
+      // cleanup below also forces GC on a cadence.)
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -38,19 +52,47 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results: Seq[(String, Double)] = queries.map { case (name, fn) =>
+    // Per-query state reset. Round-5 bench showed 2-6× inflation on
+    // queries whose code hadn't changed (q121 14.8 s in-run vs 2.4 s
+    // isolated): accumulated single-JVM run state, not plan cost. Each
+    // query must see the session the previous one started with:
+    //  - stray streams stopped (none expected; availableNow queries join)
+    //  - persisted/localCheckpointed blocks unpersisted (ContextCleaner
+    //    only reclaims them on driver GC, far too late here)
+    //  - the scratch-table area wiped (137 queries × repeat leave ~550 MB
+    //    / ~240 commit-logged tables under target/qtmp otherwise)
+    //  - the parsed-commit-log/stats caches for those dead tables dropped
+    //  - a forced GC every `gcEvery` queries so the ContextCleaner
+    //    actually releases shuffle files/broadcasts mid-run
+    val qtmp = java.nio.file.Paths.get("/root/repo/target/qtmp")
+    def wipeScratch(): Unit =
+      if (java.nio.file.Files.isDirectory(qtmp)) {
+        import scala.collection.JavaConverters._
+        val s = java.nio.file.Files.walk(qtmp)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p =>
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () })
+        finally s.close()
+      }
+    val gcEvery = 16
+    def resetRunState(i: Int): Unit = {
+      spark.streams.active.foreach(_.stop())
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      graft.tables.GraftTable.clearAllCaches()
+      wipeScratch()
+      if (i % gcEvery == gcEvery - 1) System.gc()
+    }
+    wipeScratch() // residue from earlier runs
+
+    val results: Seq[(String, Double)] = queries.zipWithIndex.map { case ((name, fn), i) =>
       val times = (1 to repeat).map { _ =>
         try timeOne(fn)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }
-      // release persisted/localCheckpointed blocks the query left behind:
-      // the ContextCleaner only reclaims them on driver GC, so across
-      // 134 × repeat runs they pile up in the BlockManager and late
-      // queries run under artificial memory/GC pressure (cache-off runs,
-      // like the reference's benchmark mode)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
+      resetRunState(i)
       val ok = times.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
@@ -63,7 +105,9 @@ object Bench {
     // throughput mode: N workers, cache off). DDL/scratch-table queries are
     // excluded — they share session temp-view names.
     val conc = sys.env.getOrElse("SPARK_GRAFT_CONCURRENCY", "4").toInt
-    val readOnly = queries.filter(q => q._1.matches("^q[0-4].*"))
+    // two-digit q0x–q4x only: the 3-digit q1xx/q2xx families are DDL,
+    // streaming, and table-maintenance scripts, not the read-only subset
+    val readOnly = queries.filter(q => q._1.matches("^q[0-4]\\d_.*"))
     val concurrentQpm: Double =
       if (conc <= 1 || readOnly.isEmpty) 0.0
       else {
@@ -79,6 +123,18 @@ object Bench {
         pool.shutdown()
         readOnly.size * 60.0 / ((System.nanoTime() - t0) / 1e9)
       }
+
+    resetRunState(gcEvery - 1) // clean slate (+GC) before the micro-experiments
+
+    def rmTree(dir: java.nio.file.Path): Unit = {
+      import scala.collection.JavaConverters._
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+      finally s.close()
+    }
 
     // ZORDER pruning comparison (the BASELINE.md point-lookup experiment:
     // clustered table, point predicate → files skipped + latency ratio)
@@ -96,7 +152,8 @@ object Bench {
       val fullSec = tm(t.read()
         .filter(org.apache.spark.sql.functions.expr("l_orderkey = 4242")).count())
       val prunedSec = tm(t.readWhere("l_orderkey = 4242").count())
-      f""""pruning":{"files_total":$totalFiles,"files_read":${kept.size},"full_scan_sec":$fullSec%.3f,"pruned_sec":$prunedSec%.3f}"""
+      val out = f""""pruning":{"files_total":$totalFiles,"files_read":${kept.size},"full_scan_sec":$fullSec%.3f,"pruned_sec":$prunedSec%.3f}"""
+      rmTree(dir); out
     }
 
     // 2-column Z-order: interleaved z-curve layout vs lexicographic
@@ -132,7 +189,8 @@ object Bench {
       }
       val (zKept, zTotal) = mk("z", interleave = true)
       val (rKept, _) = mk("r", interleave = false)
-      s""""pruning2d":{"files_total":$zTotal,"boxes":${preds.size},"files_read_zorder":$zKept,"files_read_range":$rKept}"""
+      val out = s""""pruning2d":{"files_total":$zTotal,"boxes":${preds.size},"files_read_zorder":$zKept,"files_read_range":$rKept}"""
+      rmTree(dir); out
     }
 
     // merge-batch latency, fragmented vs compacted target (BASELINE.md
@@ -155,7 +213,8 @@ object Bench {
       val comp = GraftTable.createFrom(spark, dir.toString + "/comp", o)
       Maintenance.optimize(comp, zorderBy = Seq("o_orderkey"))
       val compSec = mergeInto(comp)
-      f""""merge_fragmented_sec":$fragSec%.3f,"merge_compacted_sec":$compSec%.3f"""
+      val out = f""""merge_fragmented_sec":$fragSec%.3f,"merge_compacted_sec":$compSec%.3f"""
+      rmTree(dir); out
     }
 
     // DELETE latency: deletion-vector (merge-on-read) vs copy-on-write on
@@ -177,7 +236,8 @@ object Bench {
         Map("graft.deletionVectors" -> "true"))
       dv.append(li.repartition(16))
       val dvSec = timeDelete(dv)
-      f""""delete_cow_sec":$cowSec%.3f,"delete_dv_sec":$dvSec%.3f"""
+      val out = f""""delete_cow_sec":$cowSec%.3f,"delete_dv_sec":$dvSec%.3f"""
+      rmTree(dir); out
     }
 
     // The harness keeps only the last ~2000 chars of stdout: a JSON line

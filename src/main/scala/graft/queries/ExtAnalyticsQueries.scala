@@ -421,6 +421,70 @@ object ExtAnalyticsQueries extends QueryBatch {
             FROM c, t ORDER BY lang""")
   )
 
+  /** Sequence packing (`CorpusOps.packSequences`): concat-and-chunk token
+    * spans via a distributed prefix sum — quantile-bucketed running sums
+    * plus broadcast bucket offsets, never a global single-partition
+    * window. The oracle IS the global window (fine at DuckDB scale). */
+  private val q205 = GQ(
+    "q205_pack_sequences",
+    (s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextOps.tokenCountWs(col("text")).as("n_tokens"))
+      graft.text.CorpusOps.packSequences(d, 1000).orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+                       FROM documents),
+                 p AS (SELECT doc_id, n_tokens,
+                         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                           AS tok_start
+                       FROM d)
+            SELECT doc_id, n_tokens, tok_start,
+                   tok_start // 1000 AS seq_first,
+                   (tok_start + n_tokens - 1) // 1000 AS seq_last,
+                   (tok_start + n_tokens - 1) // 1000 - tok_start // 1000 + 1 AS n_seqs
+            FROM p ORDER BY doc_id""")
+  )
+
+  /** Stratified sampling (`CorpusOps.stratifiedSample`): the xxhash64
+    * selection itself is engine-specific, so the gate checks the sampling
+    * CONTRACT — every stratum yields exactly ceil(fraction * size) rows —
+    * while determinism/type handling is spec-covered (CorpusOpsSpec). */
+  private val q206 = GQ(
+    "q206_stratified_sample",
+    (s, dir) => graft.text.CorpusOps.stratifiedSample(
+        Tables.t(s, dir, "documents"), "lang", 0.2)
+      .groupBy("lang")
+      .agg(max("n_stratum").as("n_stratum"), count(lit(1)).as("n_sampled"))
+      .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n_stratum,
+                   CAST(ceil(count(*) * 0.2) AS BIGINT) AS n_sampled
+            FROM documents GROUP BY lang ORDER BY lang""")
+  )
+
+  /** Vocabulary coverage (`CorpusOps.vocabCoverage`): top-50 word
+    * frequencies with rank and cumulative token share. */
+  private val q207 = GQ(
+    "q207_vocab_coverage",
+    (s, dir) => graft.text.CorpusOps.vocabCoverage(
+      Tables.t(s, dir, "documents"), "text", 50).orderBy("rank"),
+    Some("""WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+                       FROM documents),
+                 c AS (SELECT word, count(*) AS n FROM w
+                       WHERE len(word) > 0 GROUP BY 1),
+                 r AS (SELECT word, n,
+                         CAST(row_number() OVER (ORDER BY n DESC, word) AS INTEGER) AS rank,
+                         CAST(sum(n) OVER (ORDER BY n DESC, word
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum,
+                         CAST(sum(n) OVER () AS DOUBLE) AS tot
+                       FROM c)
+            SELECT word, n, rank, round(cum / tot + 1e-9, 6) AS cum_share
+            FROM r WHERE rank <= 50 ORDER BY rank""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q190, q191, q192, q193, q194, q195, q197, q198, q199, q200, q201)
+    Seq(q190, q191, q192, q193, q194, q195, q197, q198, q199, q200, q201,
+      q205, q206, q207)
 }

@@ -625,7 +625,7 @@ object Relational extends QueryBatch {
   /** Helper-API coverage: latestByKey + highWatermark + topKPerGroup
     * composed (`graft.relational.Helpers`). */
   private val q50h = GQ(
-    "q50_helpers_compose",
+    "q63_helpers_compose",
     (s, dir) => {
       import graft.relational.Helpers
       val ev = t(s, dir, "events")
@@ -710,10 +710,13 @@ object Relational extends QueryBatch {
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
-  /** Exact percentiles/median per group (Spark `percentile` ==
-    * DuckDB `quantile_cont`, both linear-interpolated; the
-    * approx_percentile sketch path stays spec-only since sketches differ
-    * across engines). */
+  /** Exact percentiles/median per group — an ORACLE-PARITY gate, not the
+    * scale path: Spark `percentile` == DuckDB `quantile_cont` (both
+    * linear-interpolated) buffers every value per group in one reducer,
+    * which is a deliberate weak spot kept only because exact quantiles are
+    * what DuckDB can hash-compare. Production path at scale is
+    * q193_approx_percentile (mergeable KLL-style sketch, gated within
+    * 0.5% of exact). */
   private val q37 = GQ(
     "q37_percentiles",
     (s, dir) => t(s, dir, "lineitem")

@@ -117,9 +117,26 @@ object ServiceQueries extends QueryBatch {
     "q114_bucketed_join",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      val suffix = java.util.UUID.randomUUID().toString.take(8)
-      s.sql(s"DROP TABLE IF EXISTS b_orders_$suffix")
-      s.sql(s"DROP TABLE IF EXISTS b_cust_$suffix")
+      // fixed suffix: with a per-call UUID the DROPs below never matched
+      // and each run leaked two more bucketed tables into spark-warehouse.
+      // The in-memory catalog forgets tables across JVMs while the
+      // warehouse dir persists, so the stale LOCATION must go too.
+      val suffix = "q114"
+      val wh = java.nio.file.Paths.get(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+      Seq(s"b_orders_$suffix", s"b_cust_$suffix").foreach { n =>
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        val loc = wh.resolve(n)
+        if (java.nio.file.Files.isDirectory(loc)) {
+          import scala.collection.JavaConverters._
+          val st = java.nio.file.Files.walk(loc)
+          try st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p =>
+              try { java.nio.file.Files.deleteIfExists(p); () }
+              catch { case _: java.io.IOException => () })
+          finally st.close()
+        }
+      }
       graft.perf.Layout.writeBucketed(
         graft.Tables.t(s, dir, "orders").select("o_custkey", "o_totalprice"),
         s"b_orders_$suffix", Seq("o_custkey"), 8)

@@ -344,11 +344,45 @@ object TpchQueries extends QueryBatch {
        ORDER BY s_name""")
 
   /** Q21 suppliers who kept orders waiting — adapted: "late" is shipped
-    * >60 days after ordering (no commit/receipt dates). The
-    * EXISTS(other supplier) / NOT EXISTS(other late supplier) pair over
-    * multi-supplier F orders is faithful. */
-  private val h21 = gq("q181_tpch21_waiting_suppliers",
-    """SELECT s_name, count(*) AS numwait
+    * >60 days after ordering (no commit/receipt dates). The oracle keeps
+    * the textbook EXISTS(other supplier) / NOT EXISTS(other late
+    * supplier) pair; the Spark side runs the single-pass aggregate form:
+    * Catalyst decorrelates the two EXISTS into two extra lineitem joins
+    * on l_orderkey (three lineitem shuffles), while per-order
+    * distinct-supplier / distinct-late-supplier counts over ONE window
+    * partition-by l_orderkey express the same predicate — n_supp >= 2 ⟺
+    * another supplier exists, late-supplier set = {self} ⟺ n_late = 1 —
+    * with a single lineitem scan+shuffle (the window reuses the
+    * join's hash partitioning), then a broadcast dim join. */
+  private val h21 = GQ(
+    "q181_tpch21_waiting_suppliers",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      Tables.registerAll(s, dir)
+      val flagged = s.table("lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(s.table("orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("__late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      val w = Window.partitionBy("l_orderkey")
+      val candidates = flagged
+        .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late", size(collect_set(
+          when(col("__late"), col("l_suppkey"))).over(w)))
+        .filter(col("__late") && col("n_supp") >= 2 && col("n_late") === 1)
+      val sup = s.table("supplier")
+        .join(s.table("nation"),
+          col("s_nationkey") === col("n_nationkey") && col("n_name") === "NATION_1")
+        .select("s_suppkey", "s_name")
+      candidates.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+        .select("s_name", "numwait")
+    },
+    Some("""SELECT s_name, count(*) AS numwait
        FROM supplier, lineitem l1, orders, nation
        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
          AND o_orderstatus = 'F'
@@ -361,7 +395,7 @@ object TpchQueries extends QueryBatch {
                            AND l3.l_suppkey <> l1.l_suppkey
                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
          AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
-       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""))
 
   override def queries: Seq[GQ] = Seq(h01, h02, h03, h04, h05, h06, h07, h08,
     h09, h10, h11, h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22)

@@ -268,10 +268,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Per-file stats of the live files at a version (rel path → col →
-    * (min,max)). */
-  def statsAt(version: Long = Long.MaxValue): Map[String, Map[String, (String, String)]] =
-    commits.takeWhile(_.version <= version)
+    * (min,max)). The tip-version map is cached per table path: folding
+    * every commit's stats on each `readWhere` is fine at 10³ files but
+    * measurable at 10⁶, and the fold only changes when a commit lands
+    * (cache key = current version, so any write invalidates naturally).
+    * Historical versions are rare reads and compute fresh. */
+  def statsAt(version: Long = Long.MaxValue): Map[String, Map[String, (String, String)]] = {
+    val tip = currentVersion
+    val v = math.min(version, tip)
+    val cached = GraftTable.statsCache.get(path)
+    if (cached != null && cached._1 == v) return cached._2
+    GraftTable.statsMaterializations.incrementAndGet()
+    val m = commits.takeWhile(_.version <= v)
       .foldLeft(Map.empty[String, Map[String, (String, String)]])(_ ++ _.fileStats)
+    if (v == tip) GraftTable.statsCache.put(path, (v, m))
+    m
+  }
 
   /** Stats-pruned file list for a conjunctive predicate: only files whose
     * min/max ranges can match. Falls back to all files on unknown shapes. */
@@ -663,7 +675,28 @@ object GraftTable {
   private val logCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Vector[String], Vector[Commit])]()
 
-  private[tables] def clearLogCache(path: String): Unit = logCache.remove(path)
+  private[tables] def clearLogCache(path: String): Unit = {
+    logCache.remove(path)
+    statsCache.remove(path)
+  }
+
+  /** Drop every cached parsed log / stats map (benchmark-harness reset:
+    * scratch tables are deleted between queries; their cache entries would
+    * otherwise accumulate for the whole run). */
+  def clearAllCaches(): Unit = {
+    logCache.clear()
+    statsCache.clear()
+  }
+
+  /** Live-version stats map per table path: (version, rel path → col →
+    * (min,max)). See [[GraftTable.statsAt]]. */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Map[String, Map[String, (String, String)]])]()
+
+  /** Count of full stats-map folds — observable in tests asserting the
+    * map is materialized once across repeated `readWhere` calls. */
+  private[tables] val statsMaterializations =
+    new java.util.concurrent.atomic.AtomicLong()
 
   /** Count of physical log-file reads (commit files + checkpoints) —
     * observable in tests asserting O(1) reads after warm-up. */

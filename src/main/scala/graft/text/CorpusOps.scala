@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
   * packing, stratified sampling, vocabulary coverage. Companions to the
   * per-document ops in [[TextOps]] (pure projections) — these are the
   * whole-corpus operators, each written as the shape that survives 100 TB
-  * (no global single-partition window, no driver-side data loops; driver
-  * traffic is bounded by partition count or vocabulary size, never corpus
-  * size).
+  * (no global single-partition window over corpus-scale data, no
+  * driver-side data loops; driver traffic is bounded by partition count or
+  * vocabulary size, never corpus size).
   */
 object CorpusOps {
 
@@ -21,39 +21,54 @@ object CorpusOps {
     * lands in.
     *
     * Needs a global prefix sum of token counts — computed distributed:
-    * range-repartition on the order key, running sum *within* each range
-    * partition (keyed window, never a single global partition), then the
-    * per-partition totals (one row per partition, metadata-scale) become
-    * partition start offsets via a broadcast join. Two passes over the
-    * data, zero rows through the driver beyond the partition-total list.
-    * The pid-tagged frame is checkpointed so both passes see identical
-    * range boundaries (repartitionByRange samples its bounds).
+    * rows are bucketed into contiguous id ranges by an explicit,
+    * DATA-INDEPENDENT bucket expression (quantile bounds computed once,
+    * one map-side-combined aggregate), the running sum is keyed *within*
+    * each bucket (never a single global partition), and the per-bucket
+    * totals (one row per bucket, metadata-scale) become bucket start
+    * offsets via a broadcast join. Because the bucket assignment is a pure
+    * expression over the id — not a sampled repartitionByRange — both
+    * passes see identical boundaries with nothing pinned to executor
+    * storage (no checkpoint, recoverable on executor loss).
     *
-    * Input must carry `idCol` (globally unique order key) and `nCol`
-    * (tokens per document, >= 1). Output: idCol, nCol, tok_start,
+    * Input must carry `idCol` (globally unique NUMERIC order key) and
+    * `nCol` (tokens per document, >= 1). Output: idCol, nCol, tok_start,
     * seq_first, seq_last, n_seqs.
     */
   def packSequences(docs: DataFrame, capacity: Int,
       idCol: String = "doc_id", nCol: String = "n_tokens"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tagged = docs
-      .repartitionByRange(col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val inPart = Window.partitionBy("__pid").orderBy(idCol)
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    // interior quantiles of the order key → bucket bounds (one aggregate;
+    // at most nBuckets-1 values reach the driver)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds: Seq[Long] =
+      if (probs.isEmpty) Nil
+      else {
+        val row = docs.select(percentile_approx(col(idCol).cast("long"),
+          lit(probs.toArray), lit(10000)).as("b")).head()
+        if (row.isNullAt(0)) Nil else row.getSeq[Long](0).distinct
+      }
+    // bucket = number of bounds strictly below the id (O(bounds) per row —
+    // bounded by the shuffle-partition count, not data)
+    val bucketOf: Column =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit): _*), b => b < col(idCol).cast("long")))
+    val tagged = docs.withColumn("__b", bucketOf)
+    val inBucket = Window.partitionBy("__b").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = tagged.withColumn("__cum", sum(col(nCol).cast("long")).over(inPart))
-    // one row per partition → driver → exclusive prefix offsets
-    val totals = tagged.groupBy("__pid")
+    val run = tagged.withColumn("__cum", sum(col(nCol).cast("long")).over(inBucket))
+    // one row per bucket → driver → exclusive prefix offsets
+    val totals = tagged.groupBy("__b")
       .agg(sum(col(nCol).cast("long")).as("__tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
-      (pid, acc + tot)
-    }.dropRight(1).zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
-    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, tot)) =>
+      (b, acc + tot)
+    }.dropRight(1).zip(totals).map { case ((_, off), (b, _)) => (b, off) }
+    val offDf = broadcast(offsets.toSeq.toDF("__b", "__off"))
     val cap = lit(capacity.toLong)
-    run.join(offDf, Seq("__pid"))
+    run.join(offDf, Seq("__b"))
       .withColumn("__end", col("__cum") + col("__off"))
       .withColumn("tok_start", col("__end") - col(nCol))
       .select(col(idCol), col(nCol).cast("long").as(nCol), col("tok_start"),
@@ -63,22 +78,22 @@ object CorpusOps {
   }
 
   /** Deterministic stratified sampling: within each stratum, rank documents
-    * by a multiplicative (Knuth) hash of their stable id and keep the first
+    * by `xxhash64` of their stable id and keep the first
     * `ceil(fraction * stratum_size)`. Hash-ranked — not RNG — so the sample
-    * is reproducible across engines and reprocessing runs, and adding new
-    * documents only perturbs the sample by the new ids' hash positions (no
-    * global reshuffle of the selection). One keyed shuffle on the stratum
-    * column; stratum sizes ride the same window, no extra aggregate pass.
+    * is reproducible across reprocessing runs, works for any id type
+    * (string/UUID ids hash like numeric ones), and adding new documents
+    * only perturbs the sample by the new ids' hash positions (no global
+    * reshuffle of the selection). One keyed shuffle on the stratum column;
+    * stratum sizes ride the same window, no extra aggregate pass.
     *
     * Output: all input columns + sample_rank (1-based within stratum) +
     * n_stratum.
     */
   def stratifiedSample(docs: DataFrame, stratumCol: String, fraction: Double,
       idCol: String = "doc_id"): DataFrame = {
-    val h = (col(idCol) * lit(2654435761L)) % lit(4294967296L)
     val w = Window.partitionBy(stratumCol).orderBy(col("__h"), col(idCol))
     val all = Window.partitionBy(stratumCol)
-    docs.withColumn("__h", h)
+    docs.withColumn("__h", xxhash64(col(idCol)))
       .withColumn("sample_rank", row_number().over(w))
       .withColumn("n_stratum", count(lit(1)).over(all))
       .filter(col("sample_rank") <= ceil(col("n_stratum") * lit(fraction)))
@@ -89,11 +104,13 @@ object CorpusOps {
     * share of all tokens — the standard tokenizer-design / heavy-hitter
     * report ("how many types cover 90% of tokens").
     *
-    * The corpus-size work is the map-side-combined word count; everything
-    * after operates on the *vocabulary* (bounded by distinct types, ~1e6-1e8
-    * at web scale — metadata next to a 100 TB corpus), so the single-
-    * partition rank window never sees corpus-scale data. The grand total
-    * rides a broadcast 1-row join.
+    * The corpus-size work is the map-side-combined word count, computed
+    * ONCE; everything after operates on the *vocabulary* (bounded by
+    * distinct types, ~1e6-1e8 at web scale — metadata next to a 100 TB
+    * corpus), so the single-partition rank window never sees corpus-scale
+    * data. The grand total rides the same window pass (an unordered
+    * whole-frame sum over the already-collapsed vocabulary) instead of a
+    * second scan of the corpus.
     */
   def vocabCoverage(docs: DataFrame, textCol: String = "text",
       topK: Int = 50): DataFrame = {
@@ -101,14 +118,14 @@ object CorpusOps {
       .select(explode(TextOps.words(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
-    val tot = counts.agg(sum("n").cast("double").as("__tot"))
     val byFreq = Window.orderBy(col("n").desc, col("word"))
+    val whole = Window.partitionBy()
     counts
       .withColumn("rank", row_number().over(byFreq))
       .withColumn("__cum", sum("n").over(
         byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum("n").over(whole).cast("double"))
       .filter(col("rank") <= topK)
-      .crossJoin(broadcast(tot))
       .select(col("word"), col("n"),
         col("rank"),
         round(col("__cum") / col("__tot") + lit(1e-9), 6).as("cum_share"))

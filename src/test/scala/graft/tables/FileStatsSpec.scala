@@ -37,6 +37,22 @@ class FileStatsSpec extends SparkTestBase {
       li.filter(col("l_quantity") <= 3).count())
   }
 
+  test("repeated readWhere materializes the stats map once (100×-scale guard)") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val t = GraftTable.createFrom(spark, scratch("statscache"), li)
+    t.pruneFiles("l_orderkey = 1") // warm the tip-version cache
+    val before = GraftTable.statsMaterializations.get()
+    (1 to 5).foreach(i => t.readWhere(s"l_orderkey = $i").count())
+    assert(GraftTable.statsMaterializations.get() === before,
+      "warm readWhere calls must reuse the cached stats map, not re-fold the log")
+    // a write bumps the version and must invalidate the cache exactly once
+    t.append(li.limit(10))
+    t.pruneFiles("l_orderkey = 1")
+    t.pruneFiles("l_orderkey = 2")
+    assert(GraftTable.statsMaterializations.get() === before + 1,
+      "one re-fold after a commit, then cached again")
+  }
+
   test("unknown predicate shapes never prune (conservative)") {
     val li = Tables.t(spark, sf, "lineitem")
     val t = GraftTable.createFrom(spark, scratch("cons"), li)
