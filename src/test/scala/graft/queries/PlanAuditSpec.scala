@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Physical-plan audits: the properties that decide whether a query
+  * survives a 100× scale-up are visible in `explain` — filters reaching
+  * the parquet scan, column pruning, dimension broadcasts, top-k without a
+  * global sort, and single-scan plans where the operator was rewritten to
+  * avoid re-reading the fact table. These assertions pin them so a future
+  * refactor that silently reintroduces a scan or a shuffle fails the
+  * suite, not just the benchmark.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  /** Execute (drives AQE to its final plan), then return the plan text. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter and projection both push down to the parquet scan") {
+    val df = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,"),
+      s"filter must reach the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:") && !p.contains("l_extendedprice"),
+      s"scan must read only the projected columns:\n$p")
+  }
+
+  test("star join broadcasts the dimension side") {
+    val p = finalPlan(SparkEntry.queries("q10_star_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"dims must broadcast, not shuffle:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = finalPlan(SparkEntry.queries("q30_topk_orders")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("TPC-H Q21 single-pass form scans lineitem exactly once") {
+    val df = SparkEntry.queries("q181_tpch21_waiting_suppliers")(spark, sf)
+    val p = finalPlan(df)
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 1,
+      s"the aggregate rewrite exists to avoid re-scanning lineitem; found $scans scans:\n$p")
+  }
+
+  test("TPC-H Q1 aggregation stays inside whole-stage codegen") {
+    val p = finalPlan(SparkEntry.queries("q160_tpch01_pricing")(spark, sf))
+    // codegen stages print as "*(n) Operator" in the plan's toString
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined,
+      s"agg must be codegen'd:\n$p")
+    assert(p.contains("partial_sum"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("exact near-dup verification never explodes pair×shingle") {
+    // the candidate-verify join must be bounded by candidate pairs (per-doc
+    // array_intersect), not a shingle-level join — a cartesian/position
+    // explode here is the classic quadratic blow-up at corpus scale
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val pairs = graft.text.DedupOps.jaccardPairs(docs, n = 3, threshold = 0.8)
+    val p = pairs.queryExecution.optimizedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the dedup path:\n$p")
+  }
+}
