@@ -147,5 +147,61 @@ object VectorQueries extends QueryBatch {
             FROM d ORDER BY vec_id""")
   )
 
-  override def queries: Seq[GQ] = Seq(q80, q81, q82, q83, q84)
+  /** Product-quantization ADC top-k (`Pq.adcTopK`, m=8 subspaces × 16
+    * codes, one Lloyd round): vectors compress 64×4 bytes → 8 bytes and
+    * queries score code words via an m×ksub lookup table. The oracle
+    * replays the ENTIRE deterministic pipeline in SQL — lowest-id init,
+    * tie-to-lowest-cell Lloyd assignment, 1e-6-rounded centroid
+    * recompute, re-encode, ADC reconstruction cosine — so the gate checks
+    * training, encoding, and scoring, not just the final ordering. */
+  private val q208 = GQ(
+    "q208_pq_adc_topk",
+    (s, dir) => graft.vector.Pq.adcTopK(
+      emb(s, dir), queryVec(s, dir), 10, m = 8, ksub = 16, iters = 1),
+    Some("""WITH v AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+                 subs AS (SELECT vec_id, s.sub, v[s.sub*8+1 : s.sub*8+8] AS sv
+                          FROM v, UNNEST(range(8)) AS s(sub)),
+                 init AS (SELECT sub,
+                            row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cell,
+                            sv AS c
+                          FROM subs
+                          QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 16),
+                 d1 AS (SELECT p.vec_id, p.sub, i.cell,
+                          row_number() OVER (PARTITION BY p.vec_id, p.sub ORDER BY
+                            list_sum(list_transform(range(8),
+                              j -> (p.sv[j+1] - i.c[j+1]) * (p.sv[j+1] - i.c[j+1]))), i.cell) AS rn
+                        FROM subs p JOIN init i USING (sub)),
+                 asg AS (SELECT vec_id, sub, cell FROM d1 WHERE rn = 1),
+                 cdim AS (SELECT a.sub, a.cell, d.dim,
+                            round(avg(p.sv[d.dim+1]) + 1e-9, 6) AS mval
+                          FROM asg a JOIN subs p USING (vec_id, sub),
+                               UNNEST(range(8)) AS d(dim)
+                          GROUP BY a.sub, a.cell, d.dim),
+                 cent AS (SELECT sub, cell, list(mval ORDER BY dim) AS c
+                          FROM cdim GROUP BY sub, cell),
+                 d2 AS (SELECT p.vec_id, p.sub, c.cell,
+                          row_number() OVER (PARTITION BY p.vec_id, p.sub ORDER BY
+                            list_sum(list_transform(range(8),
+                              j -> (p.sv[j+1] - c.c[j+1]) * (p.sv[j+1] - c.c[j+1]))), c.cell) AS rn
+                        FROM subs p JOIN cent c USING (sub)),
+                 codes AS (SELECT vec_id, sub, cell FROM d2 WHERE rn = 1),
+                 q AS (SELECT sub, sv AS qv FROM subs WHERE vec_id = 0),
+                 qn AS (SELECT sqrt(sum(list_sum(list_transform(qv, x -> x * x)))) AS qnorm
+                        FROM q),
+                 scored AS (SELECT co.vec_id,
+                              sum(list_sum(list_transform(range(8),
+                                j -> q.qv[j+1] * ce.c[j+1]))) AS dots,
+                              sum(list_sum(list_transform(ce.c, x -> x * x))) AS n2
+                            FROM codes co
+                            JOIN cent ce USING (sub, cell)
+                            JOIN q USING (sub)
+                            GROUP BY co.vec_id)
+            SELECT s.vec_id, round(s.dots / (qn.qnorm * sqrt(s.n2)) + 1e-9, 4) AS sim
+            FROM scored s, qn
+            ORDER BY sim DESC, vec_id LIMIT 10""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q80, q81, q82, q83, q84, q208)
 }

@@ -1,0 +1,160 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate nearest neighbor at scale
+  * (FAISS-style IVFADC building block, expressed as pure DataFrame
+  * programs): each d-dim vector splits into `m` disjoint subvectors of
+  * d/m dims; per subspace a small k-means codebook (`ksub` centroids)
+  * quantizes subvectors to one byte-sized code, compressing vectors
+  * d·4 bytes → m bytes (64-dim float → 8 bytes at m=8). Queries score
+  * against codes via an asymmetric distance computation (ADC): one
+  * m×ksub lookup table built per query, so scoring costs m table adds
+  * per vector instead of d multiplies.
+  *
+  * Scale design mirrors [[Ivf]]: codebooks are metadata (m·ksub·(d/m) =
+  * d·ksub doubles) and live as driver-inlined literals; training shuffles
+  * only (sub, cell, dim)-keyed partial sums — cardinality m·ksub·d/m, not
+  * N·d; encoding and ADC scoring are zero-shuffle narrow projections over
+  * the vectors, and top-k plans as TakeOrderedAndProject.
+  *
+  * Determinism: init = the ksub lowest-id subvectors per subspace; Lloyd
+  * assignment breaks distance ties toward the lowest cell; recomputed
+  * centroids round to 1e-6 (far coarser than fp noise, far finer than
+  * quantization error) so codebooks are bit-reproducible across engines —
+  * the correctness gate (q208) replays the entire training in DuckDB SQL.
+  */
+object Pq {
+
+  /** Sequential squared L2 distance between two double arrays (fixed
+    * evaluation order — engine-reproducible like [[VectorOps.dot]]). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Driver-side codebooks: (sub, cell, centroid). */
+  final case class Codebook(sub: Int, cell: Int, c: Seq[Double])
+
+  /** One literal struct array for every (sub, cell) centroid. */
+  private def centLit(cents: Seq[Codebook]): Column =
+    array(cents.map(cb =>
+      struct(lit(cb.sub).as("sub"), lit(cb.cell).as("cell"),
+        array(cb.c.map(lit): _*).as("c"))): _*)
+
+  /** Argmin cell for subvector `sv` within subspace `sub` (ties → lowest
+    * cell, matching the oracle's ORDER BY dist, cell). */
+  private def nearestCell(cents: Column, sub: Column, sv: Column): Column =
+    array_min(transform(filter(cents, cb => cb.getField("sub") === sub),
+      cb => struct(l2sq(sv, cb.getField("c")).as("d"),
+        cb.getField("cell").as("cell")))).getField("cell")
+
+  /** (id, sub, sv): each vector exploded into its m subvectors. */
+  private def subspaces(emb: DataFrame, m: Int, dsub: Int,
+      idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("v"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  /** Train per-subspace codebooks with `iters` Lloyd rounds. Vector dims
+    * must divide evenly into m subspaces. Cells that end a round empty are
+    * dropped (codes can never reference them). */
+  def trainCodebooks(emb: DataFrame, m: Int, ksub: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Codebook] = {
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    val subs = subspaces(emb, m, dsub, idCol, vecCol)
+    val w = Window.partitionBy("sub").orderBy("id")
+    var cents: Seq[Codebook] = subs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ksub)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("cell"), col("sv"))
+      .collect().map(r => Codebook(r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .toSeq
+    (1 to iters).foreach { _ =>
+      val cl = centLit(cents)
+      cents = subs
+        .withColumn("cell", nearestCell(cl, col("sub"), col("sv")))
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "cell", "dim")
+        .agg(round(avg("x") + lit(1e-9), 6).as("m"))
+        .groupBy("sub", "cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("sub"), col("cell"),
+          transform(col("dm"), s => s.getField("m")).as("c"))
+        .collect().map(r => Codebook(r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .toSeq
+    }
+    cents.sortBy(cb => (cb.sub, cb.cell))
+  }
+
+  /** Encode every vector to its m-byte code word — a single zero-shuffle
+    * narrow projection (no explode: all m argmins evaluate per row).
+    * Output: idCol, codes array<int>. */
+  def encode(emb: DataFrame, cents: Seq[Codebook], m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dsub = cents.head.c.size
+    val cl = centLit(cents)
+    emb.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          nearestCell(cl, s, slice(col("__v"), s * dsub + 1, lit(dsub)))).as("codes"))
+  }
+
+  /** Approximate top-k by ADC cosine: train + encode, then score each
+    * code word against a per-query m×ksub lookup table (dot and squared
+    * norm per centroid, computed once on the driver) — reconstruction
+    * cosine = Σ_s dot(q_s, c_s) / (|q| · sqrt(Σ_s |c_s|²)), exact for the
+    * quantized vector because subspaces are disjoint coordinates. */
+  def adcTopK(emb: DataFrame, queryVec: Seq[Double], k: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = trainCodebooks(emb, m, ksub, iters, idCol, vecCol)
+    val dsub = cents.head.c.size
+    val codes = encode(emb, cents, m, idCol, vecCol)
+    // per-(sub, cell) lookup tables, dense over cell ids (unused slots for
+    // dropped-empty cells keep positional indexing valid; codes never
+    // reference them)
+    val bySubCell = cents.map(cb => (cb.sub, cb.cell) -> cb.c).toMap
+    def table(f: (Int, Seq[Double]) => Double): Column =
+      array((0 until m).map(s => array((0 until ksub).map { c =>
+        lit(bySubCell.get((s, c)).map(v => f(s, v)).getOrElse(0.0))
+      }: _*)): _*)
+    val dots = table((s, c) =>
+      c.zip(queryVec.slice(s * dsub, s * dsub + dsub)).foldLeft(0.0) {
+        case (acc, (x, q)) => acc + x * q
+      })
+    val norms2 = table((_, c) => c.foldLeft(0.0)((acc, x) => acc + x * x))
+    val qnorm = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
+    def lookup(tbl: Column): Column =
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+        acc + element_at(element_at(tbl, s + 1),
+          element_at(col("codes"), s + 1) + 1))
+    codes.select(col(idCol),
+        round(lookup(dots) / (lit(qnorm) * sqrt(lookup(norms2))) + lit(1e-9), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Two-stage search (the production PQ shape): a cheap ADC pass over
+    * the m-byte codes shortlists `fetch` candidates, then exact cosine
+    * reranks only those — full-precision vectors are touched for `fetch`
+    * rows, not N. On the test corpus a 20% shortlist recovers the exact
+    * top-10 (PqSpec); at 100 TB `fetch` stays O(k), a constant-sized
+    * broadcast semi-join against the code scan. */
+  def topKRerank(emb: DataFrame, queryVec: Seq[Double], k: Int,
+      fetch: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val short = adcTopK(emb, queryVec, fetch, m, ksub, iters, idCol, vecCol)
+      .select(col(idCol))
+    VectorOps.cosineTopK(
+      emb.join(broadcast(short), Seq(idCol), "left_semi"),
+      queryVec, k, idCol, vecCol)
+  }
+}
