@@ -317,6 +317,53 @@ object TextQueries extends QueryBatch {
              ORDER BY a.doc_id""")
   )
 
+  /** Incremental near-dup detection (`DedupOps.incrementalJaccardPairs`):
+    * a new ingest batch (mutated near-copies) dedups against the
+    * persisted corpus shingle index — corpus TEXT is never re-read, only
+    * batch prefixes probe the index. Oracle = the full-corpus Jaccard
+    * join restricted to pairs touching a batch document (batch ids are
+    * the ≥100000 range), which the one-sided prefix bound must equal
+    * exactly. */
+  private val q209 = GQ(
+    "q209_incremental_dedup",
+    (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpusGrams = DedupOps.shingleTable(d, 5)
+      val batch = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra token extra2")).as("text"))
+        .unionAll(d.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" extra token extra3")).as("text")))
+      DedupOps.incrementalJaccardPairs(corpusGrams, batch, n = 5, threshold = 0.5)
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH batch AS (SELECT doc_id + 100000 AS doc_id,
+                             text || ' extra token extra2' AS text
+                           FROM documents WHERE doc_id % 20 = 0
+                           UNION ALL
+                           SELECT doc_id + 200000, text || ' extra token extra3'
+                           FROM documents WHERE doc_id % 40 = 0),
+                 allc AS (SELECT doc_id, text FROM documents
+                          UNION ALL SELECT * FROM batch),
+                 words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') w
+                           FROM allc),
+                 grams AS (SELECT DISTINCT doc_id,
+                             w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+                               || w[i+4] || ' ' || w[i+5] AS shingle
+                           FROM words, UNNEST(range(greatest(len(w) - 4, 0))) AS t(i)),
+                 sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+                 pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                           FROM grams a JOIN grams b
+                             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2)
+            SELECT d1, d2,
+                   round(inter::DOUBLE / (s1.sz + s2.sz - inter) + 1e-9, 4) AS jaccard
+            FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+            WHERE inter::DOUBLE / (s1.sz + s2.sz - inter) >= 0.5 AND d2 >= 100000
+            ORDER BY d1, d2""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209)
 }

@@ -101,6 +101,60 @@ object DedupOps {
     finally grams.unpersist()
   }
 
+  /** Incremental near-dup detection: dedup a NEW ingest batch against an
+    * already-indexed corpus without re-scanning corpus text — the shape
+    * ingest actually takes at 100 TB, where re-shingling the whole corpus
+    * per batch is a non-starter. `corpusGrams` is the persisted index:
+    * the corpus's `shingleTable` output (in production a table bucketed
+    * on the 8-byte shingle hash, appended per ingest).
+    *
+    * Exactness: only the batch side is prefix-filtered. One-sided prefix
+    * probing of a FULL index is exact — J(x,y) ≥ t forces |x∩y| ≥
+    * ceil(t·|x|), and a pair sharing none of x's first
+    * |x| − ceil(t·|x|) + 1 shingles (any consistent order) caps the
+    * intersection at ceil(t·|x|) − 1 — so no corpus-side prefix, no
+    * global document frequencies, and the index needs no per-batch
+    * rebuild. Batch-vs-batch pairs use the two-sided prefix join.
+    *
+    * Cost ∝ batch shingles + corpus postings matching a batch prefix
+    * shingle + candidate pairs; verification reads corpus grams through a
+    * candidate-id semi-join, never grouping the whole index.
+    *
+    * @return exact-Jaccard pairs (d1 < d2, ≥ threshold) where at least
+    *         one side is a batch document
+    */
+  def incrementalJaccardPairs(corpusGrams: DataFrame, batch: DataFrame,
+      n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val batchGrams = shingleTable(batch, n, idCol, textCol).persist()
+    try {
+      val wDf = Window.partitionBy("shingle")
+      val wRn = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+      val wSz = Window.partitionBy("doc_id")
+      val bPrefix = batchGrams
+        .withColumn("df", count(lit(1)).over(wDf))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("sz", count(lit(1)).over(wSz))
+        .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .select("doc_id", "shingle")
+      val vsCorpus = bPrefix.alias("p")
+        .join(corpusGrams.alias("c"), col("p.shingle") === col("c.shingle"))
+        .select(least(col("p.doc_id"), col("c.doc_id")).as("d1"),
+          greatest(col("p.doc_id"), col("c.doc_id")).as("d2"))
+        .filter(col("d1") =!= col("d2"))
+      val vsBatch = bPrefix.alias("a")
+        .join(bPrefix.alias("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val candidates = vsCorpus.unionByName(vsBatch).distinct()
+      val touched = candidates.select(col("d1").as("doc_id"))
+        .unionByName(candidates.select(col("d2").as("doc_id"))).distinct()
+      val gramsTouched = corpusGrams.unionByName(batchGrams)
+        .join(touched, Seq("doc_id"), "left_semi")
+      verifyPairs(candidates, gramsTouched, threshold).localCheckpoint(eager = true)
+    } finally batchGrams.unpersist()
+  }
+
   /** Substring-level duplicated-span statistics (the published heavier
     * alternative to document-level dedup: remove repeated SPANS, not
     * whole documents — "Deduplicating Training Data Makes Language
