@@ -31,12 +31,12 @@ object Bench {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
-      // ContextCleaner only reclaims shuffle files/broadcasts when the
-      // driver GCs; the default periodic-GC interval (30 min) never fires
-      // inside a ~3 min bench, so dereferenced shuffle state from 137
-      // queries piles up in the block manager. (Backstop — the per-query
-      // cleanup below also forces GC on a cadence.)
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      // NOTE: spark.cleaner.periodicGC.interval is left at its default
+      // (30 min, i.e. never inside this run) on purpose — a short timer
+      // would fire full GCs asynchronously INSIDE timed queries. The
+      // per-query resetRunState below forces GC on its own cadence,
+      // strictly between queries, so the ContextCleaner still reclaims
+      // shuffle state without polluting any timing.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -65,16 +65,7 @@ object Bench {
     //  - a forced GC every `gcEvery` queries so the ContextCleaner
     //    actually releases shuffle files/broadcasts mid-run
     val qtmp = java.nio.file.Paths.get("/root/repo/target/qtmp")
-    def wipeScratch(): Unit =
-      if (java.nio.file.Files.isDirectory(qtmp)) {
-        import scala.collection.JavaConverters._
-        val s = java.nio.file.Files.walk(qtmp)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p =>
-            try java.nio.file.Files.deleteIfExists(p)
-            catch { case _: java.io.IOException => () })
-        finally s.close()
-      }
+    def wipeScratch(): Unit = graft.tables.GraftTable.deleteTree(qtmp)
     val gcEvery = 16
     def resetRunState(i: Int): Unit = {
       spark.streams.active.foreach(_.stop())
@@ -126,15 +117,8 @@ object Bench {
 
     resetRunState(gcEvery - 1) // clean slate (+GC) before the micro-experiments
 
-    def rmTree(dir: java.nio.file.Path): Unit = {
-      import scala.collection.JavaConverters._
-      val s = java.nio.file.Files.walk(dir)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(p =>
-          try java.nio.file.Files.deleteIfExists(p)
-          catch { case _: java.io.IOException => () })
-      finally s.close()
-    }
+    def rmTree(dir: java.nio.file.Path): Unit =
+      graft.tables.GraftTable.deleteTree(dir)
 
     // ZORDER pruning comparison (the BASELINE.md point-lookup experiment:
     // clustered table, point predicate → files skipped + latency ratio)

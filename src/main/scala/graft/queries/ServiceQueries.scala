@@ -121,21 +121,16 @@ object ServiceQueries extends QueryBatch {
       // and each run leaked two more bucketed tables into spark-warehouse.
       // The in-memory catalog forgets tables across JVMs while the
       // warehouse dir persists, so the stale LOCATION must go too.
+      // Single-writer assumption: this query must not run concurrently
+      // with another process sharing the warehouse dir (the gate runners
+      // execute it sequentially, and it is excluded from the bench's
+      // concurrent subset).
       val suffix = "q114"
       val wh = java.nio.file.Paths.get(
         new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
       Seq(s"b_orders_$suffix", s"b_cust_$suffix").foreach { n =>
         s.sql(s"DROP TABLE IF EXISTS $n")
-        val loc = wh.resolve(n)
-        if (java.nio.file.Files.isDirectory(loc)) {
-          import scala.collection.JavaConverters._
-          val st = java.nio.file.Files.walk(loc)
-          try st.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p =>
-              try { java.nio.file.Files.deleteIfExists(p); () }
-              catch { case _: java.io.IOException => () })
-          finally st.close()
-        }
+        graft.tables.GraftTable.deleteTree(wh.resolve(n))
       }
       graft.perf.Layout.writeBucketed(
         graft.Tables.t(s, dir, "orders").select("o_custkey", "o_totalprice"),

@@ -722,6 +722,19 @@ object GraftTable {
     try s.iterator().asScala.toList finally s.close()
   }
 
+  /** Best-effort recursive delete (no-op on a missing path; per-path IO
+    * errors skipped) — shared by the bench harness and scratch-table
+    * cleanup so the walk-sort-delete loop lives once. */
+  def deleteTree(p: Path): Unit =
+    if (Files.isDirectory(p) || Files.isRegularFile(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(q =>
+          try { Files.deleteIfExists(q); () }
+          catch { case _: java.io.IOException => () })
+      finally s.close()
+    }
+
   class ConcurrentCommitException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)
 

@@ -32,8 +32,14 @@ object CorpusOps {
     * storage (no checkpoint, recoverable on executor loss).
     *
     * Input must carry `idCol` (globally unique NUMERIC order key) and
-    * `nCol` (tokens per document, >= 1). Output: idCol, nCol, tok_start,
-    * seq_first, seq_last, n_seqs.
+    * `nCol` (tokens per document, >= 1). The input plan must be
+    * DETERMINISTIC across actions (a table/file read or other stable
+    * lineage): the operator runs three passes over `docs` (quantile
+    * bounds, bucket totals, the windowed output) without pinning the
+    * data, which is what makes it survive 100 TB — ids minted with
+    * uuid()/rand()/monotonically_increasing_id must be materialized to
+    * storage first, the standard contract for any multi-action dataflow.
+    * Output: idCol, nCol, tok_start, seq_first, seq_last, n_seqs.
     */
   def packSequences(docs: DataFrame, capacity: Int,
       idCol: String = "doc_id", nCol: String = "n_tokens"): DataFrame = {

@@ -68,8 +68,10 @@ object DedupOps {
     * full-set intersection counts, so the output is exactly the naive
     * join's. */
   /** Prefix-filter candidate pairs (d1 < d2, distinct) over a shingle
-    * table: exact for Jaccard ≥ threshold (see jaccardPairs doc). */
-  private def prefixCandidates(grams: DataFrame, threshold: Double): DataFrame = {
+    * table: exact for Jaccard ≥ threshold (see jaccardPairs doc).
+    * Visible to the plan-audit spec, which inspects this stage's physical
+    * plan before `jaccardPairs` checkpoints it away. */
+  private[graft] def prefixCandidates(grams: DataFrame, threshold: Double): DataFrame = {
     // two exchanges total: one by shingle (global frequency as an
     // unordered window — same partition count as a groupBy+join back, but
     // no second shuffle of the gram table and no join), then one by
@@ -120,6 +122,13 @@ object DedupOps {
     * shingle + candidate pairs; verification reads corpus grams through a
     * candidate-id semi-join, never grouping the whole index.
     *
+    * Id collisions (a batch doc reusing an id already in the index — a
+    * re-ingest) resolve as SUPERSEDE: verification uses the batch
+    * version's shingles for that id, never a merged set, so Jaccard
+    * values stay exact for whichever version the pair references. The
+    * exactness argument is unaffected — the superseding doc is in the
+    * batch, so its prefix probes the index like any other batch doc.
+    *
     * @return exact-Jaccard pairs (d1 < d2, ≥ threshold) where at least
     *         one side is a batch document
     */
@@ -149,7 +158,14 @@ object DedupOps {
       val candidates = vsCorpus.unionByName(vsBatch).distinct()
       val touched = candidates.select(col("d1").as("doc_id"))
         .unionByName(candidates.select(col("d2").as("doc_id"))).distinct()
-      val gramsTouched = corpusGrams.unionByName(batchGrams)
+      // batch supersedes the index on id collision: anti-join keeps a
+      // re-ingested id's OLD grams out of the union, so per-doc sets
+      // never merge two versions (the anti-join is against batch ids —
+      // metadata-scale next to the index)
+      val batchIds = batchGrams.select("doc_id").distinct()
+      val gramsTouched = corpusGrams
+        .join(batchIds, Seq("doc_id"), "left_anti")
+        .unionByName(batchGrams)
         .join(touched, Seq("doc_id"), "left_semi")
       verifyPairs(candidates, gramsTouched, threshold).localCheckpoint(eager = true)
     } finally batchGrams.unpersist()

@@ -63,10 +63,17 @@ class PlanAuditSpec extends SparkTestBase {
   test("exact near-dup verification never explodes pair×shingle") {
     // the candidate-verify join must be bounded by candidate pairs (per-doc
     // array_intersect), not a shingle-level join — a cartesian/position
-    // explode here is the classic quadratic blow-up at corpus scale
+    // explode here is the classic quadratic blow-up at corpus scale.
+    // Composed from the pre-checkpoint stages: jaccardPairs itself returns
+    // an eager localCheckpoint whose plan is just an RDD scan.
+    import graft.text.DedupOps
     val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
-    val pairs = graft.text.DedupOps.jaccardPairs(docs, n = 3, threshold = 0.8)
-    val p = pairs.queryExecution.optimizedPlan.toString
-    assert(!p.contains("CartesianProduct"), s"no cartesian in the dedup path:\n$p")
+    val grams = DedupOps.shingleTable(docs, 3)
+    val pairs = DedupOps.verifyPairs(
+      DedupOps.prefixCandidates(grams, 0.8), grams, 0.8)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("Join"), s"plan must actually contain the joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cartesian/unconditioned join in the dedup path:\n$p")
   }
 }

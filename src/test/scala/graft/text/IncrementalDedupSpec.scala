@@ -27,6 +27,21 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(incremental.nonEmpty, "planted near-copies must be found")
   }
 
+  test("re-ingested id supersedes the indexed version (no merged sets)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "red orange yellow green blue indigo violet pink")).toDF("doc_id", "text")
+    // doc 1 re-ingested with doc 2's text: the new version must match
+    // doc 2 at jaccard 1.0; a merged old+new shingle set would dilute it
+    val batch = Seq((1L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.incrementalJaccardPairs(
+        DedupOps.shingleTable(docs, 3), batch, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1.0)), s"got $pairs")
+  }
+
   test("an empty batch finds nothing and touches no corpus groups") {
     val d = Tables.t(spark, sf, "documents").select("doc_id", "text")
     val empty = d.filter(lit(false))
