@@ -364,6 +364,46 @@ object StreamQueries extends QueryBatch {
             FROM marked GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** Stream-stream interval self-join: each click joins the same user's
+    * purchases within the following hour — both sides watermarked, the
+    * event-time bound making join state evictable (without it, a
+    * stream-stream join buffers both streams forever; with it, state is
+    * bounded by the interval × arrival rate at any corpus size). Driven
+    * availableNow; inner-join emission is deterministic, so batch SQL
+    * over the same events reproduces it. */
+  private val q210 = GQ(
+    "q210_stream_stream_join",
+    (s, dir) => {
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select("user_id", "click_ts", "p_ts", "value")
+      val sink = GraftTable.create(s, scratch("q210t"), joined.schema)
+      StreamOps.appendStream(joined, sink, scratch("q210ck"))
+      sink.read()
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum("value") + lit(1e-9), 2).as("sum_value"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT c.user_id, count(*) AS n_pairs,
+                   round(sum(p.value) + 1e-9, 2) AS sum_value
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            GROUP BY c.user_id ORDER BY c.user_id""")
+  )
+
   /** Streaming deduplication: every event is doubled, then
     * `dropDuplicatesWithinWatermark` over the state store restores
     * exactly-once rows into the sink — the standard at-least-once→
@@ -431,5 +471,6 @@ object StreamQueries extends QueryBatch {
   )
 
   override def queries: Seq[GQ] =
-    Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q151, q196, q203)
+    Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q151, q196, q203,
+      q210)
 }

@@ -203,5 +203,28 @@ object VectorQueries extends QueryBatch {
             ORDER BY sim DESC, vec_id LIMIT 10""")
   )
 
-  override def queries: Seq[GQ] = Seq(q80, q81, q82, q83, q84, q208)
+  /** Persisted ANN index (`AnnIndex`): IVF assignment materialized as a
+    * cell-partitioned GraftTable with centroids in TBLPROPERTIES — the
+    * query path REOPENS the table from storage (no in-memory state from
+    * the build) and probes via per-cell file-pruned reads. nprobe =
+    * nlist makes the probe exact, so the oracle is brute-force cosine
+    * (the q83 gate idiom); partial-probe recall and file-pruning ratios
+    * are spec-asserted (AnnIndexSpec). */
+  private val q211 = GQ(
+    "q211_ann_index_table",
+    (s, dir) => {
+      val path = java.nio.file.Paths.get("/root/repo/target/qtmp",
+        "annidx-" + java.util.UUID.randomUUID().toString.take(8)).toString
+      graft.vector.AnnIndex.buildIvf(emb(s, dir), path, nlist = 8, iters = 2)
+      val reopened = graft.tables.GraftTable.load(s, path)
+      graft.vector.AnnIndex.topK(reopened, queryVec(s, dir), 10, nprobe = 8)
+        .select("vec_id", "sim")
+    },
+    Some(s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+             SELECT e.vec_id, round($cosineSql + 1e-9, 4) AS sim
+             FROM embeddings e, q
+             ORDER BY sim DESC, vec_id LIMIT 10""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q80, q81, q82, q83, q84, q208, q211)
 }

@@ -1,0 +1,48 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.tables.GraftTable
+
+/** Persisted ANN index semantics: reopen-from-storage equivalence, probe
+  * file-pruning, partial-probe recall, and centroid round-tripping. */
+class AnnIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emb = Tables.t(spark, sf, "embeddings")
+
+  private def qv: Seq[Double] = emb.filter(col("vec_id") === 0)
+    .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+
+  test("centroid property encoding round-trips") {
+    val cents = Seq((0, Seq(1.5, -2.25, 0.0)), (3, Seq(0.125, 4.0, -1.0)))
+    assert(AnnIndex.decodeCentroids(AnnIndex.encodeCentroids(cents)) == cents)
+  }
+
+  test("full probe of a reopened index equals brute force") {
+    val path = scratch("annidx")
+    AnnIndex.buildIvf(emb, path, nlist = 8, iters = 2)
+    val reopened = GraftTable.load(spark, path)
+    val viaIndex = AnnIndex.topK(reopened, qv, 10, nprobe = 8)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    val exact = VectorOps.cosineTopK(emb, qv, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaIndex == exact)
+  }
+
+  test("a partial probe opens fewer files and keeps recall") {
+    val path = scratch("annidx2")
+    val t = AnnIndex.buildIvf(emb, path, nlist = 8, iters = 2)
+    // a 2-cell probe must be file-pruned: strictly fewer data files than
+    // the table holds (cell partitioning => per-cell files)
+    val probed = AnnIndex.topK(t, qv, 10, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val (kept, total) = AnnIndex.probeCost(t, Seq(0, 1))
+    assert(kept < total, s"probe must prune files: $kept/$total")
+    val exact = VectorOps.cosineTopK(emb, qv, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert((probed intersect exact).size >= 5,
+      s"2/8-cell probe recall too low: ${(probed intersect exact).size}/10")
+  }
+}
