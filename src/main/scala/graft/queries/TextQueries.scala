@@ -364,6 +364,36 @@ object TextQueries extends QueryBatch {
             ORDER BY d1, d2""")
   )
 
+  /** Character-level fuzzy self-join (`FuzzyJoin.selfPairs`): all pairs
+    * of 24-char document prefixes within edit distance 2, found via
+    * PassJoin segment filtering (never all-pairs) + exact levenshtein
+    * verification. Planted single-substitution mutants guarantee matches;
+    * the oracle is the naive all-pairs levenshtein join. */
+  private val q212 = GQ(
+    "q212_fuzzy_edit_join",
+    (s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), substring(lower(trim(col("text"))), 1, 24).as("s"))
+      val mutated = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("x"), substring(col("s"), 2, 23)).as("s"))
+      graft.text.FuzzyJoin.selfPairs(base.unionAll(mutated), k = 2)
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH t AS (SELECT doc_id, substr(lower(trim(text)), 1, 24) AS s
+                       FROM documents WHERE doc_id % 5 = 0),
+                 allt AS (SELECT * FROM t
+                          UNION ALL
+                          SELECT doc_id + 100000, 'x' || substr(s, 2, 23)
+                          FROM t WHERE doc_id % 50 = 0)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS ed
+            FROM allt a JOIN allt b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.s, b.s) <= 2
+            ORDER BY d1, d2""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
+      q212)
 }
