@@ -20,6 +20,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scratch tables from previous runs (~0.5 GB per full pass) — wipe so
+    // repeated gate runs don't accumulate disk
+    graft.tables.GraftTable.deleteTree(
+      java.nio.file.Paths.get("/root/repo/target/qtmp"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (wanted(name))

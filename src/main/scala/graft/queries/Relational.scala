@@ -710,22 +710,43 @@ object Relational extends QueryBatch {
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
-  /** Exact percentiles/median per group — an ORACLE-PARITY gate, not the
-    * scale path: Spark `percentile` == DuckDB `quantile_cont` (both
-    * linear-interpolated) buffers every value per group in one reducer,
-    * which is a deliberate weak spot kept only because exact quantiles are
-    * what DuckDB can hash-compare. Production path at scale is
-    * q193_approx_percentile (mergeable KLL-style sketch, gated within
-    * 0.5% of exact). */
+  /** Exact percentiles/median per group via DISTRIBUTED order statistics:
+    * rank windows locate the two straddling values per quantile and a
+    * tiny final aggregate interpolates between them — no operator buffers
+    * a whole group's values (Spark's `percentile` aggregate holds every
+    * value of a group in one reducer, a scale-killer for hot groups).
+    * One exchange on the group key, two in-partition sorts (price and
+    * quantity orderings share the exchange), linear-interpolated exactly
+    * like DuckDB `quantile_cont`. The sketch path (q193
+    * `percentile_approx`) remains the cheap alternative when exactness
+    * isn't required. */
   private val q37 = GQ(
     "q37_percentiles",
-    (s, dir) => t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)") + lit(1e-9), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)") + lit(1e-9), 2).as("p90"),
-        round(expr("median(l_quantity)") + lit(1e-9), 2).as("med_qty"))
-      .orderBy("l_returnflag"),
+    (s, dir) => {
+      val wn = Window.partitionBy("l_returnflag")
+      val wp = wn.orderBy("l_extendedprice")
+      val wq = wn.orderBy("l_quantity")
+      val ranked = t(s, dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("rp", row_number().over(wp))
+        .withColumn("rq", row_number().over(wq))
+      // quantile_cont: pos = 1 + q(n-1); value = x_lo + frac · (x_hi − x_lo)
+      def q(p: Double, rank: org.apache.spark.sql.Column,
+          x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val pos = lit(1.0) + lit(p) * (col("n") - 1)
+        val lo = floor(pos)
+        val xlo = max(when(rank === lo, x))
+        val xhi = coalesce(max(when(rank === lo + 1, x)), max(when(rank === lo, x)))
+        xlo + max(pos - lo) * (xhi - xlo)
+      }
+      ranked.groupBy(col("l_returnflag"))
+        .agg(
+          round(q(0.5, col("rp"), col("l_extendedprice")) + lit(1e-9), 2).as("p50"),
+          round(q(0.9, col("rp"), col("l_extendedprice")) + lit(1e-9), 2).as("p90"),
+          round(q(0.5, col("rq"), col("l_quantity")) + lit(1e-9), 2).as("med_qty"))
+        .orderBy("l_returnflag")
+    },
     Some("""SELECT l_returnflag,
             round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 2) AS p50,
             round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 2) AS p90,

@@ -388,7 +388,15 @@ object StreamQueries extends QueryBatch {
           col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
         .select("user_id", "click_ts", "p_ts", "value")
       val sink = GraftTable.create(s, scratch("q210t"), joined.schema)
-      StreamOps.appendStream(joined, sink, scratch("q210ck"))
+      // a stream-stream join runs 4 state-store instances per shuffle
+      // partition; at gate volume the run cost is state checkpoint IO,
+      // not data, so this query sizes its state partitioning down (the
+      // count is fixed per checkpoint at first run — a real deployment
+      // makes the same choice per expected key cardinality)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamOps.appendStream(joined, sink, scratch("q210ck"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
       sink.read()
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
