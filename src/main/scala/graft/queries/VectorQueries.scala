@@ -226,5 +226,46 @@ object VectorQueries extends QueryBatch {
              ORDER BY sim DESC, vec_id LIMIT 10""")
   )
 
-  override def queries: Seq[GQ] = Seq(q80, q81, q82, q83, q84, q208, q211)
+  /** Semantic dedup end-to-end: the exact embedding near-dup pairs (q81's
+    * operator) resolved into clusters with the O(log n) connected
+    * components of the text family — keep-lowest-id per cluster, the full
+    * embedding-based dedup pipeline a training corpus runs. Oracle =
+    * pair SQL + recursive-CTE reachability (q202 idiom). */
+  private val q213 = GQ(
+    "q213_embedding_clusters",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val pairs = VectorOps.exactPairsWithinKey(e, "label", 0.35, blockSize = 200,
+          dotFn = (a, b) => graft.functions.DotProduct.dot_product(s, a, b))
+        .select(col("id1").as("d1"), col("id2").as("d2"))
+      graft.text.DedupOps.connectedComponents(
+          pairs, e.select(col("vec_id").as("doc_id")))
+        .select(col("doc_id").as("vec_id"), col("cluster_rep"),
+          (col("cluster_rep") =!= col("doc_id")).as("is_dup"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE
+              p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+                    FROM embeddings a JOIN embeddings b
+                      ON a.label = b.label AND a.vec_id < b.vec_id
+                    WHERE round(list_sum(list_transform(range(64),
+                            i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+                      / (sqrt(list_sum(list_transform(range(64),
+                            i -> a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)))
+                       * sqrt(list_sum(list_transform(range(64),
+                            i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)))) + 1e-9, 4) >= 0.35),
+              edges AS (SELECT d1 AS u, d2 AS v FROM p
+                        UNION ALL SELECT d2, d1 FROM p),
+              reach(a, b) AS (SELECT u, v FROM edges
+                              UNION
+                              SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
+             SELECT em.vec_id,
+                    least(em.vec_id, coalesce(min(r.b), em.vec_id)) AS cluster_rep,
+                    least(em.vec_id, coalesce(min(r.b), em.vec_id)) <> em.vec_id AS is_dup
+             FROM embeddings em LEFT JOIN reach r ON r.a = em.vec_id
+             GROUP BY em.vec_id ORDER BY em.vec_id""")
+  )
+
+  override def queries: Seq[GQ] =
+    Seq(q80, q81, q82, q83, q84, q208, q211, q213)
 }
