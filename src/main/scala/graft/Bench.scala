@@ -64,7 +64,7 @@ object Bench {
     //  - the parsed-commit-log/stats caches for those dead tables dropped
     //  - a forced GC every `gcEvery` queries so the ContextCleaner
     //    actually releases shuffle files/broadcasts mid-run
-    val qtmp = java.nio.file.Paths.get("/root/repo/target/qtmp")
+    val qtmp = java.nio.file.Paths.get(graft.queries.Scratch.Root)
     def wipeScratch(): Unit = graft.tables.GraftTable.deleteTree(qtmp)
     val gcEvery = 16
     def resetRunState(i: Int): Unit = {

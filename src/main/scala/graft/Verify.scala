@@ -23,7 +23,7 @@ object Verify {
     // scratch tables from previous runs (~0.5 GB per full pass) — wipe so
     // repeated gate runs don't accumulate disk
     graft.tables.GraftTable.deleteTree(
-      java.nio.file.Paths.get("/root/repo/target/qtmp"))
+      java.nio.file.Paths.get(graft.queries.Scratch.Root))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (wanted(name))

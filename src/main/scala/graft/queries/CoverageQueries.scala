@@ -17,8 +17,7 @@ import graft.tables.{GraftTable, MergeOps}
 object CoverageQueries extends QueryBatch {
 
   private def scratch(tag: String): String = {
-    val p = Paths.get("/root/repo/target/qtmp",
-      tag + "-" + java.util.UUID.randomUUID().toString.take(8))
+    val p = Paths.get(Scratch.dir(tag))
     Files.createDirectories(p)
     p.toString
   }

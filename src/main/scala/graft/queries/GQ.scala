@@ -15,3 +15,21 @@ final case class GQ(
 trait QueryBatch {
   def queries: Seq[GQ]
 }
+
+/** The single home of the scratch-table area: gate queries write their
+  * versioned tables/checkpoints under one root so the harnesses (Bench
+  * between queries, Verify at startup) can wipe exactly this tree.
+  * Previously each batch had its own copy of the literal — moving the
+  * root meant editing them all, and a missed copy silently escaped the
+  * cleanup. */
+object Scratch {
+  val Root = "/root/repo/target/qtmp"
+
+  /** Fresh per-call dir path (not created; writers create as needed). */
+  def dir(tag: String): String = {
+    val p = java.nio.file.Paths.get(Root,
+      tag + "-" + java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+}

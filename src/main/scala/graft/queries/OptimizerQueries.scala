@@ -109,9 +109,7 @@ object OptimizerQueries extends QueryBatch {
     (s, dir) => {
       import java.nio.file.{Files, Paths}
       import graft.tables.{GraftTable, Maintenance}
-      val p = Paths.get("/root/repo/target/qtmp",
-        "skip-" + java.util.UUID.randomUUID().toString.take(8))
-      Files.createDirectories(p.getParent)
+      val p = Paths.get(Scratch.dir("skip"))
       val li = Tables.t(s, dir, "lineitem")
       val t = GraftTable.createFrom(s, p.toString, li)
       t.setProperties(Map("graft.targetFileSize" -> (256 * 1024).toString))

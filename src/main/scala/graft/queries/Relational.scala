@@ -710,16 +710,16 @@ object Relational extends QueryBatch {
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
-  /** Exact percentiles/median per group via DISTRIBUTED order statistics:
-    * rank windows locate the two straddling values per quantile and a
-    * tiny final aggregate interpolates between them — no operator buffers
-    * a whole group's values (Spark's `percentile` aggregate holds every
-    * value of a group in one reducer, a scale-killer for hot groups).
-    * One exchange on the group key, two in-partition sorts (price and
-    * quantity orderings share the exchange), linear-interpolated exactly
-    * like DuckDB `quantile_cont`. The sketch path (q193
-    * `percentile_approx`) remains the cheap alternative when exactness
-    * isn't required. */
+  /** Exact percentiles/median per group via rank windows + straddle
+    * interpolation, matching DuckDB `quantile_cont`. What this fixes vs
+    * Spark's `percentile` aggregate: that operator BUFFERS every value of
+    * a group in one reducer's memory; the window form streams through a
+    * spillable external sort, so a hot group degrades to disk instead of
+    * OOM. What it does NOT fix: each group's rows still route through one
+    * task (inherent to exact per-group order statistics) — q193's
+    * mergeable `percentile_approx` sketch stays the scale path when a
+    * 0.5% error is acceptable. One exchange on the group key; the price
+    * and quantity orderings share it. */
   private val q37 = GQ(
     "q37_percentiles",
     (s, dir) => {

@@ -14,8 +14,7 @@ import graft.sql.GraftSql
 object SqlQueries extends QueryBatch {
 
   private def mk(s: SparkSession, tag: String): GraftSql = {
-    val p = Paths.get("/root/repo/target/qtmp",
-      tag + "-" + java.util.UUID.randomUUID().toString.take(8))
+    val p = Paths.get(Scratch.dir(tag))
     Files.createDirectories(p)
     new GraftSql(s, p.toString)
   }

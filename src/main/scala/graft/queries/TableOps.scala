@@ -21,11 +21,7 @@ object TableOps extends QueryBatch {
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
 
   /** Fresh scratch dir per call (under target/, never committed). */
-  private def scratch(tag: String): String = {
-    val p = Paths.get("/root/repo/target/qtmp", tag + "-" + java.util.UUID.randomUUID().toString.take(8))
-    Files.createDirectories(p.getParent)
-    p.toString
-  }
+  private def scratch(tag: String): String = Scratch.dir(tag)
 
   /** MERGE upsert: UPDATE * matched rows, INSERT * new rows
     * (`DP/Step 1:173-200`). */

@@ -213,8 +213,7 @@ object VectorQueries extends QueryBatch {
   private val q211 = GQ(
     "q211_ann_index_table",
     (s, dir) => {
-      val path = java.nio.file.Paths.get("/root/repo/target/qtmp",
-        "annidx-" + java.util.UUID.randomUUID().toString.take(8)).toString
+      val path = Scratch.dir("annidx")
       graft.vector.AnnIndex.buildIvf(emb(s, dir), path, nlist = 8, iters = 2)
       val reopened = graft.tables.GraftTable.load(s, path)
       graft.vector.AnnIndex.topK(reopened, queryVec(s, dir), 10, nprobe = 8)

@@ -35,8 +35,13 @@ object FuzzyJoin {
     * must be non-null; empty strings match anything within length k. */
   def selfPairs(df: DataFrame, k: Int,
       idCol: String = "doc_id", strCol: String = "s"): DataFrame = {
+    // six downstream branches (segments, probes, two short-string sides,
+    // two verification sides) reuse this frame; checkpoint it once so
+    // Catalyst doesn't re-derive the projection per branch (the
+    // exactPairsWithinKey idiom)
     val base = df.select(col(idCol).cast("long").as("id"),
       col(strCol).cast("string").as("s"), length(col(strCol)).as("l"))
+      .localCheckpoint(true)
     // indexed side: k+1 segments per string
     val segs = base.select(col("id"), col("s"), col("l"),
         explode(transform(sequence(lit(0), lit(k)), i =>

@@ -56,7 +56,12 @@ object AnnIndex {
     * force. */
   def topK(t: GraftTable, queryVec: Seq[Double], k: Int, nprobe: Int,
       idCol: String = "vec_id"): DataFrame = {
-    val cents = decodeCentroids(t.properties(CentroidsProp))
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val cents = decodeCentroids(t.properties.getOrElse(CentroidsProp,
+      throw new IllegalArgumentException(
+        s"${t.path} is not an ANN index table: property $CentroidsProp missing " +
+          "(build one with AnnIndex.buildIvf)")))
+    require(cents.nonEmpty, s"${t.path}: $CentroidsProp holds no centroids")
     val qn = math.sqrt(queryVec.map(x => x * x).sum)
     val probe = cents.map { case (cell, c) =>
       val dot = c.zip(queryVec).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
