@@ -16,6 +16,27 @@ import graft.tables.MergeOps._
   * CHANGES / COPY INTO / time travel / RESTORE / CDF / identity go through
   * the driver's hash-compare gate.
   */
+/** The q62 workload's shared pieces — one definition driven both by the
+  * gate body below and phase-by-phase by `tools.ProfScd`, so the profiler
+  * can never measure a stale copy of the query. */
+object Scd2AcDemo {
+  import org.apache.spark.sql.types._
+
+  val schema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("value", DoubleType),
+    StructField("_start_at", TimestampType),
+    StructField("_end_at", TimestampType),
+    StructField("_is_current", BooleanType)))
+
+  /** The two CDC batches: events split at the corpus midpoint. */
+  def batches(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.t(s, dir, "events").select("user_id", "value", "ts")
+    val mid = lit("2024-01-08 00:00:00").cast("timestamp")
+    (ev.filter(col("ts") < mid), ev.filter(col("ts") >= mid))
+  }
+}
+
 object TableOps extends QueryBatch {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
@@ -272,19 +293,10 @@ object TableOps extends QueryBatch {
   private val q62 = GQ(
     "q62_apply_changes_scd2",
     (s, dir) => {
-      val ev = t(s, dir, "events").select("user_id", "value", "ts")
-      val mid = "2024-01-08 00:00:00"
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("_start_at", org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("_end_at", org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("_is_current", org.apache.spark.sql.types.BooleanType)))
-      val tbl = GraftTable.create(s, scratch("scd2ac"), schema)
-      Scd.applyChangesScd2(tbl,
-        ev.filter(col("ts") < lit(mid).cast("timestamp")), Seq("user_id"), "ts")
-      Scd.applyChangesScd2(tbl,
-        ev.filter(col("ts") >= lit(mid).cast("timestamp")), Seq("user_id"), "ts")
+      val tbl = GraftTable.create(s, scratch("scd2ac"), Scd2AcDemo.schema)
+      val (b1, b2) = Scd2AcDemo.batches(s, dir)
+      Scd.applyChangesScd2(tbl, b1, Seq("user_id"), "ts")
+      Scd.applyChangesScd2(tbl, b2, Seq("user_id"), "ts")
       tbl.read().orderBy("user_id", "_start_at")
     },
     Some("""WITH b1 AS (SELECT user_id, value, ts FROM (

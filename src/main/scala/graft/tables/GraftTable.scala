@@ -722,11 +722,30 @@ object GraftTable {
     try s.iterator().asScala.toList finally s.close()
   }
 
+  /** Evict cached parsed logs / stats for every table at or under `root`.
+    * Without this a table deleted and recreated at the same path can be
+    * served another table's cached stats (same tip version, different
+    * files) — and long-lived non-bench sessions would grow the caches
+    * unboundedly as scratch tables churn. */
+  private def evictCachesUnder(root: Path): Unit = {
+    val r = root.toAbsolutePath.normalize.toString
+    val prefix = r + java.io.File.separator
+    def hit(k: String): Boolean = {
+      val a = Paths.get(k).toAbsolutePath.normalize.toString
+      a == r || a.startsWith(prefix)
+    }
+    logCache.keySet.asScala.filter(hit).foreach(logCache.remove)
+    statsCache.keySet.asScala.filter(hit).foreach(statsCache.remove)
+  }
+
   /** Best-effort recursive delete (no-op on a missing path; per-path IO
     * errors skipped) — shared by the bench harness and scratch-table
-    * cleanup so the walk-sort-delete loop lives once. */
+    * cleanup so the walk-sort-delete loop lives once. Also evicts the
+    * parsed-log/stats cache entries of every table under the tree, so a
+    * recreate at the same path can never be served stale state. */
   def deleteTree(p: Path): Unit =
     if (Files.isDirectory(p) || Files.isRegularFile(p)) {
+      evictCachesUnder(p)
       val s = Files.walk(p)
       try s.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(q =>

@@ -93,6 +93,15 @@ object MergeOps {
     * MultipleMatchException when update/delete clauses exist (same
     * semantics Delta documents — dedupe the source first, which is the
     * reference's own idiom: ROW_NUMBER DupRank=1, `DP/Step 1:174-191`).
+    *
+    * `touchedFilesHint`: the COMPLETE set of target files containing rows
+    * that match `condition`, when the caller has already computed it from
+    * its own target scan (the SCD2 state join does — see
+    * [[Scd.scd2Merge]]). Passing it skips both the key-range stats
+    * pruning and the touched-file discovery semi-join: one fewer full
+    * pass over the candidate region of the target per merge, which at
+    * 100 TB halves the merge's target reads. The hint is trusted — an
+    * incomplete set silently loses matches to duplicate inserts.
     */
   def mergeInto(
       t: GraftTable,
@@ -102,7 +111,8 @@ object MergeOps {
       notMatched: Seq[WhenNotMatched] = Nil,
       failOnMultipleMatches: Boolean = true,
       extraProps: Map[String, String] = Map.empty,
-      schemaEvolution: Boolean = false): Commit = {
+      schemaEvolution: Boolean = false,
+      touchedFilesHint: Option[Seq[String]] = None): Commit = {
     // NOTE: the source is evaluated by up to 4 jobs (key-range agg,
     // touched-file semi-join, rewrite join, CDF). Measured at sf0.1,
     // persisting it here costs more than the recompute it saves (columnar
@@ -125,9 +135,14 @@ object MergeOps {
 
     // -- 1. touched-file pruning ------------------------------------------
     // stats-prune candidates with the source keys' min/max once, so both
-    // discovery and suppression scan only range-overlapping files
-    val (candidateFiles, _) = pruneTargetFiles(t, source, condition)
-    val touched: Seq[String] =
+    // discovery and suppression scan only range-overlapping files — unless
+    // the caller already knows the touched set (hint), in which case both
+    // scans are skipped outright
+    val (candidateFiles, _) = touchedFilesHint match {
+      case Some(tf) => (tf, allFiles.size)
+      case None => pruneTargetFiles(t, source, condition)
+    }
+    val touched: Seq[String] = touchedFilesHint.getOrElse {
       if (candidateFiles.isEmpty || matched.isEmpty) Nil
       else {
         // __dv_file (kept by readFilesWithPos) is the file marker — the
@@ -140,6 +155,7 @@ object MergeOps {
           .select("__file").distinct().collect()
           .map(r => Paths.get(new java.net.URI(r.getString(0))).toString).toSeq
       }
+    }
 
     // Insert-only path: taken for MERGEs with no WHEN MATCHED clause, and
     // for merges where discovery proved NO target row matches (first load,

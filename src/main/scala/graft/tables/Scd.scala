@@ -41,17 +41,29 @@ object Scd {
       seqCol: String,
       startCol: String = "_start_at",
       endCol: String = "_end_at",
-      currentCol: String = "_is_current"): Commit = {
+      currentCol: String = "_is_current",
+      inputDeduped: Boolean = false): Commit = {
     val tgtSchema = t.schemaAt()
     def tgtType(c: String) = tgtSchema(c).dataType
 
-    // latest row per key (the canonical ROW_NUMBER dedup idiom)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
-    val latest = updates.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // latest row per key (the canonical ROW_NUMBER dedup idiom) — skipped
+    // when the caller (applyChanges*) already deduped the batch: the
+    // second window would shuffle the whole batch again to keep rows it
+    // provably already has one-per-key
+    val latest =
+      if (inputDeduped) updates
+      else {
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+        updates.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
 
     // per-key target state: applied high watermark + the current row's
-    // start and compare values (null struct ⇔ no current row)
+    // start, compare values, and FILE (null struct ⇔ no current row).
+    // Capturing the file here is what lets the merge skip its touched-file
+    // discovery scan: this state join is already a full pass over the
+    // matched keys' region of the target, and the files holding current
+    // rows of changed keys are EXACTLY the files the merge rewrites.
     val enriched =
       if (t.filesAt().isEmpty)
         latest
@@ -59,8 +71,11 @@ object Scd {
           .withColumn("__cur_start", lit(null).cast(tgtType(startCol)))
           .withColumn("__cur", lit(null).cast(org.apache.spark.sql.types.StructType(
             compareCols.map(c => org.apache.spark.sql.types.StructField(c, tgtType(c))))))
+          .withColumn("__cur_file", lit(null).cast("string"))
       else {
-        val state = t.read()
+        val state = t.readFilesWithPos(t.filesAt(), tgtSchema)
+          .drop(GraftTable.DvPosCol)
+          .withColumnRenamed(GraftTable.DvFileCol, "__file")
           .join(latest.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .groupBy(keys.map(col): _*)
           .agg(
@@ -68,7 +83,11 @@ object Scd {
             first(when(col(currentCol), col(startCol)), ignoreNulls = true)
               .as("__cur_start"),
             first(when(col(currentCol), struct(compareCols.map(col): _*)),
-              ignoreNulls = true).as("__cur"))
+              ignoreNulls = true).as("__cur"),
+            // one current row per key (the SCD2 invariant these merges
+            // maintain), so `first` sees at most one non-null file
+            first(when(col(currentCol), col("__file")), ignoreNulls = true)
+              .as("__cur_file"))
         latest.join(state, keys, "left")
       }
 
@@ -83,21 +102,35 @@ object Scd {
     val carry = (businessCols :+ seqCol).distinct
 
     // staged source, materialized once via localCheckpoint: it feeds the
-    // merge's discovery + rewrite jobs, and an eager local checkpoint
-    // replaces each re-evaluation of the window + state join with a local
-    // block read. (Columnar `persist` was measured slower at sf0.1; the
-    // staged batch is small relative to the target by construction.)
-    val expireCopies = enriched.filter(changed).select(
-      keys.map(k => col(k).as(s"__mk_$k")) ++ carry.map(col): _*)
-    val insertCopies = enriched.filter(changed || newKey).select(
-      keys.map(k => lit(null).cast(tgtType(k)).as(s"__mk_$k")) ++ carry.map(col): _*)
-    val staged = expireCopies.unionByName(insertCopies).localCheckpoint(true)
+    // merge's jobs, and an eager local checkpoint replaces each
+    // re-evaluation of the window + state join with a local block read.
+    // (Columnar `persist` was measured slower at sf0.1; the staged batch
+    // is small relative to the target by construction.) Built as ONE
+    // explode — a changed key yields [keyed expire copy, NULL-keyed
+    // insert copy], a new key just the insert copy — so the window +
+    // state join evaluates once, not once per union branch.
+    val expireS = struct(keys.map(k => col(k).cast(tgtType(k)).as(s"__mk_$k")) ++
+      carry.map(col) :+ col("__cur_file").as("__cur_file"): _*)
+    val insertS = struct(keys.map(k => lit(null).cast(tgtType(k)).as(s"__mk_$k")) ++
+      carry.map(col) :+ lit(null).cast("string").as("__cur_file"): _*)
+    val staged = enriched.filter(changed || newKey)
+      .select(explode(when(changed, array(expireS, insertS))
+        .otherwise(array(insertS))).as("__e"))
+      .select(col("__e.*"))
+      .localCheckpoint(true)
+
+    // the merge's touched-file set, read off the staged local blocks —
+    // no discovery scan of the target needed
+    val touched = staged.filter(col("__cur_file").isNotNull)
+      .select("__cur_file").distinct().collect()
+      .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0))).toString)
+      .toSeq
 
     val cond = keys.map(k => s"target.$k = source.__mk_$k").mkString(" AND ") +
       s" AND target.$currentCol = true"
     // failOnMultipleMatches off: one keyed copy per key by construction
     MergeOps.mergeInto(
-      t, staged, cond,
+      t, staged.drop("__cur_file"), cond,
       matched = Seq(MergeOps.WhenMatched(None, MergeOps.UpdateSet(Map(
         endCol -> s"source.$seqCol",
         currentCol -> "false")))),
@@ -106,7 +139,8 @@ object Scd {
           startCol -> s"source.$seqCol",
           endCol -> "CAST(NULL AS STRING)",
           currentCol -> "true")))),
-      failOnMultipleMatches = false)
+      failOnMultipleMatches = false,
+      touchedFilesHint = Some(touched))
   }
 
   /** DLT APPLY CHANGES INTO — SCD1: keep one row per key, newest `sequenceBy`
@@ -192,7 +226,8 @@ object Scd {
         failOnMultipleMatches = false) // deletes deduped per key above
     }
     if (deleteWhen.isEmpty || !upserts.isEmpty)
-      scd2Merge(t, upserts, keys, compareCols, sequenceBy, startCol, endCol, currentCol)
+      scd2Merge(t, upserts, keys, compareCols, sequenceBy, startCol, endCol,
+        currentCol, inputDeduped = true)
   }
 
   /** Qualify bare column references in a user predicate with `source.` so

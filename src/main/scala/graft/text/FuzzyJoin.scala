@@ -36,12 +36,15 @@ object FuzzyJoin {
   def selfPairs(df: DataFrame, k: Int,
       idCol: String = "doc_id", strCol: String = "s"): DataFrame = {
     // six downstream branches (segments, probes, two short-string sides,
-    // two verification sides) reuse this frame; checkpoint it once so
-    // Catalyst doesn't re-derive the projection per branch (the
-    // exactPairsWithinKey idiom)
+    // two verification sides) reuse this frame; persist it so Catalyst
+    // doesn't re-derive the projection per branch (the jaccardPairs
+    // idiom — persist, not localCheckpoint: checkpointed blocks are
+    // executor-pinned and unrecoverable on executor loss, a non-starter
+    // for a corpus-scale input). Only the bounded PAIR result is
+    // checkpoint-materialized, so the input can unpersist on return.
     val base = df.select(col(idCol).cast("long").as("id"),
       col(strCol).cast("string").as("s"), length(col(strCol)).as("l"))
-      .localCheckpoint(true)
+      .persist()
     // indexed side: k+1 segments per string
     val segs = base.select(col("id"), col("s"), col("l"),
         explode(transform(sequence(lit(0), lit(k)), i =>
@@ -87,11 +90,13 @@ object FuzzyJoin {
       .unionByName(shortCand)
       .distinct()
     val strs = base.select(col("id"), col("s"))
-    candidates
+    try candidates
       .join(strs.toDF("d1", "s1"), "d1")
       .join(strs.toDF("d2", "s2"), "d2")
       .withColumn("ed", levenshtein(col("s1"), col("s2")))
       .filter(col("ed") <= k)
       .select(col("d1"), col("d2"), col("ed").cast("long").as("ed"))
+      .localCheckpoint(eager = true)
+    finally base.unpersist()
   }
 }

@@ -2,10 +2,16 @@ package graft.tools
 
 import graft.{GraftSession, Tables}
 import graft.tables.{GraftTable, Scd}
-import org.apache.spark.sql.functions._
+import graft.queries.Scd2AcDemo
 
-/** Temporary phase-level profile of q62_apply_changes_scd2. */
+/** Temporary phase-level profile of q62_apply_changes_scd2. Drives the
+  * SAME workload definition as the gate (`queries.Scd2AcDemo`) so it can
+  * never measure a stale copy, and scratches under its own subtree so it
+  * is safe to run while Bench/Verify own `Scratch.Root`.
+  */
 object ProfScd {
+  private val Root = "/root/repo/target/profscd"
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 3
@@ -18,24 +24,13 @@ object ProfScd {
       println(f"[profscd] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     for (rep <- 1 to reps) {
-      graft.tables.GraftTable.deleteTree(
-        java.nio.file.Paths.get(graft.queries.Scratch.Root))
+      GraftTable.deleteTree(java.nio.file.Paths.get(Root))
       println(s"[profscd] === rep $rep ===")
-      val ev = Tables.t(spark, sfDir, "events").select("user_id", "value", "ts")
-      val mid = "2024-01-08 00:00:00"
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("_start_at", org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("_end_at", org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("_is_current", org.apache.spark.sql.types.BooleanType)))
+      val (b1, b2) = Scd2AcDemo.batches(spark, sfDir)
       var tbl: GraftTable = null
-      tm("create") { tbl = GraftTable.create(spark,
-        graft.queries.Scratch.dir("scd2ac"), schema) }
-      tm("batch1") { Scd.applyChangesScd2(tbl,
-        ev.filter(col("ts") < lit(mid).cast("timestamp")), Seq("user_id"), "ts") }
-      tm("batch2") { Scd.applyChangesScd2(tbl,
-        ev.filter(col("ts") >= lit(mid).cast("timestamp")), Seq("user_id"), "ts") }
+      tm("create") { tbl = GraftTable.create(spark, s"$Root/scd2ac", Scd2AcDemo.schema) }
+      tm("batch1") { Scd.applyChangesScd2(tbl, b1, Seq("user_id"), "ts") }
+      tm("batch2") { Scd.applyChangesScd2(tbl, b2, Seq("user_id"), "ts") }
       tm("readout") { tbl.read().orderBy("user_id", "_start_at")
         .write.format("noop").mode("overwrite").save() }
     }

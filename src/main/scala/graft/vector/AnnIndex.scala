@@ -53,7 +53,13 @@ object AnnIndex {
     * nearest the query from the PROPERTIES centroids (zero data reads),
     * then exact-rerank inside those cells only — each cell arrives via
     * its own file-pruned `readWhere`. nprobe = nlist is exact brute
-    * force. */
+    * force.
+    *
+    * Contract: `queryVec` must have non-zero norm (cosine similarity to a
+    * zero vector is undefined; an unguarded division would turn every sim
+    * into NaN and silently scramble the ordering). A zero-norm CENTROID
+    * (an all-zero-vector cell) ranks last rather than NaN-poisoning the
+    * probe order. */
   def topK(t: GraftTable, queryVec: Seq[Double], k: Int, nprobe: Int,
       idCol: String = "vec_id"): DataFrame = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
@@ -63,10 +69,11 @@ object AnnIndex {
           "(build one with AnnIndex.buildIvf)")))
     require(cents.nonEmpty, s"${t.path}: $CentroidsProp holds no centroids")
     val qn = math.sqrt(queryVec.map(x => x * x).sum)
+    require(qn > 0, "query vector must have non-zero norm (cosine is undefined for it)")
     val probe = cents.map { case (cell, c) =>
       val dot = c.zip(queryVec).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
       val cn = math.sqrt(c.map(x => x * x).sum)
-      (cell, dot / (qn * cn))
+      (cell, if (cn > 0) dot / (qn * cn) else -1.0)
     }.sortBy { case (cell, sim) => (-sim, cell) }.take(nprobe).map(_._1)
     val q = array(queryVec.map(lit): _*)
     val cells = probe.map(c => t.readWhere(s"cell = $c")).reduce(_ unionByName _)

@@ -110,10 +110,17 @@ object Pq {
     * code word against a per-query m×ksub lookup table (dot and squared
     * norm per centroid, computed once on the driver) — reconstruction
     * cosine = Σ_s dot(q_s, c_s) / (|q| · sqrt(Σ_s |c_s|²)), exact for the
-    * quantized vector because subspaces are disjoint coordinates. */
+    * quantized vector because subspaces are disjoint coordinates.
+    *
+    * Contract: `queryVec` must have non-zero norm (cosine to a zero
+    * vector is undefined; unguarded it would NaN every sim and scramble
+    * the top-k). A vector whose RECONSTRUCTION is all-zero ranks last
+    * (sim −1) instead of NaN-poisoning the ordering. */
   def adcTopK(emb: DataFrame, queryVec: Seq[Double], k: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qnorm = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
+    require(qnorm > 0, "query vector must have non-zero norm (cosine is undefined for it)")
     val cents = trainCodebooks(emb, m, ksub, iters, idCol, vecCol)
     val dsub = cents.head.c.size
     val codes = encode(emb, cents, m, idCol, vecCol)
@@ -130,13 +137,14 @@ object Pq {
         case (acc, (x, q)) => acc + x * q
       })
     val norms2 = table((_, c) => c.foldLeft(0.0)((acc, x) => acc + x * x))
-    val qnorm = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
     def lookup(tbl: Column): Column =
       aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
         acc + element_at(element_at(tbl, s + 1),
           element_at(col("codes"), s + 1) + 1))
+    val n2 = lookup(norms2)
     codes.select(col(idCol),
-        round(lookup(dots) / (lit(qnorm) * sqrt(lookup(norms2))) + lit(1e-9), 4)
+        round(when(n2 > 0, lookup(dots) / (lit(qnorm) * sqrt(n2)))
+            .otherwise(lit(-1.0)) + lit(1e-9), 4)
           .as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
