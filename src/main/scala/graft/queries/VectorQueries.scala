@@ -225,6 +225,73 @@ object VectorQueries extends QueryBatch {
              ORDER BY sim DESC, vec_id LIMIT 10""")
   )
 
+  /** Persisted PQ index (`PqIndex`): code words as a GraftTable with the
+    * codebooks in TBLPROPERTIES — the query path REOPENS the table (no
+    * in-memory training state), ADC-shortlists 100 ids from the persisted
+    * codes, and exact-reranks only those vectors. The oracle replays the
+    * ENTIRE pipeline in SQL — q208's deterministic training/encode/ADC
+    * chain, the 100-id shortlist at the same rounded ordering, then the
+    * exact cosine rerank — so a codebook that mis-round-trips through
+    * table properties, or codes that differ from in-session encoding,
+    * hash-mismatch immediately. */
+  private val q214 = GQ(
+    "q214_pq_index_table",
+    (s, dir) => {
+      val path = Scratch.dir("pqidx")
+      graft.vector.PqIndex.build(emb(s, dir), path, m = 8, ksub = 16, iters = 1)
+      val reopened = graft.tables.GraftTable.load(s, path)
+      graft.vector.PqIndex.topKRerank(
+        reopened, emb(s, dir), queryVec(s, dir), 10, fetch = 100)
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+                 subs AS (SELECT vec_id, s.sub, v[s.sub*8+1 : s.sub*8+8] AS sv
+                          FROM v, UNNEST(range(8)) AS s(sub)),
+                 init AS (SELECT sub,
+                            row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cell,
+                            sv AS c
+                          FROM subs
+                          QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 16),
+                 d1 AS (SELECT p.vec_id, p.sub, i.cell,
+                          row_number() OVER (PARTITION BY p.vec_id, p.sub ORDER BY
+                            list_sum(list_transform(range(8),
+                              j -> (p.sv[j+1] - i.c[j+1]) * (p.sv[j+1] - i.c[j+1]))), i.cell) AS rn
+                        FROM subs p JOIN init i USING (sub)),
+                 asg AS (SELECT vec_id, sub, cell FROM d1 WHERE rn = 1),
+                 cdim AS (SELECT a.sub, a.cell, d.dim,
+                            round(avg(p.sv[d.dim+1]) + 1e-9, 6) AS mval
+                          FROM asg a JOIN subs p USING (vec_id, sub),
+                               UNNEST(range(8)) AS d(dim)
+                          GROUP BY a.sub, a.cell, d.dim),
+                 cent AS (SELECT sub, cell, list(mval ORDER BY dim) AS c
+                          FROM cdim GROUP BY sub, cell),
+                 d2 AS (SELECT p.vec_id, p.sub, c.cell,
+                          row_number() OVER (PARTITION BY p.vec_id, p.sub ORDER BY
+                            list_sum(list_transform(range(8),
+                              j -> (p.sv[j+1] - c.c[j+1]) * (p.sv[j+1] - c.c[j+1]))), c.cell) AS rn
+                        FROM subs p JOIN cent c USING (sub)),
+                 codes AS (SELECT vec_id, sub, cell FROM d2 WHERE rn = 1),
+                 qs AS (SELECT sub, sv AS qv FROM subs WHERE vec_id = 0),
+                 qsn AS (SELECT sqrt(sum(list_sum(list_transform(qv, x -> x * x)))) AS qnorm
+                         FROM qs),
+                 scored AS (SELECT co.vec_id,
+                              sum(list_sum(list_transform(range(8),
+                                j -> qs.qv[j+1] * ce.c[j+1]))) AS dots,
+                              sum(list_sum(list_transform(ce.c, x -> x * x))) AS n2
+                            FROM codes co
+                            JOIN cent ce USING (sub, cell)
+                            JOIN qs USING (sub)
+                            GROUP BY co.vec_id),
+                 short AS (SELECT s.vec_id FROM scored s, qsn
+                           ORDER BY round(s.dots / (qsn.qnorm * sqrt(s.n2)) + 1e-9, 4) DESC, s.vec_id
+                           LIMIT 100),
+                 q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id, round($cosineSql + 1e-9, 4) AS sim
+            FROM embeddings e JOIN short USING (vec_id), q
+            ORDER BY sim DESC, vec_id LIMIT 10""")
+  )
+
   /** Semantic dedup end-to-end: the exact embedding near-dup pairs (q81's
     * operator) resolved into clusters with the O(log n) connected
     * components of the text family — keep-lowest-id per cluster, the full
@@ -266,5 +333,5 @@ object VectorQueries extends QueryBatch {
   )
 
   override def queries: Seq[GQ] =
-    Seq(q80, q81, q82, q83, q84, q208, q211, q213)
+    Seq(q80, q81, q82, q83, q84, q208, q211, q213, q214)
 }

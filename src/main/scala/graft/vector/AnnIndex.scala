@@ -60,8 +60,10 @@ object AnnIndex {
     * into NaN and silently scramble the ordering). A zero-norm CENTROID
     * (an all-zero-vector cell) ranks last rather than NaN-poisoning the
     * probe order. */
-  def topK(t: GraftTable, queryVec: Seq[Double], k: Int, nprobe: Int,
-      idCol: String = "vec_id"): DataFrame = {
+  /** The `nprobe` cells nearest the query per the PROPERTIES centroids —
+    * the file-pruning decision [[topK]] makes, exposed so plan audits and
+    * [[probeCost]] callers can name the exact cells a probe opens. */
+  def probedCells(t: GraftTable, queryVec: Seq[Double], nprobe: Int): Seq[Int] = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val cents = decodeCentroids(t.properties.getOrElse(CentroidsProp,
       throw new IllegalArgumentException(
@@ -70,16 +72,24 @@ object AnnIndex {
     require(cents.nonEmpty, s"${t.path}: $CentroidsProp holds no centroids")
     val qn = math.sqrt(queryVec.map(x => x * x).sum)
     require(qn > 0, "query vector must have non-zero norm (cosine is undefined for it)")
-    val probe = cents.map { case (cell, c) =>
+    cents.map { case (cell, c) =>
       val dot = c.zip(queryVec).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
       val cn = math.sqrt(c.map(x => x * x).sum)
       (cell, if (cn > 0) dot / (qn * cn) else -1.0)
     }.sortBy { case (cell, sim) => (-sim, cell) }.take(nprobe).map(_._1)
+  }
+
+  def topK(t: GraftTable, queryVec: Seq[Double], k: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val probe = probedCells(t, queryVec, nprobe)
     val q = array(queryVec.map(lit): _*)
     val cells = probe.map(c => t.readWhere(s"cell = $c")).reduce(_ unionByName _)
+    val vn = VectorOps.normPre(col("v"))
     cells.select(col(idCol),
-        round(VectorOps.dotPre(col("v"), q) /
-          (VectorOps.normPre(col("v")) * VectorOps.normPre(q)) + lit(1e-9), 4)
+        // zero-norm data vectors rank last (sim -1) — an unguarded
+        // division would emit NaN, which sorts FIRST under desc
+        round(when(vn > 0, VectorOps.dotPre(col("v"), q) /
+            (vn * VectorOps.normPre(q))).otherwise(lit(-1.0)) + lit(1e-9), 4)
           .as("sim"),
         col("cell"))
       .orderBy(col("sim").desc, col(idCol))

@@ -60,13 +60,17 @@ object Ivf {
     }.toSeq: _*)
     v.withColumn("__nv", VectorOps.normPre(col("v")))
       .select(col("id"), col("v"),
-        array_min(transform(centArr, s =>
+        array_min(transform(centArr, s => {
           // struct ordering: min by negSim, ties to the lowest cell id —
-          // identical semantics to the previous min(struct(negSim, cell))
-          struct(negate(VectorOps.dotPre(col("v"), s.getField("c"))
-            / (col("__nv") * s.getField("n"))).as("negSim"),
-            s.getField("cell").as("cell"))))
-          .getField("cell").as("cell"))
+          // identical semantics to the previous min(struct(negSim, cell)).
+          // A zero-norm vector or centroid scores 0 (orthogonal) instead
+          // of tripping ANSI DIVIDE_BY_ZERO — it lands in the lowest cell.
+          val denom = col("__nv") * s.getField("n")
+          struct(when(denom > 0,
+              negate(VectorOps.dotPre(col("v"), s.getField("c")) / denom))
+              .otherwise(lit(0.0)).as("negSim"),
+            s.getField("cell").as("cell"))
+        })).getField("cell").as("cell"))
   }
 
   /** Build the IVF index: every vector tagged with its cell. */
@@ -87,16 +91,19 @@ object Ivf {
     val spark = emb.sparkSession
     val (indexed, centroids) = index(emb, nlist, iters, idCol, vecCol)
     val q = array(queryVec.map(lit): _*)
+    // zero-norm guards mirror AnnIndex.topK: rank last, never NaN/ANSI-throw
+    val cDen = VectorOps.normPre(col("c")) * VectorOps.normPre(q)
     val probeCells = centroids
       .select(col("cell"),
-        (VectorOps.dotPre(col("c"), q) /
-          (VectorOps.normPre(col("c")) * VectorOps.normPre(q))).as("sim"))
+        when(cDen > 0, VectorOps.dotPre(col("c"), q) / cDen)
+          .otherwise(lit(-1.0)).as("sim"))
       .orderBy(col("sim").desc).limit(nprobe)
       .select("cell").collect().map(_.getInt(0)).toSeq
+    val vDen = VectorOps.normPre(col("v")) * VectorOps.normPre(q)
     indexed.filter(col("cell").isin(probeCells: _*))
       .select(col("id").as(idCol),
-        round(VectorOps.dotPre(col("v"), q) /
-          (VectorOps.normPre(col("v")) * VectorOps.normPre(q)) + lit(1e-9), 4).as("sim"),
+        round(when(vDen > 0, VectorOps.dotPre(col("v"), q) / vDen)
+          .otherwise(lit(-1.0)) + lit(1e-9), 4).as("sim"),
         col("cell"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)

@@ -122,8 +122,21 @@ object Pq {
     val qnorm = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
     require(qnorm > 0, "query vector must have non-zero norm (cosine is undefined for it)")
     val cents = trainCodebooks(emb, m, ksub, iters, idCol, vecCol)
-    val dsub = cents.head.c.size
     val codes = encode(emb, cents, m, idCol, vecCol)
+    adcScore(codes, cents, queryVec, k, idCol)
+  }
+
+  /** ADC-score a codes frame (`idCol`, `codes array<int>`) against
+    * per-query lookup tables built from `cents` — shared by the
+    * in-session [[adcTopK]] and the persisted-table [[PqIndex]] search
+    * path. m, ksub and dsub all derive from the codebooks. */
+  private[vector] def adcScore(codes: DataFrame, cents: Seq[Codebook],
+      queryVec: Seq[Double], k: Int, idCol: String): DataFrame = {
+    val qnorm = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
+    require(qnorm > 0, "query vector must have non-zero norm (cosine is undefined for it)")
+    val m = cents.map(_.sub).max + 1
+    val ksub = cents.map(_.cell).max + 1
+    val dsub = cents.head.c.size
     // per-(sub, cell) lookup tables, dense over cell ids (unused slots for
     // dropped-empty cells keep positional indexing valid; codes never
     // reference them)

@@ -60,6 +60,30 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected map-side partial aggregation:\n$p")
   }
 
+  test("ANN probe scans exactly the probed cells' files, never the table") {
+    // the flagship scale claim: a probe at nprobe < nlist must file-prune
+    // to its cells — a FileIndex regression silently turning probes into
+    // full scans would still return correct rows, so only a plan audit
+    // catches it
+    import graft.vector.AnnIndex
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val emb = Tables.t(spark, sf, "embeddings")
+    val t = AnnIndex.buildIvf(emb, scratch("annplan"), nlist = 8, iters = 2)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val df = AnnIndex.topK(t, qv, 10, nprobe = 2)
+    val scanned = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation => f.location.inputFiles.toSeq
+        case _ => Nil
+      }
+    }.flatten.distinct
+    val (kept, total) = AnnIndex.probeCost(t, AnnIndex.probedCells(t, qv, 2))
+    assert(scanned.size == kept,
+      s"probe must open exactly the probed cells' files: scanned ${scanned.size}, cells hold $kept")
+    assert(kept < total, s"probe must prune: $kept/$total files")
+  }
+
   test("exact near-dup verification never explodes pair×shingle") {
     // the candidate-verify join must be bounded by candidate pairs (per-doc
     // array_intersect), not a shingle-level join — a cartesian/position

@@ -31,6 +31,28 @@ class AnnIndexSpec extends SparkTestBase {
     assert(viaIndex == exact)
   }
 
+  test("a zero-norm query vector is rejected") {
+    val path = scratch("annz")
+    val t = AnnIndex.buildIvf(emb, path, nlist = 4, iters = 1)
+    val dims = qv.size
+    intercept[IllegalArgumentException] {
+      AnnIndex.topK(t, Seq.fill(dims)(0.0), 10, nprobe = 4)
+    }
+  }
+
+  test("a zero-norm data vector ranks last instead of NaN-poisoning the order") {
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 0f, 0f)),
+      (3L, Array(0.5f, 0.5f, 0f, 0f))).toDF("vec_id", "embedding")
+    val t = AnnIndex.buildIvf(df, scratch("annz2"), nlist = 2, iters = 1)
+    val res = AnnIndex.topK(t, Seq(1.0, 0.0, 0.0, 0.0), 4, nprobe = 2)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(res.forall(r => !r._2.isNaN), s"no NaN sims allowed: ${res.toSeq}")
+    assert(res.last._1 === 2L, s"the zero vector must rank last: ${res.toSeq}")
+  }
+
   test("a partial probe opens fewer files and keeps recall") {
     val path = scratch("annidx2")
     val t = AnnIndex.buildIvf(emb, path, nlist = 8, iters = 2)

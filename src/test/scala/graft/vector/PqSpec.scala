@@ -53,6 +53,12 @@ class PqSpec extends SparkTestBase {
       s"rerank recall@10 too low: ${(exact intersect rr).size}/10")
   }
 
+  test("a zero-norm query vector is rejected before training starts") {
+    intercept[IllegalArgumentException] {
+      Pq.adcTopK(planted, Seq.fill(8)(0.0), 5)
+    }
+  }
+
   test("encoding is deterministic and code words stay in range") {
     val emb = Tables.t(spark, sf, "embeddings")
     val cents = Pq.trainCodebooks(emb, m = 8, ksub = 16, iters = 2)
