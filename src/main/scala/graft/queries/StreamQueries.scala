@@ -426,7 +426,12 @@ object StreamQueries extends QueryBatch {
   private val q196 = GQ(
     "q196_stream_dedup",
     (s, dir) => {
-      val doubled = eventsStream(s, dir)
+      // dedup state runs one state-store instance per shuffle partition;
+      // at gate volume checkpoint IO dominates, so size state down on a
+      // derived session (same isolation rationale as q210)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val doubled = eventsStream(ss, dir)
         .withColumn("__copy", explode(array(lit(1), lit(2))))
         .drop("__copy")
       val dedup = doubled

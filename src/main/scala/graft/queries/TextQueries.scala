@@ -328,6 +328,10 @@ object TextQueries extends QueryBatch {
     "q209_incremental_dedup",
     (s, dir) => {
       val d = docs(s, dir).select("doc_id", "text")
+      // NOTE: the index is recomputed per reference here (production
+      // would read a persisted table); persist() was measured SLOWER at
+      // sf0.1 — the columnar cache build of the wide shingle frame costs
+      // more than one extra text re-shingle saves
       val corpusGrams = DedupOps.shingleTable(d, 5)
       val batch = d.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
