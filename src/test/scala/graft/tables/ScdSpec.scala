@@ -104,6 +104,29 @@ class ScdSpec extends SparkTestBase {
     assert(chain(1).getString(1) === "c" && chain(1).getBoolean(4))
   }
 
+  test("scd2 rewrite scope: only files holding changed keys' current rows") {
+    val t = GraftTable.create(spark, scratch("scd2scope"), scd2Schema)
+    def batch(seq: String, rows: (Long, String)*) =
+      rows.toSeq.toDF("id", "name").withColumn("_seq", lit(seq))
+    // seed keys 1..40 through 4 separate batches → at least 4 data files
+    (0 until 4).foreach { b =>
+      val rows = (b * 10 + 1 to b * 10 + 10).map(i => i.toLong -> s"v$i")
+      Scd.scd2Merge(t, batch("2024-01-01", rows: _*), Seq("id"), Seq("name"), "_seq")
+    }
+    val filesBefore = t.filesAt().size
+    assert(filesBefore >= 4, s"seed must span multiple files, got $filesBefore")
+    // change ONE key: the state join knows which file holds its current
+    // row, so the merge (touchedFilesHint) must rewrite exactly that file
+    val c = Scd.scd2Merge(t, batch("2024-02-01", 7L -> "changed"),
+      Seq("id"), Seq("name"), "_seq")
+    assert(c.metrics("numTargetFilesRemoved") === 1L,
+      s"one changed key must rewrite one file: ${c.metrics}")
+    val rows = t.read().filter(col("id") === 7L).orderBy("_start_at")
+      .collect().map(r => (r.getString(1), r.getBoolean(4)))
+    assert(rows.toSeq === Seq(("v7", false), ("changed", true)))
+    assert(t.read().count() === 41)
+  }
+
   private val scd1Schema = StructType(Seq(
     StructField("id", LongType), StructField("v", StringType),
     StructField("seq", LongType)))
