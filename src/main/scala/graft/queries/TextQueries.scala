@@ -328,10 +328,12 @@ object TextQueries extends QueryBatch {
     "q209_incremental_dedup",
     (s, dir) => {
       val d = docs(s, dir).select("doc_id", "text")
-      // NOTE: the index is recomputed per reference here (production
-      // would read a persisted table); persist() was measured SLOWER at
-      // sf0.1 — the columnar cache build of the wide shingle frame costs
-      // more than one extra text re-shingle saves
+      // NOTE: the index frame is recomputed per reference here. Both
+      // materialization alternatives were measured SLOWER at sf0.1:
+      // persist() (columnar cache build) and a scratch parquet
+      // write+read-back (write job dominates) — the two text re-shingles
+      // are the cheapest evaluation at gate scale. At 100 TB production
+      // reads an already-persisted index table instead.
       val corpusGrams = DedupOps.shingleTable(d, 5)
       val batch = d.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),

@@ -669,11 +669,23 @@ object GraftTable {
 
   private val M = new ObjectMapper()
 
+  /** Access-ordered LRU map bounded at `maxEntries` tables — the
+    * metadata caches below must not grow with the number of DISTINCT
+    * tables a long-lived session ever touches (a streaming service
+    * churning scratch tables would otherwise leak). 512 live tables of
+    * cached metadata is far beyond any single session's working set;
+    * eviction just means a cold reload through the checkpoint path. */
+  private def lruMap[V](maxEntries: Int): java.util.Map[String, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+          size() > maxEntries
+      })
+
   /** Session-wide parsed-log cache: table path → (sorted commit-file
     * names, parsed commits). Shared across GraftTable instances so
     * repeated `load()`s of the same table stay O(1). */
-  private val logCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Vector[String], Vector[Commit])]()
+  private val logCache = lruMap[(Vector[String], Vector[Commit])](512)
 
   private[tables] def clearLogCache(path: String): Unit = {
     logCache.remove(path)
@@ -690,8 +702,8 @@ object GraftTable {
 
   /** Live-version stats map per table path: (version, rel path → col →
     * (min,max)). See [[GraftTable.statsAt]]. */
-  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Map[String, Map[String, (String, String)]])]()
+  private val statsCache =
+    lruMap[(Long, Map[String, Map[String, (String, String)]])](512)
 
   /** Count of full stats-map folds — observable in tests asserting the
     * map is materialized once across repeated `readWhere` calls. */
@@ -734,8 +746,13 @@ object GraftTable {
       val a = Paths.get(k).toAbsolutePath.normalize.toString
       a == r || a.startsWith(prefix)
     }
-    logCache.keySet.asScala.filter(hit).foreach(logCache.remove)
-    statsCache.keySet.asScala.filter(hit).foreach(statsCache.remove)
+    // synchronizedMap contract: hold the map's monitor while iterating
+    def evict[V](m: java.util.Map[String, V]): Unit = {
+      val keys = m.synchronized { m.keySet.asScala.toList }
+      keys.filter(hit).foreach(m.remove)
+    }
+    evict(logCache)
+    evict(statsCache)
   }
 
   /** Best-effort recursive delete (no-op on a missing path; per-path IO
