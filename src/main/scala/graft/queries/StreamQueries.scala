@@ -25,6 +25,18 @@ object StreamQueries extends QueryBatch {
     p.toString
   }
 
+  /** Derived session with state-store partitioning sized for gate volume:
+    * stateful streams run one state instance per shuffle partition and at
+    * this volume checkpoint IO dominates, so the stateful gates fix the
+    * count small — on an ISOLATED session (same SparkContext, own
+    * SQLConf), never by mutating the caller's conf. A real deployment
+    * makes the same per-query choice from expected key cardinality. */
+  private def stateSized(s: SparkSession, n: Int = 8): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    ss
+  }
+
   /** Streaming read of the events table (nanos ts → micros, like Tables.t). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -45,7 +57,7 @@ object StreamQueries extends QueryBatch {
   private val q90 = GQ(
     "q90_stream_hourly",
     (s, dir) => {
-      val agg = eventsStream(s, dir)
+      val agg = eventsStream(stateSized(s), dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       val sink = GraftTable.create(s, scratch("q90t"), agg.schema)
@@ -181,7 +193,7 @@ object StreamQueries extends QueryBatch {
   private val q95 = GQ(
     "q95_sliding_window",
     (s, dir) => {
-      val agg = eventsStream(s, dir)
+      val agg = eventsStream(stateSized(s), dir)
         .groupBy(window(col("ts"), "2 hours", "1 hour"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       val sink = GraftTable.create(s, scratch("q95t"), agg.schema)
@@ -374,14 +386,8 @@ object StreamQueries extends QueryBatch {
     "q210_stream_stream_join",
     (s, dir) => {
       // a stream-stream join runs 4 state-store instances per shuffle
-      // partition; at gate volume the run cost is state checkpoint IO,
-      // not data, so this query sizes its state partitioning down (the
-      // count is fixed per checkpoint at first run — a real deployment
-      // makes the same choice per expected key cardinality). The override
-      // lives on a derived session (shared SparkContext, isolated SQLConf)
-      // so concurrent work on `s` never races a session-global mutation.
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // partition (see stateSized)
+      val ss = stateSized(s)
       val clicks = eventsStream(ss, dir)
         .filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"))
@@ -426,12 +432,7 @@ object StreamQueries extends QueryBatch {
   private val q196 = GQ(
     "q196_stream_dedup",
     (s, dir) => {
-      // dedup state runs one state-store instance per shuffle partition;
-      // at gate volume checkpoint IO dominates, so size state down on a
-      // derived session (same isolation rationale as q210)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val doubled = eventsStream(ss, dir)
+      val doubled = eventsStream(stateSized(s), dir)
         .withColumn("__copy", explode(array(lit(1), lit(2))))
         .drop("__copy")
       val dedup = doubled

@@ -120,12 +120,17 @@ object StreamOps {
 
   /** Multiplex one stream into N tables by a routing column
     * (`Multi-plexing with Autoloader` controller pattern): each route is
-    * its own filtered foreachBatch append with its own checkpoint. */
+    * its own filtered foreachBatch append with its own checkpoint, and
+    * all routes run CONCURRENTLY — start every query, then await each.
+    * Serial route draining would make multiplex latency the SUM of the
+    * routes, which at a 100-topic fan-out is the difference between one
+    * trigger interval and a hundred; routes write disjoint tables and
+    * checkpoints, so they never contend on commit state. */
   def multiplex(stream: DataFrame, routeCol: String,
       routes: Map[String, GraftTable], checkpointBase: String): Unit = {
     import org.apache.spark.sql.functions.col
-    routes.foreach { case (value, target) =>
-      val q = stream.filter(col(routeCol) === value).writeStream
+    val started = routes.toSeq.map { case (value, target) =>
+      stream.filter(col(routeCol) === value).writeStream
         .option("checkpointLocation", s"$checkpointBase/$value")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -133,8 +138,8 @@ object StreamOps {
           ()
         }
         .start()
-      q.awaitTermination()
     }
+    started.foreach(_.awaitTermination())
   }
 
   /** Captured per-batch progress (the reference dumps these JSON events to
