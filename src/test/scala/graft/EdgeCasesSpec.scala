@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.{GraftTable, Maintenance, Scd}
+import graft.text.{CorpusOps, DedupOps, FuzzyJoin}
+import graft.vector.AnnIndex
+
+/** Degenerate-input contracts: operators must no-op cleanly on the empty
+  * and boundary inputs a production pipeline actually hits — the first
+  * run of a backfill, a quiet ingest window, a filter that matches
+  * nothing, a top-k larger than the corpus. Each test pins behavior the
+  * main-path specs never exercise. */
+class EdgeCasesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("OPTIMIZE on an empty table commits a clean no-op") {
+    val t = GraftTable.create(spark, scratch("optempty"),
+      StructType(Seq(StructField("id", LongType))))
+    val before = t.currentVersion
+    Maintenance.optimize(t, zorderBy = Seq("id"))
+    assert(t.read().count() === 0)
+    assert(t.filesAt().isEmpty)
+    assert(t.commits.last.operation === "OPTIMIZE")
+    assert(t.currentVersion === before + 1)
+  }
+
+  private val scd2Schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("_seq", StringType),
+    StructField("_start_at", StringType), StructField("_end_at", StringType),
+    StructField("_is_current", BooleanType)))
+
+  private def cdcBatch(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("id", "name", "_seq")
+
+  test("APPLY CHANGES SCD2: an empty batch leaves the table untouched") {
+    val t = GraftTable.create(spark, scratch("scd2empty"), scd2Schema)
+    Scd.applyChangesScd2(t, cdcBatch((1L, "a", "2024-01-01")),
+      Seq("id"), "_seq")
+    val version = t.currentVersion
+    val rows = t.read().collect().toSeq
+
+    Scd.applyChangesScd2(t, cdcBatch(), Seq("id"), "_seq")
+    assert(t.currentVersion === version, "empty batch must not commit")
+    assert(t.read().collect().toSeq === rows)
+  }
+
+  test("APPLY CHANGES SCD2: an empty batch with deleteWhen is also a no-op") {
+    val t = GraftTable.create(spark, scratch("scd2emptydel"), scd2Schema)
+    Scd.applyChangesScd2(t, cdcBatch((1L, "a", "2024-01-01")),
+      Seq("id"), "_seq", deleteWhen = Some("name = 'gone'"))
+    val version = t.currentVersion
+    Scd.applyChangesScd2(t, cdcBatch(), Seq("id"), "_seq",
+      deleteWhen = Some("name = 'gone'"))
+    assert(t.currentVersion === version)
+    assert(t.read().count() === 1)
+  }
+
+  test("ANN topK with k larger than the corpus returns every vector, ordered") {
+    val emb = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 20)
+    val n = emb.count()
+    val t = AnnIndex.buildIvf(emb, scratch("annsmall"), nlist = 4, iters = 1)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    val out = AnnIndex.topK(t, qv, k = 1000, nprobe = 4)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    assert(out.size === n, "k > n must return the whole corpus, not fail")
+    assert(out.map(_._2) === out.map(_._2).sorted.reverse, "sims must stay ordered")
+  }
+
+  test("connected components with no edges: every node is its own singleton cluster in zero rounds") {
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val edges = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val (labels, rounds) = DedupOps.ccWithRounds(edges, nodes)
+    assert(rounds === 0, "an empty edge set must converge without iterating")
+    assert(labels.as[(Long, Long)].collect().toSet ===
+      Set((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("sequence packing of an empty corpus is empty") {
+    val docs = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(CorpusOps.packSequences(docs, capacity = 100).count() === 0)
+  }
+
+  test("stratified sample at fraction 0 keeps nothing; at fraction 1 keeps everything") {
+    val docs = (1L to 10L).map(i => (i, if (i <= 6) "a" else "b"))
+      .toDF("doc_id", "domain")
+    assert(CorpusOps.stratifiedSample(docs, "domain", 0.0).count() === 0)
+    assert(CorpusOps.stratifiedSample(docs, "domain", 1.0).count() === 10)
+  }
+
+  test("fuzzy self-join over an empty input is empty") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "s")
+    assert(FuzzyJoin.selfPairs(docs, k = 2).count() === 0)
+  }
+}
