@@ -78,6 +78,9 @@ object Bench {
     val gcEvery = 16
     def resetRunState(i: Int): Unit = {
       spark.streams.active.foreach(_.stop())
+      // stream gates run on derived sessions whose queries register in a
+      // DIFFERENT StreamingQueryManager — the line above cannot see them
+      graft.queries.StreamQueries.stopDerivedStreams()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       graft.tables.GraftTable.clearAllCaches()

@@ -34,7 +34,23 @@ object StreamQueries extends QueryBatch {
   private def stateSized(s: SparkSession, n: Int = 8): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    derived.synchronized { derived += ss }
     ss
+  }
+
+  /** Every session `stateSized` handed out: each has its OWN
+    * StreamingQueryManager, so a harness safety net that only stops
+    * `rootSession.streams.active` cannot see a stream wedged on one of
+    * these. [[stopDerivedStreams]] is that net's hook. */
+  private val derived = scala.collection.mutable.ArrayBuffer.empty[SparkSession]
+
+  /** Stop any still-active stream on sessions handed out by `stateSized`
+    * and forget them (gates await termination, so a live query here is a
+    * wedge — e.g. a corrupt checkpoint — that would otherwise leak state
+    * stores into everything that runs after). */
+  def stopDerivedStreams(): Unit = derived.synchronized {
+    derived.foreach(_.streams.active.foreach(_.stop()))
+    derived.clear()
   }
 
   /** Streaming read of the events table (nanos ts → micros, like Tables.t). */

@@ -9,13 +9,6 @@ import graft.Tables
 import graft.tables._
 import graft.tables.MergeOps._
 
-/** Table-layer operator coverage (SURVEY.md §2.4): every query scripts a
-  * sequence of versioned-table operations against a scratch GraftTable
-  * built from testdata, then returns a deterministic result the DuckDB
-  * oracle reproduces with plain SQL. This is how MERGE / SCD2 / APPLY
-  * CHANGES / COPY INTO / time travel / RESTORE / CDF / identity go through
-  * the driver's hash-compare gate.
-  */
 /** The q62 workload's shared pieces — one definition driven both by the
   * gate body below and phase-by-phase by `tools.ProfScd`, so the profiler
   * can never measure a stale copy of the query. */
@@ -37,6 +30,13 @@ object Scd2AcDemo {
   }
 }
 
+/** Table-layer operator coverage (SURVEY.md §2.4): every query scripts a
+  * sequence of versioned-table operations against a scratch GraftTable
+  * built from testdata, then returns a deterministic result the DuckDB
+  * oracle reproduces with plain SQL. This is how MERGE / SCD2 / APPLY
+  * CHANGES / COPY INTO / time travel / RESTORE / CDF / identity go through
+  * the driver's hash-compare gate.
+  */
 object TableOps extends QueryBatch {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)

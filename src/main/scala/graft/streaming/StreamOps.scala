@@ -139,7 +139,12 @@ object StreamOps {
         }
         .start()
     }
-    started.foreach(_.awaitTermination())
+    // a failed route must not leak the others: awaitTermination throws on
+    // the first failure, and the not-yet-awaited routes would keep writing
+    // in the background while the caller handles the error — stop every
+    // still-active query before propagating
+    try started.foreach(_.awaitTermination())
+    finally started.foreach(q => if (q.isActive) q.stop())
   }
 
   /** Captured per-batch progress (the reference dumps these JSON events to

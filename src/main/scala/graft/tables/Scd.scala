@@ -71,7 +71,7 @@ object Scd {
           .withColumn("__cur_start", lit(null).cast(tgtType(startCol)))
           .withColumn("__cur", lit(null).cast(org.apache.spark.sql.types.StructType(
             compareCols.map(c => org.apache.spark.sql.types.StructField(c, tgtType(c))))))
-          .withColumn("__cur_file", lit(null).cast("string"))
+          .withColumn("__cur_files", lit(null).cast("array<string>"))
       else {
         val state = t.readFilesWithPos(t.filesAt(), tgtSchema)
           .drop(GraftTable.DvPosCol)
@@ -84,10 +84,15 @@ object Scd {
               .as("__cur_start"),
             first(when(col(currentCol), struct(compareCols.map(col): _*)),
               ignoreNulls = true).as("__cur"),
-            // one current row per key (the SCD2 invariant these merges
-            // maintain), so `first` sees at most one non-null file
-            first(when(col(currentCol), col("__file")), ignoreNulls = true)
-              .as("__cur_file"))
+            // under the SCD2 invariant these merges maintain there is ONE
+            // current row per key, but a table adopted from external data
+            // may hold several (possibly across files) — collect them ALL,
+            // or the merge's rewrite scope would miss a file and leave a
+            // stale current row live forever (collect_set skips the nulls
+            // of non-current rows; bounded by files-per-key, 1 in the
+            // invariant-holding case)
+            collect_set(when(col(currentCol), col("__file")))
+              .as("__cur_files"))
         latest.join(state, keys, "left")
       }
 
@@ -110,9 +115,9 @@ object Scd {
     // insert copy], a new key just the insert copy — so the window +
     // state join evaluates once, not once per union branch.
     val expireS = struct(keys.map(k => col(k).cast(tgtType(k)).as(s"__mk_$k")) ++
-      carry.map(col) :+ col("__cur_file").as("__cur_file"): _*)
+      carry.map(col) :+ col("__cur_files").as("__cur_files"): _*)
     val insertS = struct(keys.map(k => lit(null).cast(tgtType(k)).as(s"__mk_$k")) ++
-      carry.map(col) :+ lit(null).cast("string").as("__cur_file"): _*)
+      carry.map(col) :+ lit(null).cast("array<string>").as("__cur_files"): _*)
     val staged = enriched.filter(changed || newKey)
       .select(explode(when(changed, array(expireS, insertS))
         .otherwise(array(insertS))).as("__e"))
@@ -121,8 +126,8 @@ object Scd {
 
     // the merge's touched-file set, read off the staged local blocks —
     // no discovery scan of the target needed
-    val touched = staged.filter(col("__cur_file").isNotNull)
-      .select("__cur_file").distinct().collect()
+    val touched = staged.filter(col("__cur_files").isNotNull)
+      .select(explode(col("__cur_files")).as("__f")).distinct().collect()
       .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0))).toString)
       .toSeq
 
@@ -130,7 +135,7 @@ object Scd {
       s" AND target.$currentCol = true"
     // failOnMultipleMatches off: one keyed copy per key by construction
     MergeOps.mergeInto(
-      t, staged.drop("__cur_file"), cond,
+      t, staged.drop("__cur_files"), cond,
       matched = Seq(MergeOps.WhenMatched(None, MergeOps.UpdateSet(Map(
         endCol -> s"source.$seqCol",
         currentCol -> "false")))),

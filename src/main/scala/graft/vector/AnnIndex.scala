@@ -49,20 +49,11 @@ object AnnIndex {
     t
   }
 
-  /** Probe an index table reopened from storage: pick the `nprobe` cells
-    * nearest the query from the PROPERTIES centroids (zero data reads),
-    * then exact-rerank inside those cells only — each cell arrives via
-    * its own file-pruned `readWhere`. nprobe = nlist is exact brute
-    * force.
-    *
-    * Contract: `queryVec` must have non-zero norm (cosine similarity to a
-    * zero vector is undefined; an unguarded division would turn every sim
-    * into NaN and silently scramble the ordering). A zero-norm CENTROID
-    * (an all-zero-vector cell) ranks last rather than NaN-poisoning the
-    * probe order. */
   /** The `nprobe` cells nearest the query per the PROPERTIES centroids —
     * the file-pruning decision [[topK]] makes, exposed so plan audits and
-    * [[probeCost]] callers can name the exact cells a probe opens. */
+    * [[probeCost]] callers can name the exact cells a probe opens. A
+    * zero-norm CENTROID (an all-zero-vector cell) ranks last rather than
+    * NaN-poisoning the probe order. */
   def probedCells(t: GraftTable, queryVec: Seq[Double], nprobe: Int): Seq[Int] = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val cents = decodeCentroids(t.properties.getOrElse(CentroidsProp,
@@ -79,6 +70,15 @@ object AnnIndex {
     }.sortBy { case (cell, sim) => (-sim, cell) }.take(nprobe).map(_._1)
   }
 
+  /** Probe an index table reopened from storage: pick the `nprobe` cells
+    * nearest the query from the PROPERTIES centroids (zero data reads),
+    * then exact-rerank inside those cells only — each cell arrives via
+    * its own file-pruned `readWhere`. nprobe = nlist is exact brute
+    * force.
+    *
+    * Contract: `queryVec` must have non-zero norm (cosine similarity to a
+    * zero vector is undefined; an unguarded division would turn every sim
+    * into NaN and silently scramble the ordering). */
   def topK(t: GraftTable, queryVec: Seq[Double], k: Int, nprobe: Int,
       idCol: String = "vec_id"): DataFrame = {
     val probe = probedCells(t, queryVec, nprobe)

@@ -97,7 +97,10 @@ object Ivf {
       .select(col("cell"),
         when(cDen > 0, VectorOps.dotPre(col("c"), q) / cDen)
           .otherwise(lit(-1.0)).as("sim"))
-      .orderBy(col("sim").desc).limit(nprobe)
+      // cell id breaks sim ties (the -1.0 zero-norm sentinel manufactures
+      // exact ties, and an untied desc sort would pick probe cells by
+      // partition order — nondeterministic results run to run)
+      .orderBy(col("sim").desc, col("cell")).limit(nprobe)
       .select("cell").collect().map(_.getInt(0)).toSeq
     val vDen = VectorOps.normPre(col("v")) * VectorOps.normPre(q)
     indexed.filter(col("cell").isin(probeCells: _*))

@@ -65,7 +65,10 @@ object Pq {
     * dropped (codes can never reference them). */
   def trainCodebooks(emb: DataFrame, m: Int, ksub: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Codebook] = {
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    val firstRow = emb.select(size(col(vecCol))).take(1)
+    require(firstRow.nonEmpty,
+      "cannot train PQ codebooks on an empty embeddings frame")
+    val dims = firstRow.head.getInt(0)
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
     val subs = subspaces(emb, m, dsub, idCol, vecCol)
@@ -119,8 +122,7 @@ object Pq {
   def adcTopK(emb: DataFrame, queryVec: Seq[Double], k: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qnorm = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
-    require(qnorm > 0, "query vector must have non-zero norm (cosine is undefined for it)")
+    // non-zero-norm contract enforced in adcScore, which sees the same value
     val cents = trainCodebooks(emb, m, ksub, iters, idCol, vecCol)
     val codes = encode(emb, cents, m, idCol, vecCol)
     adcScore(codes, cents, queryVec, k, idCol)
@@ -134,6 +136,7 @@ object Pq {
       queryVec: Seq[Double], k: Int, idCol: String): DataFrame = {
     val qnorm = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
     require(qnorm > 0, "query vector must have non-zero norm (cosine is undefined for it)")
+    require(cents.nonEmpty, "codebooks are empty — not a trained PQ index")
     val m = cents.map(_.sub).max + 1
     val ksub = cents.map(_.cell).max + 1
     val dsub = cents.head.c.size

@@ -95,4 +95,12 @@ class EdgeCasesSpec extends SparkTestBase {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "s")
     assert(FuzzyJoin.selfPairs(docs, k = 2).count() === 0)
   }
+
+  test("PQ index build on an empty embeddings frame fails with a contract error") {
+    val empty = Tables.t(spark, sf, "embeddings").filter(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      graft.vector.PqIndex.build(empty, scratch("pqempty"))
+    }
+    assert(e.getMessage.contains("empty embeddings frame"))
+  }
 }

@@ -127,6 +127,32 @@ class ScdSpec extends SparkTestBase {
     assert(t.read().count() === 41)
   }
 
+  test("scd2 expires ALL current rows of a key even when they span files") {
+    val t = GraftTable.create(spark, scratch("scd2multi"), scd2Schema)
+    // adopt pre-existing data that VIOLATES the one-current-per-key
+    // invariant: key 1 has a current row in each of two data files (two
+    // separate appends) — the touched-file capture must collect BOTH
+    // files or one stale current row survives the merge un-expired
+    def seeded(name: String, start: String) =
+      Seq((1L, name, start, None: Option[String], true))
+        .toDF("id", "name", "_start_at", "_end_at", "_is_current")
+    t.append(seeded("a", "2024-01-01"))
+    t.append(seeded("b", "2024-01-02"))
+    assert(t.filesAt().size === 2)
+
+    Scd.scd2Merge(t, Seq((1L, "c")).toDF("id", "name")
+        .withColumn("_seq", lit("2024-03-01")),
+      Seq("id"), Seq("name"), "_seq")
+
+    val rows = t.read().orderBy("_start_at")
+      .collect().map(r => (r.getString(1), Option(r.getString(3)), r.getBoolean(4)))
+    assert(rows.count(_._3) === 1, s"exactly one current row must remain: ${rows.toSeq}")
+    assert(rows.toSeq === Seq(
+      ("a", Some("2024-03-01"), false),
+      ("b", Some("2024-03-01"), false),
+      ("c", None, true)))
+  }
+
   private val scd1Schema = StructType(Seq(
     StructField("id", LongType), StructField("v", StringType),
     StructField("seq", LongType)))
