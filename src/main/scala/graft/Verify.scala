@@ -32,6 +32,14 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        finally {
+          // a gate that threw between stream start and await leaves its
+          // stream running in the background, corrupting later gates'
+          // scratch state — stop strays on the root session AND the
+          // derived stateSized sessions (own StreamingQueryManagers)
+          spark.streams.active.foreach(_.stop())
+          graft.queries.StreamQueries.stopDerivedStreams()
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
