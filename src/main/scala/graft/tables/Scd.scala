@@ -106,9 +106,9 @@ object Scd {
       .filterNot(Set(startCol, endCol, currentCol).contains).toSeq
     val carry = (businessCols :+ seqCol).distinct
 
-    // staged source, materialized once via localCheckpoint: it feeds the
-    // merge's jobs, and an eager local checkpoint replaces each
-    // re-evaluation of the window + state join with a local block read.
+    // staged source, materialized once via Lineage.cut: it feeds the
+    // merge's jobs, and an eager lineage cut replaces each re-evaluation
+    // of the window + state join with a block read.
     // (Columnar `persist` was measured slower at sf0.1; the staged batch
     // is small relative to the target by construction.) Built as ONE
     // explode — a changed key yields [keyed expire copy, NULL-keyed
@@ -122,11 +122,11 @@ object Scd {
       .select(explode(when(changed, array(expireS, insertS))
         .otherwise(array(insertS))).as("__e"))
       .select(col("__e.*"))
-      .localCheckpoint(true)
+    val stagedCut = graft.perf.Lineage.cut(staged)
 
-    // the merge's touched-file set, read off the staged local blocks —
+    // the merge's touched-file set, read off the staged blocks —
     // no discovery scan of the target needed
-    val touched = staged.filter(col("__cur_files").isNotNull)
+    val touched = stagedCut.filter(col("__cur_files").isNotNull)
       .select(explode(col("__cur_files")).as("__f")).distinct().collect()
       .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0))).toString)
       .toSeq
@@ -135,7 +135,7 @@ object Scd {
       s" AND target.$currentCol = true"
     // failOnMultipleMatches off: one keyed copy per key by construction
     MergeOps.mergeInto(
-      t, staged.drop("__cur_files"), cond,
+      t, stagedCut.drop("__cur_files"), cond,
       matched = Seq(MergeOps.WhenMatched(None, MergeOps.UpdateSet(Map(
         endCol -> s"source.$seqCol",
         currentCol -> "false")))),

@@ -98,8 +98,8 @@ object DedupOps {
     val grams = shingleTable(docs, n, idCol, textCol).persist()
     // materialize before unpersisting grams (a lazy return would
     // recompute the shingle table three times in verifyPairs)
-    try verifyPairs(prefixCandidates(grams, threshold), grams, threshold)
-      .localCheckpoint(eager = true)
+    try graft.perf.Lineage.cut(
+      verifyPairs(prefixCandidates(grams, threshold), grams, threshold))
     finally grams.unpersist()
   }
 
@@ -167,7 +167,7 @@ object DedupOps {
         .join(batchIds, Seq("doc_id"), "left_anti")
         .unionByName(batchGrams)
         .join(touched, Seq("doc_id"), "left_semi")
-      verifyPairs(candidates, gramsTouched, threshold).localCheckpoint(eager = true)
+      graft.perf.Lineage.cut(verifyPairs(candidates, gramsTouched, threshold))
     } finally batchGrams.unpersist()
   }
 
@@ -261,7 +261,7 @@ object DedupOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      verifyPairs(candidates, grams, threshold).localCheckpoint(eager = true)
+      graft.perf.Lineage.cut(verifyPairs(candidates, grams, threshold))
     } finally grams.unpersist()
   }
 
@@ -349,9 +349,9 @@ object DedupOps {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var cur = edges.select(col("d1").as("u"), col("d2").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(eager = true)
+    var cur = graft.perf.Lineage.cut(
+      edges.select(col("d1").as("u"), col("d2").as("v"))
+        .filter(col("u") =!= col("v")).distinct())
     var sig = signature(cur)
     var rounds = 0
     var converged = cur.isEmpty
@@ -360,7 +360,7 @@ object DedupOps {
       if (rounds > maxIters)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIters rounds")
-      val next = smallStar(largeStar(cur)).localCheckpoint(eager = true)
+      val next = graft.perf.Lineage.cut(smallStar(largeStar(cur)))
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
@@ -462,7 +462,7 @@ object DedupOps {
         .join(sigs.select(col("doc_id").as("d2"), col("simhash").as("__s2")), "d2")
         .filter(bit_count(col("__s1").bitwiseXOR(col("__s2"))) <= maxHamming)
         .select("d1", "d2")
-      verifyPairs(candidates, grams, threshold).localCheckpoint(eager = true)
+      graft.perf.Lineage.cut(verifyPairs(candidates, grams, threshold))
     } finally { grams.unpersist(); sigs.unpersist(); wordsDf.unpersist() }
   }
 }

@@ -90,13 +90,12 @@ object FuzzyJoin {
       .unionByName(shortCand)
       .distinct()
     val strs = base.select(col("id"), col("s"))
-    try candidates
+    try graft.perf.Lineage.cut(candidates
       .join(strs.toDF("d1", "s1"), "d1")
       .join(strs.toDF("d2", "s2"), "d2")
       .withColumn("ed", levenshtein(col("s1"), col("s2")))
       .filter(col("ed") <= k)
-      .select(col("d1"), col("d2"), col("ed").cast("long").as("ed"))
-      .localCheckpoint(eager = true)
+      .select(col("d1"), col("d2"), col("ed").cast("long").as("ed")))
     finally base.unpersist()
   }
 }

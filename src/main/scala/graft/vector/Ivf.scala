@@ -24,12 +24,12 @@ object Ivf {
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
-    val v = emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-      .localCheckpoint(eager = true)
-    var centroids = v.orderBy("id").limit(k)
-      .select((row_number().over(Window.orderBy("id")) - 1).as("cell"), col("v").as("c"))
-      .localCheckpoint(eager = true)
+    val v = graft.perf.Lineage.cut(
+      emb.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v")))
+    var centroids = graft.perf.Lineage.cut(
+      v.orderBy("id").limit(k)
+        .select((row_number().over(Window.orderBy("id")) - 1).as("cell"), col("v").as("c")))
     (1 to iters).foreach { _ =>
       val assigned = assign(v, centroids)
       centroids = assigned
@@ -38,7 +38,7 @@ object Ivf {
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("c"))
-        .localCheckpoint(eager = true)
+      centroids = graft.perf.Lineage.cut(centroids)
     }
     centroids
   }

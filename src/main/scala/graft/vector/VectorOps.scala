@@ -138,14 +138,13 @@ object VectorOps {
       blockSize: Int = 4096, idCol: String = "vec_id", vecCol: String = "embedding",
       dotFn: (Column, Column) => Column = dotPre): DataFrame = {
     val sizes = emb.groupBy(keyCol).agg(count(lit(1)).as("__m"))
-    // normalize once per vector; localCheckpoint truncates lineage so
+    // normalize once per vector; the lineage cut truncates the plan so
     // Catalyst cannot inline the normalization into the per-pair projection
-    val withG = emb.join(sizes, keyCol)
+    val withG = graft.perf.Lineage.cut(emb.join(sizes, keyCol)
       .withColumn("__nblk", ceil(col("__m") / lit(blockSize)).cast("int"))
       .withColumn("__blk", pmod(xxhash64(col(idCol)), col("__nblk")).cast("int"))
       .select(col(keyCol), col(idCol), normalized(col(vecCol)).as("__v"),
-        col("__nblk"), col("__blk"))
-      .localCheckpoint(true)
+        col("__nblk"), col("__blk")))
     val cells = withG.withColumn("__cell",
         explode(transform(sequence(lit(0), col("__nblk") - 1),
           k => struct(least(col("__blk"), k).as("i"), greatest(col("__blk"), k).as("j")))))
