@@ -225,25 +225,13 @@ object VectorQueries extends QueryBatch {
              ORDER BY sim DESC, vec_id LIMIT 10""")
   )
 
-  /** Persisted PQ index (`PqIndex`): code words as a GraftTable with the
-    * codebooks in TBLPROPERTIES — the query path REOPENS the table (no
-    * in-memory training state), ADC-shortlists 100 ids from the persisted
-    * codes, and exact-reranks only those vectors. The oracle replays the
-    * ENTIRE pipeline in SQL — q208's deterministic training/encode/ADC
-    * chain, the 100-id shortlist at the same rounded ordering, then the
-    * exact cosine rerank — so a codebook that mis-round-trips through
-    * table properties, or codes that differ from in-session encoding,
-    * hash-mismatch immediately. */
-  private val q214 = GQ(
-    "q214_pq_index_table",
-    (s, dir) => {
-      val path = Scratch.dir("pqidx")
-      graft.vector.PqIndex.build(emb(s, dir), path, m = 8, ksub = 16, iters = 1)
-      val reopened = graft.tables.GraftTable.load(s, path)
-      graft.vector.PqIndex.topKRerank(
-        reopened, emb(s, dir), queryVec(s, dir), 10, fetch = 100)
-    },
-    Some(s"""WITH v AS (SELECT vec_id,
+  /** Full SQL replay of the deterministic PQ train → encode → ADC
+    * 100-id shortlist → exact-rerank chain at m=8, ksub=16, iters=1,
+    * k=10 — shared verbatim by q214 (PQ index alone) and q215 (IVF+PQ:
+    * with nprobe = nlist the cell probe covers every code file, so the
+    * combined search degenerates to exactly this chain and any
+    * partition-routing or code-persistence bug hash-mismatches). */
+  private val pqRerankSql = s"""WITH v AS (SELECT vec_id,
                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                        FROM embeddings),
                  subs AS (SELECT vec_id, s.sub, v[s.sub*8+1 : s.sub*8+8] AS sv
@@ -289,7 +277,46 @@ object VectorQueries extends QueryBatch {
                  q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id, round($cosineSql + 1e-9, 4) AS sim
             FROM embeddings e JOIN short USING (vec_id), q
-            ORDER BY sim DESC, vec_id LIMIT 10""")
+            ORDER BY sim DESC, vec_id LIMIT 10"""
+
+  /** Persisted PQ index (`PqIndex`): code words as a GraftTable with the
+    * codebooks in TBLPROPERTIES — the query path REOPENS the table (no
+    * in-memory training state), ADC-shortlists 100 ids from the persisted
+    * codes, and exact-reranks only those vectors. The oracle replays the
+    * ENTIRE pipeline in SQL — q208's deterministic training/encode/ADC
+    * chain, the 100-id shortlist at the same rounded ordering, then the
+    * exact cosine rerank — so a codebook that mis-round-trips through
+    * table properties, or codes that differ from in-session encoding,
+    * hash-mismatch immediately. */
+  private val q214 = GQ(
+    "q214_pq_index_table",
+    (s, dir) => {
+      val path = Scratch.dir("pqidx")
+      graft.vector.PqIndex.build(emb(s, dir), path, m = 8, ksub = 16, iters = 1)
+      val reopened = graft.tables.GraftTable.load(s, path)
+      graft.vector.PqIndex.topKRerank(
+        reopened, emb(s, dir), queryVec(s, dir), 10, fetch = 100)
+    },
+    Some(pqRerankSql)
+  )
+
+  /** Combined IVF+PQ persisted index (`IvfPq`): cell-partitioned code
+    * files + both quantizers' metadata in TBLPROPERTIES, reopened from
+    * storage and searched probe → ADC shortlist → exact rerank. The gate
+    * probes every cell (nprobe = nlist), which must reproduce the pure-PQ
+    * chain bit-for-bit; partial-probe file pruning and recall are
+    * spec-asserted (IvfPqSpec). */
+  private val q215 = GQ(
+    "q215_ivfpq_index_table",
+    (s, dir) => {
+      val path = Scratch.dir("ivfpqidx")
+      graft.vector.IvfPq.build(emb(s, dir), path, nlist = 8, m = 8,
+        ksub = 16, ivfIters = 2, pqIters = 1)
+      val reopened = graft.tables.GraftTable.load(s, path)
+      graft.vector.IvfPq.search(
+        reopened, emb(s, dir), queryVec(s, dir), 10, nprobe = 8, fetch = 100)
+    },
+    Some(pqRerankSql)
   )
 
   /** Semantic dedup end-to-end: the exact embedding near-dup pairs (q81's
@@ -333,5 +360,5 @@ object VectorQueries extends QueryBatch {
   )
 
   override def queries: Seq[GQ] =
-    Seq(q80, q81, q82, q83, q84, q208, q211, q213, q214)
+    Seq(q80, q81, q82, q83, q84, q208, q211, q213, q214, q215)
 }

@@ -20,7 +20,7 @@ import graft.tables.GraftTable
   */
 object AnnIndex {
 
-  private val CentroidsProp = "graft.ann.centroids"
+  private[vector] val CentroidsProp = "graft.ann.centroids"
 
   /** `cell:v1,v2,...;cell:v1,...` — a flat, escaping-free encoding (the
     * values are doubles and cell ids; no reserved characters occur). */

@@ -95,19 +95,25 @@ object Pq {
     cents.sortBy(cb => (cb.sub, cb.cell))
   }
 
+  /** The m-byte code word for an already-double vector column — the
+    * encode expression factored out so composed builders (e.g.
+    * [[IvfPq]], which carries the IVF cell through the same projection)
+    * encode without a self-join back to [[encode]]'s output. */
+  private[vector] def codesExpr(cents: Seq[Codebook], m: Int, v: Column): Column = {
+    val dsub = cents.head.c.size
+    val cl = centLit(cents)
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      nearestCell(cl, s, slice(v, s * dsub + 1, lit(dsub))))
+  }
+
   /** Encode every vector to its m-byte code word — a single zero-shuffle
     * narrow projection (no explode: all m argmins evaluate per row).
     * Output: idCol, codes array<int>. */
   def encode(emb: DataFrame, cents: Seq[Codebook], m: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dsub = cents.head.c.size
-    val cl = centLit(cents)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     emb.select(col(idCol),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(m - 1)), s =>
-          nearestCell(cl, s, slice(col("__v"), s * dsub + 1, lit(dsub)))).as("codes"))
-  }
+      .select(col(idCol), codesExpr(cents, m, col("__v")).as("codes"))
 
   /** Approximate top-k by ADC cosine: train + encode, then score each
     * code word against a per-query m×ksub lookup table (dot and squared

@@ -21,7 +21,7 @@ import graft.tables.GraftTable
   */
 object PqIndex {
 
-  private val CodebooksProp = "graft.pq.codebooks"
+  private[vector] val CodebooksProp = "graft.pq.codebooks"
 
   /** `sub:cell:v1,v2,...;...` — flat, escaping-free (doubles and small
     * ints only), the AnnIndex centroid-property idiom. */
