@@ -324,27 +324,20 @@ object TextQueries extends QueryBatch {
     * join restricted to pairs touching a batch document (batch ids are
     * the ≥100000 range), which the one-sided prefix bound must equal
     * exactly. */
-  private val q209 = GQ(
-    "q209_incremental_dedup",
-    (s, dir) => {
-      val d = docs(s, dir).select("doc_id", "text")
-      // NOTE: the index frame is recomputed per reference here. Both
-      // materialization alternatives were measured SLOWER at sf0.1:
-      // persist() (columnar cache build) and a scratch parquet
-      // write+read-back (write job dominates) — the two text re-shingles
-      // are the cheapest evaluation at gate scale. At 100 TB production
-      // reads an already-persisted index table instead.
-      val corpusGrams = DedupOps.shingleTable(d, 5)
-      val batch = d.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" extra token extra2")).as("text"))
-        .unionAll(d.filter(col("doc_id") % 40 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" extra token extra3")).as("text")))
-      DedupOps.incrementalJaccardPairs(corpusGrams, batch, n = 5, threshold = 0.5)
-        .orderBy("d1", "d2")
-    },
-    Some("""WITH batch AS (SELECT doc_id + 100000 AS doc_id,
+  /** The q209/q216 ingest batch: mutated near-copies of corpus docs at
+    * fresh ids ≥ 100000, so every emitted pair touches the batch. */
+  private def ingestBatch(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extra token extra2")).as("text"))
+      .unionAll(d.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" extra token extra3")).as("text")))
+
+  /** Batch-vs-corpus exact Jaccard restricted to pairs touching the
+    * batch — the oracle both q209 (in-session index frame) and q216
+    * (persisted index table) must equal. */
+  private val incrementalDedupSql = """WITH batch AS (SELECT doc_id + 100000 AS doc_id,
                              text || ' extra token extra2' AS text
                            FROM documents WHERE doc_id % 20 = 0
                            UNION ALL
@@ -367,7 +360,44 @@ object TextQueries extends QueryBatch {
                    round(inter::DOUBLE / (s1.sz + s2.sz - inter) + 1e-9, 4) AS jaccard
             FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
             WHERE inter::DOUBLE / (s1.sz + s2.sz - inter) >= 0.5 AND d2 >= 100000
-            ORDER BY d1, d2""")
+            ORDER BY d1, d2"""
+
+  private val q209 = GQ(
+    "q209_incremental_dedup",
+    (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      // NOTE: the index frame is recomputed per reference here. Both
+      // materialization alternatives were measured SLOWER at sf0.1:
+      // persist() (columnar cache build) and a scratch parquet
+      // write+read-back (write job dominates) — the two text re-shingles
+      // are the cheapest evaluation at gate scale. At 100 TB production
+      // reads an already-persisted index table instead (q216).
+      val corpusGrams = DedupOps.shingleTable(d, 5)
+      DedupOps.incrementalJaccardPairs(corpusGrams, ingestBatch(d),
+          n = 5, threshold = 0.5)
+        .orderBy("d1", "d2")
+    },
+    Some(incrementalDedupSql)
+  )
+
+  /** Persisted near-dup index (`DedupIndex`): corpus shingle postings as
+    * a band-partitioned GraftTable with the shingle size in
+    * TBLPROPERTIES, REOPENED from storage and probed by the same mutated
+    * ingest batch — the production form of q209, where corpus text is
+    * shingled once at build time and never re-read per batch. Must equal
+    * q209's oracle exactly; append maintenance and the n-recovery
+    * contract are spec-pinned (DedupIndexSpec). */
+  private val q216 = GQ(
+    "q216_dedup_index_table",
+    (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val path = Scratch.dir("dedupidx")
+      graft.text.DedupIndex.build(d, path, n = 5)
+      val reopened = graft.tables.GraftTable.load(s, path)
+      graft.text.DedupIndex.dedupBatch(reopened, ingestBatch(d), threshold = 0.5)
+        .orderBy("d1", "d2")
+    },
+    Some(incrementalDedupSql)
   )
 
   /** Character-level fuzzy self-join (`FuzzyJoin.selfPairs`): all pairs
@@ -401,5 +431,5 @@ object TextQueries extends QueryBatch {
 
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
-      q212)
+      q212, q216)
 }

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.tables.GraftTable
+
+/** Persisted near-dup shingle index: the corpus's `shingleTable` output
+  * — (doc_id, shingle int64) postings — materialized as a [[GraftTable]]
+  * that ingest batches probe WITHOUT re-shingling corpus text. This is
+  * the persisted artifact [[DedupOps.incrementalJaccardPairs]]'s contract
+  * assumes ("in production a table bucketed on the 8-byte shingle hash,
+  * appended per ingest"), in the same build-once/query-many pattern as
+  * the vector indexes ([[graft.vector.AnnIndex]], [[graft.vector.PqIndex]]).
+  *
+  * Layout: rows are partitioned by a `__band = shingle mod numBands`
+  * column, so the index writes as `numBands` independent directory
+  * partitions — co-located for band-wise joins and parallel appends
+  * (xxhash64 shingles are uniform, so bands are balanced by
+  * construction; value-based file skipping can't help a probe here for
+  * the same reason, and the probe instead bounds cost by the one-sided
+  * prefix filter). The shingle size `n` rides TBLPROPERTIES: a probe
+  * MUST shingle its batch identically or Jaccard values are garbage, so
+  * [[dedupBatch]] recovers n from the table rather than trusting the
+  * caller to repeat it.
+  *
+  * Ingest loop at scale: `pairs = dedupBatch(t, batch)` (exact pairs vs
+  * index + within batch, cost ∝ batch + matched postings, never corpus
+  * text), drop/quarantine the batch's dups, then `append(t, survivors)`
+  * — index maintenance is an append of the new docs' postings, never a
+  * rebuild.
+  */
+object DedupIndex {
+
+  private val NProp = "graft.dedup.n"
+  private val BandsProp = "graft.dedup.bands"
+
+  private def grams(docs: DataFrame, n: Int, numBands: Int,
+      idCol: String, textCol: String): DataFrame =
+    DedupOps.shingleTable(docs, n, idCol, textCol)
+      .withColumn("__band", pmod(col("shingle"), lit(numBands.toLong)).cast("int"))
+
+  /** Shingle the corpus once and persist its postings. */
+  def build(docs: DataFrame, path: String, n: Int, numBands: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): GraftTable = {
+    val df = grams(docs, n, numBands, idCol, textCol)
+    val t = GraftTable.create(docs.sparkSession, path, df.schema,
+      Map("graft.partitionBy" -> "__band",
+        NProp -> n.toString, BandsProp -> numBands.toString))
+    t.append(df, "DEDUP INDEX BUILD")
+    t
+  }
+
+  private def intProp(t: GraftTable, key: String): Int =
+    t.properties.getOrElse(key,
+      throw new IllegalArgumentException(
+        s"${t.path} is not a dedup index table: property $key missing " +
+          "(build one with DedupIndex.build)")).toInt
+
+  /** Append a new batch's postings — per-ingest index maintenance. */
+  def append(t: GraftTable, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    t.append(grams(docs, intProp(t, NProp), intProp(t, BandsProp),
+      idCol, textCol), "DEDUP INDEX APPEND")
+
+  /** Exact near-dup pairs (Jaccard ≥ threshold) between a new batch and
+    * the indexed corpus (plus within the batch), reading only postings
+    * from the index — corpus TEXT is never touched. Shingle size comes
+    * from the table properties; semantics (one-sided prefix exactness,
+    * id-collision SUPERSEDE) are [[DedupOps.incrementalJaccardPairs]]'s. */
+  def dedupBatch(t: GraftTable, batch: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = intProp(t, NProp) // validate the table IS an index before reading it
+    DedupOps.incrementalJaccardPairs(
+      t.read().select("doc_id", "shingle"), batch, n, threshold, idCol, textCol)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.tables.GraftTable
+
+/** Persisted dedup index semantics: reopen-from-storage equivalence to
+  * the in-session incremental pipeline, append maintenance (a dedup
+  * after append sees earlier batches), banded layout, and the
+  * n-from-properties contract. */
+class DedupIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def d = Tables.t(spark, sf, "documents").select("doc_id", "text")
+
+  private def batchOf(mod: Int, idOffset: Long, tail: String) =
+    d.filter(col("doc_id") % mod === 0)
+      .select((col("doc_id") + idOffset).as("doc_id"),
+        concat(col("text"), lit(tail)).as("text"))
+
+  test("a reopened index dedups identically to the in-session pipeline") {
+    val path = scratch("dedupidx1")
+    DedupIndex.build(d, path, n = 5)
+    val batch = batchOf(15, 500000, " tail x")
+    val viaTable = DedupIndex.dedupBatch(GraftTable.load(spark, path), batch, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val inSession = DedupOps.incrementalJaccardPairs(
+        DedupOps.shingleTable(d, 5), batch, n = 5, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaTable == inSession)
+    assert(viaTable.nonEmpty, "planted near-copies must be found")
+  }
+
+  test("append maintains the index: later batches dedup against earlier ones") {
+    val path = scratch("dedupidx2")
+    DedupIndex.build(d, path, n = 5)
+    val t = GraftTable.load(spark, path)
+    val first = batchOf(30, 500000, " tail y")
+    DedupIndex.append(t, first)
+    // second batch = near-copies of the FIRST batch (ids 700000+): only
+    // an index that absorbed the append can pair them
+    val second = first.select((col("doc_id") + 200000).as("doc_id"),
+      concat(col("text"), lit(" z")).as("text"))
+    val pairs = DedupIndex.dedupBatch(t, second, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val vsFirst = pairs.filter { case (d1, d2, _) =>
+      d1 >= 500000 && d1 < 700000 && d2 >= 700000 }
+    assert(vsFirst.nonEmpty,
+      s"appended batch postings must be probe-visible; got ${pairs.take(5)}")
+  }
+
+  test("the table partitions by shingle band") {
+    val path = scratch("dedupidx3")
+    val t = DedupIndex.build(d.limit(200), path, n = 5, numBands = 8)
+    val bands = t.read().select("__band").distinct()
+      .as[Int].collect().toSet
+    assert(bands.subsetOf((0 until 8).toSet) && bands.size > 1,
+      s"expected multiple balanced bands in 0..7, got $bands")
+    // band partitioning must reach the file layout: pruning to one band
+    // keeps a strict subset of files
+    val (kept, _) = t.pruneFiles(s"__band = ${bands.head}")
+    assert(kept.nonEmpty && kept.size < t.filesAt().size)
+  }
+
+  test("a non-index table is rejected with a clear error") {
+    val path = scratch("dedupidx4")
+    GraftTable.createFrom(spark, path, d.limit(5))
+    val err = intercept[IllegalArgumentException] {
+      DedupIndex.dedupBatch(GraftTable.load(spark, path),
+        batchOf(15, 500000, " t"), 0.5)
+    }
+    assert(err.getMessage.contains("graft.dedup.n"))
+  }
+}
