@@ -39,6 +39,13 @@ object DedupIndex {
       idCol: String, textCol: String): DataFrame =
     DedupOps.shingleTable(docs, n, idCol, textCol)
       .withColumn("__band", pmod(col("shingle"), lit(numBands.toLong)).cast("int"))
+      // cluster each band into one writer BEFORE the partitioned write:
+      // without this, every input split writes a file into every band
+      // directory (splits × bands tiny files), and a one-split input
+      // serializes the whole shingle+write on one core. One shuffle of
+      // 12-byte rows buys exactly numBands well-sized files and
+      // numBands-way write parallelism.
+      .repartition(numBands, col("__band"))
 
   /** Shingle the corpus once and persist its postings. */
   def build(docs: DataFrame, path: String, n: Int, numBands: Int = 32,
