@@ -136,39 +136,49 @@ object DedupOps {
       n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val batchGrams = shingleTable(batch, n, idCol, textCol).persist()
-    try {
-      val wDf = Window.partitionBy("shingle")
-      val wRn = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-      val wSz = Window.partitionBy("doc_id")
-      val bPrefix = batchGrams
-        .withColumn("df", count(lit(1)).over(wDf))
-        .withColumn("rn", row_number().over(wRn))
-        .withColumn("sz", count(lit(1)).over(wSz))
-        .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-        .select("doc_id", "shingle")
-      val vsCorpus = bPrefix.alias("p")
-        .join(corpusGrams.alias("c"), col("p.shingle") === col("c.shingle"))
-        .select(least(col("p.doc_id"), col("c.doc_id")).as("d1"),
-          greatest(col("p.doc_id"), col("c.doc_id")).as("d2"))
-        .filter(col("d1") =!= col("d2"))
-      val vsBatch = bPrefix.alias("a")
-        .join(bPrefix.alias("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      val candidates = vsCorpus.unionByName(vsBatch).distinct()
-      val touched = candidates.select(col("d1").as("doc_id"))
-        .unionByName(candidates.select(col("d2").as("doc_id"))).distinct()
-      // batch supersedes the index on id collision: anti-join keeps a
-      // re-ingested id's OLD grams out of the union, so per-doc sets
-      // never merge two versions (the anti-join is against batch ids —
-      // metadata-scale next to the index)
-      val batchIds = batchGrams.select("doc_id").distinct()
-      val gramsTouched = corpusGrams
-        .join(batchIds, Seq("doc_id"), "left_anti")
-        .unionByName(batchGrams)
-        .join(touched, Seq("doc_id"), "left_semi")
-      graft.perf.Lineage.cut(verifyPairs(candidates, gramsTouched, threshold))
-    } finally batchGrams.unpersist()
+    try graft.perf.Lineage.cut(
+      incrementalPipeline(corpusGrams, batchGrams, threshold))
+    finally batchGrams.unpersist()
+  }
+
+  /** The un-materialized probe pipeline behind [[incrementalJaccardPairs]]
+    * — exposed pre-cut so the plan-audit spec can inspect the joins and
+    * scans that the eager lineage cut otherwise collapses to an RDD scan.
+    * `batchGrams` is the batch's shingle table (callers persist it: the
+    * plan references it four times). */
+  private[graft] def incrementalPipeline(corpusGrams: DataFrame,
+      batchGrams: DataFrame, threshold: Double): DataFrame = {
+    val wDf = Window.partitionBy("shingle")
+    val wRn = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val wSz = Window.partitionBy("doc_id")
+    val bPrefix = batchGrams
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("sz", count(lit(1)).over(wSz))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("doc_id", "shingle")
+    val vsCorpus = bPrefix.alias("p")
+      .join(corpusGrams.alias("c"), col("p.shingle") === col("c.shingle"))
+      .select(least(col("p.doc_id"), col("c.doc_id")).as("d1"),
+        greatest(col("p.doc_id"), col("c.doc_id")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+    val vsBatch = bPrefix.alias("a")
+      .join(bPrefix.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val candidates = vsCorpus.unionByName(vsBatch).distinct()
+    val touched = candidates.select(col("d1").as("doc_id"))
+      .unionByName(candidates.select(col("d2").as("doc_id"))).distinct()
+    // batch supersedes the index on id collision: anti-join keeps a
+    // re-ingested id's OLD grams out of the union, so per-doc sets
+    // never merge two versions (the anti-join is against batch ids —
+    // metadata-scale next to the index)
+    val batchIds = batchGrams.select("doc_id").distinct()
+    val gramsTouched = corpusGrams
+      .join(batchIds, Seq("doc_id"), "left_anti")
+      .unionByName(batchGrams)
+      .join(touched, Seq("doc_id"), "left_semi")
+    verifyPairs(candidates, gramsTouched, threshold)
   }
 
   /** Substring-level duplicated-span statistics (the published heavier

@@ -100,4 +100,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no cartesian/unconditioned join in the dedup path:\n$p")
   }
+
+  test("dedup-index probe prunes the posting scan to (doc_id, shingle)") {
+    // the probe reads the index table twice (candidate join + verify
+    // semi-join); if projection pruning regressed, each read would drag
+    // the band and __part_ copies — and on a real index, any future wide
+    // columns — through every shuffle of the pipeline. Composed from the
+    // pre-cut pipeline: dedupBatch itself returns an eager lineage cut
+    // whose plan is just an RDD scan.
+    import graft.text.{DedupIndex, DedupOps}
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val t = DedupIndex.build(docs, scratch("dedupplan"), n = 5)
+    val batch = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"),
+        concat(col("text"), lit(" t")).as("text"))
+    val df = DedupOps.incrementalPipeline(
+      t.read().select("doc_id", "shingle"),
+      DedupOps.shingleTable(batch, 5), 0.5)
+    val p = df.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+      .filter(_.contains("shingle"))
+    assert(schemas.nonEmpty, s"expected posting scans in the plan:\n$p")
+    assert(schemas.forall(s => !s.contains("__band") && !s.contains("__part_")),
+      s"posting scans must prune to (doc_id, shingle):\n$schemas")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cartesian/unconditioned join in the probe path:\n$p")
+  }
 }
