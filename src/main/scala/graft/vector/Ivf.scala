@@ -23,6 +23,8 @@ object Ivf {
     * Returns (cell, centroid: array<double>). */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(emb.take(1).nonEmpty,
+      "cannot cluster an empty embeddings frame (no rows to seed centroids)")
     val spark = emb.sparkSession
     val v = graft.perf.Lineage.cut(
       emb.select(col(idCol).as("id"),

@@ -103,4 +103,35 @@ class EdgeCasesSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("empty embeddings frame"))
   }
+
+  test("IVF+PQ index build on an empty embeddings frame fails with a contract error") {
+    val empty = Tables.t(spark, sf, "embeddings").filter(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      graft.vector.IvfPq.build(empty, scratch("ivfpqempty"), nlist = 4)
+    }
+    assert(e.getMessage.contains("empty embeddings frame"))
+    // the guard lives in the shared k-means, so the IVF-only index path
+    // carries the same contract
+    intercept[IllegalArgumentException] {
+      graft.vector.AnnIndex.buildIvf(empty, scratch("annempty"), nlist = 4)
+    }
+  }
+
+  test("dedup index: an empty ingest batch probes to zero pairs") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val t = graft.text.DedupIndex.build(docs, scratch("dedupemptyb"), n = 3)
+    val empty = docs.filter(lit(false))
+    assert(graft.text.DedupIndex.dedupBatch(t, empty, 0.5).count() === 0)
+  }
+
+  test("dedup index over an empty corpus: batch still dedups against itself") {
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val t = graft.text.DedupIndex.build(none, scratch("dedupemptyc"), n = 3)
+    val batch = Seq((10L, "red orange yellow green blue"),
+      (11L, "red orange yellow green blue")).toDF("doc_id", "text")
+    val pairs = graft.text.DedupIndex.dedupBatch(t, batch, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((10L, 11L, 1.0)), s"got $pairs")
+  }
 }
