@@ -1,6 +1,8 @@
 package graft.perf
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage cut for iterative and multi-consumer frames.
   *
@@ -18,7 +20,46 @@ import org.apache.spark.sql.DataFrame
   */
 object Lineage {
   def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // persist around the checkpoint: an unpersisted reliable checkpoint
+      // computes the plan TWICE — once for the eager count, once when the
+      // checkpoint job re-runs the lineage to write the files (the
+      // documented RDD.checkpoint pitfall). The cache makes the second
+      // pass a block read; unpersist drops it once the files exist.
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(eager = true)
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint(eager = true)
+
+  /** The cluster-FS directory backing a reliably-cut frame; None for
+    * local cuts (block-backed, cleaned by the ContextCleaner). */
+  private def checkpointDirOf(df: DataFrame): Option[String] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case l: LogicalRDD => l.rdd.getCheckpointFile
+    }.flatten
+
+  /** Cut for ITERATIVE loops: each call deletes the previous round's
+    * reliable checkpoint once the new one is materialized. Without this
+    * an N-round loop (connected components, k-means) leaks N full copies
+    * of the frame to the cluster checkpoint dir — Spark only removes
+    * reliable checkpoints under `spark.cleaner.referenceTracking.
+    * cleanCheckpoints` (default false) and never on app exit. The LATEST
+    * cut is never deleted (it backs the loop's result); the one
+    * still-live checkpoint is bounded O(1) per loop, reclaimed with the
+    * application's checkpoint dir. Not thread-safe: one Chain per loop.
+    */
+  final class Chain {
+    private var prev: Option[(DataFrame, String)] = None
+
+    def cut(df: DataFrame): DataFrame = {
+      val out = Lineage.cut(df)
+      prev.foreach { case (owner, dir) =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(owner.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      prev = checkpointDirOf(out).map((out, _))
+      out
+    }
+  }
 }

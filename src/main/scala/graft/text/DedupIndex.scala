@@ -64,11 +64,27 @@ object DedupIndex {
         s"${t.path} is not a dedup index table: property $key missing " +
           "(build one with DedupIndex.build)")).toInt
 
-  /** Append a new batch's postings — per-ingest index maintenance. */
+  /** Ingest a new batch's postings — per-ingest index maintenance.
+    *
+    * Id collisions SUPERSEDE, matching [[dedupBatch]]'s probe semantics:
+    * a re-ingested doc's OLD postings are merge-deleted before the new
+    * ones append, so per-doc shingle sets never merge two versions —
+    * merged sets would silently deflate every later Jaccard the doc
+    * participates in. The delete's file discovery stats-prunes on doc_id,
+    * so ingests of fresh ids (the common case — appends cluster id
+    * ranges by arrival) touch no existing files and pay only the
+    * metadata check. */
   def append(t: GraftTable, docs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): Unit =
-    t.append(grams(docs, intProp(t, NProp), intProp(t, BandsProp),
-      idCol, textCol), "DEDUP INDEX APPEND")
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val df = grams(docs, intProp(t, NProp), intProp(t, BandsProp),
+      idCol, textCol)
+    graft.tables.MergeOps.mergeInto(t, df.select("doc_id").distinct(),
+      "target.doc_id = source.doc_id",
+      matched = Seq(graft.tables.MergeOps.WhenMatched(None,
+        graft.tables.MergeOps.DeleteAction)),
+      extraProps = Map("graft.dedup.supersede" -> "true"))
+    t.append(df, "DEDUP INDEX APPEND")
+  }
 
   /** Exact near-dup pairs (Jaccard ≥ threshold) between a new batch and
     * the indexed corpus (plus within the batch), reading only postings

@@ -359,7 +359,11 @@ object DedupOps {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var cur = graft.perf.Lineage.cut(
+    // one Chain for the round frames: each round's cut deletes the
+    // previous round's reliable checkpoint (nothing reads it once the
+    // next round materialized), bounding checkpoint-dir usage at O(1)
+    val chain = new graft.perf.Lineage.Chain
+    var cur = chain.cut(
       edges.select(col("d1").as("u"), col("d2").as("v"))
         .filter(col("u") =!= col("v")).distinct())
     var sig = signature(cur)
@@ -370,7 +374,7 @@ object DedupOps {
       if (rounds > maxIters)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIters rounds")
-      val next = graft.perf.Lineage.cut(smallStar(largeStar(cur)))
+      val next = chain.cut(smallStar(largeStar(cur)))
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

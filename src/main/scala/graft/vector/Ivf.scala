@@ -29,7 +29,11 @@ object Ivf {
     val v = graft.perf.Lineage.cut(
       emb.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v")))
-    var centroids = graft.perf.Lineage.cut(
+    // centroid frames go through a Chain: each Lloyd round's cut deletes
+    // the previous round's reliable checkpoint (v stays OUTSIDE the
+    // chain — it is read every round)
+    val chain = new graft.perf.Lineage.Chain
+    var centroids = chain.cut(
       v.orderBy("id").limit(k)
         .select((row_number().over(Window.orderBy("id")) - 1).as("cell"), col("v").as("c")))
     (1 to iters).foreach { _ =>
@@ -40,7 +44,7 @@ object Ivf {
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("c"))
-      centroids = graft.perf.Lineage.cut(centroids)
+      centroids = chain.cut(centroids)
     }
     centroids
   }

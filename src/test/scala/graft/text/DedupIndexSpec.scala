@@ -50,6 +50,24 @@ class DedupIndexSpec extends SparkTestBase {
       s"appended batch postings must be probe-visible; got ${pairs.take(5)}")
   }
 
+  test("append supersedes a re-ingested id instead of merging versions") {
+    val path = scratch("dedupidx5")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    DedupIndex.build(corpus, path, n = 3)
+    val t = GraftTable.load(spark, path)
+    // doc 1 re-ingested with doc 2's text: its old postings must vanish
+    DedupIndex.append(t, Seq((1L, "one two three four five six"))
+      .toDF("doc_id", "text"))
+    // probe with a copy of that text: BOTH docs must pair at exactly 1.0
+    // — a merged v1+v2 shingle set for doc 1 would dilute its jaccard
+    val probe = Seq((9L, "one two three four five six")).toDF("doc_id", "text")
+    val pairs = DedupIndex.dedupBatch(t, probe, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((1L, 9L, 1.0), (2L, 9L, 1.0)), s"got $pairs")
+  }
+
   test("the table partitions by shingle band") {
     val path = scratch("dedupidx3")
     val t = DedupIndex.build(d.limit(200), path, n = 5, numBands = 8)
