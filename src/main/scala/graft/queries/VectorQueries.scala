@@ -319,6 +319,43 @@ object VectorQueries extends QueryBatch {
     Some(pqRerankSql)
   )
 
+  /** Batched ANN search / incremental embedding dedup (`AnnIndex
+    * .probePairs`): a whole ingest batch (every 25th vector, re-ided)
+    * probes the REOPENED persisted IVF index in one distributed job —
+    * per-vector probe cells in-plan from the PROPERTIES centroids, the
+    * index read file-pruned to the probed-cell union, pairs from a
+    * cell-keyed join. The gate probes every cell (nprobe = nlist), so
+    * the oracle is the exact batch × corpus cosine join; partial-probe
+    * pruning and recall are spec-asserted (AnnIndexSpec). */
+  private val q217 = GQ(
+    "q217_ann_batch_probe",
+    (s, dir) => {
+      val path = Scratch.dir("annbatch")
+      graft.vector.AnnIndex.buildIvf(emb(s, dir), path, nlist = 8, iters = 2)
+      val reopened = graft.tables.GraftTable.load(s, path)
+      val batch = emb(s, dir).filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      graft.vector.AnnIndex.probePairs(reopened, batch, threshold = 0.5, nprobe = 8)
+        .orderBy("id1", "id2")
+    },
+    Some("""SELECT b.vec_id + 100000 AS id1, e.vec_id AS id2,
+                   round(list_sum(list_transform(range(64),
+                           i -> b.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(range(64),
+                           i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)))
+                      * sqrt(list_sum(list_transform(range(64),
+                           i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)))) + 1e-9, 4) AS sim
+            FROM embeddings b JOIN embeddings e
+              ON b.vec_id % 25 = 0
+            WHERE round(list_sum(list_transform(range(64),
+                           i -> b.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(range(64),
+                           i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)))
+                      * sqrt(list_sum(list_transform(range(64),
+                           i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)))) + 1e-9, 4) >= 0.5
+            ORDER BY id1, id2""")
+  )
+
   /** Semantic dedup end-to-end: the exact embedding near-dup pairs (q81's
     * operator) resolved into clusters with the O(log n) connected
     * components of the text family — keep-lowest-id per cluster, the full
@@ -360,5 +397,5 @@ object VectorQueries extends QueryBatch {
   )
 
   override def queries: Seq[GQ] =
-    Seq(q80, q81, q82, q83, q84, q208, q211, q213, q214, q215)
+    Seq(q80, q81, q82, q83, q84, q208, q211, q213, q214, q215, q217)
 }

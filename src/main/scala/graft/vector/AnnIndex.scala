@@ -101,4 +101,64 @@ object AnnIndex {
     val kept = cellsProbed.flatMap(c => t.pruneFiles(s"cell = $c")._1).distinct
     (kept.size, t.filesAt().size)
   }
+
+  /** Batched ANN search: EVERY batch vector probes the index in one
+    * distributed job — the shape ingest-time embedding dedup takes
+    * ([[topK]]'s driver-side probe is one query; a 100 TB ingest batch
+    * carries millions). Per batch vector the `nprobe` nearest cells are
+    * picked in-plan from the PROPERTIES centroids as a literal array
+    * (same similarity, tie, and zero-norm rules as [[probedCells]]); the
+    * index is then read once for the UNION of probed cells — a
+    * nlist-bounded collect drives per-cell file-pruned reads — and pairs
+    * score through a cell-keyed equi-join, never batch × corpus.
+    * nprobe = nlist makes the result the exact cosine join.
+    *
+    * Output: (id1 = batch id, id2 = indexed id, sim), rounded like every
+    * cosine gate, filtered to sim ≥ threshold post-rounding.
+    *
+    * Contract: `threshold` must be positive — zero-norm vectors on
+    * either side score the −1 sentinel and therefore never pair, instead
+    * of NaN-poisoning the join. */
+  def probePairs(t: GraftTable, batch: DataFrame, threshold: Double,
+      nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    require(threshold > 0,
+      s"threshold must be positive, got $threshold (zero-norm vectors score -1)")
+    val cents = decodeCentroids(t.properties.getOrElse(CentroidsProp,
+      throw new IllegalArgumentException(
+        s"${t.path} is not an ANN index table: property $CentroidsProp missing " +
+          "(build one with AnnIndex.buildIvf)")))
+    require(cents.nonEmpty, s"${t.path}: $CentroidsProp holds no centroids")
+    val centArr = array(cents.map { case (cell, c) =>
+      struct(lit(cell).as("cell"), array(c.map(lit): _*).as("c"),
+        lit(math.sqrt(c.map(x => x * x).sum)).as("n"))
+    }: _*)
+    val q = batch.select(col(idCol).as("id1"),
+        transform(col(vecCol), x => x.cast("double")).as("__qv"))
+      .withColumn("__qn", VectorOps.normPre(col("__qv")))
+      // nprobe nearest cells per batch vector: sort (negSim, cell) structs
+      // — ties to the lowest cell, zero-norm query/centroid ranks last,
+      // exactly probedCells' ordering
+      .withColumn("__cells", slice(transform(array_sort(
+        transform(centArr, s => {
+          val denom = col("__qn") * s.getField("n")
+          struct(when(denom > 0,
+              negate(VectorOps.dotPre(col("__qv"), s.getField("c")) / denom))
+              .otherwise(lit(1.0)).as("negSim"),
+            s.getField("cell").as("cell"))
+        })), e => e.getField("cell")), 1, nprobe))
+    val probed = q.select(explode(col("__cells")).as("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // bounded by nlist
+    val idx = probed.map(c => t.readWhere(s"cell = $c")).reduce(_ unionByName _)
+      .select(col(idCol).as("id2"), col("cell"), col("v"))
+    val vn = VectorOps.normPre(col("v"))
+    q.select(col("id1"), col("__qv"), col("__qn"), explode(col("__cells")).as("cell"))
+      .join(idx, "cell")
+      .select(col("id1"), col("id2"),
+        round(when(col("__qn") * vn > 0,
+            VectorOps.dotPre(col("__qv"), col("v")) / (col("__qn") * vn))
+          .otherwise(lit(-1.0)) + lit(1e-9), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

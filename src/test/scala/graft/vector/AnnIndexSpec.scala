@@ -67,4 +67,48 @@ class AnnIndexSpec extends SparkTestBase {
     assert((probed intersect exact).size >= 5,
       s"2/8-cell probe recall too low: ${(probed intersect exact).size}/10")
   }
+
+  test("batched probe at nprobe = nlist equals the exact cosine join") {
+    val path = scratch("annbatch1")
+    val t = AnnIndex.buildIvf(emb, path, nlist = 8, iters = 2)
+    val batch = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val viaIndex = AnnIndex.probePairs(t, batch, threshold = 0.5, nprobe = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    // exact: brute-force batch x corpus cosine with identical rounding
+    val b = batch.select(col("vec_id").as("id1"),
+      transform(col("embedding"), x => x.cast("double")).as("bv"))
+    val e = emb.select(col("vec_id").as("id2"),
+      transform(col("embedding"), x => x.cast("double")).as("ev"))
+    val den = VectorOps.normPre(col("bv")) * VectorOps.normPre(col("ev"))
+    val exact = b.crossJoin(e)
+      .select(col("id1"), col("id2"),
+        round(when(den > 0, VectorOps.dotPre(col("bv"), col("ev")) / den)
+          .otherwise(lit(-1.0)) + lit(1e-9), 4).as("sim"))
+      .filter(col("sim") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == exact)
+    assert(viaIndex.nonEmpty, "batch copies must at least match their source at 1.0")
+  }
+
+  test("batched probe at nprobe = 1 file-prunes to the probed cells") {
+    val path = scratch("annbatch2")
+    val t = AnnIndex.buildIvf(emb, path, nlist = 8, iters = 2)
+    // single-vector batch: one probed cell, strictly fewer files than total
+    val one = emb.filter(col("vec_id") === 0)
+    val pairs = AnnIndex.probePairs(t, one, threshold = 0.5, nprobe = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (id1, id2, sim) => id1 == 0L && id2 == 0L && sim == 1.0 },
+      s"self-match must survive a 1-cell probe: ${pairs.take(5).toSeq}")
+    val (kept, total) = AnnIndex.probeCost(t, AnnIndex.probedCells(t, qv, 1))
+    assert(kept < total, s"1-cell probe must prune files: $kept/$total")
+  }
+
+  test("batched probe rejects a non-positive threshold") {
+    val path = scratch("annbatch3")
+    val t = AnnIndex.buildIvf(emb, path, nlist = 4, iters = 1)
+    intercept[IllegalArgumentException] {
+      AnnIndex.probePairs(t, emb.limit(3), threshold = 0.0, nprobe = 2)
+    }
+  }
 }
