@@ -500,7 +500,77 @@ object StreamQueries extends QueryBatch {
             ORDER BY flow""")
   )
 
+  /** The full production ingest loop, end to end: a document batch
+    * STREAMS in, foreachBatch probes the PERSISTED shingle index
+    * (`DedupIndex.dedupBatch` — corpus text never re-read), drops every
+    * batch doc that near-duplicates the corpus or a lower-id batch doc
+    * (greedy lowest-id-wins: any doc appearing as the d2 of a ≥threshold
+    * pair loses), appends the SURVIVORS' postings back to the index, and
+    * lands the survivors in a table. One input file + AvailableNow = one
+    * deterministic micro-batch, so the oracle is the batch SQL over the
+    * shared pair CTEs. The index append is asserted in-gate: a rerun of
+    * the probe against the maintained index must kill every survivor
+    * (each now collides with its own indexed copy at jaccard 1). */
+  private val q218 = GQ(
+    "q218_stream_ingest_dedup",
+    (s, dir) => {
+      import graft.text.DedupIndex
+      val d = Tables.t(s, dir, "documents").select("doc_id", "text")
+      val idx = DedupIndex.build(d, scratch("ingidx"), n = 5)
+      val in = scratch("ingsrc")
+      // the shared near-copy batch ALL dies at threshold 0.5 (each doc
+      // collides with its source); novel docs — per-doc-unique tokens, so
+      // zero shingle overlap with anything — exercise the survivor path
+      val novel = s.range(5).select((col("id") + 300000).as("doc_id"),
+        concat_ws(" ", (0 until 6).map(j =>
+          concat(lit("nv"), col("id").cast("string"), lit(s"w$j"))): _*).as("text"))
+      TextQueries.ingestBatch(d).unionAll(novel)
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      val survivors = GraftTable.create(s, scratch("ingout"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      val stream = s.readStream.schema(survivors.schemaAt()).parquet(in)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratch("ingckpt"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val losers = DedupIndex.dedupBatch(idx, b, threshold = 0.5)
+            .select(col("d2").as("doc_id")).distinct()
+          val kept = b.join(losers, Seq("doc_id"), "left_anti")
+          survivors.append(kept, "INGEST SURVIVORS")
+          DedupIndex.append(idx, kept)
+          ()
+        }.start()
+      stream.awaitTermination()
+      // maintenance proof: re-ingesting the survivors under FRESH ids
+      // must kill every one against its own newly-indexed copy (same ids
+      // would SUPERSEDE their own postings and prove nothing)
+      val shifted = survivors.read()
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val reprobe = DedupIndex.dedupBatch(idx, shifted, 0.5)
+        .select(col("d2").as("doc_id")).distinct()
+      require(shifted.join(reprobe, Seq("doc_id"), "left_anti").isEmpty,
+        "index append must make a re-ingest of the survivors collide")
+      survivors.read().orderBy("doc_id")
+    },
+    Some(s"""${TextQueries.dedupPairsCte},
+                 losers AS (SELECT DISTINCT d2 FROM pairs
+                            JOIN sizes s1 ON s1.doc_id = d1
+                            JOIN sizes s2 ON s2.doc_id = d2
+                            WHERE inter::DOUBLE / (s1.sz + s2.sz - inter) >= 0.5
+                              AND d2 >= 100000)
+            SELECT b.doc_id, b.text
+            FROM (SELECT * FROM batch
+                  UNION ALL
+                  SELECT 300000 + i,
+                         'nv'||i||'w0 nv'||i||'w1 nv'||i||'w2 nv'||i||'w3 nv'||i||'w4 nv'||i||'w5'
+                  FROM range(5) t(i)) b
+            WHERE b.doc_id NOT IN (SELECT d2 FROM losers)
+            ORDER BY doc_id""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q151, q196, q203,
-      q210)
+      q210, q218)
 }

@@ -324,9 +324,9 @@ object TextQueries extends QueryBatch {
     * join restricted to pairs touching a batch document (batch ids are
     * the ≥100000 range), which the one-sided prefix bound must equal
     * exactly. */
-  /** The q209/q216 ingest batch: mutated near-copies of corpus docs at
-    * fresh ids ≥ 100000, so every emitted pair touches the batch. */
-  private def ingestBatch(d: DataFrame): DataFrame =
+  /** The q209/q216/q218 ingest batch: mutated near-copies of corpus docs
+    * at fresh ids ≥ 100000, so every emitted pair touches the batch. */
+  private[queries] def ingestBatch(d: DataFrame): DataFrame =
     d.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" extra token extra2")).as("text"))
@@ -334,10 +334,10 @@ object TextQueries extends QueryBatch {
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" extra token extra3")).as("text")))
 
-  /** Batch-vs-corpus exact Jaccard restricted to pairs touching the
-    * batch — the oracle both q209 (in-session index frame) and q216
-    * (persisted index table) must equal. */
-  private val incrementalDedupSql = """WITH batch AS (SELECT doc_id + 100000 AS doc_id,
+  /** Shared CTE block: the ingest batch replayed in SQL plus the exact
+    * full-corpus shingle/intersection pipeline — composed into three
+    * oracles (q209/q216 pair outputs, q218 survivor output). */
+  private[queries] val dedupPairsCte = """WITH batch AS (SELECT doc_id + 100000 AS doc_id,
                              text || ' extra token extra2' AS text
                            FROM documents WHERE doc_id % 20 = 0
                            UNION ALL
@@ -355,7 +355,12 @@ object TextQueries extends QueryBatch {
                  pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
                            FROM grams a JOIN grams b
                              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                           GROUP BY 1, 2)
+                           GROUP BY 1, 2)"""
+
+  /** Batch-vs-corpus exact Jaccard restricted to pairs touching the
+    * batch — the oracle both q209 (in-session index frame) and q216
+    * (persisted index table) must equal. */
+  private val incrementalDedupSql = s"""$dedupPairsCte
             SELECT d1, d2,
                    round(inter::DOUBLE / (s1.sz + s2.sz - inter) + 1e-9, 4) AS jaccard
             FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
