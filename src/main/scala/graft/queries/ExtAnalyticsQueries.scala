@@ -484,7 +484,35 @@ object ExtAnalyticsQueries extends QueryBatch {
             FROM r WHERE rank <= 50 ORDER BY rank""")
   )
 
+  /** Overlapping token-window chunking (`CorpusOps.chunkTokens`): the
+    * RAG-ingestion / long-document pretraining primitive — window 20,
+    * stride 15, tail chunk kept short, chunk content pinned by md5. The
+    * oracle replays tokenize → window arithmetic → slice → rejoin → md5
+    * in SQL, so an off-by-one in the window math, a dropped tail, or a
+    * slice misalignment hash-mismatches. Pure narrow projection
+    * (no shuffle) — spec-pinned edge cases in ChunkSpec. */
+  private val q219 = GQ(
+    "q219_doc_chunks",
+    (s, dir) => graft.text.CorpusOps.chunkTokens(
+        Tables.t(s, dir, "documents"), window = 20, stride = 15)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH toks AS (SELECT doc_id,
+                            string_split_regex(text, '\s+') AS w
+                          FROM documents),
+                 n AS (SELECT doc_id, w, len(w) AS n FROM toks),
+                 c AS (SELECT doc_id, w,
+                         CAST(t.i AS INTEGER) AS chunk_idx
+                       FROM n, UNNEST(range((greatest(n - 20, 0) + 14) // 15 + 1)) AS t(i))
+            SELECT doc_id, chunk_idx,
+                   chunk_idx * 15 AS chunk_start,
+                   CAST(len(w[chunk_idx * 15 + 1 : chunk_idx * 15 + 20]) AS INTEGER)
+                     AS n_chunk_tokens,
+                   md5(array_to_string(w[chunk_idx * 15 + 1 : chunk_idx * 15 + 20], ' '))
+                     AS chunk_hash
+            FROM c ORDER BY doc_id, chunk_idx""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q190, q191, q192, q193, q194, q195, q197, q198, q199, q200, q201,
-      q205, q206, q207)
+      q205, q206, q207, q219)
 }

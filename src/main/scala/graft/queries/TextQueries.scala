@@ -434,7 +434,38 @@ object TextQueries extends QueryBatch {
             ORDER BY d1, d2""")
   )
 
+  /** Quality-filter funnel with per-rule attribution (`TextOps
+    * .rejectRule`): the C4/CCNet curation report — which rule, in fixed
+    * priority order, rejected each document ('kept' for survivors). The
+    * per-doc attribution pins every rule boundary (token floor, char
+    * ceiling, punctuation ratio, stopword presence) against the oracle's
+    * replay; funnel counts are a GROUP BY away. */
+  private val q221 = GQ(
+    "q221_filter_funnel",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        TextOps.rejectRule(col("text")).as("reject_rule"))
+      .withColumn("kept", col("reject_rule") === "kept")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, reject_rule, reject_rule = 'kept' AS kept FROM (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 10
+                       THEN 'too_short'
+                     WHEN length(text) > 500 THEN 'too_long'
+                     WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                          / greatest(length(text)::DOUBLE, 1.0) > 0.1
+                       THEN 'high_punct'
+                     WHEN (CASE WHEN ' '||lower(text)||' ' LIKE '% the %' THEN 1 ELSE 0 END
+                         + CASE WHEN ' '||lower(text)||' ' LIKE '% and %' THEN 1 ELSE 0 END
+                         + CASE WHEN ' '||lower(text)||' ' LIKE '% of %' THEN 1 ELSE 0 END
+                         + CASE WHEN ' '||lower(text)||' ' LIKE '% to %' THEN 1 ELSE 0 END
+                         + CASE WHEN ' '||lower(text)||' ' LIKE '% in %' THEN 1 ELSE 0 END) = 0
+                       THEN 'no_stopwords'
+                     ELSE 'kept' END AS reject_rule
+              FROM documents) ORDER BY doc_id""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
-      q212, q216)
+      q212, q216, q221)
 }

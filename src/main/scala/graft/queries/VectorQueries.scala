@@ -396,6 +396,75 @@ object VectorQueries extends QueryBatch {
              GROUP BY em.vec_id ORDER BY em.vec_id""")
   )
 
+  /** One nearest-centroid assignment round in SQL: every vector ranked
+    * against every centroid in `cTbl` by (-cosine, cell) — the exact
+    * [[graft.vector.Ivf.assign]] semantics including the zero-norm → 0
+    * (orthogonal) convention — keeping rank 1. */
+  private def assignSql(cTbl: String, out: String): String =
+    s"""$out AS (SELECT asg.vec_id, asg.cell FROM (
+          SELECT v.vec_id, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              CASE WHEN sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.c, x -> x * x))) > 0
+                   THEN -(list_sum(list_transform(range(64), j -> v.v[j+1] * c.c[j+1]))
+                          / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                           * sqrt(list_sum(list_transform(c.c, x -> x * x)))))
+                   ELSE 0.0 END, c.cell) AS rn
+          FROM v CROSS JOIN $cTbl c) asg WHERE asg.rn = 1)"""
+
+  /** One Lloyd recompute round in SQL: per-(cell, dim) mean snapped to
+    * the 6-decimal grid — the `roundCentroidsTo = Some(6)` convention
+    * that makes Spark's and DuckDB's partial-sum orders agree. */
+  private def recomputeSql(asg: String, out: String): String =
+    s"""$out AS (SELECT cell, list(m ORDER BY dim) AS c FROM (
+          SELECT a.cell, d.dim, round(avg(v.v[d.dim + 1]) + 1e-9, 6) AS m
+          FROM $asg a JOIN v USING (vec_id), UNNEST(range(64)) AS d(dim)
+          GROUP BY a.cell, d.dim) means GROUP BY cell)"""
+
+  /** Cluster-balanced diversity sampling (`ClusterSample
+    * .clusterBalancedSample`): k-means cells cap every semantic
+    * neighborhood at ceil(fraction · cell_size) most-central
+    * representatives — the SemDeDup-style curation step. The oracle
+    * replays the ENTIRE pipeline in SQL: deterministic k-means (lowest-8
+    * init, two cosine-assignment/recompute rounds on the 6-decimal
+    * centroid grid), final assignment, centrality ranking, per-cell
+    * quota — so a drifted centroid, a flipped cell membership, or a
+    * mis-ranked representative hash-mismatches. */
+  private val q220 = GQ(
+    "q220_cluster_sample",
+    (s, dir) => graft.vector.ClusterSample.clusterBalancedSample(
+        emb(s, dir), k = 8, fraction = 0.2, iters = 2)
+      .orderBy("cell", "rank_in_cell"),
+    Some(s"""WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+                 init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                            v AS c
+                          FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+                 ${assignSql("init", "g0")},
+                 ${recomputeSql("g0", "c1")},
+                 ${assignSql("c1", "g1")},
+                 ${recomputeSql("g1", "c2")},
+                 ${assignSql("c2", "g2")},
+                 sim AS (SELECT g.vec_id, g.cell,
+                           CASE WHEN sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                                   * sqrt(list_sum(list_transform(c.c, x -> x * x))) > 0
+                                THEN list_sum(list_transform(range(64), j -> v.v[j+1] * c.c[j+1]))
+                                     / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                                      * sqrt(list_sum(list_transform(c.c, x -> x * x))))
+                                ELSE 0.0 END AS s
+                         FROM g2 g JOIN v USING (vec_id) JOIN c2 c USING (cell)),
+                 r AS (SELECT vec_id, cell, s,
+                         count(*) OVER (PARTITION BY cell) AS n_cell,
+                         CAST(row_number() OVER (PARTITION BY cell ORDER BY s DESC, vec_id)
+                           AS INTEGER) AS rank_in_cell
+                       FROM sim)
+            SELECT vec_id, cell, n_cell, rank_in_cell,
+                   round(s + 1e-9, 4) AS centroid_sim
+            FROM r WHERE rank_in_cell <= ceil(n_cell * 0.2)
+            ORDER BY cell, rank_in_cell""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q80, q81, q82, q83, q84, q208, q211, q213, q214, q215, q217)
+    Seq(q80, q81, q82, q83, q84, q208, q211, q213, q214, q215, q217, q220)
 }

@@ -136,4 +136,44 @@ object CorpusOps {
         col("rank"),
         round(col("__cum") / col("__tot") + lit(1e-9), 6).as("cum_share"))
   }
+
+  /** Overlapping token-window chunking — the RAG-ingestion / long-document
+    * pretraining primitive: each document's whitespace token stream is cut
+    * into windows of `window` tokens advancing by `stride` (consecutive
+    * chunks overlap by `window - stride`). A document always yields at
+    * least one chunk; the last chunk may be short (the tail is never
+    * dropped). Chunk count per doc is
+    * `ceil(max(0, n - window) / stride) + 1`.
+    *
+    * Pure narrow projection (split → explode over a per-row `sequence` of
+    * window starts → `slice`): no shuffle, whole-stage-codegen'd, output
+    * rows ≈ input tokens / stride — the shape that rides a 100 TB scan
+    * untouched. Tokenization matches [[TextOps.tokenCountWs]] (Java regex
+    * `\s+` split, which drops trailing-empty fields — inputs are assumed
+    * whitespace-trimmed, the same contract the token-count ops carry).
+    *
+    * Output: idCol, chunk_idx (0-based), chunk_start (token offset),
+    * n_chunk_tokens, chunk_hash (md5 of the space-rejoined window —
+    * chunk text at 100 TB is written, not compared, so the gate carries
+    * the hash).
+    */
+  def chunkTokens(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got stride=$stride window=$window")
+    val nChunks = (floor(
+      (greatest(col("__n") - lit(window), lit(0)) + lit(stride - 1))
+        / lit(stride)) + lit(1)).cast("int")
+    val chunk = slice(col("__w"), col("chunk_idx") * stride + 1, lit(window))
+    docs
+      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
+      .withColumn("__n", size(col("__w")))
+      .select(col(idCol), col("__w"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        size(chunk).as("n_chunk_tokens"),
+        md5(array_join(chunk, " ")).as("chunk_hash"))
+  }
 }

@@ -89,4 +89,31 @@ object TextOps {
 
   /** Distinct word n-gram shingles ("a b c d e" → ["a b c d e", ...]). */
   def shingles(text: Column, n: Int): Column = shinglesFromWords(words(text), n)
+
+  /** C4/CCNet-style quality-filter funnel with per-rule attribution: the
+    * first rule (in fixed priority order) that rejects a document names
+    * itself; survivors read 'kept'. Production filter pipelines report
+    * this attribution — which rule killed each document, and the funnel
+    * counts derived from it — because a mis-tuned threshold silently
+    * deleting half the crawl is the canonical curation accident.
+    *
+    * Rules (priority order):
+    *   too_short     — fewer than `minTokens` whitespace tokens
+    *   too_long      — more than `maxChars` characters
+    *   high_punct    — punctuation ratio above `maxPunctRatio`
+    *   no_stopwords  — zero English stopword hits (gibberish signal)
+    *
+    * Pure column expression over the scan projection — zero shuffle, one
+    * pass, codegen'd; at 100 TB the verdict rides the same scan that
+    * writes the filtered copy. */
+  def rejectRule(text: Column, minTokens: Int = 10, maxChars: Int = 500,
+      maxPunctRatio: Double = 0.1): Column = {
+    val punctRatio =
+      punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    when(tokenCountWs(text) < minTokens, "too_short")
+      .when(length(text) > maxChars, "too_long")
+      .when(punctRatio > maxPunctRatio, "high_punct")
+      .when(stopwordScore(text, "en") === 0, "no_stopwords")
+      .otherwise("kept")
+  }
 }

@@ -20,9 +20,18 @@ object Ivf {
 
   /** Deterministic Lloyd's k-means over `array<float|double>` vectors:
     * init = the k lowest-id vectors, `iters` assignment/recompute rounds.
-    * Returns (cell, centroid: array<double>). */
+    * Returns (cell, centroid: array<double>).
+    *
+    * `roundCentroidsTo`: snap each recomputed centroid mean to a decimal
+    * grid (`round(avg + 1e-9, d)` — the [[Pq]] codebook convention). Means
+    * are the one quantity whose floating-point value depends on partial-
+    * aggregation order, so consumers whose OUTPUT depends on the exact
+    * assignment (not just a top-k rerank) round them to make every
+    * downstream assignment reproducible bit-for-bit across engines and
+    * runs; `None` (default) keeps the raw means. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundCentroidsTo: Option[Int] = None): DataFrame = {
     require(emb.take(1).nonEmpty,
       "cannot cluster an empty embeddings frame (no rows to seed centroids)")
     val spark = emb.sparkSession
@@ -38,9 +47,11 @@ object Ivf {
         .select((row_number().over(Window.orderBy("id")) - 1).as("cell"), col("v").as("c")))
     (1 to iters).foreach { _ =>
       val assigned = assign(v, centroids)
+      val mean = roundCentroidsTo
+        .fold(avg("x"))(d => round(avg("x") + lit(1e-9), d))
       centroids = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell", "dim").agg(mean.as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("c"))
@@ -56,7 +67,7 @@ object Ivf {
     * `transform` + `array_min` over that array — zero shuffle, zero join;
     * nothing (in particular not the embedding vector, which previously
     * rode the exchange as a grouping key) ever leaves its partition. */
-  private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
+  private[vector] def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cell"), col("c")).collect()
     val centArr = array(cents.map { r =>
       val c = r.getSeq[Double](1)

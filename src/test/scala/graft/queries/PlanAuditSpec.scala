@@ -126,4 +126,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no cartesian/unconditioned join in the probe path:\n$p")
   }
+
+  test("token chunking is a zero-shuffle narrow projection over the scan") {
+    val df = graft.text.CorpusOps.chunkTokens(
+      Tables.t(spark, sf, "documents"), window = 20, stride = 15)
+    val p = finalPlan(df)
+    assert(!p.contains("Exchange"),
+      s"chunking must not shuffle — it rides the scan projection:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:") && !p.contains("n_chars"),
+      s"scan must read only (doc_id, text):\n$p")
+  }
 }

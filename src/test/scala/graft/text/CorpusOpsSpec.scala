@@ -76,4 +76,61 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(math.abs(got(0)._4 - 5.0 / 11) < 1e-4)
     assert(math.abs(got(2)._4 - 10.0 / 11) < 1e-4)
   }
+
+  private def chunkRows(text: String, window: Int, stride: Int) =
+    CorpusOps.chunkTokens(Seq((1L, text)).toDF("doc_id", "text"), window, stride)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_start", "n_chunk_tokens")
+      .as[(Int, Int, Int)].collect().toSeq
+
+  test("chunkTokens: short doc yields one full-length chunk") {
+    assert(chunkRows("a b c", window = 20, stride = 15) == Seq((0, 0, 3)))
+    assert(chunkRows(Seq.fill(20)("t").mkString(" "), 20, 15) == Seq((0, 0, 20)))
+  }
+
+  test("chunkTokens: tail chunk kept short, never dropped") {
+    // 21 tokens, window 20, stride 15 → chunks [0,20) and [15,21)
+    assert(chunkRows(Seq.fill(21)("t").mkString(" "), 20, 15) ==
+      Seq((0, 0, 20), (1, 15, 6)))
+    // 50 tokens → ceil((50-20)/15)+1 = 3 starts 0,15,30; the last window
+    // [30,50) is exactly full and already reaches the end — no 4th chunk
+    assert(chunkRows(Seq.fill(50)("t").mkString(" "), 20, 15) ==
+      Seq((0, 0, 20), (1, 15, 20), (2, 30, 20)))
+    // 52 tokens → starts 0,15,30,45; short tail [45,52)
+    assert(chunkRows(Seq.fill(52)("t").mkString(" "), 20, 15) ==
+      Seq((0, 0, 20), (1, 15, 20), (2, 30, 20), (3, 45, 7)))
+  }
+
+  test("chunkTokens: consecutive chunks overlap by window - stride and cover every token") {
+    val n = 137
+    val rows = chunkRows((0 until n).map("w" + _).mkString(" "), 20, 15)
+    rows.sliding(2).foreach {
+      case Seq((_, s1, len1), (_, s2, _)) =>
+        assert(s2 == s1 + 15)
+        assert(s1 + len1 >= s2) // overlap, no gap
+      case _ =>
+    }
+    val (_, lastStart, lastLen) = rows.last
+    assert(lastStart + lastLen == n)
+  }
+
+  test("chunkTokens: chunk hashes pin the window content") {
+    val text = (0 until 40).map("w" + _).mkString(" ")
+    val got = CorpusOps.chunkTokens(Seq((1L, text)).toDF("doc_id", "text"), 20, 15)
+      .orderBy("chunk_idx").select("chunk_hash").as[String].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val toks = text.split("\\s+")
+    assert(got(0) == md5hex(toks.slice(0, 20).mkString(" ")))
+    assert(got(1) == md5hex(toks.slice(15, 35).mkString(" ")))
+    assert(got(2) == md5hex(toks.slice(30, 40).mkString(" ")))
+  }
+
+  test("chunkTokens rejects invalid window/stride") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](CorpusOps.chunkTokens(df, 0, 1))
+    intercept[IllegalArgumentException](CorpusOps.chunkTokens(df, 10, 11))
+    intercept[IllegalArgumentException](CorpusOps.chunkTokens(df, 10, 0))
+  }
 }

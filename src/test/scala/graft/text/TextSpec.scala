@@ -96,4 +96,24 @@ class TextSpec extends SparkTestBase {
     assert(reps === (1L to 50L).map(_ -> 1L).toMap)
     assert(rounds <= 8, s"expected O(log n) convergence, took $rounds rounds")
   }
+
+  test("rejectRule fires in priority order and keeps clean docs") {
+    val docs = Seq(
+      (1L, "too few words"),                                    // too_short
+      (2L, ("the and of to in ok " * 50).trim),                 // too_long (>500 chars)
+      (3L, "the!!! and... of;;; to??? in:::,,, w1 w2 w3 w4 w5"),// high_punct
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // no_stopwords
+      (5L, "the quick brown fox and the lazy dog of the north went to sleep in peace")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextOps.rejectRule(col("text")).as("r"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      1L -> "too_short", 2L -> "too_long", 3L -> "high_punct",
+      4L -> "no_stopwords", 5L -> "kept"))
+    // priority: a doc that is BOTH too short and punctuation-heavy
+    // attributes to the first rule in the ladder
+    val both = Seq((9L, "!!! ??? ...")).toDF("doc_id", "text")
+      .select(TextOps.rejectRule(col("text"))).head().getString(0)
+    assert(both == "too_short")
+  }
 }
