@@ -440,6 +440,24 @@ object TextQueries extends QueryBatch {
     * per-doc attribution pins every rule boundary (token floor, char
     * ceiling, punctuation ratio, stopword presence) against the oracle's
     * replay; funnel counts are a GROUP BY away. */
+  /** The q221/q223 shared oracle replay of [[TextOps.rejectRule]]'s
+    * fixed-priority ladder (defaults: minTokens=10, maxChars=500,
+    * maxPunctRatio=0.1, English stopwords). */
+  private val rejectRuleSql =
+    """CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 10
+              THEN 'too_short'
+            WHEN length(text) > 500 THEN 'too_long'
+            WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                 / greatest(length(text)::DOUBLE, 1.0) > 0.1
+              THEN 'high_punct'
+            WHEN (CASE WHEN ' '||lower(text)||' ' LIKE '% the %' THEN 1 ELSE 0 END
+                + CASE WHEN ' '||lower(text)||' ' LIKE '% and %' THEN 1 ELSE 0 END
+                + CASE WHEN ' '||lower(text)||' ' LIKE '% of %' THEN 1 ELSE 0 END
+                + CASE WHEN ' '||lower(text)||' ' LIKE '% to %' THEN 1 ELSE 0 END
+                + CASE WHEN ' '||lower(text)||' ' LIKE '% in %' THEN 1 ELSE 0 END) = 0
+              THEN 'no_stopwords'
+            ELSE 'kept' END"""
+
   private val q221 = GQ(
     "q221_filter_funnel",
     (s, dir) => docs(s, dir)
@@ -447,25 +465,57 @@ object TextQueries extends QueryBatch {
         TextOps.rejectRule(col("text")).as("reject_rule"))
       .withColumn("kept", col("reject_rule") === "kept")
       .orderBy("doc_id"),
-    Some("""SELECT doc_id, reject_rule, reject_rule = 'kept' AS kept FROM (
-              SELECT doc_id,
-                CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 10
-                       THEN 'too_short'
-                     WHEN length(text) > 500 THEN 'too_long'
-                     WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-                          / greatest(length(text)::DOUBLE, 1.0) > 0.1
-                       THEN 'high_punct'
-                     WHEN (CASE WHEN ' '||lower(text)||' ' LIKE '% the %' THEN 1 ELSE 0 END
-                         + CASE WHEN ' '||lower(text)||' ' LIKE '% and %' THEN 1 ELSE 0 END
-                         + CASE WHEN ' '||lower(text)||' ' LIKE '% of %' THEN 1 ELSE 0 END
-                         + CASE WHEN ' '||lower(text)||' ' LIKE '% to %' THEN 1 ELSE 0 END
-                         + CASE WHEN ' '||lower(text)||' ' LIKE '% in %' THEN 1 ELSE 0 END) = 0
-                       THEN 'no_stopwords'
-                     ELSE 'kept' END AS reject_rule
+    Some(s"""SELECT doc_id, reject_rule, reject_rule = 'kept' AS kept FROM (
+              SELECT doc_id, $rejectRuleSql AS reject_rule
               FROM documents) ORDER BY doc_id""")
+  )
+
+  /** End-to-end curation pipeline (quality funnel → exact dedup → hash
+    * split → per-split stats): the composition every training-data run
+    * executes as one job. Each stage is an already-gated operator
+    * ([[TextOps.rejectRule]] q221, [[DedupOps.exactDedup]] q73, the
+    * q199 multiplicative-hash split), chained so the whole flow is ONE
+    * declarative plan — the funnel verdict rides the scan, dedup is the
+    * single keyed shuffle, the split is a projection, and the final
+    * report is a 3-group aggregate. The oracle replays the full chain,
+    * so a stage reordering or a survivor-selection drift anywhere in
+    * the pipeline shifts the per-split counts and hash-mismatches. */
+  private val q223 = GQ(
+    "q223_curation_pipeline",
+    (s, dir) => {
+      val kept = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(TextOps.rejectRule(col("text")) === "kept")
+      val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100
+      DedupOps.exactDedup(kept)
+        .select(col("text"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCountWs(col("text"))).cast("long").as("n_tokens"),
+          round(avg(length(col("text"))) + lit(1e-9), 2).as("avg_chars"))
+        .orderBy("split")
+    },
+    Some(s"""WITH kept AS (SELECT doc_id, text FROM (
+                SELECT doc_id, text, $rejectRuleSql AS reject_rule
+                FROM documents) WHERE reject_rule = 'kept'),
+              ded AS (SELECT min(doc_id) AS doc_id, text
+                      FROM kept GROUP BY text),
+              spl AS (SELECT text,
+                        CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80
+                               THEN 'train'
+                             WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                               THEN 'val'
+                             ELSE 'test' END AS split
+                      FROM ded)
+            SELECT split, count(*) AS n_docs,
+                   CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+                     AS BIGINT) AS n_tokens,
+                   round(avg(length(text)) + 1e-9, 2) AS avg_chars
+            FROM spl GROUP BY split ORDER BY split""")
   )
 
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
-      q212, q216, q221)
+      q212, q216, q221, q223)
 }

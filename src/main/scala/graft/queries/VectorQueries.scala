@@ -465,6 +465,73 @@ object VectorQueries extends QueryBatch {
             ORDER BY cell, rank_in_cell""")
   )
 
+  /** Zero-norm-safe cosine between two DuckDB list expressions — the
+    * [[graft.vector.Ivf.assign]] convention (0 = orthogonal). */
+  private def cos0Sql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_sum(list_transform($a, x -> x * x)))
+                * sqrt(list_sum(list_transform($b, x -> x * x))) > 0
+             THEN list_sum(list_transform(range(64), j -> $a[j+1] * $b[j+1]))
+                  / (sqrt(list_sum(list_transform($a, x -> x * x)))
+                   * sqrt(list_sum(list_transform($b, x -> x * x))))
+             ELSE 0.0 END"""
+
+  /** ANN quality measurement (`AnnEval.ivfRecall`): recall@10 of the
+    * IVF probe (nprobe=2 of nlist=8) against exact brute-force ground
+    * truth for a 20-query eval sample — the harness that tunes
+    * nlist/nprobe in every production vector system. The oracle replays
+    * EVERYTHING: the k-means train (q220's chain), final cell
+    * assignment, per-query probe-cell choice, both top-k ranks on the
+    * 6-decimal similarity grid, and the intersection count — so a
+    * drifted centroid, a mis-probed cell, or an off-by-one in either
+    * top-k changes a recall number and hash-mismatches. */
+  private val q222 = GQ(
+    "q222_ann_recall",
+    (s, dir) => graft.vector.AnnEval.ivfRecall(
+      emb(s, dir), k = 10, nlist = 8, nprobe = 2, nQueries = 20, iters = 2),
+    Some(s"""WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+                 init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                            v AS c
+                          FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+                 ${assignSql("init", "g0")},
+                 ${recomputeSql("g0", "c1")},
+                 ${assignSql("c1", "g1")},
+                 ${recomputeSql("g1", "c2")},
+                 ${assignSql("c2", "g2")},
+                 q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 20),
+                 exact AS (SELECT qid, id FROM (
+                   SELECT q.qid, v.vec_id AS id,
+                     row_number() OVER (PARTITION BY q.qid ORDER BY
+                       round(${cos0Sql("v.v", "q.qv")} + 1e-9, 6) DESC,
+                       v.vec_id) AS rn
+                   FROM v CROSS JOIN q) x WHERE rn <= 10),
+                 probe AS (SELECT qid, cell FROM (
+                   SELECT q.qid, c.cell,
+                     row_number() OVER (PARTITION BY q.qid ORDER BY
+                       round(${cos0Sql("q.qv", "c.c")} + 1e-9, 6) DESC,
+                       c.cell) AS crn
+                   FROM q CROSS JOIN c2 c) y WHERE crn <= 2),
+                 approx AS (SELECT qid, id FROM (
+                   SELECT p.qid, g.vec_id AS id,
+                     row_number() OVER (PARTITION BY p.qid ORDER BY
+                       round(${cos0Sql("v.v", "q.qv")} + 1e-9, 6) DESC,
+                       g.vec_id) AS rn
+                   FROM g2 g JOIN probe p USING (cell)
+                        JOIN v ON v.vec_id = g.vec_id
+                        JOIN q ON q.qid = p.qid) z WHERE rn <= 10),
+                 hits AS (SELECT e.qid, count(*) AS h
+                          FROM exact e JOIN approx a
+                            ON e.qid = a.qid AND e.id = a.id
+                          GROUP BY e.qid)
+            SELECT q.qid AS query_id,
+                   CAST(coalesce(h.h, 0) AS INTEGER) AS hits,
+                   round(coalesce(h.h, 0) / 10.0 + 1e-9, 4) AS recall_at_k
+            FROM q LEFT JOIN hits h ON h.qid = q.qid
+            ORDER BY query_id""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q80, q81, q82, q83, q84, q208, q211, q213, q214, q215, q217, q220)
+    Seq(q80, q81, q82, q83, q84, q208, q211, q213, q214, q215, q217, q220,
+      q222)
 }

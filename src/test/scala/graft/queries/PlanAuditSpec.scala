@@ -127,6 +127,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"no cartesian/unconditioned join in the probe path:\n$p")
   }
 
+  test("curation pipeline plans as one flow with exactly two shuffles") {
+    // funnel filter rides the scan; dedup is the single keyed exchange;
+    // the split is a projection; the report aggregate is the second —
+    // an extra Exchange means a stage stopped composing declaratively
+    val df = SparkEntry.queries("q223_curation_pipeline")(spark, sf)
+    val p = finalPlan(df)
+    // (+1 for the 3-row output sort's range exchange); count only the
+    // final plan — AQE's toString repeats every node under Initial Plan
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(finalSection).size
+    assert(exchanges <= 3,
+      s"pipeline must shuffle only for dedup + final agg + output sort, saw $exchanges:\n$p")
+  }
+
   test("token chunking is a zero-shuffle narrow projection over the scan") {
     val df = graft.text.CorpusOps.chunkTokens(
       Tables.t(spark, sf, "documents"), window = 20, stride = 15)
