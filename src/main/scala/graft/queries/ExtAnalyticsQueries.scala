@@ -512,7 +512,50 @@ object ExtAnalyticsQueries extends QueryBatch {
             FROM c ORDER BY doc_id, chunk_idx""")
   )
 
+  /** Token-budget mixture materialization (`CorpusOps.sampleToBudget`):
+    * the q201 temperature-scaled weights sized to a 50k-token run, then
+    * per-domain deterministic hash-order selection until each domain's
+    * budget is crossed. The oracle replays the whole chain — weight
+    * computation, floor-sized budgets, the multiplicative-hash selection
+    * order, the running token sum, and the keep-the-crossing-doc rule —
+    * so a drifted weight, a reordered pick, or an off-by-one at the
+    * budget line changes the selected set and hash-mismatches. */
+  private val q224 = GQ(
+    "q224_budget_mixture",
+    (s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(sqrt(col("n_docs"))).as("__z"))
+      val budgets = counts.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          floor(round(sqrt(col("n_docs")) / col("__z") + lit(1e-9), 6)
+            * 50000).cast("long").as("budget"))
+      graft.text.CorpusOps.sampleToBudget(d, budgets)
+        .orderBy("lang", "cum_tokens", "doc_id")
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+                 t AS (SELECT sum(sqrt(n_docs)) AS z FROM c),
+                 b AS (SELECT lang,
+                         CAST(floor(round(sqrt(n_docs) / z + 1e-9, 6) * 50000)
+                           AS BIGINT) AS budget
+                       FROM c, t),
+                 d AS (SELECT doc_id, lang,
+                         CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                           AS BIGINT) AS n_tokens,
+                         (doc_id * 2654435761) % 4294967296 AS h
+                       FROM documents),
+                 r AS (SELECT d.doc_id, d.lang, d.n_tokens, b.budget,
+                         CAST(sum(n_tokens) OVER (PARTITION BY d.lang
+                           ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS cum_tokens
+                       FROM d JOIN b USING (lang))
+            SELECT doc_id, lang, n_tokens, cum_tokens
+            FROM r WHERE cum_tokens - n_tokens < budget
+            ORDER BY lang, cum_tokens, doc_id""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q190, q191, q192, q193, q194, q195, q197, q198, q199, q200, q201,
-      q205, q206, q207, q219)
+      q205, q206, q207, q219, q224)
 }

@@ -137,6 +137,66 @@ object CorpusOps {
         round(col("__cum") / col("__tot") + lit(1e-9), 6).as("cum_share"))
   }
 
+  /** Token-budget mixture materialization — the step that turns mixture
+    * WEIGHTS (the q201 temperature-scaled report) into an actual training
+    * corpus: within each domain, documents are taken in deterministic
+    * scrambled-id order until the domain's token budget is reached. The
+    * document that crosses the budget line is kept, so a non-empty domain
+    * always meets its budget unless it exhausts its documents; domains
+    * with no budget row are dropped.
+    *
+    * Selection order is the q199 multiplicative Knuth scramble
+    * `(id * 2654435761) mod 2^32` — not an RNG, so the materialized mix
+    * is reproducible across runs and engines, and appending new documents
+    * only inserts at their hash positions instead of reshuffling the
+    * whole selection.
+    *
+    * Scale shape: the per-domain running token sum does NOT window over
+    * one partition per domain (a handful of domains would serialize a
+    * 100 TB corpus through a handful of tasks). Hash-range buckets split
+    * every domain across the full shuffle width; in-bucket windows run in
+    * parallel, and the cross-bucket correction is a per-(domain, bucket)
+    * total — bounded metadata, the [[packSequences]] two-phase prefix-sum
+    * idiom — turned into exclusive offsets on the driver.
+    *
+    * `budgets`: (domainCol, budget: long) — domain-cardinality, broadcast.
+    * Non-negative numeric ids assumed (the scramble contract).
+    * Output: idCol, domainCol, n_tokens, cum_tokens (running total in
+    * selection order, ≤ budget + the crossing doc's tokens).
+    */
+  def sampleToBudget(docs: DataFrame, budgets: DataFrame,
+      domainCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    val bucketWidth = 4294967296L / nBuckets + 1
+    val base = docs.select(col(idCol), col(domainCol),
+        TextOps.tokenCountWs(col(textCol)).cast("long").as("n_tokens"),
+        ((col(idCol).cast("long") * lit(2654435761L)) % lit(4294967296L))
+          .as("__h"))
+      .withColumn("__b", expr(s"__h div $bucketWidth").cast("int"))
+    val inBucket = Window.partitionBy(domainCol, "__b")
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = base.withColumn("__cum", sum("n_tokens").over(inBucket))
+    // per-(domain, bucket) totals → driver → per-domain exclusive offsets
+    val totals = base.groupBy(domainCol, "__b")
+      .agg(sum("n_tokens").as("__tot"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.scanLeft(0L)((acc, r) => acc + r._3).dropRight(1)
+        .zip(sorted).map { case (off, (dm, b, _)) => (dm, b, off) }
+    }
+    val offDf = broadcast(offsets.toDF(domainCol, "__b", "__off"))
+    run.join(offDf, Seq(domainCol, "__b"))
+      .join(broadcast(budgets), Seq(domainCol))
+      .withColumn("cum_tokens", col("__cum") + col("__off"))
+      .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Overlapping token-window chunking — the RAG-ingestion / long-document
     * pretraining primitive: each document's whitespace token stream is cut
     * into windows of `window` tokens advancing by `stride` (consecutive

@@ -127,6 +127,42 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(2) == md5hex(toks.slice(30, 40).mkString(" ")))
   }
 
+  private def knuth(id: Long): Long = (id * 2654435761L) % 4294967296L
+
+  test("sampleToBudget stops at the budget line, keeping the crossing doc") {
+    val docs = (1L to 6L).map(i => (i, "a", ("t " * 10).trim))
+      .toDF("doc_id", "lang", "text")
+    val budgets = Seq(("a", 25L)).toDF("lang", "budget")
+    val got = CorpusOps.sampleToBudget(docs, budgets)
+      .orderBy("cum_tokens").select("doc_id", "cum_tokens")
+      .as[(Long, Long)].collect().toSeq
+    // 10-token docs in scrambled-id order: cum 10, 20, 30 — the doc that
+    // crosses the 25-token line is kept, the rest are not
+    val order = (1L to 6L).sortBy(i => (knuth(i), i))
+    assert(got.map(_._1) == order.take(3))
+    assert(got.map(_._2) == Seq(10L, 20L, 30L))
+  }
+
+  test("sampleToBudget keeps every doc when the domain exhausts before budget") {
+    val docs = (1L to 4L).map(i => (i, "a", "w1 w2 w3"))
+      .toDF("doc_id", "lang", "text")
+    val budgets = Seq(("a", 1000L)).toDF("lang", "budget")
+    assert(CorpusOps.sampleToBudget(docs, budgets).count() == 4)
+  }
+
+  test("sampleToBudget drops domains without a budget row and isolates domains") {
+    val docs = ((1L to 4L).map(i => (i, "en", "a b c")) ++
+      (5L to 8L).map(i => (i, "de", "x y z"))).toDF("doc_id", "lang", "text")
+    val budgets = Seq(("en", 7L)).toDF("lang", "budget")
+    val got = CorpusOps.sampleToBudget(docs, budgets)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq
+    assert(got.forall(_._2 == "en"))
+    // 3-token docs, budget 7 → cum 3, 6, 9: three kept (9 crosses), one not
+    assert(got.size == 3)
+    val order = (1L to 4L).sortBy(i => (knuth(i), i))
+    assert(got.map(_._1).toSet == order.take(3).toSet)
+  }
+
   test("chunkTokens rejects invalid window/stride") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](CorpusOps.chunkTokens(df, 0, 1))
