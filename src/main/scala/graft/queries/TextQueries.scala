@@ -515,7 +515,50 @@ object TextQueries extends QueryBatch {
             FROM spl GROUP BY split ORDER BY split""")
   )
 
+  /** Asymmetric containment dedup (`DedupOps.containmentPairs`): the
+    * quote-inclusion detector Jaccard can't see — a planted corpus where
+    * every 25th document also appears as a 15-word prefix copy, which is
+    * fully contained in its source (containment 1.0) while the source is
+    * NOT contained in it (the asymmetry the one-direction output pins).
+    * The oracle replays shingling, the ordered-pair intersection, and
+    * the |a∩b|/|a| ratio for every direction that clears 0.8. */
+  private val q225 = GQ(
+    "q225_containment_pairs",
+    (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val contained = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(TextOps.words(col("text")), 1, 15), " ").as("text"))
+      DedupOps.containmentPairs(d.unionAll(contained), n = 5, threshold = 0.8)
+        .orderBy("contained_id", "container_id")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+                            UNION ALL
+                            SELECT doc_id + 100000,
+                              array_to_string(
+                                (string_split_regex(lower(trim(text)), '\s+'))[1:15], ' ')
+                            FROM documents WHERE doc_id % 25 = 0),
+                 words AS (SELECT doc_id,
+                             string_split_regex(lower(trim(text)), '\s+') w
+                           FROM corpus),
+                 grams AS (SELECT DISTINCT doc_id,
+                             w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+                               || w[i+4] || ' ' || w[i+5] AS shingle
+                           FROM words, UNNEST(range(greatest(len(w) - 4, 0))) AS t(i)),
+                 sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+                 op AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+                          count(*) AS inter
+                        FROM grams a JOIN grams b
+                          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                        GROUP BY 1, 2)
+            SELECT contained_id, container_id,
+                   round(inter::DOUBLE / s1.sz + 1e-9, 4) AS containment
+            FROM op JOIN sizes s1 ON s1.doc_id = contained_id
+            WHERE inter::DOUBLE / s1.sz >= 0.8
+            ORDER BY contained_id, container_id""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
-      q212, q216, q221, q223)
+      q212, q216, q221, q223, q225)
 }

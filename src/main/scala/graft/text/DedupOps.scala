@@ -103,6 +103,58 @@ object DedupOps {
     finally grams.unpersist()
   }
 
+  /** Asymmetric containment pairs: C(a→b) = |a∩b| / |a| ≥ threshold over
+    * distinct n-gram shingles, a ≠ b — the quote-inclusion detector.
+    * Jaccard misses wholesale inclusion (a page embedding a whole short
+    * document scores J = |a|/|b| ≈ 0 when b is much larger), so corpus
+    * curation runs containment alongside it to kill documents that
+    * already ride inside another.
+    *
+    * Exactness via a ONE-sided prefix (the [[incrementalJaccardPairs]]
+    * bound, applied to the contained side): |a∩b| ≥ ceil(t·|a|) forces a
+    * to share one of its first |a| − ceil(t·|a|) + 1 rarest shingles
+    * with b; the container side needs no prefix — and can't have one, as
+    * containment puts no lower bound on |b|'s overlap fraction.
+    * Candidates are (a-prefix shingle ⋈ full gram table) — cost ∝ prefix
+    * postings, never all-pairs; verification intersects only candidate
+    * pairs' shingle sets.
+    *
+    * Output: (contained_id, container_id, containment), one row per
+    * direction that clears the threshold.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val grams = shingleTable(docs, n, idCol, textCol).persist()
+    try {
+      val wDf = Window.partitionBy("shingle")
+      val wRn = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+      val wSz = Window.partitionBy("doc_id")
+      val prefix = grams
+        .withColumn("df", count(lit(1)).over(wDf))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("sz", count(lit(1)).over(wSz))
+        .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .select(col("doc_id").as("a"), col("shingle"))
+      val cands = prefix
+        .join(grams.select(col("doc_id").as("b"), col("shingle")), "shingle")
+        .filter(col("a") =!= col("b"))
+        .select("a", "b").distinct()
+      val sets = grams.groupBy("doc_id")
+        .agg(collect_list("shingle").as("sh"), count(lit(1)).as("sz"))
+      graft.perf.Lineage.cut(cands
+        .join(sets.toDF("a", "sha", "sza"), "a")
+        .join(sets.toDF("b", "shb", "szb"), "b")
+        .withColumn("inter",
+          size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .withColumn("containment", col("inter").cast("double") / col("sza"))
+        .filter(col("containment") >= threshold)
+        .select(col("a").as("contained_id"), col("b").as("container_id"),
+          round(col("containment") + lit(1e-9), 4).as("containment")))
+    } finally grams.unpersist()
+  }
+
   /** Incremental near-dup detection: dedup a NEW ingest batch against an
     * already-indexed corpus without re-scanning corpus text — the shape
     * ingest actually takes at 100 TB, where re-shingling the whole corpus

@@ -97,6 +97,29 @@ class TextSpec extends SparkTestBase {
     assert(rounds <= 8, s"expected O(log n) convergence, took $rounds rounds")
   }
 
+  test("containmentPairs is asymmetric: prefix copy in source, not the reverse") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ") // 30 unique words
+    val prefix = (1 to 12).map(i => s"w$i").mkString(" ") // first 12 words
+    val other = (100 to 120).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, prefix), (3L, other))
+      .toDF("doc_id", "text")
+    val got = graft.text.DedupOps.containmentPairs(docs, n = 5, threshold = 0.8)
+      .select("contained_id", "container_id", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    // prefix's 8 shingles all appear among base's 26 → containment 1.0;
+    // base in prefix is 8/26 < 0.8; `other` shares nothing
+    assert(got == Seq((2L, 1L, 1.0)))
+  }
+
+  test("containmentPairs finds mutual containment for exact duplicates") {
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val got = graft.text.DedupOps.containmentPairs(docs, n = 5, threshold = 0.8)
+      .select("contained_id", "container_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
   test("rejectRule fires in priority order and keeps clean docs") {
     val docs = Seq(
       (1L, "too few words"),                                    // too_short
