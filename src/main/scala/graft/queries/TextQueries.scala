@@ -558,7 +558,35 @@ object TextQueries extends QueryBatch {
             ORDER BY contained_id, container_id""")
   )
 
+  /** Corpus-trained bigram LM surprisal (`LmScore.bigramSurprisal`):
+    * the CCNet perplexity-bucket quality signal, self-contained — the
+    * model IS the corpus's own bigram counts with add-0.5 smoothing.
+    * The oracle retrains the model and rescores every document in SQL,
+    * so a drifted count, a wrong smoothing denominator, or a dropped
+    * bigram shifts a surprisal and hash-mismatches. */
+  private val q226 = GQ(
+    "q226_lm_surprisal",
+    (s, dir) => graft.text.LmScore.bigramSurprisal(docs(s, dir))
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\s+') AS w
+                       FROM documents),
+                 pairs AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+                           FROM w, UNNEST(range(greatest(len(w) - 1, 0))) AS t(i)),
+                 cb AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+                 cu AS (SELECT w1, count(*) AS c FROM pairs GROUP BY 1),
+                 v AS (SELECT count(DISTINCT t) AS v FROM (
+                         SELECT UNNEST(w) AS t FROM w))
+            SELECT p.doc_id,
+                   round(avg(-log2((cb.c + 0.5) / (cu.c + 0.5 * v.v))) + 1e-9, 4)
+                     AS surprisal,
+                   count(*) AS n_bigrams
+            FROM pairs p JOIN cb USING (w1, w2) JOIN cu USING (w1)
+                 CROSS JOIN v
+            GROUP BY p.doc_id ORDER BY p.doc_id""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
-      q212, q216, q221, q223, q225)
+      q212, q216, q221, q223, q225, q226)
 }
