@@ -141,6 +141,27 @@ class PlanAuditSpec extends SparkTestBase {
       s"pipeline must shuffle only for dedup + final agg + output sort, saw $exchanges:\n$p")
   }
 
+  test("budget mixture windows over (domain, bucket), never one partition per domain") {
+    // the two-phase prefix sum only scales if the running-sum window's
+    // exchange keys include the hash bucket — partitioning on the domain
+    // alone would serialize a 100 TB domain through one task
+    val df = SparkEntry.queries("q224_budget_mixture")(spark, sf)
+    val p = finalPlan(df)
+    val windowParts = "hashpartitioning\\((lang[^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).filter(_.contains("__b")).toSeq
+    assert(windowParts.nonEmpty,
+      s"running-sum window must partition by (lang, __b):\n$p")
+  }
+
+  test("LM surprisal count aggregates partial-combine before the exchange") {
+    val df = SparkEntry.queries("q226_lm_surprisal")(spark, sf)
+    val p = finalPlan(df)
+    assert(p.contains("partial_count") || p.contains("functions=[partial_"),
+      s"bigram counts must map-side combine (partial aggregate):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the scoring join path:\n$p")
+  }
+
   test("token chunking is a zero-shuffle narrow projection over the scan") {
     val df = graft.text.CorpusOps.chunkTokens(
       Tables.t(spark, sf, "documents"), window = 20, stride = 15)
