@@ -27,8 +27,15 @@ object SqlQueries extends QueryBatch {
     (s, dir) => {
       val g = mk(s, "edw")
       g.createTable("bronze_events", graft.Tables.t(s, dir, "events").schema)
+      // match the raw file's ts physical type (Tables.t normalizes reads,
+      // but COPY INTO's subquery scans the file directly)
+      val tsExpr = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => "timestamp_micros(ts div 1000)"
+        case org.apache.spark.sql.types.TimestampNTZType => "CAST(ts AS TIMESTAMP)"
+        case _ => "ts"
+      }
       g.sql(s"""COPY INTO bronze_events FROM (
-                  SELECT event_id, timestamp_micros(ts div 1000) AS ts, user_id,
+                  SELECT event_id, $tsExpr AS ts, user_id,
                          event_type, value, props
                   FROM '$dir/events.parquet') FILEFORMAT = PARQUET""")
       g.sql("CREATE TABLE silver_events AS SELECT * FROM bronze_events WHERE 1 = 0")

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.Tables
 import graft.streaming.{Expectations, Pipeline, StreamOps}
@@ -61,9 +61,11 @@ object StreamQueries extends QueryBatch {
     // glob restricted to the events table
     val st = s.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (raw("ts").dataType == LongType)
-      st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else st
+    raw("ts").dataType match {
+      case LongType => st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => st.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => st
+    }
   }
 
   /** Tumbling-window streaming aggregation → GraftTable sink (complete
