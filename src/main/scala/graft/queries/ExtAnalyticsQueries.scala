@@ -160,6 +160,35 @@ object ExtAnalyticsQueries extends QueryBatch {
             FROM lineitem GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Frequent-items sketch (`MisraGries`): heavy-hitter words of the
+    * corpus via a bounded mergeable summary (the third mergeable sketch
+    * next to q192 HLL and q193 percentile), then the two-pass exact
+    * top-k — recount only the ≤capacity sketch candidates (broadcast
+    * semi-join) so the emitted counts are exact and oracle-hashable.
+    * MG guarantees every word with frequency > N/(capacity+1) is a
+    * candidate, so with capacity 64 ≥ corpus vocabulary the exact top
+    * 10 provably survives; eviction-under-pressure behavior is pinned
+    * separately in MisraGriesSpec. */
+  private val q228 = GQ(
+    "q228_freq_items",
+    (s, dir) => {
+      val w = Tables.t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      val mg = udaf(new graft.functions.MisraGries(64))
+      val cand = w.agg(mg(col("word")).as("summary"))
+        .select(explode(col("summary")).as(Seq("word", "est")))
+        .select("word")
+      w.join(broadcast(cand), "word")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("word")).limit(10)
+    },
+    Some("""WITH w AS (SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS word
+                       FROM documents)
+            SELECT word, count(*) AS cnt FROM w WHERE word <> ''
+            GROUP BY word ORDER BY cnt DESC, word LIMIT 10""")
+  )
+
   /** Within-document repetition filter (Gopher/C4-style quality rule):
     * distinct-word ratio and top-single-word frequency ratio per document.
     * Pure explode + two keyed aggregations — linear, no driver loops.
@@ -557,5 +586,5 @@ object ExtAnalyticsQueries extends QueryBatch {
 
   override def queries: Seq[GQ] =
     Seq(q190, q191, q192, q193, q194, q195, q197, q198, q199, q200, q201,
-      q205, q206, q207, q219, q224)
+      q205, q206, q207, q219, q224, q228)
 }

@@ -586,7 +586,42 @@ object TextQueries extends QueryBatch {
             GROUP BY p.doc_id ORDER BY p.doc_id""")
   )
 
+  /** Bloom-membership exact dedup (`BloomDedup`): the corpus summarized
+    * as a persisted Bloom filter over text fingerprints; an ingest batch
+    * of exact copies (+300000 ids) and novel near-misses (+400000 ids,
+    * suffixed text) probes the REOPENED filter — corpus never shuffled,
+    * candidates broadcast into the exact verify join. Output is the
+    * exact batch-vs-corpus duplicate pair set (the filter only
+    * pre-filters; fpp can't leak), which the oracle recomputes as a
+    * plain normalized-text join. */
+  private val q227 = GQ(
+    "q227_bloom_dedup",
+    (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val batch = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" zz novel zz")).as("text")))
+      val path = Scratch.dir("bloomidx")
+      graft.text.BloomDedup.build(d, path)
+      val bf = graft.text.BloomDedup.load(graft.tables.GraftTable.load(s, path))
+      graft.text.BloomDedup.dedupBatch(bf, d, batch)
+        .orderBy("b_id", "c_id")
+    },
+    Some("""WITH batch AS (SELECT doc_id + 300000 AS doc_id, text
+                           FROM documents WHERE doc_id % 10 = 0
+                           UNION ALL
+                           SELECT doc_id + 400000, text || ' zz novel zz'
+                           FROM documents WHERE doc_id % 7 = 0)
+            SELECT b.doc_id AS b_id, c.doc_id AS c_id
+            FROM batch b JOIN documents c
+              ON regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g')
+               = regexp_replace(lower(trim(c.text)), '\s+', ' ', 'g')
+            ORDER BY b_id, c_id""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
-      q212, q216, q221, q223, q225, q226)
+      q212, q216, q221, q223, q225, q226, q227)
 }

@@ -1,0 +1,46 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.tables.GraftTable
+
+class BloomDedupSpec extends SparkTestBase {
+
+  private lazy val corpus = graft.Tables.t(spark, sf, "documents")
+    .select("doc_id", "text").cache()
+
+  test("no false negatives and exact verified output") {
+    val batch = corpus.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      .unionAll(corpus.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" qq fresh qq")).as("text")))
+    val bf = BloomDedup.buildFilter(corpus)
+    val out = BloomDedup.dedupBatch(bf, corpus, batch).cache()
+    // every exact copy must pair with its source (Bloom cannot miss)
+    val copies = corpus.filter(col("doc_id") % 9 === 0).count()
+    assert(out.filter(col("b_id") === col("c_id") + 500000).count() === copies)
+    // no novel doc may appear (exact verify kills fpp survivors)
+    assert(out.filter(col("b_id") >= 600000).count() === 0)
+    out.unpersist()
+  }
+
+  test("persisted filter reopens identically") {
+    val path = scratch("bloom")
+    BloomDedup.build(corpus, path)
+    val bf = BloomDedup.load(GraftTable.load(spark, path))
+    val probe = corpus.select(BloomDedup.fp(col("text")).as("f"))
+      .limit(20).collect().map(_.getLong(0))
+    probe.foreach(f => assert(bf.mightContainLong(f),
+      "reopened filter lost a corpus member"))
+  }
+
+  test("bloom prefilter rejects most non-members") {
+    val bf = BloomDedup.buildFilter(corpus, fpp = 0.01)
+    // 1000 fingerprints that are not in the corpus: at 1% fpp the
+    // filter should reject the overwhelming majority (allow 5x slack)
+    val hits = (1 to 1000).count(i => bf.mightContainLong(0x9e3779b97f4a7c15L * i))
+    assert(hits <= 50, s"false-positive rate implausibly high: $hits/1000")
+  }
+}
