@@ -46,13 +46,22 @@ object AnnEval {
     require(nprobe > 0 && nprobe <= nlist,
       s"nprobe must be in [1, nlist], got nprobe=$nprobe nlist=$nlist")
     require(nQueries > 0, s"nQueries must be positive, got $nQueries")
+    // norms hoisted to once-per-row (inside cosine0 the higher-order
+    // norm would re-run per PAIR of the 50k-pair ground-truth join) and
+    // the pair dot through the codegen'd DotProduct expression — same
+    // sequential double sums, bit-identical sims
     val v = emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("__vn", VectorOps.normPre(col("v")))
     val centroids = Ivf.kmeansCentroids(emb, nlist, iters, idCol, vecCol,
       roundCentroidsTo = Some(6))
     val queries = v.filter(col("id") < nQueries)
-      .select(col("id").as("qid"), col("v").as("qv"))
-    val rsim = round(cosine0(col("v"), col("qv")) + lit(1e-9), 6)
+      .select(col("id").as("qid"), col("v").as("qv"), col("__vn").as("__qn"))
+    val dp = graft.functions.DotProduct.dot_product(
+      emb.sparkSession, col("v"), col("qv"))
+    val rsim = round(
+      when(col("__vn") * col("__qn") > 0, dp / (col("__vn") * col("__qn")))
+        .otherwise(lit(0.0)) + lit(1e-9), 6)
     val topkByQ = Window.partitionBy("qid")
       .orderBy(col("__sim").desc, col("id"))
 
@@ -71,8 +80,10 @@ object AnnEval {
       .filter(col("__crn") <= nprobe)
       .select("qid", "cell")
 
-    // Probe path: only rows in probed cells are scored.
+    // Probe path: only rows in probed cells are scored. `assign` projects
+    // to (id, v, cell) — restore the hoisted norm for rsim.
     val approx = Ivf.assign(v, centroids)
+      .withColumn("__vn", VectorOps.normPre(col("v")))
       .join(broadcast(probed), "cell")
       .join(broadcast(queries), "qid")
       .withColumn("__sim", rsim)

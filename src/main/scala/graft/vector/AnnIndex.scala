@@ -150,14 +150,21 @@ object AnnIndex {
         })), e => e.getField("cell")), 1, nprobe))
     val probed = q.select(explode(col("__cells")).as("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // bounded by nlist
+    // index-side norm once per stored vector BEFORE the join (computed
+    // after it, the higher-order norm re-runs per candidate PAIR), and
+    // the pair dot product through the codegen'd DotProduct expression —
+    // the HOF aggregate(zip_with) evaluates a lambda per element, ~7 s
+    // per 200k 64-dim pairs (see functions/DotProduct.scala). Sequential
+    // double sums in both forms: bit-identical results.
     val idx = probed.map(c => t.readWhere(s"cell = $c")).reduce(_ unionByName _)
       .select(col(idCol).as("id2"), col("cell"), col("v"))
-    val vn = VectorOps.normPre(col("v"))
+      .withColumn("__vn", VectorOps.normPre(col("v")))
+    val dp = graft.functions.DotProduct.dot_product(t.spark, col("__qv"), col("v"))
     q.select(col("id1"), col("__qv"), col("__qn"), explode(col("__cells")).as("cell"))
       .join(idx, "cell")
       .select(col("id1"), col("id2"),
-        round(when(col("__qn") * vn > 0,
-            VectorOps.dotPre(col("__qv"), col("v")) / (col("__qn") * vn))
+        round(when(col("__qn") * col("__vn") > 0,
+            dp / (col("__qn") * col("__vn")))
           .otherwise(lit(-1.0)) + lit(1e-9), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }
