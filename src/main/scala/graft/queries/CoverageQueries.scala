@@ -265,5 +265,29 @@ object CoverageQueries extends QueryBatch {
   )
 
   override def queries: Seq[GQ] =
-    Seq(q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+    Seq(q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
+      q230)
+
+  /** COPY INTO from ORC (`Ingest.copyInto` generic-format branch + the
+    * SQL front-end's FILEFORMAT = ORC): the third columnar wire format a
+    * migrating warehouse actually ships — same ledger idempotency as the
+    * parquet/CSV/JSON paths (the double COPY INTO is a no-op). Oracle
+    * reads the parquet original: the ORC round-trip must be lossless. */
+  private val q230 = GQ(
+    "q230_orc_ingest",
+    (s, dir) => {
+      val src = scratch("orcsrc")
+      Tables.t(s, dir, "supplier").write.mode("overwrite").orc(src)
+      val g = new GraftSql(s, scratch("orcsql"))
+      g.createTable("sup", Tables.t(s, dir, "supplier").schema)
+      g.sql(s"COPY INTO sup FROM '$src' FILEFORMAT = ORC PATTERN = '*.orc'")
+      g.sql(s"COPY INTO sup FROM '$src' FILEFORMAT = ORC PATTERN = '*.orc'") // ledger no-op
+      g.sql("""SELECT s_nationkey, count(*) AS n,
+               round(sum(s_acctbal), 2) AS total
+               FROM sup GROUP BY s_nationkey ORDER BY s_nationkey""")
+    },
+    Some("""SELECT s_nationkey, count(*) AS n,
+            round(sum(s_acctbal), 2) AS total
+            FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
+  )
 }

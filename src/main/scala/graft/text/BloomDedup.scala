@@ -51,8 +51,11 @@ object BloomDedup {
   def buildFilter(corpus: DataFrame, textCol: String = "text",
       fpp: Double = 0.01): BloomFilter = {
     val fps = corpus.select(fp(col(textCol)).as("fp"))
-    val n = math.max(fps.count(), 1L)
-    fps.stat.bloomFilter("fp", n, fpp)
+    val n = fps.count()
+    // Spark's stat.bloomFilter NPEs on an empty frame (null aggregate
+    // buffer); an empty corpus has an empty membership set
+    if (n == 0) BloomFilter.create(1, fpp)
+    else fps.stat.bloomFilter("fp", n, fpp)
   }
 
   /** Persist the filter as a one-row GraftTable (binary payload + item

@@ -134,4 +134,22 @@ class EdgeCasesSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().toSet
     assert(pairs == Set((10L, 11L, 1.0)), s"got $pairs")
   }
+
+  test("bloom dedup: empty batch and empty corpus both yield zero pairs") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val none = docs.filter(lit(false))
+    val bf = graft.text.BloomDedup.buildFilter(docs)
+    assert(graft.text.BloomDedup.dedupBatch(bf, docs, none).count() === 0)
+    // empty corpus: the filter is built on max(n,1)=1 expected items and
+    // matches nothing; the verify join is against zero corpus rows anyway
+    val bfEmpty = graft.text.BloomDedup.buildFilter(none)
+    assert(graft.text.BloomDedup.dedupBatch(bfEmpty, none, docs).count() === 0)
+  }
+
+  test("Misra-Gries over an empty input returns an empty summary") {
+    val mg = org.apache.spark.sql.functions.udaf(new graft.functions.MisraGries(4))
+    val none = Seq.empty[String].toDF("w")
+    val m = none.agg(mg(col("w"))).head().getMap[String, Long](0)
+    assert(m.isEmpty)
+  }
 }

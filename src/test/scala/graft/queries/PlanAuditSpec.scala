@@ -171,4 +171,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<doc_id:") && !p.contains("n_chars"),
       s"scan must read only (doc_id, text):\n$p")
   }
+
+  test("bloom dedup verify broadcasts candidates; corpus side never shuffles") {
+    // the whole point of the membership sketch: at 100 TB the corpus is
+    // scanned, not exchanged — candidates (fpp-bounded) broadcast into
+    // the verify join. A SortMergeJoin here means the corpus got shuffled.
+    val corpus = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val batch = corpus.limit(50)
+    val bf = graft.text.BloomDedup.buildFilter(corpus)
+    val p = finalPlan(graft.text.BloomDedup.dedupBatch(bf, corpus, batch))
+    assert(p.contains("BroadcastHashJoin"),
+      s"verify join must broadcast the candidate side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the verify join:\n$p")
+  }
+
+  test("frequent-items sketch partial-aggregates before the single-partition exchange") {
+    // the MG summary must combine per partition (ObjectHashAggregate
+    // partial) so only ≤capacity-entry maps cross the wire — raw words
+    // reaching the final aggregate would shuffle the whole corpus
+    val df = SparkEntry.queries("q228_freq_items")(spark, sf)
+    val p = finalPlan(df)
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      s"MG summary must partial-aggregate map-side:\n$p")
+  }
+
+  test("sketch rollup's daily merge reads the rollup table, not raw events") {
+    // the rollup exists so later distinct-count queries never rescan raw
+    // data: the union-merge subtree must scan the persisted sketch table
+    // (binary sk column) — seeing user_id there means it recomputed
+    val df = SparkEntry.queries("q229_sketch_rollup")(spark, sf)
+    val p = finalPlan(df)
+    val sketchScans = "ReadSchema: struct<[^>]*sk:binary[^>]*>".r.findAllIn(p).size
+    assert(sketchScans >= 1,
+      s"daily estimate must read persisted hourly sketches:\n$p")
+  }
 }
