@@ -1,43 +1,52 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.tables.GraftTable
 
 /** Bloom-membership exact dedup: dedup an ingest batch against a corpus
-  * whose membership is summarized as a Bloom filter over 64-bit text
-  * fingerprints — the sketch counterpart of the exact persisted postings
-  * index ([[DedupIndex]]), for the common production case where the
-  * question is only "is this exact text already in the corpus?".
+  * whose membership is summarized as a SHARDED Bloom filter over 64-bit
+  * text fingerprints — the sketch counterpart of the exact persisted
+  * postings index ([[DedupIndex]]), for the common production case where
+  * the question is only "is this exact text already in the corpus?".
   *
-  * Scale shape (the reason this exists next to q209/q216): the probe is
-  * a broadcast of the filter (bits ∝ corpus size, ~1.2 GB per 10⁹ docs
-  * at 1% fpp; shard by `fp % S` when that outgrows one task) followed by
-  * a scan-local filter of the batch — the corpus is NOT shuffled, read,
-  * or joined at probe time. Only the bloom's surviving candidates (true
-  * dups + fpp false positives) reach the exact verification join, and
-  * that candidate set is small enough to broadcast, so the verify pass
-  * is a corpus scan with a broadcast-hash join: zero shuffles end to
-  * end. False negatives are impossible (Bloom guarantee), so the output
-  * equals the exact batch-vs-corpus text join.
+  * Scale shape (the reason this exists next to q209/q216): the persisted
+  * index is `shards` rows of (shard, filter bytes, items), partitioned
+  * by `fp % shards`. The build is one keyed aggregation — each shard's
+  * filter is built and merged ON THE EXECUTORS by a custom mergeable
+  * [[Aggregator]] and written distributed, so no single process ever
+  * holds the whole corpus's bits (Spark's own `stat.bloomFilter`
+  * driver-merges every partial — a driver bottleneck once the corpus
+  * needs gigabit filters; that convenience form survives here as
+  * [[buildFilter]] for in-session use). The probe broadcasts the shard
+  * map (bits ∝ corpus size / shards each) and filters the batch
+  * scan-locally — the corpus is NOT shuffled, read, or joined at probe
+  * time. Only the filter's survivors (true dups + fpp false positives)
+  * reach the exact verification join, and that candidate set is small
+  * enough to broadcast, so the verify pass is a corpus scan with a
+  * broadcast-hash join: zero shuffles end to end. False negatives are
+  * impossible (Bloom guarantee), so the output equals the exact
+  * batch-vs-corpus text join.
   *
-  * The filter itself is built distributed (partial filters OR-merged,
-  * `DataFrameStatFunctions.bloomFilter`) and persisted as a one-row
-  * binary-payload [[GraftTable]] — build once at corpus-compaction time,
-  * reopen per ingest batch, same build-once/probe-many contract as
-  * [[graft.vector.AnnIndex]] / [[DedupIndex]].
-  *
-  * Reference behavior: exact-dup screening of `HF`-style ingest loops
-  * (see SURVEY §2.12); membership-sketch design per Broder & Mitzenmacher,
+  * Build-once/probe-many contract as [[graft.vector.AnnIndex]] /
+  * [[DedupIndex]]; membership-sketch design per Broder & Mitzenmacher,
   * "Network Applications of Bloom Filters" (2004).
   */
 object BloomDedup {
 
   private val FppProp = "graft.bloom.fpp"
-  private val ItemsProp = "graft.bloom.items"
+  private val ShardsProp = "graft.bloom.shards"
+
+  /** The reopened sharded index: filters keyed by `fp % shards`. */
+  final case class BloomIndex(shards: Int, filters: Map[Int, BloomFilter]) {
+    def mightContain(f: Long): Boolean =
+      filters.get((math.floorMod(f, shards.toLong)).toInt)
+        .exists(_.mightContainLong(f))
+  }
 
   /** 64-bit fingerprint of whitespace-normalized lower-cased text — the
     * same normalization as [[TextOps.fingerprint]], hashed to a long so
@@ -45,9 +54,26 @@ object BloomDedup {
   def fp(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Build the corpus membership filter (distributed partial filters,
-    * OR-merged; the result is bounded by the bit-array size, not the
-    * corpus row count). */
+  /** Mergeable per-shard Bloom build: partial filters OR-merge on the
+    * executors (BloomFilterImpl is Serializable; buffers travel as the
+    * partial aggregation's state, bounded by the bit-array size). */
+  private final class BloomAgg(expectedItems: Long, fpp: Double)
+      extends Aggregator[Long, BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(math.max(expectedItems, 1L), fpp)
+    def reduce(b: BloomFilter, x: Long): BloomFilter = { b.putLong(x); b }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+      a.mergeInPlace(b).asInstanceOf[BloomFilter]
+    def finish(b: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+    def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** In-session single filter (driver-merged partials — fine below the
+    * gigabit-filter scale; the persisted path shards instead). */
   def buildFilter(corpus: DataFrame, textCol: String = "text",
       fpp: Double = 0.01): BloomFilter = {
     val fps = corpus.select(fp(col(textCol)).as("fp"))
@@ -58,30 +84,43 @@ object BloomDedup {
     else fps.stat.bloomFilter("fp", n, fpp)
   }
 
-  /** Persist the filter as a one-row GraftTable (binary payload + item
-    * count; fpp in TBLPROPERTIES) — the persisted-artifact pattern of
-    * the other indexes, so ingest jobs reopen instead of rebuilding. */
+  /** Build and persist the sharded membership index: one keyed
+    * aggregation, filters merged executor-side, written as `shards` rows
+    * of (shard, filter, items). An empty corpus persists zero rows —
+    * an empty membership set. */
   def build(corpus: DataFrame, path: String, textCol: String = "text",
-      fpp: Double = 0.01): GraftTable = {
+      fpp: Double = 0.01, shards: Int = 16): GraftTable = {
+    require(shards > 0, s"shards must be positive, got $shards")
     val s = corpus.sparkSession
-    val bf = buildFilter(corpus, textCol, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    val n = corpus.count()
+    val fps = corpus.select(fp(col(textCol)).as("fp"))
+    val n = fps.count()
+    val perShard = math.max(n / shards, 1L) * 2 // uniform xxhash64 + slack
+    val agg = udaf(new BloomAgg(perShard, fpp))
+    val rows = fps
+      .withColumn("shard", pmod(col("fp"), lit(shards.toLong)).cast("int"))
+      .groupBy("shard")
+      .agg(agg(col("fp")).as("filter"), count(lit(1)).as("items"))
     val schema = StructType(Seq(
-      StructField("filter", BinaryType), StructField("items", LongType)))
+      StructField("shard", IntegerType), StructField("filter", BinaryType),
+      StructField("items", LongType)))
     val t = GraftTable.create(s, path, schema,
-      Map(FppProp -> fpp.toString, ItemsProp -> n.toString))
-    import s.implicits._
-    t.append(Seq((bos.toByteArray, n)).toDF("filter", "items"),
-      "BLOOM INDEX BUILD")
+      Map(FppProp -> fpp.toString, ShardsProp -> shards.toString))
+    t.append(rows.select("shard", "filter", "items"), "BLOOM INDEX BUILD")
     t
   }
 
-  /** Reopen a persisted filter. */
-  def load(t: GraftTable): BloomFilter = {
-    val bytes = t.read().select("filter").head().getAs[Array[Byte]](0)
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  /** Reopen a persisted sharded index (collect is `shards` rows, each
+    * bounded by its filter's bit array — the probe-side working set). */
+  def load(t: GraftTable): BloomIndex = {
+    val shards = t.properties.getOrElse(ShardsProp,
+      throw new IllegalArgumentException(
+        s"${t.path} is not a bloom index table: property $ShardsProp missing " +
+          "(build one with BloomDedup.build)")).toInt
+    val filters = t.read().select("shard", "filter").collect().map { r =>
+      r.getInt(0) -> BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+    }.toMap
+    BloomIndex(shards, filters)
   }
 
   /** Exact (batch_id, corpus_id) duplicate pairs of an ingest batch vs
@@ -90,15 +129,15 @@ object BloomDedup {
     * the normalized text so fpp and 64-bit collisions cannot leak into
     * the output.
     *
-    * The membership probe is a scala UDF over the broadcast filter — a
-    * bitmap lookup Spark exposes no column function for; its input is
+    * The membership probe is a scala UDF over the broadcast shard map —
+    * a bitmap lookup Spark exposes no column function for; its input is
     * already the codegen'd xxhash64 column, so the non-codegen island is
     * one long→boolean call per batch row. */
-  def dedupBatch(bf: BloomFilter, corpus: DataFrame, batch: DataFrame,
+  def dedupBatch(index: BloomIndex, corpus: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val s = corpus.sparkSession
-    val bcast = s.sparkContext.broadcast(bf)
-    val might = udf((f: Long) => bcast.value.mightContainLong(f))
+    val bcast = s.sparkContext.broadcast(index)
+    val might = udf((f: Long) => bcast.value.mightContain(f))
     val norm = (c: Column) => regexp_replace(lower(trim(c)), "\\s+", " ")
     val candidates = batch
       .select(col(idCol).as("b_id"), norm(col(textCol)).as("__bt"),
@@ -113,4 +152,9 @@ object BloomDedup {
         col("__cfp") === col("__fp") && col("__ct") === col("__bt"))
       .select(col("b_id"), col("c_id"))
   }
+
+  /** In-session convenience: probe a single unsharded filter. */
+  def dedupBatch(bf: BloomFilter, corpus: DataFrame, batch: DataFrame):
+      DataFrame =
+    dedupBatch(BloomIndex(1, Map(0 -> bf)), corpus, batch)
 }

@@ -26,14 +26,31 @@ class BloomDedupSpec extends SparkTestBase {
     out.unpersist()
   }
 
-  test("persisted filter reopens identically") {
+  test("persisted sharded index reopens with no corpus member lost") {
     val path = scratch("bloom")
-    BloomDedup.build(corpus, path)
-    val bf = BloomDedup.load(GraftTable.load(spark, path))
+    BloomDedup.build(corpus, path, shards = 4)
+    val idx = BloomDedup.load(GraftTable.load(spark, path))
+    assert(idx.shards === 4)
+    assert(idx.filters.nonEmpty && idx.filters.size <= 4)
     val probe = corpus.select(BloomDedup.fp(col("text")).as("f"))
-      .limit(20).collect().map(_.getLong(0))
-    probe.foreach(f => assert(bf.mightContainLong(f),
-      "reopened filter lost a corpus member"))
+      .limit(50).collect().map(_.getLong(0))
+    probe.foreach(f => assert(idx.mightContain(f),
+      "reopened sharded index lost a corpus member"))
+  }
+
+  test("sharded probe output equals the single-filter probe output") {
+    val batch = corpus.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+    val path = scratch("bloomsh")
+    BloomDedup.build(corpus, path, shards = 8)
+    val idx = BloomDedup.load(GraftTable.load(spark, path))
+    val sharded = BloomDedup.dedupBatch(idx, corpus, batch)
+      .orderBy("b_id", "c_id").collect().toSeq
+    val single = BloomDedup.dedupBatch(
+        BloomDedup.buildFilter(corpus), corpus, batch)
+      .orderBy("b_id", "c_id").collect().toSeq
+    assert(sharded === single)
+    assert(sharded.nonEmpty)
   }
 
   test("bloom prefilter rejects most non-members") {
