@@ -206,11 +206,21 @@ object ExtAnalyticsQueries extends QueryBatch {
     "q229_sketch_rollup",
     (s, dir) => {
       val e = ev(s, dir)
-      val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
+      def hourly(part: DataFrame) =
+        part.groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
+      // incremental maintenance: the rollup is built from the first part
+      // of the stream and a later ingest APPENDS only its own hours'
+      // sketches — mergeability means the union-merge over both batches
+      // answers exactly as a from-scratch rollup (events are never
+      // re-scanned; the cutoff is an event_id hash so both batches span
+      // all hours and the merge genuinely combines sketches per day)
+      val early = e.filter(pmod(col("event_id"), lit(5)) < 4)
+      val late = e.filter(pmod(col("event_id"), lit(5)) === 4)
       val path = graft.queries.Scratch.dir("sketchroll")
-      val t = graft.tables.GraftTable.create(s, path, hourly.schema)
-      t.append(hourly, "SKETCH ROLLUP BUILD")
+      val t = graft.tables.GraftTable.create(s, path, hourly(early).schema)
+      t.append(hourly(early), "SKETCH ROLLUP BUILD")
+      t.append(hourly(late), "SKETCH ROLLUP INCREMENT")
       val daily = graft.tables.GraftTable.load(s, path).read()
         .groupBy(to_date(col("h")).as("day"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"),
