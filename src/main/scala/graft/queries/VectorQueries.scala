@@ -531,7 +531,148 @@ object VectorQueries extends QueryBatch {
             ORDER BY query_id""")
   )
 
+  /** The deterministic PQ train→encode chain (m=8, ksub=16, iters=1)
+    * as DuckDB CTEs over `v` — the q208/q214 chain, factored for the
+    * multi-query recall oracles (q231/q232). Ends at `codes(vec_id,
+    * sub, cell)` + `cent(sub, cell, c)`. */
+  private val pqTrainCtes = s"""subs AS (SELECT vec_id, s.sub, v[s.sub*8+1 : s.sub*8+8] AS sv
+                          FROM v, UNNEST(range(8)) AS s(sub)),
+                 pinit AS (SELECT sub,
+                            row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cell,
+                            sv AS c
+                          FROM subs
+                          QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 16),
+                 d1 AS (SELECT p.vec_id, p.sub, i.cell,
+                          row_number() OVER (PARTITION BY p.vec_id, p.sub ORDER BY
+                            list_sum(list_transform(range(8),
+                              j -> (p.sv[j+1] - i.c[j+1]) * (p.sv[j+1] - i.c[j+1]))), i.cell) AS rn
+                        FROM subs p JOIN pinit i USING (sub)),
+                 pasg AS (SELECT vec_id, sub, cell FROM d1 WHERE rn = 1),
+                 cdim AS (SELECT a.sub, a.cell, d.dim,
+                            round(avg(p.sv[d.dim+1]) + 1e-9, 6) AS mval
+                          FROM pasg a JOIN subs p USING (vec_id, sub),
+                               UNNEST(range(8)) AS d(dim)
+                          GROUP BY a.sub, a.cell, d.dim),
+                 cent AS (SELECT sub, cell, list(mval ORDER BY dim) AS c
+                          FROM cdim GROUP BY sub, cell),
+                 d2 AS (SELECT p.vec_id, p.sub, c.cell,
+                          row_number() OVER (PARTITION BY p.vec_id, p.sub ORDER BY
+                            list_sum(list_transform(range(8),
+                              j -> (p.sv[j+1] - c.c[j+1]) * (p.sv[j+1] - c.c[j+1]))), c.cell) AS rn
+                        FROM subs p JOIN cent c USING (sub)),
+                 codes AS (SELECT vec_id, sub, cell FROM d2 WHERE rn = 1)"""
+
+  /** Multi-query ADC score + top-`fetch` shortlist + 6-dp exact rerank
+    * + recall CTEs shared by q231/q232 — `scoredFrom` supplies the
+    * (possibly cell-restricted) scored CTE body. */
+  private def recallTailSql(scoredBody: String): String =
+    s"""qsub AS (SELECT q.qid, s.sub, q.qv[s.sub*8+1 : s.sub*8+8] AS sv
+                 FROM q, UNNEST(range(8)) AS s(sub)),
+        qn AS (SELECT qid, sqrt(sum(list_sum(list_transform(sv, x -> x * x)))) AS qnorm
+               FROM qsub GROUP BY qid),
+        scored AS ($scoredBody),
+        short AS (SELECT qid, vec_id FROM (
+          SELECT s.qid, s.vec_id,
+            row_number() OVER (PARTITION BY s.qid ORDER BY
+              round(CASE WHEN n.qnorm * sqrt(s.n2) > 0
+                         THEN s.dots / (n.qnorm * sqrt(s.n2))
+                         ELSE -1.0 END + 1e-9, 4) DESC,
+              s.vec_id) AS rn
+          FROM scored s JOIN qn n USING (qid)) x WHERE rn <= 100),
+        approx AS (SELECT qid, id FROM (
+          SELECT sh.qid, vv.vec_id AS id,
+            row_number() OVER (PARTITION BY sh.qid ORDER BY
+              round(${cos0Sql("vv.v", "q.qv")} + 1e-9, 6) DESC, vv.vec_id) AS rn
+          FROM short sh JOIN v vv ON vv.vec_id = sh.vec_id
+               JOIN q ON q.qid = sh.qid) z WHERE rn <= 10),
+        exact AS (SELECT qid, id FROM (
+          SELECT q.qid, vv.vec_id AS id,
+            row_number() OVER (PARTITION BY q.qid ORDER BY
+              round(${cos0Sql("vv.v", "q.qv")} + 1e-9, 6) DESC, vv.vec_id) AS rn
+          FROM v vv CROSS JOIN q) e WHERE rn <= 10),
+        hits AS (SELECT e.qid, count(*) AS h
+                 FROM exact e JOIN approx a ON e.qid = a.qid AND e.id = a.id
+                 GROUP BY e.qid)
+   SELECT q.qid AS query_id,
+          CAST(coalesce(h.h, 0) AS INTEGER) AS hits,
+          round(coalesce(h.h, 0) / 10.0 + 1e-9, 4) AS recall_at_k
+   FROM q LEFT JOIN hits h ON h.qid = q.qid
+   ORDER BY query_id"""
+
+  /** PQ recall harness (`AnnEval.pqRecall`): recall@10 of the two-stage
+    * PQ search (ADC shortlist of 100 → exact rerank) vs brute-force
+    * ground truth for a 20-query eval sample — the measured tuning loop
+    * for fetch/m/ksub, the q222 discipline extended to the PQ family.
+    * The oracle replays EVERYTHING in SQL: the deterministic codebook
+    * train/encode (q208's chain), every query's ADC lookup-table scores
+    * on the 4-dp grid, the per-query 100-id shortlist, the 6-dp exact
+    * rerank, both top-k ranks, and the intersection counts. */
+  private val q231 = GQ(
+    "q231_pq_recall",
+    (s, dir) => graft.vector.AnnEval.pqRecall(
+      emb(s, dir), k = 10, fetch = 100, m = 8, ksub = 16, iters = 1,
+      nQueries = 20),
+    Some(s"""WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+                 $pqTrainCtes,
+                 q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 20),
+                 ${recallTailSql(
+      """SELECT co.vec_id, qs.qid,
+                sum(list_sum(list_transform(range(8), j -> qs.sv[j+1] * ce.c[j+1]))) AS dots,
+                sum(list_sum(list_transform(ce.c, x -> x * x))) AS n2
+         FROM codes co
+         JOIN cent ce USING (sub, cell)
+         JOIN qsub qs ON qs.sub = co.sub
+         GROUP BY co.vec_id, qs.qid""")}""")
+  )
+
+  /** Combined IVF+PQ recall harness (`AnnEval.ivfPqRecall`): recall@10
+    * of the production search shape — probe nprobe=2 of nlist=8 cells,
+    * ADC-shortlist 100 within them, exact-rerank — vs brute-force
+    * ground truth. Measures the PRODUCT of the two approximations
+    * (cell recall × ADC rank fidelity), closing the tuning loop for
+    * nlist/nprobe/fetch/m/ksub together; unlike q215 (nprobe = nlist,
+    * exact replay of the pure-PQ chain) this gate pins the genuinely
+    * approximate path. Oracle = q222's IVF chain + q208's PQ chain +
+    * per-query probe restriction, fully replayed. */
+  private val q232 = GQ(
+    "q232_ivfpq_recall",
+    (s, dir) => graft.vector.AnnEval.ivfPqRecall(
+      emb(s, dir), k = 10, nlist = 8, nprobe = 2, fetch = 100, m = 8,
+      ksub = 16, ivfIters = 2, pqIters = 1, nQueries = 20),
+    Some(s"""WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+                 init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                            v AS c
+                          FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+                 ${assignSql("init", "g0")},
+                 ${recomputeSql("g0", "c1")},
+                 ${assignSql("c1", "g1")},
+                 ${recomputeSql("g1", "c2")},
+                 ${assignSql("c2", "g2")},
+                 $pqTrainCtes,
+                 q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 20),
+                 probe AS (SELECT qid, cell FROM (
+                   SELECT q.qid, c.cell,
+                     row_number() OVER (PARTITION BY q.qid ORDER BY
+                       round(${cos0Sql("q.qv", "c.c")} + 1e-9, 6) DESC,
+                       c.cell) AS crn
+                   FROM q CROSS JOIN c2 c) y WHERE crn <= 2),
+                 ${recallTailSql(
+      """SELECT co.vec_id, qs.qid,
+                sum(list_sum(list_transform(range(8), j -> qs.sv[j+1] * ce.c[j+1]))) AS dots,
+                sum(list_sum(list_transform(ce.c, x -> x * x))) AS n2
+         FROM codes co
+         JOIN g2 g ON g.vec_id = co.vec_id
+         JOIN probe p ON p.cell = g.cell
+         JOIN cent ce ON ce.sub = co.sub AND ce.cell = co.cell
+         JOIN qsub qs ON qs.sub = co.sub AND qs.qid = p.qid
+         GROUP BY co.vec_id, qs.qid""")}""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q80, q81, q82, q83, q84, q208, q211, q213, q214, q215, q217, q220,
-      q222)
+      q222, q231, q232)
 }

@@ -26,9 +26,11 @@ import graft.tables.GraftTable
   * map (bits ∝ corpus size / shards each) and filters the batch
   * scan-locally — the corpus is NOT shuffled, read, or joined at probe
   * time. Only the filter's survivors (true dups + fpp false positives)
-  * reach the exact verification join, and that candidate set is small
-  * enough to broadcast, so the verify pass is a corpus scan with a
-  * broadcast-hash join: zero shuffles end to end. False negatives are
+  * reach the exact verification join; when that candidate set is small
+  * (the low-duplication common case) it broadcasts and the verify pass
+  * is a corpus scan with a broadcast-hash join — zero shuffles end to
+  * end — while a duplicate-heavy batch falls back to one fingerprint-
+  * keyed shuffle join (see [[dedupBatch]]). False negatives are
   * impossible (Bloom guarantee), so the output equals the exact
   * batch-vs-corpus text join.
   *
@@ -129,12 +131,25 @@ object BloomDedup {
     * the normalized text so fpp and 64-bit collisions cannot leak into
     * the output.
     *
+    * The verify join's candidate set is true duplicates + fpp false
+    * positives — so it is BATCH-bounded, not fpp-bounded: a re-crawl-
+    * heavy ingest batch that is 50% dups carries half the batch's
+    * normalized text through the filter. The broadcast fast path
+    * (corpus side stays a shuffle-free scan) is therefore gated on the
+    * measured candidate count; above `broadcastMaxCandidates` the
+    * verify falls back to a shuffle hash join keyed on (fp, text) —
+    * both sides partition on the fingerprint, so the corpus shuffles
+    * once but nothing is driver- or broadcast-bounded. The sizing count
+    * is one extra pass over the batch (scan + filter, no shuffle) —
+    * cheap next to a mis-sized broadcast.
+    *
     * The membership probe is a scala UDF over the broadcast shard map —
     * a bitmap lookup Spark exposes no column function for; its input is
     * already the codegen'd xxhash64 column, so the non-codegen island is
     * one long→boolean call per batch row. */
   def dedupBatch(index: BloomIndex, corpus: DataFrame, batch: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastMaxCandidates: Long = 100000L): DataFrame = {
     val s = corpus.sparkSession
     val bcast = s.sparkContext.broadcast(index)
     val might = udf((f: Long) => bcast.value.mightContain(f))
@@ -146,11 +161,13 @@ object BloomDedup {
     val corpusKeyed = corpus
       .select(col(idCol).as("c_id"), norm(col(textCol)).as("__ct"),
         fp(col(textCol)).as("__cfp"))
-    // candidates are fpp-bounded — broadcast them so the corpus side
-    // stays a shuffle-free scan
-    corpusKeyed.join(broadcast(candidates),
-        col("__cfp") === col("__fp") && col("__ct") === col("__bt"))
-      .select(col("b_id"), col("c_id"))
+    val cond = col("__cfp") === col("__fp") && col("__ct") === col("__bt")
+    val nCand = candidates.count()
+    val verified =
+      if (nCand <= broadcastMaxCandidates)
+        corpusKeyed.join(broadcast(candidates), cond)
+      else corpusKeyed.join(candidates.hint("shuffle_hash"), cond)
+    verified.select(col("b_id"), col("c_id"))
   }
 
   /** In-session convenience: probe a single unsharded filter. */

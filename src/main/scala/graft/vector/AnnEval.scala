@@ -100,4 +100,129 @@ object AnnEval {
           .as("recall_at_k"))
       .orderBy("query_id")
   }
+
+  /** (id, v, __vn) double-cast frame + the bounded (qid, qv, __qn) eval
+    * sample — the shared front of every recall harness. */
+  private def prep(emb: DataFrame, nQueries: Int, idCol: String,
+      vecCol: String): (DataFrame, DataFrame) = {
+    val v = emb.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("__vn", VectorOps.normPre(col("v")))
+    val queries = v.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("v").as("qv"), col("__vn").as("__qn"))
+    (v, queries)
+  }
+
+  /** 6-dp-rounded exact cosine of (v, qv) with hoisted norms — the
+    * [[ivfRecall]] rank grid (zero norms score 0, the [[Ivf.assign]]
+    * convention). */
+  private def rsim6(emb: DataFrame): org.apache.spark.sql.Column = {
+    val dp = graft.functions.DotProduct.dot_product(
+      emb.sparkSession, col("v"), col("qv"))
+    round(
+      when(col("__vn") * col("__qn") > 0, dp / (col("__vn") * col("__qn")))
+        .otherwise(lit(0.0)) + lit(1e-9), 6)
+  }
+
+  /** hits + recall@k per query of an `approx` (qid, id) set vs the
+    * exact brute-force ground truth — one broadcast pass (the
+    * [[ivfRecall]] shape). */
+  private def recallOf(emb: DataFrame, v: DataFrame, queries: DataFrame,
+      approx: DataFrame, k: Int): DataFrame = {
+    val topkByQ = Window.partitionBy("qid")
+      .orderBy(col("__sim").desc, col("id"))
+    val exact = v.crossJoin(broadcast(queries))
+      .withColumn("__sim", rsim6(emb))
+      .withColumn("__rn", row_number().over(topkByQ))
+      .filter(col("__rn") <= k)
+      .select("qid", "id")
+    val hits = exact.join(approx, Seq("qid", "id")).groupBy("qid")
+      .agg(count(lit(1)).as("__h"))
+    queries.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid").as("query_id"),
+        coalesce(col("__h"), lit(0L)).cast("int").as("hits"),
+        round(coalesce(col("__h"), lit(0L)) / lit(k.toDouble) + lit(1e-9), 4)
+          .as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
+  /** Exact top-k rerank of a (qid, id) shortlist on the 6-dp grid —
+    * full-precision vectors touched only for shortlist rows. */
+  private def rerank(emb: DataFrame, v: DataFrame, queries: DataFrame,
+      short: DataFrame, k: Int): DataFrame = {
+    val topkByQ = Window.partitionBy("qid")
+      .orderBy(col("__sim").desc, col("id"))
+    v.join(short, Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("__sim", rsim6(emb))
+      .withColumn("__rn", row_number().over(topkByQ))
+      .filter(col("__rn") <= k)
+      .select("qid", "id")
+  }
+
+  /** The bounded eval sample collected to the driver — what lets the
+    * per-query ADC lookup tables ride as literals. */
+  private def collectQueries(queries: DataFrame): Seq[(Long, Seq[Double])] =
+    queries.select(col("qid").cast("long"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+
+  /** recall@k of the PQ two-stage search ([[PqIndex.topKRerank]]'s
+    * shape: ADC shortlist of `fetch` codes → exact rerank) against
+    * exact ground truth — the measured tuning loop for the fetch/m/ksub
+    * knobs, mirroring what [[ivfRecall]] gives nlist/nprobe. Every
+    * query scores every code word (the shortlist is corpus-wide, like
+    * the search it measures); determinism contract as [[ivfRecall]]
+    * plus [[Pq]]'s: codebooks on the 6-dp grid, ADC ranks on the 4-dp
+    * grid with id tie-breaks. */
+  def pqRecall(emb: DataFrame, k: Int, fetch: Int, m: Int = 8,
+      ksub: Int = 16, iters: Int = 1, nQueries: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fetch >= k, s"fetch must be >= k, got fetch=$fetch k=$k")
+    require(nQueries > 0, s"nQueries must be positive, got $nQueries")
+    val (v, queries) = prep(emb, nQueries, idCol, vecCol)
+    val cents = Pq.trainCodebooks(emb, m, ksub, iters, idCol, vecCol)
+    val codes = Pq.encode(emb, cents, m, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+    val pairs = codes.crossJoin(broadcast(queries.select("qid")))
+    val short = Pq.adcRankPairs(pairs, cents, collectQueries(queries), fetch)
+    recallOf(emb, v, queries, rerank(emb, v, queries, short, k), k)
+  }
+
+  /** recall@k of the combined IVF+PQ search ([[IvfPq.search]]'s shape:
+    * probe `nprobe` cells → ADC shortlist `fetch` within them → exact
+    * rerank) against exact ground truth — the quality product of the
+    * two approximations (cell recall × ADC rank fidelity) measured as
+    * one number per query, closing the tuning loop for
+    * nlist/nprobe/fetch/m/ksub together. Only codes in a query's probed
+    * cells are scored, exactly like the search it measures. */
+  def ivfPqRecall(emb: DataFrame, k: Int, nlist: Int, nprobe: Int,
+      fetch: Int, m: Int = 8, ksub: Int = 16, ivfIters: Int = 2,
+      pqIters: Int = 1, nQueries: Int = 20, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fetch >= k, s"fetch must be >= k, got fetch=$fetch k=$k")
+    require(nprobe > 0 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist], got nprobe=$nprobe nlist=$nlist")
+    require(nQueries > 0, s"nQueries must be positive, got $nQueries")
+    val (v, queries) = prep(emb, nQueries, idCol, vecCol)
+    val centroids = Ivf.kmeansCentroids(emb, nlist, ivfIters, idCol, vecCol,
+      roundCentroidsTo = Some(6))
+    // nprobe nearest cells per query on the 6-dp grid (ivfRecall's probe)
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("__cs", round(cosine0(col("qv"), col("c")) + lit(1e-9), 6))
+      .withColumn("__crn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("__cs").desc, col("cell"))))
+      .filter(col("__crn") <= nprobe)
+      .select("qid", "cell")
+    val cents = Pq.trainCodebooks(emb, m, ksub, pqIters, idCol, vecCol)
+    val codes = Pq.encode(emb, cents, m, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+    val pairs = codes
+      .join(Ivf.assign(v, centroids).select("id", "cell"), Seq("id"))
+      .join(broadcast(probed), Seq("cell"))
+      .select("qid", "id", "codes")
+    val short = Pq.adcRankPairs(pairs, cents, collectQueries(queries), fetch)
+    recallOf(emb, v, queries, rerank(emb, v, queries, short, k), k)
+  }
 }

@@ -172,6 +172,57 @@ object Pq {
       .limit(k)
   }
 
+  /** Rank an already-formed (qid, id, codes) candidate frame by ADC
+    * cosine, keeping the top `fetch` ids per query — the multi-query
+    * batched counterpart of [[adcScore]] shared by the recall harness
+    * ([[AnnEval.pqRecall]] scores every query against every code;
+    * [[AnnEval.ivfPqRecall]] pre-restricts pairs to probed cells). The
+    * per-query m×ksub lookup tables ride as ONE map literal keyed by
+    * qid (queries are a bounded eval sample, the [[Ivf]] centroid
+    * idiom), so scoring stays a zero-shuffle projection; the only wide
+    * stage is the per-query top-`fetch` rank. Same rounding (4 dp) and
+    * zero-norm sentinel (−1, ranks last) as [[adcScore]]. */
+  private[vector] def adcRankPairs(pairs: DataFrame,
+      cents: Seq[Codebook], queries: Seq[(Long, Seq[Double])],
+      fetch: Int): DataFrame = {
+    require(cents.nonEmpty, "codebooks are empty — not a trained PQ index")
+    require(queries.nonEmpty, "query sample is empty")
+    val m = cents.map(_.sub).max + 1
+    val ksub = cents.map(_.cell).max + 1
+    val dsub = cents.head.c.size
+    val bySubCell = cents.map(cb => (cb.sub, cb.cell) -> cb.c).toMap
+    def table(f: (Int, Seq[Double]) => Double): Column =
+      array((0 until m).map(s => array((0 until ksub).map { c =>
+        lit(bySubCell.get((s, c)).map(v => f(s, v)).getOrElse(0.0))
+      }: _*)): _*)
+    val norms2 = table((_, c) => c.foldLeft(0.0)((acc, x) => acc + x * x))
+    val qmap = map_from_arrays(
+      array(queries.map(q => lit(q._1)): _*),
+      array(queries.map { case (_, qv) =>
+        val qn = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
+        val dots = table((s, c) =>
+          c.zip(qv.slice(s * dsub, s * dsub + dsub)).foldLeft(0.0) {
+            case (acc, (x, q)) => acc + x * q
+          })
+        struct(lit(qn).as("qn"), dots.as("dots"))
+      }: _*))
+    def lookup(tbl: Column): Column =
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+        acc + element_at(element_at(tbl, s + 1),
+          element_at(col("codes"), s + 1) + 1))
+    val q = element_at(qmap, col("qid"))
+    val n2 = lookup(norms2)
+    val sim = round(
+      when(q.getField("qn") * sqrt(n2) > 0,
+        lookup(q.getField("dots")) / (q.getField("qn") * sqrt(n2)))
+        .otherwise(lit(-1.0)) + lit(1e-9), 4)
+    pairs.select(col("qid"), col("id"), sim.as("__asim"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("__asim").desc, col("id"))))
+      .filter(col("__rn") <= fetch)
+      .select("qid", "id")
+  }
+
   /** Two-stage search (the production PQ shape): a cheap ADC pass over
     * the m-byte codes shortlists `fetch` candidates, then exact cosine
     * reranks only those — full-precision vectors are touched for `fetch`

@@ -53,6 +53,34 @@ class BloomDedupSpec extends SparkTestBase {
     assert(sharded.nonEmpty)
   }
 
+  test("majority-duplicate batch: shuffle-join fallback matches broadcast path") {
+    // a re-crawl-heavy batch: ~90% of it already in the corpus, so the
+    // verify candidates are batch-bounded (true dups), far beyond any
+    // fpp bound — exactly the case where an unconditional broadcast of
+    // the candidate text would be wrong at scale
+    val batch = corpus.filter(col("doc_id") % 10 < 9)
+      .select((col("doc_id") + 800000).as("doc_id"), col("text"))
+      .unionAll(corpus.filter(col("doc_id") % 10 === 9)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat(col("text"), lit(" zz novel zz")).as("text")))
+    val idx = {
+      val path = scratch("bloommaj")
+      BloomDedup.build(corpus, path, shards = 4)
+      BloomDedup.load(GraftTable.load(spark, path))
+    }
+    val viaBroadcast = BloomDedup.dedupBatch(idx, corpus, batch)
+      .orderBy("b_id", "c_id").collect().toSeq
+    // threshold 0 forces every candidate down the shuffle-join fallback
+    val viaShuffle = BloomDedup.dedupBatch(idx, corpus, batch,
+        broadcastMaxCandidates = 0L)
+      .orderBy("b_id", "c_id").collect().toSeq
+    assert(viaShuffle === viaBroadcast)
+    // every duplicate found, no novel doc leaked
+    val dups = corpus.filter(col("doc_id") % 10 < 9).count()
+    assert(viaShuffle.count(r => r.getLong(0) < 900000) === dups.toInt)
+    assert(viaShuffle.forall(_.getLong(0) < 900000))
+  }
+
   test("bloom prefilter rejects most non-members") {
     val bf = BloomDedup.buildFilter(corpus, fpp = 0.01)
     // 1000 fingerprints that are not in the corpus: at 1% fpp the

@@ -45,6 +45,56 @@ class AnnEvalSpec extends SparkTestBase {
     assert(got.forall(r => r > 0.0 && r <= 0.6667 + 1e-9), got.mkString(","))
   }
 
+  test("pqRecall: full-corpus shortlist with generous fetch recovers exact top-k") {
+    // fetch = corpus size → the shortlist contains everything, the rerank
+    // is exact brute force, recall must be exactly 1
+    val got = AnnEval.pqRecall(planted, k = 5, fetch = 20, m = 2, ksub = 4,
+        iters = 1, nQueries = 4)
+      .select("recall_at_k").as[Double].collect()
+    assert(got.length == 4)
+    assert(got.forall(_ == 1.0), got.mkString(","))
+  }
+
+  test("pqRecall on the documents-scale embeddings stays above the tuned floor") {
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+    val rec = AnnEval.pqRecall(emb, k = 10, fetch = 100, m = 8, ksub = 16,
+        iters = 1, nQueries = 10)
+      .select("recall_at_k").as[Double].collect()
+    assert(rec.length == 10)
+    val mean = rec.sum / rec.length
+    // the q231 operating point: a 100-id ADC shortlist over 16-cell
+    // codebooks must keep the bulk of the true top-10
+    assert(mean >= 0.8, s"mean PQ recall@10 collapsed to $mean")
+  }
+
+  test("ivfPqRecall: nprobe = nlist and full fetch degenerate to exact recall 1") {
+    val got = AnnEval.ivfPqRecall(planted, k = 5, nlist = 2, nprobe = 2,
+        fetch = 20, m = 2, ksub = 4, ivfIters = 2, pqIters = 1, nQueries = 4)
+      .select("recall_at_k").as[Double].collect()
+    assert(got.length == 4)
+    assert(got.forall(_ == 1.0), got.mkString(","))
+  }
+
+  test("ivfPqRecall: partial probe on separated clusters keeps in-cluster recall") {
+    // nprobe=1 lands each query on its own planted cluster; the 2-subspace
+    // PQ codes rank cluster-mates first, so recall stays 1 at k=5
+    val got = AnnEval.ivfPqRecall(planted, k = 5, nlist = 2, nprobe = 1,
+        fetch = 10, m = 2, ksub = 4, ivfIters = 2, pqIters = 1, nQueries = 8)
+      .select("recall_at_k").as[Double].collect()
+    assert(got.length == 8)
+    assert(got.forall(_ == 1.0), got.mkString(","))
+  }
+
+  test("pq/ivfPq recall harnesses reject invalid parameters") {
+    intercept[IllegalArgumentException](
+      AnnEval.pqRecall(planted, k = 0, fetch = 10, nQueries = 1))
+    intercept[IllegalArgumentException](
+      AnnEval.pqRecall(planted, k = 10, fetch = 5, nQueries = 1))
+    intercept[IllegalArgumentException](
+      AnnEval.ivfPqRecall(planted, k = 5, nlist = 2, nprobe = 3, fetch = 10,
+        nQueries = 1))
+  }
+
   test("ivfRecall rejects invalid parameters") {
     intercept[IllegalArgumentException](
       AnnEval.ivfRecall(planted, k = 0, nlist = 2, nprobe = 1, nQueries = 1))
