@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
   * the repeats (min kept as a secondary column): identical-code runs
   * showed ±2× run-to-run variance on DML/stream gates at repeat=2, where
   * a min-of-2 gate is a coin flip — the median of ≥3 is robust to one
-  * outlier rep in either direction.
+  * outlier rep in either direction. Each query also reports its MAD
+  * (median absolute deviation across the reps, `queries_mad`) so a
+  * cross-round delta can be judged against that query's measured
+  * run-to-run spread instead of re-litigated with isolated reruns.
   */
 object Bench {
 
@@ -94,8 +97,12 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
-    // (name, median, min) per query — median is the headline statistic
-    val results: Seq[(String, Double, Double)] = queries.zipWithIndex.map { case ((name, fn), i) =>
+    // (name, median, min, mad) per query — median is the headline
+    // statistic; mad = median(|rep − median|) is the per-query spread, so
+    // a future round can tell a real regression (delta ≫ mad) from
+    // run-to-run noise (delta ≲ a few mad) mechanically instead of
+    // re-litigating it with isolated reruns
+    val results: Seq[(String, Double, Double, Double)] = queries.zipWithIndex.map { case ((name, fn), i) =>
       val times = (1 to repeat).map { _ =>
         try timeOne(fn)
         catch { case e: Throwable =>
@@ -103,7 +110,11 @@ object Bench {
       }
       resetRunState(i)
       val okT = times.filter(_ >= 0)
-      if (okT.isEmpty) (name, -1.0, -1.0) else (name, median(okT), okT.min)
+      if (okT.isEmpty) (name, -1.0, -1.0, -1.0)
+      else {
+        val med = median(okT)
+        (name, med, okT.min, median(okT.map(x => math.abs(x - med))))
+      }
     }
 
     val ok = results.filter(_._2 >= 0)
@@ -248,18 +259,26 @@ object Bench {
     // detail line (greppable, not mistakable for the metric line), and
     // (2) the FINAL line is a compact JSON — headline numbers plus the
     // slowest queries — sized to survive the tail buffer intact.
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qsMad = results.map { case (k, _, _, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // total_mad: sum of per-query MADs — the noise floor a future total
+    // delta should be compared against before anything is called a
+    // regression
+    val totalMad = ok.map(_._4).sum
     val full =
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","stat":"median","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
     println(s"[bench-detail] $full")
-    val slowest = ok.sortBy(-_._2).take(12)
-      .map { case (k, v, _) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    val slowestQ = ok.sortBy(-_._2).take(12)
+    val slowest = slowestQ
+      .map { case (k, v, _, _) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    val slowestMad = slowestQ
+      .map { case (k, _, _, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","stat":"median","qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$slowest,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
+      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$slowest,"queries_mad":$slowestMad,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
