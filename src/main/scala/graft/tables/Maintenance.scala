@@ -70,10 +70,30 @@ object Maintenance {
     * sorted. The multi-file path keeps the sampling+shuffle, which is the
     * correct (and unavoidable) plan once file count > 1. `interleave`
     * selects the Z-curve layout for 2-3 numeric columns (on by default;
-    * Bench's pruning experiment uses false as the comparison baseline). */
+    * Bench's pruning experiment uses false as the comparison baseline).
+    *
+    * `partitionCols` (Hive-layout partition columns, e.g. the dedup
+    * index's `__band`) lead the clustering key when present: the write
+    * splits the directory tree by those columns, so output tasks must
+    * hold CONTIGUOUS partition-column runs or every task writes a file
+    * into every partition dir — a tasks × partitions tiny-file explosion
+    * that would undo the compaction it's performing. Range-clustering on
+    * (partitionCols ++ zorderBy) keeps each task inside at most two
+    * partition dirs (a boundary task straddles one edge) while still
+    * laying out `zorderBy` runs within each; the trailing zorder keys
+    * also let the range partitioner split WITHIN a hot partition value,
+    * so parallelism is not capped at the distinct-partition count. */
   private[graft] def clusterInto(df: org.apache.spark.sql.DataFrame,
-      zorderBy: Seq[String], nFiles: Int, interleave: Boolean = true): org.apache.spark.sql.DataFrame =
-    if (zorderBy.isEmpty) df.coalesce(nFiles)
+      zorderBy: Seq[String], nFiles: Int, interleave: Boolean = true,
+      partitionCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val pcs = partitionCols.filter(df.columns.contains)
+    if (pcs.nonEmpty) {
+      val cols = (pcs ++ zorderBy.filterNot(pcs.contains)).map(col)
+      if (nFiles == 1) df.coalesce(1).sortWithinPartitions(cols: _*)
+      else df.repartitionByRange(nFiles, cols: _*)
+        .sortWithinPartitions(cols: _*)
+    }
+    else if (zorderBy.isEmpty) df.coalesce(nFiles)
     else if (nFiles == 1)
       df.coalesce(1).sortWithinPartitions(zorderBy.map(col): _*)
     else if (interleave && zorderBy.size >= 2 && zorderBy.size <= 3 &&
@@ -84,6 +104,7 @@ object Maintenance {
         .drop("__z")
     } else df.repartitionByRange(nFiles, zorderBy.map(col): _*)
       .sortWithinPartitions(zorderBy.map(col): _*)
+  }
 
   def parseSize(s: String): Long = {
     val t = s.trim.toLowerCase
@@ -112,7 +133,8 @@ object Maintenance {
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
 
     val df = t.read()
-    val clustered = clusterInto(df, zorderByEff, nFiles, interleave)
+    val clustered = clusterInto(df, zorderByEff, nFiles, interleave,
+      t.partitionColumns)
 
     val added = t.writeData(clustered)
     def rel(f: String) = Paths.get(t.path).toAbsolutePath
@@ -154,7 +176,8 @@ object Maintenance {
     val totalBytes = small.map(f => Files.size(Paths.get(f))).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
     val df = t.readFiles(small)
-    val clustered = clusterInto(df, zorderByEff, nFiles)
+    val clustered = clusterInto(df, zorderByEff, nFiles,
+      partitionCols = t.partitionColumns)
     val added = t.writeData(clustered)
     def rel(f: String) = Paths.get(t.path).toAbsolutePath
       .relativize(Paths.get(f).toAbsolutePath).toString

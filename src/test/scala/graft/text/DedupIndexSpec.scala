@@ -81,6 +81,41 @@ class DedupIndexSpec extends SparkTestBase {
     assert(kept.nonEmpty && kept.size < t.filesAt().size)
   }
 
+  test("ingest-loop compaction bounds file count with probes still green") {
+    // the q218 production loop accretes one file set per micro-batch
+    // append; periodic OPTIMIZE of the index table must compact them
+    // band-partition-aware (output files must not straddle band dirs —
+    // a band-oblivious coalesce writes tasks × bands tiny files) and
+    // leave probe results identical
+    val path = scratch("dedupidx6")
+    val corpus = d.filter(col("doc_id") < 100)
+    val numBands = 4
+    val t = DedupIndex.build(corpus, path, n = 5, numBands = numBands)
+    (0 until 5).foreach { i =>
+      DedupIndex.append(t, batchOf(7, 500000 + i * 10000, s" batch$i tail"))
+    }
+    val accreted = t.filesAt().size
+    assert(accreted > numBands * 2,
+      s"appends should accrete files before compaction, got $accreted")
+    val probe = batchOf(7, 800000, " batch0 tail")
+    val before = DedupIndex.dedupBatch(t, probe, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.tables.Maintenance.optimize(t)
+    val after = t.filesAt().size
+    // compacted: at most one file per band dir (+1 slack for a
+    // boundary-straddling range-partition task)
+    assert(after <= numBands + 1,
+      s"compaction must bound files to ~numBands, got $after (from $accreted)")
+    // every written file lives in exactly one band dir
+    val perBandDirs = t.filesAt().groupBy(f =>
+      "__part___band=\\d+".r.findFirstIn(f).getOrElse("?"))
+    assert(!perBandDirs.contains("?"), s"unpartitioned file in $perBandDirs")
+    val reprobe = DedupIndex.dedupBatch(GraftTable.load(spark, path), probe, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(reprobe == before, "compaction must not change probe results")
+    assert(reprobe.nonEmpty)
+  }
+
   test("a non-index table is rejected with a clear error") {
     val path = scratch("dedupidx4")
     GraftTable.createFrom(spark, path, d.limit(5))
