@@ -86,6 +86,118 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  // ---- persisted-index reopen equivalence --------------------------------
+  // build→close→load→probe must equal the in-session pipeline on the same
+  // input: the codebooks/centroids/shingle-n round-trip through table
+  // properties and the data files round-trip through parquet, so any
+  // lossy encode (a truncated double, a dropped posting, a mis-keyed
+  // shard) shows up as a probe divergence on some random input.
+
+  /** Random doc set over a tiny token vocabulary — small vocab forces
+    * shingle collisions, near-dups, and supersede-relevant overlap. */
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(6, 20)
+    texts <- Gen.listOfN(n, Gen.listOfN(8, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"))
+      .map(_.mkString(" ")))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("DedupIndex: reopen-probe equals the in-session pipeline on random corpora") {
+    import spark.implicits._
+    var i = 0
+    forAllSampled(Gen.zip(docsGen, docsGen), n = 5) { case (corpus, batchRaw) =>
+      i += 1
+      val docs = corpus.toDF("doc_id", "text")
+      val batch = batchRaw.map { case (id, t) => (id + 1000, t) }
+        .toDF("doc_id", "text")
+      val path = scratch(s"propdedup$i")
+      graft.text.DedupIndex.build(docs, path, n = 3)
+      val reopened = graft.tables.GraftTable.load(spark, path)
+      val viaTable = graft.text.DedupIndex.dedupBatch(reopened, batch, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      val inSession = graft.text.DedupOps.incrementalJaccardPairs(
+          graft.text.DedupOps.shingleTable(docs, 3), batch, n = 3,
+          threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaTable === inSession, s"corpus=$corpus batch=$batchRaw")
+    }
+  }
+
+  /** Random float vectors with strictly positive coordinates (no zero
+    * norms — the query contract) in 8 dims. */
+  private val vecsGen: Gen[List[(Long, Seq[Float])]] = for {
+    n <- Gen.choose(6, 16)
+    vs <- Gen.listOfN(n, Gen.listOfN(8,
+      Gen.choose(1, 100).map(_ / 100.0f)))
+  } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+
+  test("PqIndex: reopened-codebook search equals the in-session PQ search") {
+    import spark.implicits._
+    var i = 0
+    forAllSampled(vecsGen, n = 5) { vecs =>
+      i += 1
+      val emb = vecs.toDF("vec_id", "embedding")
+      val q = vecs.head._2.map(_.toDouble)
+      val path = scratch(s"proppq$i")
+      graft.vector.PqIndex.build(emb, path, m = 2, ksub = 4, iters = 1)
+      val reopened = graft.tables.GraftTable.load(spark, path)
+      val viaTable = graft.vector.PqIndex.topKRerank(
+          reopened, emb, q, k = 3, fetch = vecs.size)
+        .as[(Long, Double)].collect().toSeq
+      val inSession = graft.vector.Pq.topKRerank(
+          emb, q, k = 3, fetch = vecs.size, m = 2, ksub = 4, iters = 1)
+        .as[(Long, Double)].collect().toSeq
+      assert(viaTable === inSession, s"vecs=$vecs")
+    }
+  }
+
+  test("IvfPq: full-probe reopened search equals the pure-PQ in-session chain") {
+    import spark.implicits._
+    var i = 0
+    forAllSampled(vecsGen, n = 4) { vecs =>
+      i += 1
+      val emb = vecs.toDF("vec_id", "embedding")
+      val q = vecs.head._2.map(_.toDouble)
+      val path = scratch(s"propivfpq$i")
+      graft.vector.IvfPq.build(emb, path, nlist = 3, m = 2, ksub = 4,
+        ivfIters = 2, pqIters = 1)
+      val reopened = graft.tables.GraftTable.load(spark, path)
+      // nprobe = nlist covers every cell: the combined search must
+      // degenerate to exactly the pure-PQ shortlist+rerank (q215's law),
+      // which pins BOTH quantizers' property round-trips at once
+      val viaTable = graft.vector.IvfPq.search(
+          reopened, emb, q, k = 3, nprobe = 3, fetch = vecs.size)
+        .as[(Long, Double)].collect().toSeq
+      val inSession = graft.vector.Pq.topKRerank(
+          emb, q, k = 3, fetch = vecs.size, m = 2, ksub = 4, iters = 1)
+        .as[(Long, Double)].collect().toSeq
+      assert(viaTable === inSession, s"vecs=$vecs")
+    }
+  }
+
+  test("BloomDedup: reopened sharded index dedups like the in-session filter") {
+    import spark.implicits._
+    var i = 0
+    forAllSampled(Gen.zip(docsGen, docsGen, Gen.choose(1, 5)), n = 5) {
+      case (corpusRaw, batchRaw, shards) =>
+        i += 1
+        val corpus = corpusRaw.toDF("doc_id", "text")
+        val batch = batchRaw.map { case (id, t) => (id + 1000, t) }
+          .toDF("doc_id", "text")
+        val path = scratch(s"propbloom$i")
+        graft.text.BloomDedup.build(corpus, path, shards = shards)
+        val idx = graft.text.BloomDedup.load(
+          graft.tables.GraftTable.load(spark, path))
+        val viaTable = graft.text.BloomDedup.dedupBatch(idx, corpus, batch)
+          .as[(Long, Long)].collect().toSet
+        val inSession = graft.text.BloomDedup.dedupBatch(
+            graft.text.BloomDedup.buildFilter(corpus), corpus, batch)
+          .as[(Long, Long)].collect().toSet
+        assert(viaTable === inSession,
+          s"shards=$shards corpus=$corpusRaw batch=$batchRaw")
+    }
+  }
+
   test("connected components match a union-find reference on random graphs") {
     // small random graphs, exhaustive cross-check against sequential
     // union-find — pins the large-star/small-star rewiring, not examples
