@@ -31,11 +31,20 @@ class MisraGries(capacity: Int)
 
   /** Decrement-all until at most `capacity` entries survive. One shared
     * decrement of the (capacity+1)-th largest count preserves the MG
-    * invariant in a single step instead of unit-decrement loops. */
+    * invariant in a single step instead of unit-decrement loops.
+    *
+    * [[reduce]]'s steady state arrives here at exactly capacity+1
+    * entries, where the (capacity+1)-th largest IS the minimum — O(k)
+    * per row, no sort. Only [[merge]] (once per partition pair, up to
+    * 2·capacity entries) pays the sorted selection. The per-row map
+    * copy is inherent to the immutable buffer the Spark encoder needs
+    * and is fine at profiling capacities (≤ a few hundred). */
   private def shrink(m: Map[String, Long]): Map[String, Long] =
     if (m.size <= capacity) m
     else {
-      val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+      val cut =
+        if (m.size == capacity + 1) m.values.min
+        else m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
       m.flatMap { case (k, v) =>
         if (v - cut > 0) Some(k -> (v - cut)) else None
       }

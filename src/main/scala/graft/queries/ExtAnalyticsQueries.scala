@@ -166,9 +166,12 @@ object ExtAnalyticsQueries extends QueryBatch {
     * top-k — recount only the ≤capacity sketch candidates (broadcast
     * semi-join) so the emitted counts are exact and oracle-hashable.
     * MG guarantees every word with frequency > N/(capacity+1) is a
-    * candidate, so with capacity 64 ≥ corpus vocabulary the exact top
-    * 10 provably survives; eviction-under-pressure behavior is pinned
-    * separately in MisraGriesSpec. */
+    * candidate — a DATA-dependent guarantee, so the gate AUDITS it
+    * against the corpus it actually ran on (the driver regenerates
+    * testdata per round): the 10th recounted frequency must exceed
+    * N/(capacity+1), else a true top-10 word could have been evicted
+    * and the "exact top-k" claim would be void — fail loudly instead.
+    * Eviction-under-pressure behavior is pinned in MisraGriesSpec. */
   private val q228 = GQ(
     "q228_freq_items",
     (s, dir) => {
@@ -179,9 +182,18 @@ object ExtAnalyticsQueries extends QueryBatch {
       val cand = w.agg(mg(col("word")).as("summary"))
         .select(explode(col("summary")).as(Seq("word", "est")))
         .select("word")
-      w.join(broadcast(cand), "word")
+      val top = w.join(broadcast(cand), "word")
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("word")).limit(10)
+      // guarantee audit: every word above N/(capacity+1) is provably a
+      // candidate, so the exact top-10 is safe iff the 10th recounted
+      // count clears that bound on THIS corpus
+      val bound = w.count() / 65.0
+      val kth = top.agg(min(col("cnt"))).head().getLong(0)
+      require(kth > bound,
+        f"MG capacity 64 cannot guarantee exact top-10 on this corpus: " +
+          f"10th frequency $kth <= N/(cap+1) = $bound%.1f — raise capacity")
+      top
     },
     Some("""WITH w AS (SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS word
                        FROM documents)
