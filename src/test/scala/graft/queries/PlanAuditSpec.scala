@@ -173,9 +173,10 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("bloom dedup verify broadcasts candidates; corpus side never shuffles") {
-    // the whole point of the membership sketch: at 100 TB the corpus is
-    // scanned, not exchanged — candidates (fpp-bounded) broadcast into
-    // the verify join. A SortMergeJoin here means the corpus got shuffled.
+    // the membership-sketch fast path: when the verify candidate set
+    // (true dups + fpp survivors, i.e. batch-bounded) measures under the
+    // broadcast threshold, the corpus is scanned, not exchanged. A
+    // SortMergeJoin here means the corpus got shuffled.
     val corpus = Tables.t(spark, sf, "documents").select("doc_id", "text")
     val batch = corpus.limit(50)
     val bf = graft.text.BloomDedup.buildFilter(corpus)
@@ -184,6 +185,23 @@ class PlanAuditSpec extends SparkTestBase {
       s"verify join must broadcast the candidate side:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"corpus must not shuffle for the verify join:\n$p")
+  }
+
+  test("bloom dedup verify falls back to a hash shuffle join above the threshold") {
+    // a duplicate-heavy batch must NOT broadcast (candidates carry the
+    // batch's normalized text); the fallback is a fingerprint-keyed
+    // ShuffledHashJoin — never a broadcast, and never a sort-merge (the
+    // hint keeps the corpus side sort-free)
+    val corpus = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val batch = corpus.limit(50)
+    val bf = graft.text.BloomDedup.buildFilter(corpus)
+    val p = finalPlan(graft.text.BloomDedup.dedupBatch(
+      graft.text.BloomDedup.BloomIndex(1, Map(0 -> bf)), corpus, batch,
+      broadcastMaxCandidates = 0L))
+    assert(!p.contains("BroadcastHashJoin"),
+      s"above-threshold verify must not broadcast candidate text:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"fallback verify must be a hash shuffle join on the fingerprint:\n$p")
   }
 
   test("frequent-items sketch partial-aggregates before the single-partition exchange") {
