@@ -204,6 +204,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"fallback verify must be a hash shuffle join on the fingerprint:\n$p")
   }
 
+  test("recall harness ground truth is a broadcast pass, never a shuffled cartesian") {
+    // the Q × corpus exact pass must ride crossJoin(broadcast(queries)) —
+    // every corpus partition scores all queries locally and only (qid,
+    // id, sim) triples shuffle for the top-k rank. A CartesianProduct
+    // here means the corpus got exchanged against the query sample.
+    val emb = Tables.t(spark, sf, "embeddings")
+    val p = finalPlan(graft.vector.AnnEval.pqRecall(
+      emb, k = 10, fetch = 100, m = 8, ksub = 16, iters = 1, nQueries = 10))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"ground truth must broadcast the query sample:\n${p.take(4000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no shuffled cartesian in the recall harness:\n${p.take(4000)}")
+  }
+
   test("frequent-items sketch partial-aggregates before the single-partition exchange") {
     // the MG summary must combine per partition (ObjectHashAggregate
     // partial) so only ≤capacity-entry maps cross the wire — raw words
