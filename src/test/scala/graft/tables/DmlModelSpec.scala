@@ -59,6 +59,94 @@ class DmlModelSpec extends SparkTestBase {
 
   private def sortedRows(rs: Seq[R]): Seq[R] = rs.sortBy(r => (r.id, r.v, r.s))
 
+  // ---- randomized MERGE clause matrix vs model ---------------------------
+
+  private sealed trait MA
+  private case object MUpdateAll extends MA
+  private case object MUpdateSum extends MA
+  private case object MDelete extends MA
+  private sealed trait NA
+  private case object NInsertAll extends NA
+  private case object NInsertComputed extends NA
+
+  /** (clause condition as SQL, same condition on the model) — matched
+    * conditions may see both sides; not-matched see the source only. */
+  private val matchedCondGen: Gen[Option[(String, (R, R) => Boolean)]] =
+    Gen.oneOf(
+      None,
+      Some(("source.v >= 2", (q: R, _: R) => q.v >= 2)),
+      Some(("target.v < source.v", (q: R, r: R) => r.v < q.v)))
+  private val notMatchedCondGen: Gen[Option[(String, R => Boolean)]] =
+    Gen.oneOf(None, Some(("source.v % 2 = 0", (q: R) => q.v % 2 == 0)))
+
+  private val mergeGen = for {
+    tSeed <- Gen.choose(0, 1000)
+    sSeed <- Gen.choose(0, 1000)
+    nMatched <- Gen.choose(0, 2)
+    mas <- Gen.listOfN(nMatched,
+      Gen.zip(Gen.oneOf[MA](MUpdateAll, MUpdateSum, MDelete), matchedCondGen))
+    na <- Gen.option(
+      Gen.zip(Gen.oneOf[NA](NInsertAll, NInsertComputed), notMatchedCondGen))
+  } yield (tSeed, sSeed, mas, na)
+
+  test("random MERGE clause matrices agree with the reference model") {
+    val cases = samples(mergeGen, 6)
+    assert(cases.size >= 3)
+    cases.zipWithIndex.foreach { case ((tSeed, sSeed, mas, na), ci) =>
+      val target = rowsOf(tSeed)
+      // unique source keys (the documented multiple-match contract:
+      // dedupe the source first, the reference's own DupRank idiom)
+      val source = rowsOf(sSeed).groupBy(_.id).map(_._2.head).toSeq
+      val t = GraftTable.create(spark, scratch(s"mergemodel$ci"), schema)
+      t.append(target.toDF())
+      val matched = mas.map { case (a, c) =>
+        MergeOps.WhenMatched(c.map(_._1), a match {
+          case MUpdateAll => MergeOps.UpdateAll
+          case MUpdateSum => MergeOps.UpdateSet(Map("v" -> "source.v + target.v"))
+          case MDelete => MergeOps.DeleteAction
+        })
+      }
+      val notMatched = na.toSeq.map { case (a, c) =>
+        MergeOps.WhenNotMatched(c.map(_._1), a match {
+          case NInsertAll => MergeOps.InsertAll
+          case NInsertComputed => MergeOps.InsertValues(
+            Map("id" -> "source.id", "v" -> "source.v * 10", "s" -> "'x'"))
+        })
+      }
+      MergeOps.mergeInto(t, source.toDF(), "target.id = source.id",
+        matched = matched, notMatched = notMatched)
+
+      val byId = source.map(q => q.id -> q).toMap
+      val kept = target.flatMap { r =>
+        byId.get(r.id) match {
+          case None => Some(r)
+          case Some(q) =>
+            mas.find { case (_, c) => c.forall(_._2(q, r)) } match {
+              case None => Some(r) // no clause fires: row untouched
+              case Some((MUpdateAll, _)) => Some(q)
+              case Some((MUpdateSum, _)) => Some(r.copy(v = q.v + r.v))
+              case Some((MDelete, _)) => None
+            }
+        }
+      }
+      val targetIds = target.map(_.id).toSet
+      val inserted = source.filterNot(q => targetIds.contains(q.id)).flatMap { q =>
+        na.flatMap { case (a, c) =>
+          if (!c.forall(_._2(q))) None
+          else Some(a match {
+            case NInsertAll => q
+            case NInsertComputed => R(q.id, q.v * 10, "x")
+          })
+        }
+      }
+      val got = sortedRows(t.read().as[R].collect().toSeq)
+      val want = sortedRows(kept ++ inserted)
+      assert(got == want,
+        s"case $ci MERGE diverged (matched=$mas notMatched=$na): " +
+          s"got ${got.take(8)}... want ${want.take(8)}...")
+    }
+  }
+
   test("random DML sequences agree with the reference model at every version") {
     val cases = samples(Gen.listOfN(8, opGen), 4)
     assert(cases.size >= 2)
