@@ -152,6 +152,23 @@ object Scd {
     * wins, out-of-order rows are ignored, `deleteWhen` rows remove the key.
     * The target carries `sequenceBy` so late-arriving older rows lose
     * against what is already applied (`CDC/01:176-184`).
+    *
+    * Deleted keys lose their in-table sequence watermark with the row, so
+    * SCD1 keeps a TOMBSTONE LEDGER sidecar (`_scd1_tombstones/`, one
+    * (keys, seq) row per deleted-and-not-reinserted key): incoming events
+    * older than a key's tombstone are dropped before the merge — without
+    * it, a late-arriving pre-delete upsert would resurrect the key
+    * through the not-matched INSERT clause (found by DmlModelSpec's
+    * randomized batch-arrival property; DLT tracks the same state
+    * internally). Any surviving event supersedes the tombstone: a newer
+    * upsert legitimately recreates the key (ledger row cleared), a newer
+    * delete re-tombstones at its sequence. Tie semantics mirror the
+    * live-row `>=` convention. The ledger is an operational sidecar like
+    * a streaming checkpoint — newest-state only, not time-travelable —
+    * and its maintenance is two bounded joins (ledger rows ∝ deleted
+    * keys, partitioned parquet, never collected). SCD2 needs none of
+    * this: expiry KEEPS the history row, so the applied high watermark
+    * survives deletes in-table.
     */
   def applyChangesScd1(
       t: GraftTable,
@@ -160,10 +177,23 @@ object Scd {
       sequenceBy: String,
       deleteWhen: Option[String] = None,
       exceptCols: Seq[String] = Nil): Commit = {
+    val spark = cdc.sparkSession
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(sequenceBy).desc)
-    val latest = cdc.withColumn("__rn", row_number().over(w))
+    val latest0 = cdc.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .drop(exceptCols: _*)
+
+    val tombDir = java.nio.file.Paths.get(t.path, "_scd1_tombstones")
+    val hasLedger = java.nio.file.Files.isDirectory(tombDir)
+    // drop events at or below their key's tombstone — they lost to an
+    // applied delete (>= mirrors the `newer` convention below: an
+    // equal-sequence event supersedes what it ties with)
+    val latest = if (!hasLedger) latest0 else {
+      val tombs = spark.read.parquet(tombDir.toString)
+      latest0.join(tombs.select(keys.map(col) :+ col("__tomb_seq"): _*), keys, "left")
+        .filter(col("__tomb_seq").isNull || col(sequenceBy) >= col("__tomb_seq"))
+        .drop("__tomb_seq")
+    }
 
     val keyCond = keys.map(k => s"target.$k = source.$k").mkString(" AND ")
     val newer = s"source.$sequenceBy >= target.$sequenceBy"
@@ -179,8 +209,32 @@ object Scd {
       MergeOps.InsertValues(cols.map(c => c -> s"source.$c").toMap)))
 
     // deduped source + keyed target: multiple matches are impossible
-    MergeOps.mergeInto(t, latest, keyCond, matched, notMatched,
+    val commit = MergeOps.mergeInto(t, latest, keyCond, matched, notMatched,
       failOnMultipleMatches = false)
+
+    // ledger maintenance: every surviving event supersedes its key's old
+    // tombstone; surviving deletes write the new ones. Plain upsert-only
+    // tables (no deleteWhen, no ledger) skip all of this.
+    if (deleteWhen.isDefined || hasLedger) {
+      val survivorKeys = latest.select(keys.map(col): _*)
+      val kept =
+        if (!hasLedger) None
+        else Some(spark.read.parquet(tombDir.toString)
+          .join(survivorKeys, keys, "left_anti"))
+      val fresh = deleteWhen.map(d => latest.filter(expr(d))
+        .select(keys.map(col) :+ col(sequenceBy).as("__tomb_seq"): _*))
+      val merged = (kept.toSeq ++ fresh.toSeq).reduceOption(_ unionByName _)
+      merged.foreach { m =>
+        // the new ledger reads the old one: materialize to a fresh dir,
+        // then swap (the sidecar is operational state, not a commit)
+        val tmp = java.nio.file.Paths.get(t.path,
+          s"_scd1_tombstones_tmp${java.util.UUID.randomUUID.toString.take(8)}")
+        m.write.mode("overwrite").parquet(tmp.toString)
+        GraftTable.deleteTree(tombDir)
+        java.nio.file.Files.move(tmp, tombDir)
+      }
+    }
+    commit
   }
 
   /** DLT APPLY CHANGES INTO — STORED AS SCD TYPE 2

@@ -10,6 +10,9 @@ import graft.SparkTestBase
   * encoder without an outer-instance scope. */
 case class DmlModelRow(id: Long, v: Long, s: String)
 
+/** CDC event row for the APPLY CHANGES sequencing property. */
+case class DmlCdcRow(k: Long, v: Long, seq: Long, op: String)
+
 /** Model-based DML property: random operation sequences (append / DELETE
   * / UPDATE / OPTIMIZE / TRUNCATE / RESTORE) applied to a [[GraftTable]]
   * — with deletion vectors randomly on or off — must agree with a plain
@@ -58,6 +61,53 @@ class DmlModelSpec extends SparkTestBase {
   }
 
   private def sortedRows(rs: Seq[R]): Seq[R] = rs.sortBy(r => (r.id, r.v, r.s))
+
+  // ---- APPLY CHANGES (SCD1) sequencing vs model --------------------------
+
+  /** Random CDC stream: per-key events with globally unique sequence
+    * numbers, ~1/4 deletes, chopped into batches whose ARRIVAL order
+    * scrambles the sequence order — late batches carry older events. */
+  private val cdcGen = for {
+    nEvents <- Gen.choose(8, 30)
+    events <- Gen.sequence[List[(Long, Long, Boolean, Int)], (Long, Long, Boolean, Int)](
+      (0 until nEvents).map { i =>
+        for {
+          k <- Gen.choose(0L, 5L)
+          v <- Gen.choose(0L, 99L)
+          del <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
+          batch <- Gen.choose(0, 2)
+        } yield (k, v, del, batch)
+      })
+  } yield events.zipWithIndex.map { case ((k, v, del, b), i) =>
+    (DmlCdcRow(k, v, i.toLong, if (del) "del" else "up"), b)
+  }
+
+  test("APPLY CHANGES SCD1: scrambled batch arrival equals the per-key argmax model") {
+    val cases = samples(cdcGen, 5)
+    assert(cases.size >= 3)
+    cases.zipWithIndex.foreach { case (tagged, ci) =>
+      val cdcSchema = StructType(Seq(
+        StructField("k", LongType), StructField("v", LongType),
+        StructField("seq", LongType), StructField("op", StringType)))
+      val t = GraftTable.create(spark, scratch(s"scdmodel$ci"), cdcSchema)
+      (0 to 2).foreach { b =>
+        val batch = tagged.filter(_._2 == b).map(_._1)
+        if (batch.nonEmpty)
+          Scd.applyChangesScd1(t, batch.toDF(), Seq("k"), "seq",
+            deleteWhen = Some("op = 'del'"))
+      }
+      // model: the globally newest event per key wins regardless of which
+      // batch carried it; a winning delete removes the key (and a late
+      // OLDER upsert must not resurrect it)
+      val want = tagged.map(_._1).groupBy(_.k).toSeq.flatMap { case (_, evs) =>
+        val newest = evs.maxBy(_.seq)
+        if (newest.op == "del") None else Some(newest)
+      }.sortBy(_.k)
+      val got = t.read().as[DmlCdcRow].collect().toSeq.sortBy(_.k)
+      assert(got == want,
+        s"case $ci SCD1 diverged: got $got want $want (events: ${tagged.take(12)}...)")
+    }
+  }
 
   // ---- randomized MERGE clause matrix vs model ---------------------------
 

@@ -188,4 +188,25 @@ class ScdSpec extends SparkTestBase {
     Scd.applyChangesScd1(t, b, Seq("id"), "seq")
     assert(t.read().collect().map(_.getString(1)).toSeq === Seq("v3"))
   }
+
+  test("applyChanges SCD1 tombstones: a late pre-delete upsert cannot resurrect; a newer one can") {
+    val t = GraftTable.create(spark, scratch("cdctomb"), scd1Schema)
+    val up = Seq((1L, "live", 1L)).toDF("id", "v", "seq").withColumn("op", lit("UPSERT"))
+    Scd.applyChangesScd1(t, up, Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"))
+    val del = Seq((1L, "x", 5L)).toDF("id", "v", "seq").withColumn("op", lit("DELETE"))
+    Scd.applyChangesScd1(t, del, Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"))
+    // late batch carrying a PRE-delete upsert: the delete removed the
+    // row's watermark, so only the tombstone ledger can reject this
+    val stale = Seq((1L, "zombie", 3L)).toDF("id", "v", "seq").withColumn("op", lit("UPSERT"))
+    Scd.applyChangesScd1(t, stale, Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"))
+    assert(t.read().isEmpty, "a pre-delete upsert must not resurrect the key")
+    // a genuinely newer upsert recreates the key and clears its tombstone
+    val fresh = Seq((1L, "reborn", 9L)).toDF("id", "v", "seq").withColumn("op", lit("UPSERT"))
+    Scd.applyChangesScd1(t, fresh, Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"))
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "reborn")))
+    // ledger cleared: a repeat of the stale event still loses (to the live row now)
+    Scd.applyChangesScd1(t, stale, Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"))
+    assert(t.read().collect().map(_.getString(1)).toSeq === Seq("reborn"))
+  }
 }
