@@ -62,6 +62,42 @@ class DmlModelSpec extends SparkTestBase {
 
   private def sortedRows(rs: Seq[R]): Seq[R] = rs.sortBy(r => (r.id, r.v, r.s))
 
+  // ---- OPTIMIZE layout property ------------------------------------------
+
+  test("OPTIMIZE preserves content and respects partition dirs for every layout") {
+    // random (partitioned?, zorder?) combinations — including the round-9
+    // partition-aware clustering path — must never change table content,
+    // and partitioned tables must end with files that each live in
+    // exactly one partition dir
+    val layoutGen = Gen.zip(Gen.choose(0, 1000), Gen.oneOf(0, 1, 2), Gen.oneOf(true, false))
+    val cases = samples(layoutGen, 5)
+    cases.zipWithIndex.foreach { case ((seed, zn, partitioned), ci) =>
+      val props =
+        (if (partitioned) Map("graft.partitionBy" -> "s") else Map.empty[String, String]) +
+          ("graft.targetFileSize" -> (16 * 1024).toString)
+      val t = GraftTable.create(spark, scratch(s"optmodel$ci"), schema, props)
+      // several appends → several file sets, all partition dirs populated
+      (0 until 3).foreach(b => t.append(rowsOf(seed + b).toDF()))
+      val before = sortedRows(t.read().as[R].collect().toSeq)
+      val zorder = Seq("id", "v").take(zn)
+      Maintenance.optimize(t, zorderBy = zorder)
+      val after = sortedRows(t.read().as[R].collect().toSeq)
+      assert(after == before,
+        s"case $ci (z=$zorder part=$partitioned) content changed")
+      if (partitioned) {
+        val files = t.filesAt()
+        assert(files.forall(_.contains("__part_s=")),
+          s"case $ci: optimized file outside a partition dir: $files")
+        // bounded: at most ~1 file per partition value per size bucket —
+        // never the tasks × partitions explosion
+        val perDir = files.groupBy(f => "__part_s=([^/]+)".r.findFirstIn(f).get)
+        perDir.foreach { case (d, fs) =>
+          assert(fs.size <= 3, s"case $ci: $d holds ${fs.size} files after OPTIMIZE")
+        }
+      }
+    }
+  }
+
   // ---- APPLY CHANGES (SCD1) sequencing vs model --------------------------
 
   /** Random CDC stream: per-key events with globally unique sequence
