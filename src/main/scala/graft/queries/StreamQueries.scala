@@ -512,7 +512,14 @@ object StreamQueries extends QueryBatch {
     * deterministic micro-batch, so the oracle is the batch SQL over the
     * shared pair CTEs. The index append is asserted in-gate: a rerun of
     * the probe against the maintained index must kill every survivor
-    * (each now collides with its own indexed copy at jaccard 1). */
+    * (each now collides with its own indexed copy at jaccard 1).
+    *
+    * Production-loop maintenance: per-batch appends accrete one file set
+    * per micro-batch; periodic `Maintenance.optimize` of the index table
+    * compacts them band-partition-aware (output files never straddle
+    * band dirs) with probe results unchanged — pinned by
+    * DedupIndexSpec's "ingest-loop compaction" case rather than run
+    * in-gate, where it would only re-measure the optimizer. */
   private val q218 = GQ(
     "q218_stream_ingest_dedup",
     (s, dir) => {
