@@ -1,5 +1,6 @@
 package graft.tables
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -61,6 +62,49 @@ class DmlModelSpec extends SparkTestBase {
   }
 
   private def sortedRows(rs: Seq[R]): Seq[R] = rs.sortBy(r => (r.id, r.v, r.s))
+
+  // ---- CDF replay invariant ----------------------------------------------
+
+  test("change feed replay reconstructs the table for random append/delete sequences") {
+    // the CDC consumer contract: folding every change row in commit order
+    // (insert adds, delete removes by value) over an empty state must
+    // land exactly on the current table — a change row missed, doubled,
+    // or mis-tagged by any DML path breaks downstream sync silently,
+    // so the invariant is pinned over random sequences
+    val opsGen = Gen.listOfN(7, Gen.frequency(
+      3 -> Gen.choose(0, 1000).map(Append),
+      2 -> Gen.choose(0, 6).map(Delete)))
+    val cases = samples(opsGen, 3)
+    cases.zipWithIndex.foreach { case (ops, ci) =>
+      val t = GraftTable.create(spark, scratch(s"cdfmodel$ci"), schema,
+        Map("graft.enableChangeDataFeed" -> "true"))
+      ops.foreach {
+        case Append(seed) => t.append(rowsOf(seed).toDF())
+        case Delete(m) => MergeOps.delete(t, s"id % 7 = $m")
+        case _ => ()
+      }
+      val changes = t.changes(fromVersion = 0)
+        .select(col("id"), col("v"), col("s"), col("_change_type"),
+          col("_commit_version"))
+        .collect().toSeq
+        .sortBy(_.getLong(4)) // commit order
+      var state = Vector.empty[R]
+      changes.foreach { r =>
+        val row = R(r.getLong(0), r.getLong(1), r.getString(2))
+        r.getString(3) match {
+          case "insert" => state :+= row
+          case "delete" =>
+            val i = state.indexOf(row)
+            assert(i >= 0, s"case $ci: delete change for absent row $row")
+            state = state.patch(i, Nil, 1)
+          case other => fail(s"case $ci: unexpected change type $other")
+        }
+      }
+      val got = sortedRows(t.read().as[R].collect().toSeq)
+      assert(got == sortedRows(state),
+        s"case $ci: CDF replay diverged from the table (ops: $ops)")
+    }
+  }
 
   // ---- OPTIMIZE layout property ------------------------------------------
 
