@@ -1,6 +1,6 @@
 package graft.tables
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -62,6 +62,49 @@ class DmlModelSpec extends SparkTestBase {
   }
 
   private def sortedRows(rs: Seq[R]): Seq[R] = rs.sortBy(r => (r.id, r.v, r.s))
+
+  // ---- incremental MV equivalence ----------------------------------------
+
+  test("incremental MV refresh equals the batch aggregate for random histories") {
+    // random interleavings of appends, deletes (forcing the full-recompute
+    // fallback) and refreshes: after every refresh the view must equal
+    // the batch groupBy over the source, and append-only windows must
+    // take the incremental path (cost ∝ new data — the 100 TB claim)
+    val opsGen = Gen.listOfN(8, Gen.frequency(
+      4 -> Gen.choose(0, 1000).map(Append),
+      1 -> Gen.choose(0, 6).map(Delete),
+      3 -> Gen.const(Optimize))) // reused tag: here it means "refresh"
+    val cases = samples(opsGen, 3)
+    cases.zipWithIndex.foreach { case (ops, ci) =>
+      val src = GraftTable.create(spark, scratch(s"mvmodelsrc$ci"), schema)
+      src.append(rowsOf(ci).toDF())
+      val view = IncrementalMv.create(spark, scratch(s"mvmodelv$ci"),
+        src, Seq("s"), Seq("v"))
+      var deleteSinceRefresh = false
+      ops.foreach {
+        case Append(seed) =>
+          src.append(rowsOf(seed).toDF())
+        case Delete(m) =>
+          MergeOps.delete(src, s"id % 7 = $m")
+          deleteSinceRefresh = true
+        case Optimize => // refresh point
+          val r = IncrementalMv.refresh(src, view, Seq("s"), Seq("v"))
+          if (!deleteSinceRefresh)
+            assert(r.incremental,
+              s"case $ci: append-only window must refresh incrementally")
+          deleteSinceRefresh = false
+          val got = view.read().select("s", "cnt", "sum_v")
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .toSeq.sortBy(_._1)
+          val want = src.read().groupBy("s")
+            .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .toSeq.sortBy(_._1)
+          assert(got == want, s"case $ci: MV diverged after refresh (ops: $ops)")
+        case _ => ()
+      }
+    }
+  }
 
   // ---- CDF replay invariant ----------------------------------------------
 
