@@ -63,6 +63,43 @@ class DmlModelSpec extends SparkTestBase {
 
   private def sortedRows(rs: Seq[R]): Seq[R] = rs.sortBy(r => (r.id, r.v, r.s))
 
+  // ---- clone independence + vacuum retention ------------------------------
+
+  test("clones are independent and vacuum keeps every retained version readable") {
+    val cases = samples(Gen.listOfN(4, Gen.choose(0, 1000)), 3)
+    cases.zipWithIndex.foreach { case (seeds, ci) =>
+      val t = GraftTable.create(spark, scratch(s"vacmodel$ci"), schema)
+      // history with a rewrite in it so vacuum has unreferenced files
+      t.append(rowsOf(seeds(0)).toDF())
+      t.append(rowsOf(seeds(1)).toDF())
+      MergeOps.delete(t, s"id % 7 = ${seeds(2) % 7}")
+      Maintenance.optimize(t)
+      t.append(rowsOf(seeds(3)).toDF())
+      val before = sortedRows(t.read().as[R].collect().toSeq)
+      val prev = sortedRows(
+        t.read(versionAsOf = t.currentVersion - 1).as[R].collect().toSeq)
+
+      // deep clone: equal content, then fully independent
+      val c = t.cloneTo(scratch(s"vacclone$ci"))
+      assert(sortedRows(c.read().as[R].collect().toSeq) == before,
+        s"case $ci: clone content differs")
+      c.append(rowsOf(seeds(0) + 1).toDF())
+      assert(sortedRows(t.read().as[R].collect().toSeq) == before,
+        s"case $ci: writing the clone mutated the source")
+
+      // vacuum retaining one prior version: current and prior reads
+      // survive byte-identical; something older was actually reclaimed
+      val removed = t.vacuum(retainVersions = 1)
+      assert(removed.nonEmpty,
+        s"case $ci: a history with a full rewrite must have vacuumable files")
+      assert(sortedRows(t.read().as[R].collect().toSeq) == before,
+        s"case $ci: vacuum changed the current snapshot")
+      assert(sortedRows(
+        t.read(versionAsOf = t.currentVersion - 1).as[R].collect().toSeq) == prev,
+        s"case $ci: vacuum broke the retained prior version")
+    }
+  }
+
   // ---- incremental MV equivalence ----------------------------------------
 
   test("incremental MV refresh equals the batch aggregate for random histories") {
