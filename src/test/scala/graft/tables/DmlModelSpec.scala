@@ -63,6 +63,39 @@ class DmlModelSpec extends SparkTestBase {
 
   private def sortedRows(rs: Seq[R]): Seq[R] = rs.sortBy(r => (r.id, r.v, r.s))
 
+  // ---- COPY INTO idempotency ---------------------------------------------
+
+  test("COPY INTO: random re-copy orders are idempotent; force re-loads exactly once more") {
+    // the ingest ledger contract: however arrival batches overlap (files
+    // re-presented in later batches, duplicate copy calls), each file
+    // loads exactly once — and force loads everything exactly once more
+    val cases = samples(Gen.listOfN(6, Gen.choose(0, 2)), 3)
+    cases.zipWithIndex.foreach { case (batchOf, ci) =>
+      val srcDir = java.nio.file.Paths.get(scratch(s"copysrc$ci"))
+      java.nio.file.Files.createDirectories(srcDir)
+      // three source files, written once
+      (0 until 3).foreach { f =>
+        rowsOf(ci * 10 + f).toDF().coalesce(1).write.mode("overwrite")
+          .parquet(srcDir.resolve(s"f$f").toString)
+      }
+      val t = GraftTable.create(spark, scratch(s"copydst$ci"), schema)
+      // random sequence of copy calls, each over the WHOLE dir (so later
+      // calls always re-present earlier files) — batchOf only varies how
+      // many calls happen before the final full pass
+      (0 to batchOf.count(_ > 0)).foreach { _ =>
+        Ingest.copyInto(t, srcDir.toString)
+      }
+      val want = sortedRows((0 until 3).flatMap(f => rowsOf(ci * 10 + f)))
+      val got = sortedRows(t.read().as[R].collect().toSeq)
+      assert(got == want, s"case $ci: re-copies must be idempotent")
+      // force: every file loads exactly once more
+      Ingest.copyInto(t, srcDir.toString, force = true)
+      val got2 = sortedRows(t.read().as[R].collect().toSeq)
+      assert(got2 == sortedRows(want ++ want),
+        s"case $ci: force must re-load each file exactly once")
+    }
+  }
+
   // ---- clone independence + vacuum retention ------------------------------
 
   test("clones are independent and vacuum keeps every retained version readable") {
