@@ -15,7 +15,7 @@ object SparkEntry {
   def batches: Seq[QueryBatch] =
     Seq(Relational, TableOps, TextQueries, VectorQueries, StreamQueries,
       SqlQueries, ServiceQueries, OptimizerQueries, MultimodalQueries,
-      CoverageQueries, TpchQueries, ExtAnalyticsQueries)
+      CoverageQueries, TpchQueries, ExtAnalyticsQueries, RankQueries)
 
   private lazy val catalog: Seq[GQ] = batches.flatMap(_.queries)
 

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CCNet-style language-model quality scoring without the external LM:
@@ -51,5 +51,49 @@ object LmScore {
       .groupBy(idCol)
       .agg(round(avg("__lp") + lit(1e-9), 4).as("surprisal"),
         count(lit(1)).as("n_bigrams"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"), hashed-n-gram features
+    * reduced to the unigram case: weight(d) = mean_w [ln p_target(w) −
+    * ln p_raw(w)] over d's tokens, with add-α smoothing over the shared
+    * raw-corpus vocabulary. Documents whose token distribution looks like
+    * the target domain score high; selecting the top fraction by weight
+    * is the deterministic (temperature→0) variant of DSIR's resampling.
+    *
+    * Scale shape: ONE token scan computes both models — the raw count
+    * and the target count (a conditional sum on the same key) come out
+    * of a single vocabulary-bounded aggregate, so there is exactly one
+    * corpus-token shuffle plus the per-document average. The per-token
+    * log-ratio table is vocabulary-sized and joins back against the
+    * token stream on the already-partitioned key. Driver traffic: three
+    * scalars (vocab size, raw token count, target token count).
+    *
+    * `targetPred` marks target-domain rows (e.g. `col("lang") === "en"`);
+    * the target corpus is a subset of `docs`, as in DSIR's
+    * raw-vs-target formulation. Output: idCol, weight (4-dp), n_tokens.
+    */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+      alpha: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val toks = docs.select(col(idCol), targetPred.cast("boolean").as("__tgt"),
+      explode(TextOps.words(col(textCol))).as("w"))
+    val scalars = toks.agg(
+      countDistinct("w").cast("double").as("v"),
+      count(lit(1)).cast("double").as("nRaw"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).cast("double").as("nTgt")).head()
+    val (v, nRaw, nTgt) = (scalars.getDouble(0), scalars.getDouble(1), scalars.getDouble(2))
+    require(nTgt > 0, "target predicate selects no tokens")
+    val counts = toks.groupBy("w").agg(
+      count(lit(1)).cast("double").as("__cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).cast("double").as("__ct"))
+    val llr = counts.withColumn("__llr",
+      log((col("__ct") + alpha) / (nTgt + alpha * v)) -
+        log((col("__cr") + alpha) / (nRaw + alpha * v)))
+    toks.join(llr.select("w", "__llr"), Seq("w"))
+      .groupBy(idCol)
+      .agg(round(avg("__llr") + lit(1e-9), 4).as("weight"),
+        count(lit(1)).as("n_tokens"))
   }
 }
