@@ -238,4 +238,42 @@ class PlanAuditSpec extends SparkTestBase {
     assert(sketchScans >= 1,
       s"daily estimate must read persisted hourly sketches:\n$p")
   }
+
+  test("BM25 filters query terms before the shuffle; df broadcasts; top-k takes") {
+    val df = SparkEntry.queries("q233_bm25_topk")(spark, sf)
+    val p = finalPlan(df)
+    // the isin filter must sit under the partial aggregate, so only
+    // query-term tokens ever reach an exchange
+    assert(p.contains("IN (merge,vector,spark)"),
+      s"query-term filter must run before the tf shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"tf must map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"|Q|-row df table must broadcast, never shuffle the tf side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must take, not globally sort:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"document scan must prune to (doc_id, text):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("importance weights broadcast the vocabulary LLR table over the token stream") {
+    val df = SparkEntry.queries("q235_importance_sampling")(spark, sf)
+    val p = finalPlan(df)
+    // scoring join: corpus tokens stay put, the vocabulary-bounded
+    // log-ratio table broadcasts — a shuffle on `w` here would move
+    // every corpus token twice
+    assert(p.contains("BroadcastHashJoin"),
+      s"LLR table must broadcast into the scoring join:\n$p")
+    assert(p.contains("partial_avg"),
+      s"per-doc weight must partial-combine before the doc exchange:\n$p")
+    // both models come out of ONE count aggregate (conditional sum), so
+    // exactly one token-keyed exchange exists (count only the final
+    // plan — AQE's toString repeats every node under Initial Plan)
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val wExchanges = "Exchange hashpartitioning\\(w#".r.findAllIn(finalSection).size
+    assert(wExchanges == 1,
+      s"raw+target counts must share a single token shuffle, saw $wExchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
