@@ -233,4 +233,88 @@ class PropertySpec extends SparkTestBase {
       assert(got === expected)
     }
   }
+
+  /** Random small corpora over a 6-word vocabulary (collision-rich, so
+    * tf > 1 and shared df are common) with varying document lengths. */
+  private val rankDocsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(4, 12)
+    texts <- Gen.listOfN(n, Gen.choose(2, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+        .map(_.mkString(" "))))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("BM25 matches a direct per-document reference on random corpora") {
+    import spark.implicits._
+    val query = Seq("a", "d")
+    forAllSampled(rankDocsGen, n = 8) { corpus =>
+      val got = graft.text.Rank.bm25(corpus.toDF("doc_id", "text"), query)
+        .as[(Long, Double)].collect().toMap
+      val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
+      val nDocs = toks.size.toDouble
+      val avgdl = toks.map(_._2.size).sum / nDocs
+      val dfm = query.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+      val want = toks.flatMap { case (id, ws) =>
+        val s = query.map { t =>
+          val tf = ws.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else math.log((nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1) *
+            tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * ws.size / avgdl))
+        }.sum
+        if (s == 0.0) None else Some(id -> round4(s))
+      }.toMap
+      assert(got === want, s"corpus=$corpus")
+    }
+  }
+
+  test("importance weights match a direct two-model reference on random corpora") {
+    import spark.implicits._
+    forAllSampled(rankDocsGen, n = 8) { corpus =>
+      if (corpus.exists(_._1 % 2 == 0)) {
+        val got = graft.text.LmScore.importanceWeights(
+            corpus.toDF("doc_id", "text"), col("doc_id") % 2 === 0)
+          .as[(Long, Double, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
+        val all = toks.flatMap(_._2)
+        val tgt = toks.filter(_._1 % 2 == 0).flatMap(_._2)
+        val v = all.distinct.size.toDouble
+        val cr = all.groupBy(identity).map { case (w, xs) => w -> xs.size.toDouble }
+        val ct = tgt.groupBy(identity).map { case (w, xs) => w -> xs.size.toDouble }
+        def llr(w: String): Double =
+          math.log((ct.getOrElse(w, 0.0) + 0.5) / (tgt.size + 0.5 * v)) -
+            math.log((cr(w) + 0.5) / (all.size + 0.5 * v))
+        val want = toks.map { case (id, ws) =>
+          id -> ((round4(ws.map(llr).sum / ws.size), ws.size.toLong))
+        }.toMap
+        assert(got === want, s"corpus=$corpus")
+      }
+    }
+  }
+
+  /** Random 1-based rank lists: distinct ids, ranks 1..n per list. */
+  private val rankingsGen: Gen[List[List[(Long, Int)]]] = for {
+    nLists <- Gen.choose(1, 4)
+    lists <- Gen.listOfN(nLists, Gen.choose(1, 8).flatMap(n =>
+      Gen.pick(n, 0L to 20L).map(_.toList.zipWithIndex
+        .map { case (id, i) => (id, i + 1) })))
+  } yield lists
+
+  test("RRF fusion matches a direct reciprocal-rank sum on random rankings") {
+    import spark.implicits._
+    val round6 = (x: Double) =>
+      BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    forAllSampled(rankingsGen, n = 12) { lists =>
+      val got = graft.text.Rank.rrfFuse(lists.map(_.toDF("doc_id", "rank")))
+        .as[(Long, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val flat = lists.flatten
+      val want = flat.groupBy(_._1).map { case (id, rs) =>
+        id -> ((round6(rs.map(r => 1.0 / (60 + r._2)).sum), rs.size.toLong))
+      }
+      assert(got === want, s"lists=$lists")
+    }
+  }
 }
