@@ -83,7 +83,9 @@ object LmScore {
       countDistinct("w").cast("double").as("v"),
       count(lit(1)).cast("double").as("nRaw"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).cast("double").as("nTgt")).head()
-    val (v, nRaw, nTgt) = (scalars.getDouble(0), scalars.getDouble(1), scalars.getDouble(2))
+    val nRaw = scalars.getDouble(1)
+    require(nRaw > 0, "corpus has no tokens")
+    val (v, nTgt) = (scalars.getDouble(0), scalars.getDouble(2))
     require(nTgt > 0, "target predicate selects no tokens")
     val counts = toks.groupBy("w").agg(
       count(lit(1)).cast("double").as("__cr"),

@@ -45,7 +45,9 @@ object Rank {
       .withColumn("__dl", size(col("__w")).cast("double"))
     // corpus scalars: one aggregate over the scan's length projection
     val stats = w.agg(count(lit(1)).cast("double").as("n"), avg("__dl").as("avgdl")).head()
-    val (n, avgdl) = (stats.getDouble(0), stats.getDouble(1))
+    val n = stats.getDouble(0)
+    if (n == 0) return docs.select(col(idCol), lit(0.0).as("score")).limit(0)
+    val avgdl = stats.getDouble(1)
     // per-(doc, term) frequency — the isin filter runs BEFORE the
     // exchange, so only query-term occurrences shuffle
     val tf = w.select(col(idCol), col("__dl"), explode(col("__w")).as("term"))

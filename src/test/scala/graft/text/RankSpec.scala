@@ -86,4 +86,17 @@ class RankSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       LmScore.importanceWeights(docs, col("doc_id") === 99).collect())
   }
+
+  test("bm25 on an empty corpus returns an empty result, not a crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Rank.bm25(empty, Seq("a"))
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("doc_id", "score"))
+  }
+
+  test("importanceWeights rejects an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      LmScore.importanceWeights(empty, col("doc_id") >= 0).collect())
+  }
 }
