@@ -104,5 +104,28 @@ object SqlQueries extends QueryBatch {
     Some("""SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey""")
   )
 
-  override def queries: Seq[GQ] = Seq(q100, q101, q102, q103)
+  /** Timestamp-based time travel: `FROM t TIMESTAMP AS OF 'ts'` resolves
+    * the snapshot current at the wall-clock instant through the
+    * monotonized commit-timestamp index, flooring between commits
+    * (Delta semantics). The probe timestamp is captured between the COPY
+    * and the DELETE, so the travel read must recover the pre-delete
+    * snapshot. RESTORE TO TIMESTAMP rides the same resolver
+    * (GraftSqlSpec pins it). */
+  private val q236 = GQ(
+    "q236_sql_timestamp_travel",
+    (s, dir) => {
+      val g = mk(s, "tstravel")
+      g.createTable("o", graft.Tables.t(s, dir, "orders").schema)
+      g.sql(s"COPY INTO o FROM '$dir/orders.parquet' FILEFORMAT = PARQUET") // v1
+      Thread.sleep(5)
+      val ts1 = new java.sql.Timestamp(System.currentTimeMillis())
+      Thread.sleep(5)
+      g.sql("DELETE FROM o WHERE o_orderstatus = 'O'") // v2, after ts1
+      g.sql(s"""SELECT o_orderkey, o_orderstatus FROM o TIMESTAMP AS OF '$ts1'
+               ORDER BY o_orderkey""")
+    },
+    Some("SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey")
+  )
+
+  override def queries: Seq[GQ] = Seq(q100, q101, q102, q103, q236)
 }

@@ -234,11 +234,12 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     })
   }
 
-  /** `FROM t VERSION AS OF n` → temp view of the snapshot. Runs only
-    * outside string literals, and only rewrites identifiers registered in
-    * the catalog — anything else passes through unchanged. */
-  private def rewriteTimeTravel(s: String): String =
-    SqlText.mapOutsideLiterals(s) { seg =>
+  /** `FROM t VERSION AS OF n` / `FROM t TIMESTAMP AS OF 'ts'` → temp
+    * view of the snapshot. Runs only outside string literals, and only
+    * rewrites identifiers registered in the catalog — anything else
+    * passes through unchanged. */
+  private def rewriteTimeTravel(s: String): String = {
+    val versioned = SqlText.mapOutsideLiterals(s) { seg =>
       val re = "(?i)\\b(\\w+)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
       re.replaceAllIn(seg, m => {
         val (name, v) = (m.group(1), m.group(2).toLong)
@@ -250,6 +251,31 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
         }
       })
     }
+    // TIMESTAMP AS OF carries a quoted literal, so this rewrite runs on
+    // the full text (the literal IS the operand) — table names still
+    // gate on the catalog
+    val tsRe = "(?i)\\b(\\w+)\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
+    tsRe.replaceAllIn(versioned, m => {
+      val name = m.group(1)
+      if (!catalog.contains(name)) scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val tsMs = parseTsLiteral(m.group(2))
+        val t = table(name)
+        val v = t.versionAtTimestamp(tsMs)
+        val viewName = s"${name}__v$v"
+        t.read(versionAsOf = v).createOrReplaceTempView(viewName)
+        viewName
+      }
+    })
+  }
+
+  /** 'yyyy-MM-dd[ HH:mm:ss[.fff]]' → epoch ms (JVM zone, matching the
+    * zone DESCRIBE HISTORY renders commit timestamps in). */
+  private def parseTsLiteral(lit: String): Long = {
+    val t = lit.trim
+    if (t.matches("\\d{4}-\\d{2}-\\d{2}")) java.sql.Date.valueOf(t).getTime
+    else java.sql.Timestamp.valueOf(t).getTime
+  }
 
   // ---- COPY INTO ---------------------------------------------------------
 
@@ -422,12 +448,18 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
   }
 
   private def restore(s: String): DataFrame = {
+    import spark.implicits._
     val re = "(?is)RESTORE\\s+(?:TABLE\\s+)?(\\w+)\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+    val tsRe = "(?is)RESTORE\\s+(?:TABLE\\s+)?(\\w+)\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
     s match {
       case re(name, v) =>
         table(name).restoreTo(v.toLong)
-        import spark.implicits._
         Seq(v.toLong).toDF("restored_to_version")
+      case tsRe(name, lit) =>
+        val t = table(name)
+        val v = t.versionAtTimestamp(parseTsLiteral(lit))
+        t.restoreTo(v)
+        Seq(v).toDF("restored_to_version")
       case _ => sys.error(s"cannot parse RESTORE: $s")
     }
   }

@@ -102,6 +102,28 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     commits.find(_.version == version).getOrElse(
       throw new IllegalArgumentException(s"$path has no version $version"))
 
+  /** Version whose snapshot was current at `tsMs` (Delta's TIMESTAMP AS
+    * OF semantics: the latest commit at-or-before the timestamp; a
+    * timestamp after the last commit resolves to the latest version; one
+    * before the first commit is an error, matching Delta's
+    * timestampEarlierThanTableFirstCommit). */
+  def versionAtTimestamp(tsMs: Long): Long = {
+    val cs = commits
+    require(cs.nonEmpty, s"$path has no commits")
+    // clock skew between racing writers can locally reverse raw stamps;
+    // monotonize with a running max (Delta's timestamp adjustment) so
+    // the at-or-before search is well-defined
+    val eff = cs.scanLeft(Long.MinValue)((m, c) => math.max(m, c.timestampMs)).drop(1)
+    val idx = eff.lastIndexWhere(_ <= tsMs)
+    if (idx < 0) throw new IllegalArgumentException(
+      s"timestamp $tsMs predates the first commit of $path " +
+        s"(${cs.head.timestampMs}); earliest available version is ${cs.head.version}")
+    cs(idx).version
+  }
+
+  /** TIMESTAMP AS OF read: snapshot current at `tsMs`. */
+  def readAsOfTimestamp(tsMs: Long): DataFrame = read(versionAtTimestamp(tsMs))
+
   /** Live data files (absolute paths) at a version (default: latest). */
   def filesAt(version: Long = Long.MaxValue): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet[String]()
@@ -513,6 +535,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   /** RESTORE TABLE ... VERSION AS OF v (`HF/transactions.py:420-449`). */
+  /** RESTORE TO TIMESTAMP AS OF: repoint to the snapshot current at `tsMs`. */
+  def restoreToTimestamp(tsMs: Long): Commit = restoreTo(versionAtTimestamp(tsMs))
+
   def restoreTo(version: Long): Commit = {
     def rel(p: String) = Paths.get(path).relativize(Paths.get(p)).toString
     val want = filesAt(version).map(rel)

@@ -222,4 +222,29 @@ class GraftSqlSpec extends SparkTestBase {
     // explicit FORCE destroys history
     assert(g.sql("VACUUM vt RETAIN 0 VERSIONS FORCE").head().getLong(0) > 0L)
   }
+
+  test("TIMESTAMP AS OF floors between commits; RESTORE TO TIMESTAMP repoints") {
+    val g = new GraftSql(spark, scratch("tstt"))
+    g.createTable("tt", Tables.t(spark, sf, "customer").schema)
+    g.sql(s"COPY INTO tt FROM '$sf/customer.parquet' FILEFORMAT = PARQUET") // v1
+    val n1 = g.table("tt").read().count()
+    Thread.sleep(5)
+    val mid = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(5)
+    g.sql("DELETE FROM tt WHERE c_custkey % 2 = 0") // v2
+    val n2 = g.table("tt").read().count()
+    assert(n2 < n1)
+    assert(g.sql(s"SELECT count(*) FROM tt TIMESTAMP AS OF '$mid'")
+      .head().getLong(0) === n1)
+    // a future timestamp resolves to the latest snapshot
+    assert(g.sql("SELECT count(*) FROM tt TIMESTAMP AS OF '2099-01-01'")
+      .head().getLong(0) === n2)
+    // one before the first commit is an error, not an empty read
+    intercept[Exception](
+      g.sql("SELECT count(*) FROM tt TIMESTAMP AS OF '1990-01-01'"))
+    // RESTORE TO TIMESTAMP rides the same resolver
+    assert(g.sql(s"RESTORE TABLE tt TO TIMESTAMP AS OF '$mid'")
+      .head().getLong(0) === 1L)
+    assert(g.table("tt").read().count() === n1)
+  }
 }
