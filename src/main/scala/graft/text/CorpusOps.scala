@@ -236,4 +236,111 @@ object CorpusOps {
         size(chunk).as("n_chunk_tokens"),
         md5(array_join(chunk, " ")).as("chunk_hash"))
   }
+
+  /** The q199/q224 multiplicative Knuth scramble, overflow-safe: the id is
+    * reduced mod 2^31 BEFORE the multiply so the int64 product cannot wrap
+    * (2^31 · 2654435761 < 2^63) — `%` wraps silently in Spark but errors in
+    * strict engines, and a 100 TB corpus has ids past 2^31. Pure integer
+    * arithmetic → identical in every engine, replayable by the oracle. */
+  def knuthScramble(id: Column): Column =
+    (id.cast("long") % lit(2147483648L)) * lit(2654435761L) % lit(4294967296L)
+
+  /** Deterministic shuffle-to-shards export layout — the "global shuffle"
+    * step that precedes writing a training corpus: every document gets a
+    * shard (which output file group it lands in) and a dense 0-based
+    * position within that shard, both pure functions of the document id.
+    * Hash-placed — not RNG — so re-running the export reproduces the same
+    * layout bit-for-bit, resuming after a partial failure is safe, and the
+    * order is uncorrelated with ingest order (the de-clustering training
+    * wants).
+    *
+    * Scale shape: one keyed shuffle on the shard id; within a shard, the
+    * position is a rank over the scramble key (WindowExec's external sort
+    * spills, so a shard only needs to fit on disk, not in memory — with
+    * `nShards` sized to ~1-10 GB of documents per shard the sort is
+    * partition-local and parallel across shards). Nothing collects.
+    *
+    * Output: idCol, shard (int), pos (0-based long), both orderable.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val inShard = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    docs.select(col(idCol), knuthScramble(col(idCol)).as("__h"))
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(inShard).cast("long") - 1)
+      .drop("__h")
+  }
+
+  /** Per-domain curation report — the dataset-card table every corpus
+    * release carries: for each (domain, source) cell, document and token
+    * counts, mean document length, the exact-duplicate rate (1 − distinct
+    * sha256 fingerprints / docs — the [[TextOps.fingerprint]] key, so the
+    * report agrees with what exact dedup would remove), and the cell's
+    * share of all corpus tokens.
+    *
+    * One scan, one map-side-combined aggregate keyed by the domain pair;
+    * COUNT(DISTINCT fp) expands to the standard two-phase partial-distinct
+    * plan (distinct fingerprints shuffle, not documents). The token-share
+    * denominator rides a whole-frame window over the GROUPED rows —
+    * domain-cardinality, metadata next to the corpus.
+    *
+    * Output: domainCol, sourceCol, n_docs, n_tokens, avg_chars (2 dp),
+    * dup_rate (4 dp), token_share (6 dp).
+    */
+  def domainReport(docs: DataFrame,
+      domainCol: String = "lang", sourceCol: String = "source",
+      textCol: String = "text", charsCol: String = "n_chars"): DataFrame = {
+    val g = docs
+      .select(col(domainCol), col(sourceCol),
+        TextOps.tokenCountWs(col(textCol)).cast("long").as("__nt"),
+        col(charsCol).cast("double").as("__nc"),
+        TextOps.fingerprint(col(textCol)).as("__fp"))
+      .groupBy(domainCol, sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nt").as("n_tokens"),
+        round(avg("__nc") + lit(1e-9), 2).as("avg_chars"),
+        countDistinct(col("__fp")).as("__uniq"))
+    g.withColumn("__tot", sum("n_tokens").over(Window.partitionBy()).cast("double"))
+      .select(col(domainCol), col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("avg_chars"),
+        round(lit(1.0) - col("__uniq") / col("n_docs") + lit(1e-9), 4).as("dup_rate"),
+        round(col("n_tokens") / col("__tot") + lit(1e-9), 6).as("token_share"))
+  }
+
+  /** Per-stratum winsorization bounds + clipped moments for a numeric
+    * quality signal — the outlier-clamping step quality filters apply
+    * before thresholding (a handful of pathological documents otherwise
+    * drag the mean the threshold is calibrated against). Exact linear-
+    * interpolated percentiles (`percentile`, h = (n−1)p — the same
+    * definition DuckDB's quantile_cont uses, so the gate replays exactly);
+    * at 100 TB swap in `percentile_approx` — the dataflow is unchanged.
+    *
+    * One aggregate pass for the bounds (stratum-keyed, map-side-combined),
+    * one broadcast-join back for the clamped stats — the two-pass shape any
+    * "statistic of a statistic" needs; the broadcast is stratum-cardinality.
+    *
+    * Output: stratumCol, p_lo, p_hi, n_below, n_above, mean_raw,
+    * mean_winsorized (all rounded — 2 dp).
+    */
+  def winsorize(docs: DataFrame, stratumCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile range [$pLo, $pHi]")
+    val v = col(valueCol).cast("double")
+    val bounds = docs.groupBy(stratumCol)
+      .agg(percentile(v, lit(pLo)).as("p_lo"),
+        percentile(v, lit(pHi)).as("p_hi"))
+    docs.join(broadcast(bounds), Seq(stratumCol))
+      .groupBy(col(stratumCol), col("p_lo"), col("p_hi"))
+      .agg(
+        sum(when(v < col("p_lo"), 1).otherwise(0)).as("n_below"),
+        sum(when(v > col("p_hi"), 1).otherwise(0)).as("n_above"),
+        round(avg(v) + lit(1e-9), 2).as("mean_raw"),
+        round(avg(greatest(col("p_lo"), least(col("p_hi"), v))) + lit(1e-9), 2)
+          .as("mean_winsorized"))
+      .select(col(stratumCol),
+        round(col("p_lo") + lit(1e-9), 2).as("p_lo"),
+        round(col("p_hi") + lit(1e-9), 2).as("p_hi"),
+        col("n_below"), col("n_above"), col("mean_raw"), col("mean_winsorized"))
+  }
 }

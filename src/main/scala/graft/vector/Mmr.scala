@@ -1,0 +1,81 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+  * SIGIR '98): rerank a relevance-ordered candidate list so each pick
+  * balances query similarity against redundancy with what's already
+  * picked —
+  *
+  *   mmr(d) = λ · sim(q, d) − (1 − λ) · max_{s ∈ selected} sim(d, s)
+  *
+  * the standard de-duplicating rerank for retrieval-augmented pipelines
+  * (top-k near-identical crawl pages are worth one slot, not k).
+  *
+  * Scale shape: the corpus-scale work — scoring every vector against the
+  * query and taking the top-`nCand` — is the distributed
+  * [[VectorOps.cosineTopK]] scan (or an index probe). The greedy loop is
+  * inherently sequential (pick i depends on picks 1..i−1), so it runs on
+  * the driver over the COLLECTED candidate set — a bounded `nCand`-row
+  * collect (a few hundred rows, the same driver-traffic class as
+  * centroids/codebooks), never the corpus. All similarities are rounded
+  * to 4 dp BEFORE the greedy comparisons (same `+1e-9` + HALF_UP contract
+  * as every gate), so selection is deterministic and replayable by an
+  * engine-independent oracle.
+  *
+  * Reference scope: the reference's retrieval surface stops at SQL
+  * filtering; MMR extends it with the diversity rerank a curation stack
+  * pairs with BM25/ANN retrieval (`text/Rank.scala`, `vector/AnnIndex`).
+  */
+object Mmr {
+
+  /** Spark/DuckDB ROUND semantics: epsilon nudge then half-away-from-zero. */
+  private def r4(x: Double): Double =
+    BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Greedy MMR selection of `k` from the cosine top-`nCand`.
+    * Output: rank (1-based pick order), idCol, sim (query similarity,
+    * 4 dp), mmr (the winning marginal score, 4 dp). */
+  def rerank(emb: DataFrame, queryVec: Seq[Double], nCand: Int, k: Int,
+      lambda: Double = 0.7,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && nCand >= k, s"need nCand >= k > 0, got nCand=$nCand k=$k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = emb.sparkSession
+    val q = array(queryVec.map(lit): _*)
+    // ONE bounded collect: id, rounded query-sim, unit-normalized vector
+    val cand: Array[(Long, Double, Array[Double])] = emb
+      .select(col(idCol).cast("long").as("id"),
+        round(VectorOps.cosine(col(vecCol), q) + lit(1e-9), 4).as("sim"),
+        VectorOps.normalized(col(vecCol)).as("v"))
+      .orderBy(col("sim").desc, col("id")).limit(nCand)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+
+    // pairwise sim of unit vectors = sequential dot, same rounding contract
+    def pairSim(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      r4(s)
+    }
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val selectedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.ArrayBuffer(cand.toIndexedSeq: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { case c @ (_, sim, v) =>
+        val red = if (selectedVecs.isEmpty) 0.0
+                  else selectedVecs.map(pairSim(v, _)).max
+        (c, r4(lambda * sim - (1 - lambda) * red))
+      }
+      val (pick, mmr) = scored.minBy { case ((id, _, _), m) => (-m, id) }
+      selected += ((selected.size + 1, pick._1, pick._2, mmr))
+      selectedVecs += pick._3
+      remaining -= pick
+    }
+
+    import spark.implicits._
+    selected.toSeq.toDF("rank", idCol, "sim", "mmr")
+  }
+}

@@ -77,6 +77,23 @@ object VectorOps {
       .limit(k)
   }
 
+  /** All vectors within a cosine radius of one query — the range-search
+    * dual of [[cosineTopK]] (dedup-threshold sweeps and "everything about
+    * this topic" pulls want a similarity floor, not a count). Single scan,
+    * codegen'd higher-order-function cosine, filter on the ROUNDED score
+    * so the cut is engine-replayable; no shuffle, no collect. At 100 TB
+    * compose with the persisted IVF index: probe the cells whose centroid
+    * similarity clears the floor minus a slack and run this filter over
+    * the file-pruned read (RangeSearchSpec pins pruned ⊆ brute and
+    * recall on the probed cells). */
+  def rangeSearch(emb: DataFrame, queryVec: Seq[Double], minSim: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    emb.select(col(idCol),
+        round(cosine(col(vecCol), q) + lit(1e-9), 4).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Deterministic ±1 hyperplane component for plane p, dimension i
     * (splitmix-style integer mix — no RNG state, safe to inline in SQL). */
   private def planeSign(p: Int, i: Column): Column = {
