@@ -164,5 +164,56 @@ object PipelineQueries extends QueryBatch {
             GROUP BY d.lang, b.p_lo, b.p_hi ORDER BY lang""")
   )
 
-  override def queries: Seq[GQ] = Seq(q237, q238, q239, q240, q241)
+  /** The ANN twin of q218's production loop: an embedding batch STREAMS
+    * in, foreachBatch probes the PERSISTED IVF index
+    * (`AnnIndex.probePairs` — batch × probed-cells, never batch ×
+    * corpus), drops every vector that near-duplicates the corpus at
+    * cosine ≥ 0.95, and APPENDS the survivors to the index assigned to
+    * their nearest existing cell (`AnnIndex.append` — the FAISS `add`
+    * contract, no retrain). The batch re-ingests the whole corpus under
+    * shifted ids (all must die against their own sources) plus five
+    * one-hot novel vectors orthogonal-ish to everything (all must
+    * survive). Maintenance is proven in-gate: a re-ingest of the novels
+    * under fresh ids must now collide with their appended copies. Output
+    * = final index membership, exactly replayable by the oracle. */
+  private val q242 = GQ(
+    "q242_stream_vector_ingest",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.vector.AnnIndex
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val idx = AnnIndex.buildIvf(e, Scratch.dir("annloop"), nlist = 16)
+      val copies = e.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val novel = s.range(5).select((col("id") + 200000).as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => when(j === col("id").cast("int"), lit(1.0f))
+            .otherwise(lit(0.0f))).as("embedding"))
+      val in = Scratch.dir("annloopsrc")
+      copies.unionByName(novel).coalesce(1).write.mode("overwrite").parquet(in)
+      val stream = s.readStream.schema(e.schema).parquet(in)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Scratch.dir("annloopckpt"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val losers = AnnIndex.probePairs(idx, b, threshold = 0.95, nprobe = 2)
+            .select(col("id1").as("vec_id")).distinct()
+          AnnIndex.append(idx, b.join(losers, Seq("vec_id"), "left_anti"))
+          ()
+        }.start()
+      stream.awaitTermination()
+      // maintenance proof: the appended novels must now be probe-able —
+      // fresh-id copies of them collide with their own indexed copies
+      val reprobe = AnnIndex.probePairs(idx,
+        novel.select((col("vec_id") + 500000).as("vec_id"), col("embedding")),
+        threshold = 0.95, nprobe = 2).select("id1").distinct()
+      require(reprobe.count() == 5,
+        "index append must make a re-ingest of the survivors collide")
+      idx.read().select("vec_id").orderBy("vec_id")
+    },
+    Some("""SELECT vec_id FROM embeddings
+            UNION ALL SELECT 200000 + i AS vec_id FROM range(5) t(i)
+            ORDER BY vec_id""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q237, q238, q239, q240, q241, q242)
 }

@@ -102,6 +102,54 @@ object AnnIndex {
     (kept.size, t.filesAt().size)
   }
 
+  /** In-plan per-row probe order: the `n` nearest cells of a double-array
+    * vector per the PROPERTIES centroids (a literal array — no join, no
+    * broadcast variable). Sorts (negSim, cell) structs so ties go to the
+    * lowest cell and zero-norm query/centroid ranks last — exactly
+    * [[probedCells]]' ordering, shared by [[probePairs]] and [[append]]. */
+  private def nearestCellsCol(cents: Seq[(Int, Seq[Double])],
+      v: org.apache.spark.sql.Column, vn: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val centArr = array(cents.map { case (cell, c) =>
+      struct(lit(cell).as("cell"), array(c.map(lit): _*).as("c"),
+        lit(math.sqrt(c.map(x => x * x).sum)).as("n"))
+    }: _*)
+    slice(transform(array_sort(
+      transform(centArr, s => {
+        val denom = vn * s.getField("n")
+        struct(when(denom > 0,
+            negate(VectorOps.dotPre(v, s.getField("c")) / denom))
+            .otherwise(lit(1.0)).as("negSim"),
+          s.getField("cell").as("cell"))
+      })), e => e.getField("cell")), 1, n)
+  }
+
+  /** Incremental index maintenance: assign new vectors to their nearest
+    * EXISTING cell (no retrain — the FAISS `add` contract) and append them
+    * to the cell-partitioned table, so the ingest loop's survivors become
+    * probe-able without touching stored vectors. Pure in-plan assignment
+    * (the same arithmetic every probe uses, so an appended vector's own
+    * re-probe always opens its cell first) + one partitioned append;
+    * centroids drift only under an explicit rebuild, the standard
+    * IVF trade (re-cluster periodically via [[buildIvf]] when the drift
+    * measured by the q222 recall harness warrants it). */
+  def append(t: GraftTable, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = decodeCentroids(t.properties.getOrElse(CentroidsProp,
+      throw new IllegalArgumentException(
+        s"${t.path} is not an ANN index table: property $CentroidsProp missing " +
+          "(build one with AnnIndex.buildIvf)")))
+    require(cents.nonEmpty, s"${t.path}: $CentroidsProp holds no centroids")
+    val df = batch
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("__vn", VectorOps.normPre(col("v")))
+      .withColumn("cell",
+        element_at(nearestCellsCol(cents, col("v"), col("__vn"), 1), 1))
+      .select(col(idCol), col("cell"), col("v"))
+    t.append(df, "ANN INDEX APPEND")
+    ()
+  }
+
   /** Batched ANN search: EVERY batch vector probes the index in one
     * distributed job — the shape ingest-time embedding dedup takes
     * ([[topK]]'s driver-side probe is one query; a 100 TB ingest batch
@@ -130,24 +178,11 @@ object AnnIndex {
         s"${t.path} is not an ANN index table: property $CentroidsProp missing " +
           "(build one with AnnIndex.buildIvf)")))
     require(cents.nonEmpty, s"${t.path}: $CentroidsProp holds no centroids")
-    val centArr = array(cents.map { case (cell, c) =>
-      struct(lit(cell).as("cell"), array(c.map(lit): _*).as("c"),
-        lit(math.sqrt(c.map(x => x * x).sum)).as("n"))
-    }: _*)
     val q = batch.select(col(idCol).as("id1"),
         transform(col(vecCol), x => x.cast("double")).as("__qv"))
       .withColumn("__qn", VectorOps.normPre(col("__qv")))
-      // nprobe nearest cells per batch vector: sort (negSim, cell) structs
-      // — ties to the lowest cell, zero-norm query/centroid ranks last,
-      // exactly probedCells' ordering
-      .withColumn("__cells", slice(transform(array_sort(
-        transform(centArr, s => {
-          val denom = col("__qn") * s.getField("n")
-          struct(when(denom > 0,
-              negate(VectorOps.dotPre(col("__qv"), s.getField("c")) / denom))
-              .otherwise(lit(1.0)).as("negSim"),
-            s.getField("cell").as("cell"))
-        })), e => e.getField("cell")), 1, nprobe))
+      .withColumn("__cells",
+        nearestCellsCol(cents, col("__qv"), col("__qn"), nprobe))
     val probed = q.select(explode(col("__cells")).as("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // bounded by nlist
     // index-side norm once per stored vector BEFORE the join (computed
@@ -159,7 +194,13 @@ object AnnIndex {
     val idx = probed.map(c => t.readWhere(s"cell = $c")).reduce(_ unionByName _)
       .select(col(idCol).as("id2"), col("cell"), col("v"))
       .withColumn("__vn", VectorOps.normPre(col("v")))
-    val dp = graft.functions.DotProduct.dot_product(t.spark, col("__qv"), col("v"))
+    // register on BOTH sessions: inside foreachBatch the micro-batch
+    // DataFrame analyzes in the stream's CLONED session, whose function
+    // registry does not inherit temp functions registered on the root —
+    // registering only on t.spark leaves dot_product unresolvable there
+    graft.functions.DotProduct.register(t.spark)
+    val dp = graft.functions.DotProduct.dot_product(
+      batch.sparkSession, col("__qv"), col("v"))
     q.select(col("id1"), col("__qv"), col("__qn"), explode(col("__cells")).as("cell"))
       .join(idx, "cell")
       .select(col("id1"), col("id2"),

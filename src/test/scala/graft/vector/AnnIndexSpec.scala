@@ -111,4 +111,42 @@ class AnnIndexSpec extends SparkTestBase {
       AnnIndex.probePairs(t, emb.limit(3), threshold = 0.0, nprobe = 2)
     }
   }
+
+  test("append assigns each new vector to its nearest existing cell") {
+    val path = scratch("annapp")
+    val t = AnnIndex.buildIvf(emb, path, nlist = 8, iters = 2)
+    val newVecs = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 7000).as("vec_id"), col("embedding"))
+    AnnIndex.append(t, newVecs)
+    // each appended copy must land in the SAME cell as its source — the
+    // source was assigned to its nearest centroid at build time, and the
+    // append uses identical arithmetic over identical centroids
+    val cells = t.read().select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    (0L until 5L).foreach { id =>
+      assert(cells(id + 7000) == cells(id),
+        s"copy of $id landed in ${cells(id + 7000)}, source in ${cells(id)}")
+    }
+  }
+
+  test("appended vectors are probe-able after a cold reopen, corpus unchanged") {
+    val path = scratch("annapp2")
+    val t = AnnIndex.buildIvf(emb, path, nlist = 8, iters = 2)
+    val before = t.read().count()
+    val novel = Seq((9001L, Array.fill(64)(0.0f).updated(0, 1.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    AnnIndex.append(t, novel)
+    val reopened = GraftTable.load(spark, path)
+    assert(reopened.read().count() == before + 1)
+    // the appended vector's own probe must find it at sim 1.0
+    val hits = AnnIndex.probePairs(reopened,
+        novel.select((col("vec_id") + 1).as("vec_id"), col("embedding")),
+        threshold = 0.95, nprobe = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.exists { case (_, id2, sim) => id2 == 9001L && sim == 1.0 },
+      s"appended vector must self-match on reprobe: ${hits.toSeq}")
+    // append must not rewrite existing data files
+    assert(AnnIndex.topK(reopened, qv, 5, nprobe = 8)
+      .filter(col("vec_id") < 9000).count() == 5)
+  }
 }
