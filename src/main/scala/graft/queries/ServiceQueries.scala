@@ -152,5 +152,51 @@ object ServiceQueries extends QueryBatch {
             GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   )
 
-  override def queries: Seq[GQ] = Seq(q110, q111, q112, q113, q114)
+  /** Schema-wide profiling sweep (`TableProfiler` — the reference's
+    * DESCRIBE DETAIL data-profiler, `40-observability/data-profiling/
+    * 01-create-data-profile.py`): three tables with engineered layouts
+    * under one warehouse root are DISCOVERED (not listed by hand),
+    * profiled from commit-log metadata only, and summarized into the
+    * actionable flags — the fragmented 8-file table needs compaction,
+    * the large unpartitioned one should consider clustering, the
+    * single-file one is clean. Row/file counts and both flags replay in
+    * the oracle; byte sizes (writer-dependent) are deliberately not in
+    * the gate's output. */
+  private val q243 = GQ(
+    "q243_table_profile",
+    (s, dir) => {
+      import graft.services.TableProfiler
+      import graft.tables.GraftTable
+      val root = scratch("profroot")
+      GraftTable.createFrom(s, s"$root/cust",
+        Tables.t(s, dir, "customer").coalesce(1))
+      GraftTable.createFrom(s, s"$root/ord",
+        Tables.t(s, dir, "orders").repartition(8))
+      GraftTable.createFrom(s, s"$root/line_part",
+        Tables.t(s, dir, "lineitem").repartition(1),
+        Map("graft.partitionBy" -> "l_returnflag"))
+      TableProfiler.summarize(TableProfiler.profileDir(s, root),
+          smallFileBytes = 10L * 1024 * 1024, largeTableRows = 10000L)
+        .select("table", "n_rows", "n_files", "needs_compaction",
+          "consider_clustering")
+        .orderBy("table")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'cust' AS "table",
+                     (SELECT count(*) FROM customer) AS n_rows,
+                     CAST(1 AS BIGINT) AS n_files,
+                     false AS needs_compaction,
+                     (SELECT count(*) FROM customer) >= 10000 AS consider_clustering
+              UNION ALL
+              SELECT 'line_part', (SELECT count(*) FROM lineitem),
+                     (SELECT count(DISTINCT l_returnflag) FROM lineitem),
+                     true, false
+              UNION ALL
+              SELECT 'ord', (SELECT count(*) FROM orders),
+                     8, true,
+                     (SELECT count(*) FROM orders) >= 10000)
+            ORDER BY "table" """)
+  )
+
+  override def queries: Seq[GQ] = Seq(q110, q111, q112, q113, q114, q243)
 }

@@ -96,6 +96,27 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** Cell-pruned cosine range search: every indexed vector within
+    * `minSim` of the query, reading ONLY the `nprobe` nearest cells —
+    * the scale path behind [[VectorOps.rangeSearch]]'s brute scan. Like
+    * any IVF probe it is approximate below nprobe = nlist (a qualifying
+    * vector in an unprobed cell is missed — RangeSearchSpec measures the
+    * containment and the full-probe equivalence); the filter cuts on the
+    * ROUNDED sim with the same zero-norm sentinel as [[topK]]. */
+  def rangeSearch(t: GraftTable, queryVec: Seq[Double], minSim: Double,
+      nprobe: Int, idCol: String = "vec_id"): DataFrame = {
+    require(minSim > -1.0, s"minSim must exceed the -1 zero-norm sentinel, got $minSim")
+    val probe = probedCells(t, queryVec, nprobe)
+    val q = array(queryVec.map(lit): _*)
+    val cells = probe.map(c => t.readWhere(s"cell = $c")).reduce(_ unionByName _)
+    val vn = VectorOps.normPre(col("v"))
+    cells.select(col(idCol),
+        round(when(vn > 0, VectorOps.dotPre(col("v"), q) /
+            (vn * VectorOps.normPre(q))).otherwise(lit(-1.0)) + lit(1e-9), 4)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Diagnostic: data files the probe opens vs the table total. */
   def probeCost(t: GraftTable, cellsProbed: Seq[Int]): (Int, Int) = {
     val kept = cellsProbed.flatMap(c => t.pruneFiles(s"cell = $c")._1).distinct

@@ -276,4 +276,58 @@ class PlanAuditSpec extends SparkTestBase {
       s"raw+target counts must share a single token shuffle, saw $wExchanges:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("shard export shuffles once, on the shard key") {
+    val df = SparkEntry.queries("q237_shuffle_shards")(spark, sf)
+    val p = finalPlan(df)
+    val finalSection = p.split("== Initial Plan ==")(0)
+    // one hash exchange on shard for the in-shard rank; the final
+    // orderBy adds its range exchange — no third shuffle may exist
+    val hashEx = "Exchange hashpartitioning\\(shard#".r.findAllIn(finalSection).size
+    assert(hashEx == 1, s"exactly one shard-keyed shuffle, saw $hashEx:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(finalSection).size == 1,
+      s"no shuffle beyond the shard key:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan must prune to the id column:\n$p")
+  }
+
+  test("domain report: one corpus scan, map-side combine, window over grouped rows") {
+    val df = SparkEntry.queries("q238_domain_report")(spark, sf)
+    val p = finalPlan(df)
+    // count only the final plan — AQE's toString repeats the tree under
+    // "== Initial Plan =="
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val scans = "documents\\.parquet".r.findAllIn(finalSection).size
+    assert(scans == 1, s"the report must scan the corpus once, saw $scans:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-domain stats must map-side combine:\n$p")
+  }
+
+  test("range search is a pure scan: no exchange, no collect, pruned read") {
+    import graft.vector.VectorOps
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val df = VectorOps.rangeSearch(emb, q, 0.3)
+    val p = finalPlan(df)
+    assert(!p.contains("Exchange"),
+      s"a similarity-floor filter must ride the scan shuffle-free:\n$p")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"scan must prune to (vec_id, embedding):\n$p")
+  }
+
+  test("MMR's distributed stage is the bounded top-N candidate take") {
+    import graft.vector.VectorOps
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    // the candidate query Mmr.rerank collects — top-nCand must TAKE
+    val candQuery = emb.select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"),
+          array(q.map(lit): _*)) + lit(1e-9), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(50)
+    val p = finalPlan(candQuery)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate selection must take, not globally sort:\n$p")
+  }
 }
