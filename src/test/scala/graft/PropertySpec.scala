@@ -317,4 +317,64 @@ class PropertySpec extends SparkTestBase {
       assert(got === want, s"lists=$lists")
     }
   }
+
+  private val shardIdsGen: Gen[(List[Long], Int)] = for {
+    n <- Gen.choose(1, 40)
+    // ids past 2^31 exercise the overflow-safe reduction
+    ids <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0L, 5000L),
+      Gen.choose(2147483648L, 9007199254740992L)))
+    shards <- Gen.choose(1, 9)
+  } yield (ids.distinct, shards)
+
+  test("shuffleShards: partition + dense positions + determinism on random id sets") {
+    import spark.implicits._
+    forAllSampled(shardIdsGen, n = 12) { case (ids, nShards) =>
+      val df = ids.toDF("doc_id")
+      val out = graft.text.CorpusOps.shuffleShards(df, nShards)
+        .as[(Long, Int, Long)].collect().toSeq.sortBy(r => (r._2, r._3))
+      // exactly the input ids, each exactly once
+      assert(out.map(_._1).sorted == ids.sorted, s"ids=$ids n=$nShards")
+      // shards in range; positions dense 0..count-1 per shard
+      assert(out.forall(r => r._2 >= 0 && r._2 < nShards))
+      out.groupBy(_._2).foreach { case (shard, rows) =>
+        assert(rows.map(_._3).sorted == (0L until rows.size).toSeq,
+          s"shard $shard positions not dense: ${rows.map(_._3)}")
+      }
+      // placement is a pure function of the id — replay agrees
+      val again = graft.text.CorpusOps.shuffleShards(df, nShards)
+        .as[(Long, Int, Long)].collect().toSeq.sortBy(r => (r._2, r._3))
+      assert(again == out)
+    }
+  }
+
+  private val winsorGen: Gen[List[Int]] =
+    Gen.choose(3, 60).flatMap(n => Gen.listOfN(n, Gen.choose(-1000, 1000)))
+
+  test("winsorize: bounds bracket the clipped mean and clip counts respect the tails") {
+    import spark.implicits._
+    forAllSampled(winsorGen, n = 10) { xs =>
+      val df = xs.map(("s", _)).toDF("lang", "n_chars")
+      val r = graft.text.CorpusOps.winsorize(df, "lang", "n_chars").head()
+      val (lo, hi) = (r.getAs[Double]("p_lo"), r.getAs[Double]("p_hi"))
+      assert(lo <= hi, s"xs=$xs")
+      val mw = r.getAs[Double]("mean_winsorized")
+      assert(mw >= lo - 0.01 && mw <= hi + 0.01,
+        s"clipped mean $mw outside [$lo, $hi] for $xs")
+      // at most 5% strictly below p05 / above p95 (interpolated bounds)
+      assert(r.getAs[Long]("n_below") <= math.ceil(xs.size * 0.05).toLong, s"xs=$xs")
+      assert(r.getAs[Long]("n_above") <= math.ceil(xs.size * 0.05).toLong, s"xs=$xs")
+    }
+  }
+
+  test("MMR at lambda = 1 degenerates to the cosine top-k order") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val mmr = graft.vector.Mmr.rerank(emb, q, nCand = 20, k = 8, lambda = 1.0)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val topk = graft.vector.VectorOps.cosineTopK(emb, q, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(mmr == topk, "with no diversity term MMR must be pure relevance")
+  }
 }
