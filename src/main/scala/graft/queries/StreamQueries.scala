@@ -544,11 +544,16 @@ object StreamQueries extends QueryBatch {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", scratch("ingckpt"))
         .foreachBatch { (b: DataFrame, _: Long) =>
+          // persist the batch-bounded loser ids: kept is acted on TWICE
+          // (survivor append + index append) and each action would
+          // otherwise re-run the whole index probe (lazy plan)
           val losers = DedupIndex.dedupBatch(idx, b, threshold = 0.5)
-            .select(col("d2").as("doc_id")).distinct()
-          val kept = b.join(losers, Seq("doc_id"), "left_anti")
-          survivors.append(kept, "INGEST SURVIVORS")
-          DedupIndex.append(idx, kept)
+            .select(col("d2").as("doc_id")).distinct().persist()
+          try {
+            val kept = b.join(losers, Seq("doc_id"), "left_anti")
+            survivors.append(kept, "INGEST SURVIVORS")
+            DedupIndex.append(idx, kept)
+          } finally losers.unpersist()
           ()
         }.start()
       stream.awaitTermination()
