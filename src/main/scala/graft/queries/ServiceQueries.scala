@@ -172,9 +172,9 @@ object ServiceQueries extends QueryBatch {
         Tables.t(s, dir, "customer").coalesce(1))
       GraftTable.createFrom(s, s"$root/ord",
         Tables.t(s, dir, "orders").repartition(8))
-      GraftTable.createFrom(s, s"$root/line_part",
-        Tables.t(s, dir, "lineitem").repartition(1),
-        Map("graft.partitionBy" -> "l_returnflag"))
+      GraftTable.createFrom(s, s"$root/ord_part",
+        Tables.t(s, dir, "orders").repartition(1),
+        Map("graft.partitionBy" -> "o_orderpriority"))
       TableProfiler.summarize(TableProfiler.profileDir(s, root),
           smallFileBytes = 10L * 1024 * 1024, largeTableRows = 10000L)
         .select("table", "n_rows", "n_files", "needs_compaction",
@@ -188,8 +188,8 @@ object ServiceQueries extends QueryBatch {
                      false AS needs_compaction,
                      (SELECT count(*) FROM customer) >= 10000 AS consider_clustering
               UNION ALL
-              SELECT 'line_part', (SELECT count(*) FROM lineitem),
-                     (SELECT count(DISTINCT l_returnflag) FROM lineitem),
+              SELECT 'ord_part', (SELECT count(*) FROM orders),
+                     (SELECT count(DISTINCT o_orderpriority) FROM orders),
                      true, false
               UNION ALL
               SELECT 'ord', (SELECT count(*) FROM orders),
