@@ -152,4 +152,47 @@ class EdgeCasesSpec extends SparkTestBase {
     val m = none.agg(mg(col("w"))).head().getMap[String, Long](0)
     assert(m.isEmpty)
   }
+
+  test("shard export of an empty corpus is empty; one shard gets everything") {
+    val none = Seq.empty[Long].toDF("doc_id")
+    assert(CorpusOps.shuffleShards(none, 4).isEmpty)
+    val one = CorpusOps.shuffleShards(Seq(1L, 2L, 3L).toDF("doc_id"), 1)
+    assert(one.select("shard").distinct().count() == 1)
+    assert(one.agg(max("pos")).head().getLong(0) == 2)
+  }
+
+  test("domain report of an empty corpus is empty; winsorize of one row clamps nothing") {
+    val noneDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(CorpusOps.domainReport(noneDocs).isEmpty)
+    val r = CorpusOps.winsorize(Seq(("a", 7)).toDF("lang", "n_chars"),
+      "lang", "n_chars").head()
+    assert(r.getAs[Double]("p_lo") == 7.0 && r.getAs[Double]("p_hi") == 7.0)
+    assert(r.getAs[Long]("n_below") == 0 && r.getAs[Long]("n_above") == 0)
+    assert(r.getAs[Double]("mean_winsorized") == 7.0)
+  }
+
+  test("range search with an unreachable floor is empty, not an error") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    assert(graft.vector.VectorOps.rangeSearch(emb, q, 1.5).isEmpty)
+  }
+
+  test("MMR with k = nCand returns every candidate exactly once") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val picks = graft.vector.Mmr.rerank(emb, q, nCand = 6, k = 6)
+      .select("vec_id").as[Long].collect()
+    assert(picks.length == 6 && picks.distinct.length == 6)
+  }
+
+  test("profiler discover on an empty root and profile of an empty table list") {
+    import graft.services.TableProfiler
+    val root = scratch("profempty")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    assert(TableProfiler.discover(root).isEmpty)
+    assert(TableProfiler.profile(spark, Nil).isEmpty)
+  }
 }
