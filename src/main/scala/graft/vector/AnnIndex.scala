@@ -153,7 +153,14 @@ object AnnIndex {
     * re-probe always opens its cell first) + one partitioned append;
     * centroids drift only under an explicit rebuild, the standard
     * IVF trade (re-cluster periodically via [[buildIvf]] when the drift
-    * measured by the q222 recall harness warrants it). */
+    * measured by the q222 recall harness warrants it).
+    *
+    * IDEMPOTENT under micro-batch replay (the foreachBatch at-least-once
+    * contract — a retried batch must not double-insert its vectors):
+    * already-present ids are anti-joined away before the write, reading
+    * ONLY the id column of the cells this batch lands in (file-pruned,
+    * so the replay guard costs touched-cells ids, not an index scan) —
+    * the same supersede discipline `DedupIndex.append` keeps. */
   def append(t: GraftTable, batch: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val cents = decodeCentroids(t.properties.getOrElse(CentroidsProp,
@@ -161,13 +168,23 @@ object AnnIndex {
         s"${t.path} is not an ANN index table: property $CentroidsProp missing " +
           "(build one with AnnIndex.buildIvf)")))
     require(cents.nonEmpty, s"${t.path}: $CentroidsProp holds no centroids")
-    val df = batch
+    val assigned = batch
       .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("__vn", VectorOps.normPre(col("v")))
       .withColumn("cell",
         element_at(nearestCellsCol(cents, col("v"), col("__vn"), 1), 1))
       .select(col(idCol), col("cell"), col("v"))
-    t.append(df, "ANN INDEX APPEND")
+      .persist() // two actions below (cell collect + write) — compute once
+    try {
+      val touched = assigned.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted // bounded by nlist
+      val existing =
+        if (touched.isEmpty) return
+        else touched.map(c => t.readWhere(s"cell = $c")).reduce(_ unionByName _)
+          .select(col(idCol))
+      val fresh = assigned.join(existing, Seq(idCol), "left_anti")
+      t.append(fresh, "ANN INDEX APPEND")
+    } finally assigned.unpersist()
     ()
   }
 

@@ -129,6 +129,25 @@ class AnnIndexSpec extends SparkTestBase {
     }
   }
 
+  test("append is idempotent under micro-batch replay") {
+    val path = scratch("annapp3")
+    val t = AnnIndex.buildIvf(emb, path, nlist = 8, iters = 2)
+    val before = t.read().count()
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    AnnIndex.append(t, batch)
+    val after = t.read().count()
+    assert(after == before + 10)
+    // a retried micro-batch re-delivers the same rows — nothing may land
+    AnnIndex.append(t, batch)
+    assert(t.read().count() == after, "replayed batch must not double-insert")
+    // and a half-overlapping batch lands only its new half
+    val half = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    AnnIndex.append(t, half)
+    assert(t.read().count() == after + 10)
+  }
+
   test("appended vectors are probe-able after a cold reopen, corpus unchanged") {
     val path = scratch("annapp2")
     val t = AnnIndex.buildIvf(emb, path, nlist = 8, iters = 2)
