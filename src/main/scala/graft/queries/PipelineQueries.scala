@@ -219,5 +219,51 @@ object PipelineQueries extends QueryBatch {
             ORDER BY vec_id""")
   )
 
-  override def queries: Seq[GQ] = Seq(q237, q238, q239, q240, q241, q242)
+  /** Corpus version diff (`CorpusOps.corpusDiff`): the new release drops
+    * every 10th doc, rewrites the text of every 7th survivor, appends
+    * fresh ids, and whitespace-pads every 13th survivor — the padded
+    * docs must classify UNCHANGED (fingerprints normalize whitespace),
+    * the rewritten ones CHANGED; the oracle replays the full
+    * classification per language. */
+  private val q244 = GQ(
+    "q244_corpus_diff",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val kept = d.filter(col("doc_id") % 10 =!= 0)
+      val newRel = kept.withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(lit("rewritten "), col("text")))
+            .when(col("doc_id") % 13 === 0, concat(col("text"), lit("   ")))
+            .otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      CorpusOps.corpusDiff(d, newRel).orderBy("lang")
+    },
+    Some("""WITH oldd AS (SELECT doc_id, lang,
+                            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS fp
+                          FROM documents),
+                 newd AS (SELECT doc_id, lang,
+                            regexp_replace(lower(trim(
+                              CASE WHEN doc_id % 7 = 0 THEN 'rewritten ' || text
+                                   WHEN doc_id % 13 = 0 THEN text || '   '
+                                   ELSE text END)), '\s+', ' ', 'g') AS fp
+                          FROM documents WHERE doc_id % 10 <> 0
+                          UNION ALL
+                          SELECT doc_id + 100000, lang,
+                            regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                          FROM documents WHERE doc_id % 10 = 0),
+                 j AS (SELECT coalesce(n.lang, o.lang) AS lang,
+                         CASE WHEN o.fp IS NULL THEN 'added'
+                              WHEN n.fp IS NULL THEN 'removed'
+                              WHEN o.fp = n.fp THEN 'unchanged'
+                              ELSE 'changed' END AS cls
+                       FROM oldd o FULL OUTER JOIN newd n USING (doc_id))
+            SELECT lang,
+                   CAST(sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+            FROM j GROUP BY lang ORDER BY lang""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q237, q238, q239, q240, q241, q242, q244)
 }

@@ -308,6 +308,44 @@ object CorpusOps {
         round(col("n_tokens") / col("__tot") + lit(1e-9), 6).as("token_share"))
   }
 
+  /** Release-to-release corpus diff — the dataset-versioning report a
+    * curation pipeline publishes alongside each corpus refresh: per
+    * domain, how many documents were added, removed, changed (same id,
+    * different [[TextOps.fingerprint]] — whitespace-only edits therefore
+    * count as unchanged, matching what exact dedup would say), and
+    * unchanged. The corpus-level analogue of the row-level DataValidator
+    * hash-diff.
+    *
+    * One full-outer join keyed on the id (fingerprints ride the two
+    * scans as projections; a changed 100 TB corpus shuffles ids +
+    * 64-byte fingerprints, not text), then a domain-keyed count
+    * aggregate over the classified rows. The domain of a removed doc
+    * comes from the old side, otherwise the new side.
+    *
+    * Output: domainCol, n_added, n_removed, n_changed, n_unchanged.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      domainCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def keyed(df: DataFrame, side: String) = df.select(
+      col(idCol),
+      col(domainCol).as(s"__dom_$side"),
+      TextOps.fingerprint(col(textCol)).as(s"__fp_$side"))
+    val j = keyed(oldDocs, "old").join(keyed(newDocs, "new"), Seq(idCol), "full_outer")
+    val cls = when(col("__fp_old").isNull, "added")
+      .when(col("__fp_new").isNull, "removed")
+      .when(col("__fp_old") === col("__fp_new"), "unchanged")
+      .otherwise("changed")
+    j.select(coalesce(col("__dom_new"), col("__dom_old")).as(domainCol),
+        cls.as("__cls"))
+      .groupBy(domainCol)
+      .agg(
+        sum(when(col("__cls") === "added", 1).otherwise(0)).as("n_added"),
+        sum(when(col("__cls") === "removed", 1).otherwise(0)).as("n_removed"),
+        sum(when(col("__cls") === "changed", 1).otherwise(0)).as("n_changed"),
+        sum(when(col("__cls") === "unchanged", 1).otherwise(0)).as("n_unchanged"))
+  }
+
   /** Per-stratum winsorization bounds + clipped moments for a numeric
     * quality signal — the outlier-clamping step quality filters apply
     * before thresholding (a handful of pathological documents otherwise
