@@ -195,13 +195,12 @@ object PipelineQueries extends QueryBatch {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", Scratch.dir("annloopckpt"))
         .foreachBatch { (b: DataFrame, _: Long) =>
-          // persist the batch-bounded loser ids: the append's anti-join
-          // would otherwise RE-RUN the whole probe (lazy plan), doubling
-          // the loop's probe cost (measured ~2.3 s -> ~1.0 s at sf0.1)
+          // single action per batch: AnnIndex.append persists its
+          // assigned plan internally, so the probe inside this anti-join
+          // computes exactly once — no outer persist needed
           val losers = AnnIndex.probePairs(idx, b, threshold = 0.95, nprobe = 2)
-            .select(col("id1").as("vec_id")).distinct().persist()
-          try AnnIndex.append(idx, b.join(losers, Seq("vec_id"), "left_anti"))
-          finally losers.unpersist()
+            .select(col("id1").as("vec_id")).distinct()
+          AnnIndex.append(idx, b.join(losers, Seq("vec_id"), "left_anti"))
           ()
         }.start()
       stream.awaitTermination()

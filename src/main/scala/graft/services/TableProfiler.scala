@@ -31,11 +31,18 @@ import graft.tables.GraftTable
 object TableProfiler {
 
   /** Table directories under `root` (depth 1), in name order — a dir is a
-    * table iff it has a commit log. */
+    * table iff it has a commit log. Loan-pattern close on the listing
+    * stream: `Files.list(...).iterator()` without a close leaks the
+    * directory fd until GC (the trap `GraftTable.listDir`'s Scaladoc
+    * documents), and a metastore-scale sweep calls this per root. */
   def discover(root: String): Seq[(String, String)] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) return Nil
-    Files.list(r).iterator().asScala.toSeq
+    val s = Files.list(r)
+    val entries =
+      try s.iterator().asScala.toList
+      finally s.close()
+    entries
       .filter(p => Files.isDirectory(p) && GraftTable.exists(p.toString))
       .map(p => (p.getFileName.toString, p.toString))
       .sortBy(_._1)

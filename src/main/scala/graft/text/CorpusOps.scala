@@ -237,13 +237,16 @@ object CorpusOps {
         md5(array_join(chunk, " ")).as("chunk_hash"))
   }
 
-  /** The q199/q224 multiplicative Knuth scramble, overflow-safe: the id is
-    * reduced mod 2^31 BEFORE the multiply so the int64 product cannot wrap
-    * (2^31 · 2654435761 < 2^63) — `%` wraps silently in Spark but errors in
-    * strict engines, and a 100 TB corpus has ids past 2^31. Pure integer
-    * arithmetic → identical in every engine, replayable by the oracle. */
+  /** The q199/q224 multiplicative Knuth scramble, overflow- and
+    * sign-safe: the id is reduced with POSITIVE mod 2^31 BEFORE the
+    * multiply, so the int64 product cannot wrap (2^31 · 2654435761 <
+    * 2^63) and a negative id (hash-minted int64 keys go negative) still
+    * lands in [0, 2^32) — `%` keeps the dividend's sign, which would
+    * otherwise leak negative shard ids out of [[shuffleShards]]. Pure
+    * integer arithmetic → identical in every engine; for non-negative
+    * ids pmod ≡ %, so the oracle's plain-`%` replay is unchanged. */
   def knuthScramble(id: Column): Column =
-    (id.cast("long") % lit(2147483648L)) * lit(2654435761L) % lit(4294967296L)
+    pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L) % lit(4294967296L)
 
   /** Deterministic shuffle-to-shards export layout — the "global shuffle"
     * step that precedes writing a training corpus: every document gets a

@@ -36,9 +36,15 @@ object ProfVecIngest {
           .writeStream.trigger(Trigger.AvailableNow())
           .option("checkpointLocation", Scratch.dir("pvlck"))
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val (losers, tp) = tm(AnnIndex.probePairs(idx, b, 0.95, 2)
-              .select(col("id1").as("vec_id")).distinct())
-            val (_, ta) = tm(AnnIndex.append(idx, b.join(losers, Seq("vec_id"), "left_anti")))
+            // bracket an ACTION on the probe result — probePairs is lazy
+            // except its internal probed-cells collect, so timing only
+            // the call would charge the similarity join to append
+            val losers = AnnIndex.probePairs(idx, b, 0.95, 2)
+              .select(col("id1").as("vec_id")).distinct().persist()
+            val (_, tp) = tm(losers.count())
+            val (_, ta) = tm(AnnIndex.append(idx,
+              b.join(losers, Seq("vec_id"), "left_anti")))
+            losers.unpersist()
             tProbe += tp; tAppend += ta
             ()
           }.start()

@@ -44,8 +44,16 @@ object Mmr {
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
     val spark = emb.sparkSession
     val q = array(queryVec.map(lit): _*)
-    // ONE bounded collect: id, rounded query-sim, unit-normalized vector
+    require(queryVec.exists(_ != 0.0), "query vector must have non-zero norm")
+    // ONE bounded collect: id, rounded query-sim, unit-normalized vector.
+    // Zero-norm vectors are dropped BEFORE the top-nCand take — their
+    // cosine is undefined and their "normalized" form is a NaN array
+    // that would poison the pairwise dots (and r4 throws on NaN). The
+    // filter precedes the order+limit so the plan stays a single scan +
+    // TakeOrderedAndProject.
+    val vn = VectorOps.norm(col(vecCol))
     val cand: Array[(Long, Double, Array[Double])] = emb
+      .filter(vn > 0)
       .select(col(idCol).cast("long").as("id"),
         round(VectorOps.cosine(col(vecCol), q) + lit(1e-9), 4).as("sim"),
         VectorOps.normalized(col(vecCol)).as("v"))

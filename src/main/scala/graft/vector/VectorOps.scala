@@ -66,13 +66,24 @@ object VectorOps {
           + lit(1e-12), 8).as("max_err"))
   }
 
+  /** Guarded cosine column: zero-norm data vectors score the −1 sentinel
+    * (an unguarded division emits NaN, which Spark sorts FIRST under
+    * desc and which passes every `>=` floor) — the same rule
+    * `AnnIndex.topK`/`probePairs` apply. */
+  private def guardedSim(vecCol: Column, q: Column): Column = {
+    val vn = norm(vecCol)
+    round(when(vn > 0, dot(vecCol, q) / (vn * norm(q)))
+      .otherwise(lit(-1.0)) + lit(1e-9), 4)
+  }
+
   /** Exact top-k by cosine against one query vector. Plans as a single
-    * scan + TakeOrderedAndProject — no shuffle of the embedding column. */
+    * scan + TakeOrderedAndProject — no shuffle of the embedding column.
+    * Zero-norm data vectors rank last via the −1 sentinel. */
   def cosineTopK(emb: DataFrame, queryVec: Seq[Double], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(queryVec.exists(_ != 0.0), "query vector must have non-zero norm")
     val q = array(queryVec.map(lit): _*)
-    emb.select(col(idCol),
-        round(cosine(col(vecCol), q) + lit(1e-9), 4).as("sim"))
+    emb.select(col(idCol), guardedSim(col(vecCol), q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -88,9 +99,10 @@ object VectorOps {
     * recall on the probed cells). */
   def rangeSearch(emb: DataFrame, queryVec: Seq[Double], minSim: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(queryVec.exists(_ != 0.0), "query vector must have non-zero norm")
+    require(minSim > -1.0, s"minSim must exceed the -1 zero-norm sentinel, got $minSim")
     val q = array(queryVec.map(lit): _*)
-    emb.select(col(idCol),
-        round(cosine(col(vecCol), q) + lit(1e-9), 4).as("sim"))
+    emb.select(col(idCol), guardedSim(col(vecCol), q).as("sim"))
       .filter(col("sim") >= minSim)
   }
 

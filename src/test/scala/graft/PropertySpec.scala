@@ -320,9 +320,11 @@ class PropertySpec extends SparkTestBase {
 
   private val shardIdsGen: Gen[(List[Long], Int)] = for {
     n <- Gen.choose(1, 40)
-    // ids past 2^31 exercise the overflow-safe reduction
+    // ids past 2^31 exercise the overflow-safe reduction; negative ids
+    // (hash-minted keys) exercise the sign-safe pmod
     ids <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0L, 5000L),
-      Gen.choose(2147483648L, 9007199254740992L)))
+      Gen.choose(2147483648L, 9007199254740992L),
+      Gen.choose(-9007199254740992L, -1L)))
     shards <- Gen.choose(1, 9)
   } yield (ids.distinct, shards)
 

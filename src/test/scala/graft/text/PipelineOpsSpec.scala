@@ -41,8 +41,9 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pos.toSeq != pos.toSeq.sorted, "order must be scrambled, not id order")
   }
 
-  test("knuthScramble is overflow-safe past 2^31 ids") {
-    val big = Seq(2147483648L, 4294967297L, 900719925474099L).toDF("doc_id")
+  test("knuthScramble is overflow-safe past 2^31 ids and sign-safe below 0") {
+    val big = Seq(2147483648L, 4294967297L, 900719925474099L,
+      -1L, -2147483649L, Long.MinValue).toDF("doc_id")
     val hs = big.select(CorpusOps.knuthScramble(col("doc_id")).as("h"))
       .as[Long].collect()
     assert(hs.forall(h => h >= 0 && h < 4294967296L), s"out of range: ${hs.toSeq}")

@@ -51,4 +51,24 @@ class RangeSearchSpec extends SparkTestBase {
       .filter(col("vec_id") === 8999L)
     assert(res.isEmpty, "a zero-norm vector must never clear a positive floor")
   }
+
+  test("brute range search and top-k apply the same sentinel — NaN never surfaces") {
+    val withZero = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((8999L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    // NaN compares greater than everything in Spark: unguarded cosine
+    // would pass any floor and sort FIRST in top-k
+    val ranged = VectorOps.rangeSearch(withZero, qv, 0.0)
+    assert(ranged.filter(col("vec_id") === 8999L).isEmpty,
+      "zero-norm vector cleared the brute floor")
+    val top = VectorOps.cosineTopK(withZero, qv, 3)
+      .select("vec_id").as[Long].collect()
+    assert(!top.contains(8999L), s"zero-norm vector surfaced in top-k: ${top.toSeq}")
+    intercept[IllegalArgumentException] {
+      VectorOps.rangeSearch(emb, Seq.fill(64)(0.0), 0.5)
+    }
+    // MMR: zero-norm candidates are dropped pre-take, never crash r4
+    val picks = Mmr.rerank(withZero, qv, nCand = 10, k = 3)
+      .select("vec_id").as[Long].collect()
+    assert(picks.length == 3 && !picks.contains(8999L))
+  }
 }
