@@ -8,7 +8,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.types._
 
 /** Per-file column min/max statistics for cross-file data skipping
@@ -121,6 +121,21 @@ object FileStats {
     * Unknown shapes / missing stats ⇒ true (never prune incorrectly). */
   def mightMatch(stats: Stats, predicate: Expression, schema: StructType): Boolean =
     conjuncts(predicate).forall {
+      // col IN (l1, l2, ...): prunable iff NO member can fall inside the
+      // file's [min, max] — the single-read probe shape (`cell IN (...)`)
+      // the ANN/index layers use instead of a union of per-cell reads
+      case In(attr, members)
+          if members.nonEmpty && members.forall(_.isInstanceOf[Literal]) =>
+        attr match {
+          case _: Attribute |
+               _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            members.exists(m =>
+              mightMatch(stats, EqualTo(attr, m.asInstanceOf[Literal]), schema))
+          case _ => true
+        }
+      // disjunction: a file survives if EITHER branch might match
+      case Or(l, r) =>
+        mightMatch(stats, l, schema) || mightMatch(stats, r, schema)
       case cmp @ (_: EqualTo | _: LessThan | _: LessThanOrEqual |
                   _: GreaterThan | _: GreaterThanOrEqual) =>
         val (attrOpt, litOpt, flipped) = cmp.children match {

@@ -83,7 +83,7 @@ object AnnIndex {
       idCol: String = "vec_id"): DataFrame = {
     val probe = probedCells(t, queryVec, nprobe)
     val q = array(queryVec.map(lit): _*)
-    val cells = probe.map(c => t.readWhere(s"cell = $c")).reduce(_ unionByName _)
+    val cells = t.readWhere(s"cell IN (${probe.mkString(", ")})")
     val vn = VectorOps.normPre(col("v"))
     cells.select(col(idCol),
         // zero-norm data vectors rank last (sim -1) — an unguarded
@@ -108,7 +108,7 @@ object AnnIndex {
     require(minSim > -1.0, s"minSim must exceed the -1 zero-norm sentinel, got $minSim")
     val probe = probedCells(t, queryVec, nprobe)
     val q = array(queryVec.map(lit): _*)
-    val cells = probe.map(c => t.readWhere(s"cell = $c")).reduce(_ unionByName _)
+    val cells = t.readWhere(s"cell IN (${probe.mkString(", ")})")
     val vn = VectorOps.normPre(col("v"))
     cells.select(col(idCol),
         round(when(vn > 0, VectorOps.dotPre(col("v"), q) /
@@ -180,7 +180,7 @@ object AnnIndex {
         .collect().map(_.getInt(0)).toSeq.sorted // bounded by nlist
       val existing =
         if (touched.isEmpty) return
-        else touched.map(c => t.readWhere(s"cell = $c")).reduce(_ unionByName _)
+        else t.readWhere(s"cell IN (${touched.mkString(", ")})")
           .select(col(idCol))
       val fresh = assigned.join(existing, Seq(idCol), "left_anti")
       t.append(fresh, "ANN INDEX APPEND")
@@ -229,7 +229,7 @@ object AnnIndex {
     // the HOF aggregate(zip_with) evaluates a lambda per element, ~7 s
     // per 200k 64-dim pairs (see functions/DotProduct.scala). Sequential
     // double sums in both forms: bit-identical results.
-    val idx = probed.map(c => t.readWhere(s"cell = $c")).reduce(_ unionByName _)
+    val idx = t.readWhere(s"cell IN (${probed.mkString(", ")})")
       .select(col(idCol).as("id2"), col("cell"), col("v"))
       .withColumn("__vn", VectorOps.normPre(col("v")))
     // register on BOTH sessions: inside foreachBatch the micro-batch

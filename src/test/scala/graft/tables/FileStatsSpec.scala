@@ -61,4 +61,27 @@ class FileStatsSpec extends SparkTestBase {
     val (kept2, all2) = t.pruneFiles("l_quantity + 1 = 5")
     assert(kept2.size === all2)
   }
+
+  test("IN-list and OR predicates prune to the union of their members' files") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val t = GraftTable.createFrom(spark, scratch("inprune"), li)
+    t.setProperties(Map("graft.targetFileSize" -> (16 * 1024).toString))
+    Maintenance.optimize(t, zorderBy = Seq("l_orderkey"))
+    val total = t.filesAt().size
+    val single1 = t.pruneFiles("l_orderkey = 42")._1.toSet
+    val single2 = t.pruneFiles("l_orderkey = 5000")._1.toSet
+    val inKept = t.pruneFiles("l_orderkey IN (42, 5000)")._1.toSet
+    assert(inKept == (single1 ++ single2),
+      s"IN must keep exactly the union of its members' files")
+    assert(inKept.size < total, "IN over two keys must still prune")
+    val orKept = t.pruneFiles("l_orderkey = 42 OR l_orderkey = 5000")._1.toSet
+    assert(orKept == inKept, "OR of equalities must prune like the IN form")
+    // correctness through readWhere
+    val a = t.readWhere("l_orderkey IN (42, 5000)").count()
+    val b = li.filter(col("l_orderkey").isin(42, 5000)).count()
+    assert(a === b && a > 0)
+    // conservative on non-literal members
+    val (kept3, all3) = t.pruneFiles("l_orderkey IN (l_partkey, 5)")
+    assert(kept3.size === all3)
+  }
 }
