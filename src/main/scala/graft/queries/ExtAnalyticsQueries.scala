@@ -175,25 +175,33 @@ object ExtAnalyticsQueries extends QueryBatch {
   private val q228 = GQ(
     "q228_freq_items",
     (s, dir) => {
+      import s.implicits._
       val w = Tables.t(s, dir, "documents")
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
         .filter(length(col("word")) > 0)
       val mg = udaf(new graft.functions.MisraGries(64))
-      val cand = w.agg(mg(col("word")).as("summary"))
-        .select(explode(col("summary")).as(Seq("word", "est")))
-        .select("word")
-      val top = w.join(broadcast(cand), "word")
+      // ONE tokenize pass yields both the sketch and N (the audit bound);
+      // the ≤capacity candidate set rides to the driver inside the row
+      val row = w.agg(mg(col("word")).as("summary"), count(lit(1)).as("n")).head()
+      val cand = row.getMap[String, Long](0).keys.toSeq
+      val n = row.getLong(1)
+      // recount pass: exact counts for the bounded candidate set only
+      // (isin literal — no join, no second driver round-trip); collected
+      // so the audit AND the harness's consumption reuse the same rows
+      // instead of re-running the pipeline per action
+      val top = w.filter(col("word").isin(cand: _*))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("word")).limit(10)
+        .as[(String, Long)].collect().toSeq
       // guarantee audit: every word above N/(capacity+1) is provably a
       // candidate, so the exact top-10 is safe iff the 10th recounted
       // count clears that bound on THIS corpus
-      val bound = w.count() / 65.0
-      val kth = top.agg(min(col("cnt"))).head().getLong(0)
+      val bound = n / 65.0
+      val kth = top.map(_._2).min
       require(kth > bound,
         f"MG capacity 64 cannot guarantee exact top-10 on this corpus: " +
           f"10th frequency $kth <= N/(cap+1) = $bound%.1f — raise capacity")
-      top
+      top.toDF("word", "cnt")
     },
     Some("""WITH w AS (SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS word
                        FROM documents)

@@ -24,11 +24,16 @@ object PipelineQueries extends QueryBatch {
     emb(s, dir).filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble)
 
-  /** DuckDB cosine between embedding rows aliased `a` and `b` (64-d). */
+  /** DuckDB cosine between embedding rows aliased `a` and `b` (64-d),
+    * zero-norm-safe: −1 sentinel, matching `VectorOps` (a zero-norm row
+    * must rank last / fail every floor in BOTH engines). */
   private def cosSql(a: String, b: String): String =
-    s"""list_sum(list_transform(range(64), i -> $a.embedding[i+1]::DOUBLE * $b.embedding[i+1]::DOUBLE))
-        / (sqrt(list_sum(list_transform(range(64), i -> $a.embedding[i+1]::DOUBLE * $a.embedding[i+1]::DOUBLE)))
-         * sqrt(list_sum(list_transform(range(64), i -> $b.embedding[i+1]::DOUBLE * $b.embedding[i+1]::DOUBLE))))"""
+    s"""CASE WHEN sqrt(list_sum(list_transform(range(64), i -> $a.embedding[i+1]::DOUBLE * $a.embedding[i+1]::DOUBLE)))
+               * sqrt(list_sum(list_transform(range(64), i -> $b.embedding[i+1]::DOUBLE * $b.embedding[i+1]::DOUBLE))) > 0
+             THEN list_sum(list_transform(range(64), i -> $a.embedding[i+1]::DOUBLE * $b.embedding[i+1]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(range(64), i -> $a.embedding[i+1]::DOUBLE * $a.embedding[i+1]::DOUBLE)))
+                   * sqrt(list_sum(list_transform(range(64), i -> $b.embedding[i+1]::DOUBLE * $b.embedding[i+1]::DOUBLE))))
+             ELSE -1.0 END"""
 
   /** Deterministic shuffle-to-shards (`CorpusOps.shuffleShards`): the
     * overflow-safe Knuth scramble places every document in one of 8

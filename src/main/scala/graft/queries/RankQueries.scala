@@ -25,10 +25,16 @@ object RankQueries extends QueryBatch {
     emb(s, dir).filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble)
 
+  // zero-norm-safe: the engine scores a zero-norm vector with the -1
+  // sentinel (VectorOps.cosineTopK) — the oracle must agree, not divide
+  // by zero
   private val cosineSql =
-    """list_sum(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE))
-       / (sqrt(list_sum(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)))
-        * sqrt(list_sum(list_transform(range(64), i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE))))"""
+    """CASE WHEN sqrt(list_sum(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(64), i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE))) > 0
+            THEN list_sum(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(range(64), i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE))))
+            ELSE -1.0 END"""
 
   // shared oracle CTE chain: tokenize → corpus stats → query-term tf → df
   private val bm25Ctes = s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w

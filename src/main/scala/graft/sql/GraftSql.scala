@@ -251,22 +251,37 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
         }
       })
     }
-    // TIMESTAMP AS OF carries a quoted literal, so this rewrite runs on
-    // the full text (the literal IS the operand) — table names still
-    // gate on the catalog
-    val tsRe = "(?i)\\b(\\w+)\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
-    tsRe.replaceAllIn(versioned, m => {
-      val name = m.group(1)
-      if (!catalog.contains(name)) scala.util.matching.Regex.quoteReplacement(m.matched)
-      else {
-        val tsMs = parseTsLiteral(m.group(2))
-        val t = table(name)
-        val v = t.versionAtTimestamp(tsMs)
-        val viewName = s"${name}__v$v"
-        t.read(versionAsOf = v).createOrReplaceTempView(viewName)
-        viewName
+    // TIMESTAMP AS OF carries a quoted literal operand, so the rewrite
+    // walks the (text, isLiteral) runs: the `name TIMESTAMP AS OF` tail
+    // must sit OUTSIDE literals, and only then does the immediately
+    // following literal become the operand — a regex over the full text
+    // could match across literal boundaries (a literal CONTAINING the
+    // phrase would capture the text between two literals as its
+    // "timestamp") and break a valid passthrough query.
+    val segs = SqlText.segments(versioned)
+    val tailRe = "(?is)^(.*?(?:^|\\W))?(\\w+)(\\s+TIMESTAMP\\s+AS\\s+OF\\s*)$".r
+    val out = new StringBuilder
+    var i = 0
+    while (i < segs.length) {
+      val (txt, isLit) = segs(i)
+      val litNext = i + 1 < segs.length && segs(i + 1)._2
+      val rewritten = if (isLit || !litNext) None else txt match {
+        case tailRe(prefix, name, _) if catalog.contains(name) =>
+          val operand = segs(i + 1)._1.stripPrefix("'").stripSuffix("'")
+          val tsMs = parseTsLiteral(operand)
+          val t = table(name)
+          val v = t.versionAtTimestamp(tsMs)
+          val viewName = s"${name}__v$v"
+          t.read(versionAsOf = v).createOrReplaceTempView(viewName)
+          Some(Option(prefix).getOrElse("") + viewName)
+        case _ => None
       }
-    })
+      rewritten match {
+        case Some(r) => out ++= r; i += 2 // consumed the operand literal
+        case None => out ++= txt; i += 1
+      }
+    }
+    out.toString
   }
 
   /** 'yyyy-MM-dd[ HH:mm:ss[.fff]]' → epoch ms (JVM zone, matching the
@@ -593,6 +608,11 @@ object SqlText {
   /** Apply `f` to every segment of `sql` outside single-quoted literals. */
   def mapOutsideLiterals(sql: String)(f: String => String): String =
     runs(sql).map { case (s, lit) => if (lit) s else f(s) }.mkString
+
+  /** The (text, isLiteral) runs — for rewrites whose OPERAND is a literal
+    * (e.g. `TIMESTAMP AS OF 'ts'`): the keyword must sit outside
+    * literals but the adjacent literal belongs to the rewrite. */
+  private[sql] def segments(sql: String): Seq[(String, Boolean)] = runs(sql)
 
   /** Index of the first word-boundary occurrence of `kw` (case-insensitive)
     * at parenthesis depth 0, outside single-quoted literals, outside

@@ -534,10 +534,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       removedDv = dvAt().map(rel))
   }
 
-  /** RESTORE TABLE ... VERSION AS OF v (`HF/transactions.py:420-449`). */
   /** RESTORE TO TIMESTAMP AS OF: repoint to the snapshot current at `tsMs`. */
   def restoreToTimestamp(tsMs: Long): Commit = restoreTo(versionAtTimestamp(tsMs))
 
+  /** RESTORE TABLE ... VERSION AS OF v (`HF/transactions.py:420-449`). */
   def restoreTo(version: Long): Commit = {
     def rel(p: String) = Paths.get(path).relativize(Paths.get(p)).toString
     val want = filesAt(version).map(rel)

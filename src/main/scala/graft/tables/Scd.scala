@@ -1,5 +1,7 @@
 package graft.tables
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -154,8 +156,9 @@ object Scd {
     * against what is already applied (`CDC/01:176-184`).
     *
     * Deleted keys lose their in-table sequence watermark with the row, so
-    * SCD1 keeps a TOMBSTONE LEDGER sidecar (`_scd1_tombstones/`, one
-    * (keys, seq) row per deleted-and-not-reinserted key): incoming events
+    * SCD1 keeps a TOMBSTONE LEDGER sidecar (immutable generation dirs +
+    * an atomically-swapped pointer file — crash-safe; one (keys, seq) row
+    * per deleted-and-not-reinserted key): incoming events
     * older than a key's tombstone are dropped before the merge — without
     * it, a late-arriving pre-delete upsert would resurrect the key
     * through the not-matched INSERT clause (found by DmlModelSpec's
@@ -183,58 +186,112 @@ object Scd {
       .filter(col("__rn") === 1).drop("__rn")
       .drop(exceptCols: _*)
 
-    val tombDir = java.nio.file.Paths.get(t.path, "_scd1_tombstones")
-    val hasLedger = java.nio.file.Files.isDirectory(tombDir)
+    val ledgerDir = currentLedgerDir(t)
     // drop events at or below their key's tombstone — they lost to an
     // applied delete (>= mirrors the `newer` convention below: an
-    // equal-sequence event supersedes what it ties with)
-    val latest = if (!hasLedger) latest0 else {
-      val tombs = spark.read.parquet(tombDir.toString)
-      latest0.join(tombs.select(keys.map(col) :+ col("__tomb_seq"): _*), keys, "left")
-        .filter(col("__tomb_seq").isNull || col(sequenceBy) >= col("__tomb_seq"))
-        .drop("__tomb_seq")
-    }
+    // equal-sequence event supersedes what it ties with).
+    // PERSISTED: the plan below is consumed by the MERGE, the survivor
+    // anti-join, and the fresh-tombstone filter — uncached it would run
+    // the cdc scan + per-key window up to three times, and a non-stable
+    // cdc source could hand the ledger different rows than the merge
+    // applied.
+    val latest = (ledgerDir match {
+      case None => latest0
+      case Some(dir) =>
+        val tombs = spark.read.parquet(dir.toString)
+        latest0.join(tombs.select(keys.map(col) :+ col("__tomb_seq"): _*), keys, "left")
+          .filter(col("__tomb_seq").isNull || col(sequenceBy) >= col("__tomb_seq"))
+          .drop("__tomb_seq")
+    }).persist()
 
-    val keyCond = keys.map(k => s"target.$k = source.$k").mkString(" AND ")
-    val newer = s"source.$sequenceBy >= target.$sequenceBy"
-    val cols = t.schemaAt().fieldNames.toSeq
+    try {
+      val keyCond = keys.map(k => s"target.$k = source.$k").mkString(" AND ")
+      val newer = s"source.$sequenceBy >= target.$sequenceBy"
+      val cols = t.schemaAt().fieldNames.toSeq
 
-    val matched = Seq(
-      deleteWhen.map(d => MergeOps.WhenMatched(
-        Some(s"($newer) AND (${qualifySource(d, latest.columns)})"), MergeOps.DeleteAction)),
-      Some(MergeOps.WhenMatched(Some(newer),
-        MergeOps.UpdateSet(cols.map(c => c -> s"source.$c").toMap)))).flatten
-    val notMatched = Seq(MergeOps.WhenNotMatched(
-      deleteWhen.map(d => s"NOT (${qualifySource(d, latest.columns)})"),
-      MergeOps.InsertValues(cols.map(c => c -> s"source.$c").toMap)))
+      val matched = Seq(
+        deleteWhen.map(d => MergeOps.WhenMatched(
+          Some(s"($newer) AND (${qualifySource(d, latest.columns)})"), MergeOps.DeleteAction)),
+        Some(MergeOps.WhenMatched(Some(newer),
+          MergeOps.UpdateSet(cols.map(c => c -> s"source.$c").toMap)))).flatten
+      val notMatched = Seq(MergeOps.WhenNotMatched(
+        deleteWhen.map(d => s"NOT (${qualifySource(d, latest.columns)})"),
+        MergeOps.InsertValues(cols.map(c => c -> s"source.$c").toMap)))
 
-    // deduped source + keyed target: multiple matches are impossible
-    val commit = MergeOps.mergeInto(t, latest, keyCond, matched, notMatched,
-      failOnMultipleMatches = false)
+      // deduped source + keyed target: multiple matches are impossible
+      val commit = MergeOps.mergeInto(t, latest, keyCond, matched, notMatched,
+        failOnMultipleMatches = false)
 
-    // ledger maintenance: every surviving event supersedes its key's old
-    // tombstone; surviving deletes write the new ones. Plain upsert-only
-    // tables (no deleteWhen, no ledger) skip all of this.
-    if (deleteWhen.isDefined || hasLedger) {
-      val survivorKeys = latest.select(keys.map(col): _*)
-      val kept =
-        if (!hasLedger) None
-        else Some(spark.read.parquet(tombDir.toString)
+      // ledger maintenance: every surviving event supersedes its key's old
+      // tombstone; surviving deletes write the new ones. Plain upsert-only
+      // tables (no deleteWhen, no ledger) skip all of this.
+      if (deleteWhen.isDefined || ledgerDir.isDefined) {
+        val survivorKeys = latest.select(keys.map(col): _*)
+        val kept = ledgerDir.map(dir => spark.read.parquet(dir.toString)
           .join(survivorKeys, keys, "left_anti"))
-      val fresh = deleteWhen.map(d => latest.filter(expr(d))
-        .select(keys.map(col) :+ col(sequenceBy).as("__tomb_seq"): _*))
-      val merged = (kept.toSeq ++ fresh.toSeq).reduceOption(_ unionByName _)
-      merged.foreach { m =>
-        // the new ledger reads the old one: materialize to a fresh dir,
-        // then swap (the sidecar is operational state, not a commit)
-        val tmp = java.nio.file.Paths.get(t.path,
-          s"_scd1_tombstones_tmp${java.util.UUID.randomUUID.toString.take(8)}")
-        m.write.mode("overwrite").parquet(tmp.toString)
-        GraftTable.deleteTree(tombDir)
-        java.nio.file.Files.move(tmp, tombDir)
+        val fresh = deleteWhen.map(d => latest.filter(expr(d))
+          .select(keys.map(col) :+ col(sequenceBy).as("__tomb_seq"): _*))
+        (kept.toSeq ++ fresh.toSeq).reduceOption(_ unionByName _)
+          .foreach(m => swapLedger(t, m))
       }
+      commit
+    } finally latest.unpersist()
+  }
+
+  // ---- SCD1 tombstone-ledger storage ------------------------------------
+  //
+  // CRASH-ATOMIC generation scheme: ledger data lives in immutable
+  // generation dirs `_scd1_tombstones_g<uuid>`; a single POINTER FILE
+  // `_scd1_tombstones_ptr` names the current generation, and the pointer
+  // is replaced with an atomic single-file move — so a crash at ANY point
+  // leaves either the old or the new generation current, never a missing
+  // ledger. (The previous write-tmp → deleteTree → move sequence had a
+  // window where a crash destroyed the ledger entirely, silently
+  // re-opening the delete-resurrect race the ledger exists to close —
+  // review finding.) Legacy `_scd1_tombstones/` dirs from older writers
+  // are still read; the first swap migrates them to the pointer scheme.
+  // Stale generations and tmp dirs are cleaned opportunistically AFTER a
+  // successful swap.
+
+  private val LedgerPtr = "_scd1_tombstones_ptr"
+  private val LegacyLedger = "_scd1_tombstones"
+
+  /** The current ledger dir, or None when the table has no ledger. */
+  private[tables] def currentLedgerDir(t: GraftTable): Option[java.nio.file.Path] = {
+    val ptr = java.nio.file.Paths.get(t.path, LedgerPtr)
+    if (java.nio.file.Files.isRegularFile(ptr)) {
+      val name = new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8").trim
+      val dir = java.nio.file.Paths.get(t.path, name)
+      if (java.nio.file.Files.isDirectory(dir)) Some(dir) else None
+    } else {
+      val legacy = java.nio.file.Paths.get(t.path, LegacyLedger)
+      if (java.nio.file.Files.isDirectory(legacy)) Some(legacy) else None
     }
-    commit
+  }
+
+  /** Write `m` as the new ledger generation and atomically repoint. */
+  private def swapLedger(t: GraftTable, m: DataFrame): Unit = {
+    val gen = s"${LegacyLedger}_g${java.util.UUID.randomUUID.toString.take(8)}"
+    m.write.mode("overwrite").parquet(
+      java.nio.file.Paths.get(t.path, gen).toString)
+    val ptr = java.nio.file.Paths.get(t.path, LedgerPtr)
+    val tmpPtr = java.nio.file.Paths.get(t.path, s"$LedgerPtr.tmp")
+    java.nio.file.Files.write(tmpPtr, gen.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmpPtr, ptr,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // post-swap cleanup: stale generations, tmp leftovers, legacy dir
+    val root = java.nio.file.Paths.get(t.path)
+    val s = java.nio.file.Files.list(root)
+    val stale =
+      try s.iterator()
+        .asScala.toList.filter { p =>
+          val n = p.getFileName.toString
+          (n.startsWith(s"${LegacyLedger}_g") && n != gen) ||
+            n.startsWith(s"${LegacyLedger}_tmp") || n == LegacyLedger
+        }
+      finally s.close()
+    stale.foreach(GraftTable.deleteTree)
   }
 
   /** DLT APPLY CHANGES INTO — STORED AS SCD TYPE 2

@@ -154,10 +154,17 @@ object BloomDedup {
     val bcast = s.sparkContext.broadcast(index)
     val might = udf((f: Long) => bcast.value.mightContain(f))
     val norm = (c: Column) => regexp_replace(lower(trim(c)), "\\s+", " ")
+    // PERSISTED: the sizing count below materializes this batch-bounded
+    // set into the cache, and the returned join plan reads the SAME
+    // cached rows — uncached, the scan + probe pipeline would run once
+    // for the count and again when the caller consumes the result. The
+    // cache is released by the ContextCleaner when the returned plan
+    // becomes unreachable (bounded: candidates ⊆ batch).
     val candidates = batch
       .select(col(idCol).as("b_id"), norm(col(textCol)).as("__bt"),
         fp(col(textCol)).as("__fp"))
       .filter(might(col("__fp")))
+      .persist()
     val corpusKeyed = corpus
       .select(col(idCol).as("c_id"), norm(col(textCol)).as("__ct"),
         fp(col(textCol)).as("__cfp"))

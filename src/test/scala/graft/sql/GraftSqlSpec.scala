@@ -247,4 +247,22 @@ class GraftSqlSpec extends SparkTestBase {
       .head().getLong(0) === 1L)
     assert(g.table("tt").read().count() === n1)
   }
+
+  test("TIMESTAMP AS OF inside a string literal is data, not a rewrite") {
+    val g = new GraftSql(spark, scratch("tslit"))
+    import spark.implicits._
+    g.createTable("o", Seq((1L, "x")).toDF("id", "v").schema)
+    g.table("o").append(Seq((1L, "x"), (2L, "o TIMESTAMP AS OF ")).toDF("id", "v"))
+    // a regex over the full text would match ACROSS the two literals
+    // here (capturing " AND id = " as the timestamp operand) and throw
+    val n = g.sql(
+      "SELECT count(*) FROM o WHERE v = 'o TIMESTAMP AS OF ' AND id = 2")
+      .head().getLong(0)
+    assert(n === 1L)
+    // and the real rewrite still fires right next to a literal predicate
+    val all = g.sql(
+      "SELECT count(*) FROM o TIMESTAMP AS OF '2099-01-01' WHERE v <> 'nope'")
+      .head().getLong(0)
+    assert(all === 2L)
+  }
 }

@@ -2,6 +2,10 @@ package graft.tables
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions.lit
+
 import graft.{SparkTestBase, Tables}
 
 /** Crash-shape recovery: the commit protocol (data files first, then one
@@ -64,6 +68,38 @@ class CrashRecoverySpec extends SparkTestBase {
     assert(t2.currentVersion === t.currentVersion)
     t2.append(customer.limit(5))
     assert(t2.read().count() === rows + 5)
+  }
+
+  test("SCD1 tombstone ledger survives a crash at any point of the swap") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
+    val t = GraftTable.create(spark, scratch("tombcrash"), schema)
+    val up = Seq((1L, "live", 1L)).toDF("id", "v", "seq").withColumn("op", lit("UPSERT"))
+    Scd.applyChangesScd1(t, up, Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"))
+    val del = Seq((1L, "x", 5L)).toDF("id", "v", "seq").withColumn("op", lit("DELETE"))
+    Scd.applyChangesScd1(t, del, Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"))
+    // simulate a writer that crashed mid-swap: an orphaned new generation
+    // dir + a leftover pointer tmp, with the pointer still on the old gen
+    val root = java.nio.file.Paths.get(t.path)
+    val orphan = root.resolve("_scd1_tombstones_gdeadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(root.resolve("_scd1_tombstones_ptr.tmp"),
+      "_scd1_tombstones_gdeadbeef".getBytes("UTF-8"))
+    // the ledger still rejects the pre-delete zombie (old gen is current)
+    val stale = Seq((1L, "zombie", 3L)).toDF("id", "v", "seq").withColumn("op", lit("UPSERT"))
+    Scd.applyChangesScd1(t, stale, Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"))
+    assert(t.read().isEmpty, "pre-delete upsert must not resurrect after crash debris")
+    // that apply performed a successful swap → debris is gone, exactly one
+    // generation + the pointer remain
+    val s = java.nio.file.Files.list(root)
+    val ledgers = try s.iterator().asScala.map(_.getFileName.toString).toList
+                      .filter(_.startsWith("_scd1_tombstones")) finally s.close()
+    assert(!ledgers.contains("_scd1_tombstones_gdeadbeef"), s"debris not cleaned: $ledgers")
+    assert(ledgers.count(_.matches("_scd1_tombstones_g[0-9a-f]+")) == 1, ledgers.toString)
+    assert(ledgers.contains("_scd1_tombstones_ptr"), ledgers.toString)
   }
 
   test("cold reopen after crash debris reconstructs the same snapshot") {
