@@ -221,8 +221,16 @@ class PlanAuditSpec extends SparkTestBase {
   test("frequent-items sketch partial-aggregates before the single-partition exchange") {
     // the MG summary must combine per partition (ObjectHashAggregate
     // partial) so only ≤capacity-entry maps cross the wire — raw words
-    // reaching the final aggregate would shuffle the whole corpus
-    val df = SparkEntry.queries("q228_freq_items")(spark, sf)
+    // reaching the final aggregate would shuffle the whole corpus.
+    // q228's gate now collects its audited rows (the returned plan is a
+    // LocalTableScan), so the audit drives the sketch aggregate the gate
+    // runs internally.
+    import graft.functions.MisraGries
+    val w = Tables.t(spark, sf, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val mg = org.apache.spark.sql.functions.udaf(new MisraGries(64))
+    val df = w.agg(mg(col("word")).as("summary"), count(lit(1)).as("n"))
     val p = finalPlan(df)
     assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
       s"MG summary must partial-aggregate map-side:\n$p")
