@@ -17,6 +17,22 @@ import graft.Tables
   */
 object ExtAnalyticsQueries extends QueryBatch {
 
+  /** q228's tokenize stream — shared with PlanAuditSpec so the
+    * partial-aggregation audit drives the SAME pipeline the gate runs
+    * (an inline copy in the test would silently drift). */
+  private[queries] def corpusWords(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+
+  /** q228's one-pass sketch + N aggregate over [[corpusWords]]. */
+  private[queries] def mgSketchAgg(
+      w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(64))
+    w.agg(mg(col("word")).as("summary"), count(lit(1)).as("n"))
+  }
+
   private def ev(s: SparkSession, dir: String) = Tables.t(s, dir, "events")
 
   /** As-of join: for each click, the latest purchase of the same user at or
@@ -176,13 +192,10 @@ object ExtAnalyticsQueries extends QueryBatch {
     "q228_freq_items",
     (s, dir) => {
       import s.implicits._
-      val w = Tables.t(s, dir, "documents")
-        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-        .filter(length(col("word")) > 0)
-      val mg = udaf(new graft.functions.MisraGries(64))
+      val w = corpusWords(s, dir)
       // ONE tokenize pass yields both the sketch and N (the audit bound);
       // the ≤capacity candidate set rides to the driver inside the row
-      val row = w.agg(mg(col("word")).as("summary"), count(lit(1)).as("n")).head()
+      val row = mgSketchAgg(w).head()
       val cand = row.getMap[String, Long](0).keys.toSeq
       val n = row.getLong(1)
       // recount pass: exact counts for the bounded candidate set only
@@ -196,6 +209,8 @@ object ExtAnalyticsQueries extends QueryBatch {
       // guarantee audit: every word above N/(capacity+1) is provably a
       // candidate, so the exact top-10 is safe iff the 10th recounted
       // count clears that bound on THIS corpus
+      require(top.nonEmpty,
+        "MG top-k audit needs a non-empty corpus (no words after tokenize)")
       val bound = n / 65.0
       val kth = top.map(_._2).min
       require(kth > bound,

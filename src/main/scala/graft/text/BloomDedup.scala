@@ -136,12 +136,11 @@ object BloomDedup {
     * heavy ingest batch that is 50% dups carries half the batch's
     * normalized text through the filter. The broadcast fast path
     * (corpus side stays a shuffle-free scan) is therefore gated on the
-    * measured candidate count; above `broadcastMaxCandidates` the
-    * verify falls back to a shuffle hash join keyed on (fp, text) —
-    * both sides partition on the fingerprint, so the corpus shuffles
-    * once but nothing is driver- or broadcast-bounded. The sizing count
-    * is one extra pass over the batch (scan + filter, no shuffle) —
-    * cheap next to a mis-sized broadcast.
+    * BATCH count — the cheap safe upper bound on candidates; above
+    * `broadcastMaxCandidates` the verify falls back to a shuffle hash
+    * join keyed on (fp, text) — both sides partition on the
+    * fingerprint, so the corpus shuffles once but nothing is driver- or
+    * broadcast-bounded.
     *
     * The membership probe is a scala UDF over the broadcast shard map —
     * a bitmap lookup Spark exposes no column function for; its input is
@@ -154,22 +153,24 @@ object BloomDedup {
     val bcast = s.sparkContext.broadcast(index)
     val might = udf((f: Long) => bcast.value.mightContain(f))
     val norm = (c: Column) => regexp_replace(lower(trim(c)), "\\s+", " ")
-    // PERSISTED: the sizing count below materializes this batch-bounded
-    // set into the cache, and the returned join plan reads the SAME
-    // cached rows — uncached, the scan + probe pipeline would run once
-    // for the count and again when the caller consumes the result. The
-    // cache is released by the ContextCleaner when the returned plan
-    // becomes unreachable (bounded: candidates ⊆ batch).
     val candidates = batch
       .select(col(idCol).as("b_id"), norm(col(textCol)).as("__bt"),
         fp(col(textCol)).as("__fp"))
       .filter(might(col("__fp")))
-      .persist()
     val corpusKeyed = corpus
       .select(col(idCol).as("c_id"), norm(col(textCol)).as("__ct"),
         fp(col(textCol)).as("__cfp"))
     val cond = col("__cfp") === col("__fp") && col("__ct") === col("__bt")
-    val nCand = candidates.count()
+    // size the join on the BATCH count — a cheap upper bound on the
+    // candidate count (candidates ⊆ batch), so the broadcast gate stays
+    // safe without materializing the probe pipeline for a sizing pass.
+    // (An exact candidate count would need either a second probe run or
+    // a persist the caller can never release — Spark's CacheManager
+    // pins cached plans until explicit unpersist, and the returned plan
+    // still references the cache.) Conservative: a huge batch with few
+    // candidates takes the shuffle path, where a small join is cheap
+    // anyway.
+    val nCand = batch.count()
     val verified =
       if (nCand <= broadcastMaxCandidates)
         corpusKeyed.join(broadcast(candidates), cond)

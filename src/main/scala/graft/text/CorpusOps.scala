@@ -330,14 +330,19 @@ object CorpusOps {
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
       domainCol: String = "lang", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // presence is tracked by an explicit marker, NOT fingerprint
+    // nullness — sha2(NULL) is NULL, so a NULL-text document would
+    // otherwise misclassify as added/removed while present on both
+    // sides; fingerprints compare null-safe for the same reason
     def keyed(df: DataFrame, side: String) = df.select(
       col(idCol),
       col(domainCol).as(s"__dom_$side"),
-      TextOps.fingerprint(col(textCol)).as(s"__fp_$side"))
+      TextOps.fingerprint(col(textCol)).as(s"__fp_$side"),
+      lit(true).as(s"__in_$side"))
     val j = keyed(oldDocs, "old").join(keyed(newDocs, "new"), Seq(idCol), "full_outer")
-    val cls = when(col("__fp_old").isNull, "added")
-      .when(col("__fp_new").isNull, "removed")
-      .when(col("__fp_old") === col("__fp_new"), "unchanged")
+    val cls = when(col("__in_old").isNull, "added")
+      .when(col("__in_new").isNull, "removed")
+      .when(col("__fp_old") <=> col("__fp_new"), "unchanged")
       .otherwise("changed")
     j.select(coalesce(col("__dom_new"), col("__dom_old")).as(domainCol),
         cls.as("__cls"))

@@ -41,11 +41,12 @@ object ProfVecIngest {
             // the call would charge the similarity join to append
             val losers = AnnIndex.probePairs(idx, b, 0.95, 2)
               .select(col("id1").as("vec_id")).distinct().persist()
-            val (_, tp) = tm(losers.count())
-            val (_, ta) = tm(AnnIndex.append(idx,
-              b.join(losers, Seq("vec_id"), "left_anti")))
-            losers.unpersist()
-            tProbe += tp; tAppend += ta
+            try {
+              val (_, tp) = tm(losers.count())
+              val (_, ta) = tm(AnnIndex.append(idx,
+                b.join(losers, Seq("vec_id"), "left_anti")))
+              tProbe += tp; tAppend += ta
+            } finally losers.unpersist()
             ()
           }.start()
         q.awaitTermination()

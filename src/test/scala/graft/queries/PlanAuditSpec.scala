@@ -222,15 +222,12 @@ class PlanAuditSpec extends SparkTestBase {
     // the MG summary must combine per partition (ObjectHashAggregate
     // partial) so only ≤capacity-entry maps cross the wire — raw words
     // reaching the final aggregate would shuffle the whole corpus.
-    // q228's gate now collects its audited rows (the returned plan is a
-    // LocalTableScan), so the audit drives the sketch aggregate the gate
-    // runs internally.
-    import graft.functions.MisraGries
-    val w = Tables.t(spark, sf, "documents")
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-      .filter(length(col("word")) > 0)
-    val mg = org.apache.spark.sql.functions.udaf(new MisraGries(64))
-    val df = w.agg(mg(col("word")).as("summary"), count(lit(1)).as("n"))
+    // q228's gate collects its audited rows (the returned plan is a
+    // LocalTableScan), so the audit drives the gate's OWN internal
+    // aggregate via the shared builders — not an inline copy that could
+    // drift from the production pipeline.
+    val df = ExtAnalyticsQueries.mgSketchAgg(
+      ExtAnalyticsQueries.corpusWords(spark, sf))
     val p = finalPlan(df)
     assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
       s"MG summary must partial-aggregate map-side:\n$p")

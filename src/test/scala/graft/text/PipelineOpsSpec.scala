@@ -70,6 +70,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(shares - 1.0) < 1e-3, s"shares must sum to ~1, got $shares")
   }
 
+  // ---- corpusDiff ----
+
+  test("corpusDiff: NULL text is presence, not absence") {
+    val old = Seq((1L, null: String, "en"), (2L, "x", "en"), (3L, "y", "en"))
+      .toDF("doc_id", "text", "lang")
+    val niu = Seq((1L, null: String, "en"), (2L, null: String, "en"), (4L, "z", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = CorpusOps.corpusDiff(old, niu).head()
+    // 1: NULL→NULL = unchanged (present both sides); 2: "x"→NULL = changed;
+    // 3: removed; 4: added — fingerprint nullness must not fake absence
+    assert(r.getAs[Long]("n_unchanged") == 1, r.toString)
+    assert(r.getAs[Long]("n_changed") == 1, r.toString)
+    assert(r.getAs[Long]("n_removed") == 1, r.toString)
+    assert(r.getAs[Long]("n_added") == 1, r.toString)
+  }
+
   // ---- winsorize ----
 
   test("winsorize: bounds clamp exactly the tails and clipped mean moves inward") {
