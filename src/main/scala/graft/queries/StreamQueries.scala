@@ -274,7 +274,7 @@ object StreamQueries extends QueryBatch {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
-      p.run()
+      p.run(); p.release() // the gate reads the EVENT LOG, not the flows
       val g = new graft.sql.GraftSql(s, scratch("q97sql"))
       g.register("pipeline_events", GraftTable.load(s, logPath))
       g.sql("""SELECT
@@ -483,7 +483,7 @@ object StreamQueries extends QueryBatch {
       p.table("lang_counts", deps = Seq("bronze_docs")) { live =>
         live("bronze_docs").groupBy("lang").agg(count(lit(1)).as("n"))
       }
-      p.run()
+      p.run(); p.release() // the gate reads the EVENT LOG, not the flows
       val g = new graft.sql.GraftSql(s, scratch("q203sql"))
       g.register("pipeline_events", GraftTable.load(s, logPath))
       g.sql("""SELECT

@@ -46,6 +46,8 @@ final class Pipeline(spark: SparkSession, eventLogPath: Option[String] = None) {
 
   /** Topologically resolve and run every flow; returns materialized
     * datasets by name. */
+  private val cachedFlows = mutable.Buffer[DataFrame]()
+
   def run(): Map[String, DataFrame] = {
     val done = mutable.LinkedHashMap[String, DataFrame]()
     val visiting = mutable.Set[String]()
@@ -68,6 +70,7 @@ final class Pipeline(spark: SparkSession, eventLogPath: Option[String] = None) {
           }.toMap, row.getLong(f.expectations.size))
         }
       val cached = out.persist()
+      cachedFlows += cached
       // capture the flow's physical plan for the event log (the reference
       // pipeline logs the Spark plan per flow, LOANS/03-Log-Analysis
       // .sql:59-70 — the first thing a user reads when a flow is slow)
@@ -82,6 +85,18 @@ final class Pipeline(spark: SparkSession, eventLogPath: Option[String] = None) {
     flows.keys.foreach(visit)
     persistEventLog()
     done.toMap
+  }
+
+  /** Release the run's per-flow caches. `run()` persists each flow's
+    * output so downstream flows read it once (the DAG-materialization
+    * semantics), but Spark's CacheManager pins those plans until an
+    * explicit unpersist — a service running many pipelines would
+    * accumulate them. Call after the run's outputs are consumed;
+    * un-released caches survive only for the Pipeline's lifetime by
+    * design (flows are recomputed if read after release). */
+  def release(): Unit = {
+    cachedFlows.foreach(_.unpersist())
+    cachedFlows.clear()
   }
 
   /** Write the run's events to the event-log table (DLT event_log shape:
