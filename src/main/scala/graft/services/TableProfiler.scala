@@ -81,6 +81,27 @@ object TableProfiler {
       (col("n_rows") >= largeTableRows && col("partition_columns") === "")
         .as("consider_clustering"))
 
+  /** Release manifest: one row per LIVE data file — relative path, bytes,
+    * parquet row count (footer read, no data scan), md5 of the file bytes
+    * — the reproducibility artifact a dataset release ships so a consumer
+    * can verify their copy file-by-file (and a DR restore can detect
+    * partial copies). Bounded by file count; checksums stream the file
+    * once each. */
+  def manifest(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.load(spark, path)
+    val base = Paths.get(path)
+    val files = t.filesAt() // absolute
+    val rows = graft.tables.FileStats.harvestWithRows(spark, files)
+    files.map { f =>
+      val p = Paths.get(f)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      (base.relativize(p).toString, Files.size(p),
+        rows.get(f).map(_._1).getOrElse(-1L), digest)
+    }.sortBy(_._1).toDF("file", "bytes", "n_rows", "md5")
+  }
+
   /** DR helper: external-table DDL over the table's data location
     * (schema from the live version, Spark DDL rendering; recursive
     * lookup because commits write under per-commit subdirs). CAVEAT —
