@@ -95,11 +95,23 @@ object TableProfiler {
     val rows = graft.tables.FileStats.harvestWithRows(spark, files)
     files.map { f =>
       val p = Paths.get(f)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val digest = md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
       (base.relativize(p).toString, Files.size(p),
-        rows.get(f).map(_._1).getOrElse(-1L), digest)
+        rows.get(f).map(_._1).getOrElse(-1L), md5Stream(p))
     }.sortBy(_._1).toDF("file", "bytes", "n_rows", "md5")
+  }
+
+  /** MD5 of a file through a fixed 64 KiB buffer — constant heap per file
+    * regardless of file size (a multi-GB data file must not be
+    * `readAllBytes`'d into driver heap just to checksum it). */
+  private def md5Stream(p: java.nio.file.Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** DR helper: external-table DDL over the table's data location
@@ -111,7 +123,10 @@ object TableProfiler {
     * source of truth for a versioned read. */
   def externalDdl(spark: SparkSession, name: String, path: String): String = {
     val t = GraftTable.load(spark, path)
+    // SQL-escape the interpolated path: a quote in a filesystem path must
+    // not break (or inject into) the emitted DDL.
+    val escaped = s"$path/data".replace("'", "''")
     s"CREATE TABLE $name (${t.schemaAt().toDDL}) USING PARQUET " +
-      s"OPTIONS (path '$path/data', recursiveFileLookup 'true')"
+      s"OPTIONS (path '$escaped', recursiveFileLookup 'true')"
   }
 }

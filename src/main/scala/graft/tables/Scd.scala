@@ -262,7 +262,17 @@ object Scd {
     if (java.nio.file.Files.isRegularFile(ptr)) {
       val name = new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8").trim
       val dir = java.nio.file.Paths.get(t.path, name)
-      if (java.nio.file.Files.isDirectory(dir)) Some(dir) else None
+      // A pointer naming a MISSING generation is corruption, not "no
+      // ledger": returning None here would silently drop tombstone
+      // protection and re-open the delete-resurrect race the ledger
+      // exists to close. Fail loudly; fall back to legacy only when the
+      // pointer file itself is absent.
+      if (!java.nio.file.Files.isDirectory(dir))
+        throw new IllegalStateException(
+          s"SCD1 tombstone-ledger pointer ${ptr} names missing generation " +
+            s"'$name' — ledger storage is corrupt; restore the generation " +
+            "dir or remove the pointer to rebuild from scratch")
+      Some(dir)
     } else {
       val legacy = java.nio.file.Paths.get(t.path, LegacyLedger)
       if (java.nio.file.Files.isDirectory(legacy)) Some(legacy) else None
@@ -288,7 +298,8 @@ object Scd {
         .asScala.toList.filter { p =>
           val n = p.getFileName.toString
           (n.startsWith(s"${LegacyLedger}_g") && n != gen) ||
-            n.startsWith(s"${LegacyLedger}_tmp") || n == LegacyLedger
+            n.startsWith(s"${LegacyLedger}_tmp") || n == LegacyLedger ||
+            n == s"$LedgerPtr.tmp" // crash between ptr write and move
         }
       finally s.close()
     stale.foreach(GraftTable.deleteTree)

@@ -42,6 +42,10 @@ object BloomDedup {
 
   private val FppProp = "graft.bloom.fpp"
   private val ShardsProp = "graft.bloom.shards"
+  /** Per-shard expectedItems each persisted filter was SIZED for — the
+    * denominator of the saturation ratio, and the create() parameter that
+    * makes append-time partial filters bit-compatible for OR-merge. */
+  private val CapacityProp = "graft.bloom.capacity"
 
   /** The reopened sharded index: filters keyed by `fp % shards`. */
   final case class BloomIndex(shards: Int, filters: Map[Int, BloomFilter]) {
@@ -97,18 +101,107 @@ object BloomDedup {
     val fps = corpus.select(fp(col(textCol)).as("fp"))
     val n = fps.count()
     val perShard = math.max(n / shards, 1L) * 2 // uniform xxhash64 + slack
+    val t = GraftTable.create(s, path, indexSchema,
+      Map(FppProp -> fpp.toString, ShardsProp -> shards.toString,
+        CapacityProp -> perShard.toString))
+    t.append(shardRows(fps, shards, perShard, fpp), "BLOOM INDEX BUILD")
+    t
+  }
+
+  private val indexSchema = StructType(Seq(
+    StructField("shard", IntegerType), StructField("filter", BinaryType),
+    StructField("items", LongType)))
+
+  /** The keyed executor-side shard build: (shard, filter, items) rows. */
+  private def shardRows(fps: DataFrame, shards: Int, perShard: Long,
+      fpp: Double): DataFrame = {
     val agg = udaf(new BloomAgg(perShard, fpp))
-    val rows = fps
+    fps
       .withColumn("shard", pmod(col("fp"), lit(shards.toLong)).cast("int"))
       .groupBy("shard")
       .agg(agg(col("fp")).as("filter"), count(lit(1)).as("items"))
-    val schema = StructType(Seq(
-      StructField("shard", IntegerType), StructField("filter", BinaryType),
-      StructField("items", LongType)))
-    val t = GraftTable.create(s, path, schema,
-      Map(FppProp -> fpp.toString, ShardsProp -> shards.toString))
-    t.append(rows.select("shard", "filter", "items"), "BLOOM INDEX BUILD")
-    t
+      .select("shard", "filter", "items")
+  }
+
+  // ---- saturation tracking + rebuild ------------------------------------
+  //
+  // A Bloom filter's fpp guarantee holds only up to the expectedItems it
+  // was SIZED for; append past capacity and the bit array saturates — the
+  // filter stays CORRECT (no false negatives, so dedupBatch's exact
+  // verify keeps the output exact) but the false-positive rate degrades,
+  // pushing ever more of each batch through the verify join. The index
+  // therefore tracks items-vs-capacity and rebuilds (re-sized from the
+  // live corpus) once any shard crosses the threshold — the same
+  // build-once / maintain-incrementally / compact-on-trigger lifecycle as
+  // DedupIndex's ingest-loop compaction.
+
+  /** Incremental append: merge `docs`' fingerprints into the persisted
+    * shard filters. New partial filters are built executor-side with the
+    * index's ORIGINAL per-shard capacity + fpp — BloomFilter.create is
+    * deterministic in (expectedItems, fpp), so bit arrays stay
+    * OR-merge-compatible with the persisted ones. The merge itself is
+    * shard-cardinality work (≤ `shards` rows on each side — the same
+    * bounded working set [[load]] collects), then one overwrite commit. */
+  def append(t: GraftTable, docs: DataFrame, textCol: String = "text"): Unit = {
+    val s = docs.sparkSession
+    val props = t.properties
+    val shards = props(ShardsProp).toInt
+    val fpp = props(FppProp).toDouble
+    val capacity = props.getOrElse(CapacityProp, "1").toLong
+    val fps = docs.select(fp(col(textCol)).as("fp"))
+    val fresh = shardRows(fps, shards, capacity, fpp)
+      .collect().map(r => r.getInt(0) -> (r.getAs[Array[Byte]](1), r.getLong(2)))
+      .toMap
+    if (fresh.isEmpty) return
+    val existing = t.read().select("shard", "filter", "items")
+      .collect().map(r => r.getInt(0) -> (r.getAs[Array[Byte]](1), r.getLong(2)))
+      .toMap
+    val merged = (existing.keySet ++ fresh.keySet).toSeq.sorted.map { sh =>
+      (existing.get(sh), fresh.get(sh)) match {
+        case (Some((eb, en)), Some((fb, fn))) =>
+          val e = BloomFilter.readFrom(new java.io.ByteArrayInputStream(eb))
+          val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(fb))
+          e.mergeInPlace(f)
+          val bos = new java.io.ByteArrayOutputStream()
+          e.writeTo(bos)
+          (sh, bos.toByteArray, en + fn)
+        case (Some((eb, en)), None) => (sh, eb, en)
+        case (None, Some((fb, fn))) => (sh, fb, fn)
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }
+    import s.implicits._
+    t.overwrite(merged.toDF("shard", "filter", "items"), "BLOOM INDEX APPEND")
+  }
+
+  /** Saturation ratio: max over shards of items / sized-for capacity.
+    * > 1.0 means at least one shard holds more items than its filter was
+    * sized for and its effective fpp now exceeds the configured one. */
+  def saturation(t: GraftTable): Double = {
+    val capacity = math.max(t.properties.getOrElse(CapacityProp, "1").toLong, 1L)
+    val row = t.read().agg(max(col("items"))).head()
+    if (row.isNullAt(0)) 0.0 else row.getLong(0).toDouble / capacity
+  }
+
+  /** Rebuild trigger: when [[saturation]] exceeds `threshold`, rebuild
+    * every shard filter from the live corpus, re-sized (same ×2 slack
+    * rule as [[build]]) so the configured fpp holds again, and update the
+    * capacity property. Probe results are unchanged by construction —
+    * dedupBatch verifies exactly — the rebuild restores the fpp that
+    * keeps the verify join batch-bounded-tight. Returns true iff a
+    * rebuild ran. */
+  def rebuildIfSaturated(t: GraftTable, corpus: DataFrame,
+      textCol: String = "text", threshold: Double = 1.0): Boolean = {
+    if (saturation(t) <= threshold) return false
+    val props = t.properties
+    val shards = props(ShardsProp).toInt
+    val fpp = props(FppProp).toDouble
+    val fps = corpus.select(fp(col(textCol)).as("fp"))
+    val n = fps.count()
+    val perShard = math.max(n / shards, 1L) * 2
+    t.overwrite(shardRows(fps, shards, perShard, fpp), "BLOOM INDEX REBUILD")
+    t.setProperties(Map(CapacityProp -> perShard.toString))
+    true
   }
 
   /** Reopen a persisted sharded index (collect is `shards` rows, each

@@ -113,28 +113,58 @@ object CorpusOps {
     * The corpus-size work is the map-side-combined word count, computed
     * ONCE; everything after operates on the *vocabulary* (bounded by
     * distinct types, ~1e6-1e8 at web scale — metadata next to a 100 TB
-    * corpus), so the single-partition rank window never sees corpus-scale
-    * data. The grand total rides the same window pass (an unordered
-    * whole-frame sum over the already-collapsed vocabulary) instead of a
-    * second scan of the corpus.
+    * corpus). Even so, the rank + cumulative sum do NOT run as one global
+    * window (a single-partition exchange over the vocabulary would
+    * serialize the 1e8-type end of that range through one task): the
+    * collapsed vocab is RANGE-BUCKETED on the sort key
+    * `(n desc, word)`, in-bucket windows rank and prefix-sum in parallel,
+    * and the cross-bucket correction is a per-bucket (count, token-sum)
+    * total — shuffle-partition-cardinality driver metadata turned into
+    * exclusive offsets, the [[packSequences]] two-phase prefix-sum idiom.
+    * The grand total is the sum of the same per-bucket totals, so no
+    * second corpus or vocab scan.
     */
   def vocabCoverage(docs: DataFrame, textCol: String = "text",
       topK: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val counts = docs
       .select(explode(TextOps.words(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
-    val byFreq = Window.orderBy(col("n").desc, col("word"))
-    val whole = Window.partitionBy()
-    counts
-      .withColumn("rank", row_number().over(byFreq))
+    // range partitions come out ordered along the sort key, so
+    // spark_partition_id() IS the bucket rank; (n, word) pairs are
+    // distinct (words are grouped), so bucket boundaries cannot split a
+    // sort key and in-bucket rank + offset = exact global rank.
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    val bucketed = counts
+      .repartitionByRange(nBuckets, col("n").desc, col("word"))
+      .withColumn("__b", spark_partition_id())
+    val inBucket = Window.partitionBy("__b").orderBy(col("n").desc, col("word"))
+    val ranked = bucketed
+      .withColumn("__r", row_number().over(inBucket))
       .withColumn("__cum", sum("n").over(
-        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__tot", sum("n").over(whole).cast("double"))
+        inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = bucketed.groupBy("__b")
+      .agg(count(lit(1)).as("__cnt"), sum("n").as("__sum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (totals.isEmpty)
+      return counts.select(col("word"), col("n"),
+        lit(0).as("rank"), lit(0.0).as("cum_share")).filter(lit(false))
+    val grand = totals.map(_._3).sum.toDouble
+    val offsets = totals.scanLeft((0, 0L, 0L)) {
+      case ((_, rAcc, sAcc), (b, cnt, s)) => (b, rAcc + cnt, sAcc + s)
+    }.dropRight(1).zip(totals).map { case ((_, rOff, sOff), (b, _, _)) =>
+      (b, rOff, sOff)
+    }
+    val offDf = broadcast(offsets.toSeq.toDF("__b", "__roff", "__soff"))
+    ranked.join(offDf, Seq("__b"))
+      .withColumn("rank", (col("__r") + col("__roff")).cast("int"))
       .filter(col("rank") <= topK)
-      .select(col("word"), col("n"),
-        col("rank"),
-        round(col("__cum") / col("__tot") + lit(1e-9), 6).as("cum_share"))
+      .select(col("word"), col("n"), col("rank"),
+        round((col("__cum") + col("__soff")) / lit(grand) + lit(1e-9), 6)
+          .as("cum_share"))
   }
 
   /** Token-budget mixture materialization — the step that turns mixture

@@ -52,14 +52,20 @@ object Mmr {
     // filter precedes the order+limit so the plan stays a single scan +
     // TakeOrderedAndProject.
     val vn = VectorOps.norm(col(vecCol))
-    val cand: Array[(Long, Double, Array[Double])] = emb
+    // id stays TYPE-GENERIC (numeric, string, …): collected as-is, carried
+    // through to an output schema built from the input id field — casting
+    // to long here would NPE on string/null ids (review finding). The
+    // orderBy uses the column's native ordering, so numeric ids keep the
+    // exact pre-generic candidate order.
+    val idField = emb.schema(idCol)
+    val cand: Array[(Any, Double, Array[Double])] = emb
       .filter(vn > 0)
-      .select(col(idCol).cast("long").as("id"),
+      .select(col(idCol).as("id"),
         round(VectorOps.cosine(col(vecCol), q) + lit(1e-9), 4).as("sim"),
         VectorOps.normalized(col(vecCol)).as("v"))
       .orderBy(col("sim").desc, col("id")).limit(nCand)
       .collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+      .map(r => (r.get(0), r.getDouble(1), r.getSeq[Double](2).toArray))
 
     // pairwise sim of unit vectors = sequential dot, same rounding contract
     def pairSim(a: Array[Double], b: Array[Double]): Double = {
@@ -68,7 +74,22 @@ object Mmr {
       r4(s)
     }
 
-    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    // deterministic tie-break on the RUNTIME id value: exact (BigDecimal)
+    // for numerics — identical to the old `cast("long")` ordering — and
+    // lexicographic for strings; nulls (admissible in a generic id) sort
+    // last so a keyed row always beats an unkeyed one.
+    val idOrd: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _) => 1
+        case (_, null) => -1
+        case (x: java.lang.Number, y: java.lang.Number) =>
+          BigDecimal(x.toString).compare(BigDecimal(y.toString))
+        case (x, y) => x.toString.compareTo(y.toString)
+      }
+    }
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Double, Double)]
     val selectedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val remaining = scala.collection.mutable.ArrayBuffer(cand.toIndexedSeq: _*)
     while (selected.size < k && remaining.nonEmpty) {
@@ -77,13 +98,25 @@ object Mmr {
                   else selectedVecs.map(pairSim(v, _)).max
         (c, r4(lambda * sim - (1 - lambda) * red))
       }
-      val (pick, mmr) = scored.minBy { case ((id, _, _), m) => (-m, id) }
+      val (pick, mmr) = scored.minBy { case ((id, _, _), m) => (-m, id) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, idOrd))
       selected += ((selected.size + 1, pick._1, pick._2, mmr))
       selectedVecs += pick._3
       remaining -= pick
     }
 
-    import spark.implicits._
-    selected.toSeq.toDF("rank", idCol, "sim", "mmr")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      idField.copy(name = idCol),
+      org.apache.spark.sql.types.StructField("sim",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("mmr",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val rows = selected.toSeq.map { case (rk, id, sim, m) =>
+      org.apache.spark.sql.Row(rk, id, sim, m)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 }

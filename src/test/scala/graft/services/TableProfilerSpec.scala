@@ -75,4 +75,20 @@ class TableProfilerSpec extends SparkTestBase {
       assert(spark.table("prof_ext").count() >= 5)
     } finally spark.sql("DROP TABLE IF EXISTS prof_ext")
   }
+
+  test("external DDL escapes a quote in the table path") {
+    // a path containing a single quote must produce parseable,
+    // non-injectable DDL (review finding: raw interpolation into the
+    // quoted OPTIONS value)
+    val root = scratch("profquote")
+    val dir = s"$root/o'brien"
+    GraftTable.createFrom(spark, dir,
+      Tables.t(spark, sf, "region").coalesce(1))
+    val ddl = TableProfiler.externalDdl(spark, "prof_q", dir)
+    assert(ddl.contains("o''brien"), ddl)
+    spark.sql("DROP TABLE IF EXISTS prof_q")
+    spark.sql(ddl) // must parse
+    try assert(spark.table("prof_q").count() >= 5)
+    finally spark.sql("DROP TABLE IF EXISTS prof_q")
+  }
 }

@@ -100,6 +100,33 @@ class CrashRecoverySpec extends SparkTestBase {
     assert(!ledgers.contains("_scd1_tombstones_gdeadbeef"), s"debris not cleaned: $ledgers")
     assert(ledgers.count(_.matches("_scd1_tombstones_g[0-9a-f]+")) == 1, ledgers.toString)
     assert(ledgers.contains("_scd1_tombstones_ptr"), ledgers.toString)
+    // the leftover pointer tmp from the crashed writer is swept too — a
+    // lingering ptr.tmp is exactly the debris a later crash could move
+    // over the live pointer
+    assert(!ledgers.contains("_scd1_tombstones_ptr.tmp"), ledgers.toString)
+  }
+
+  test("ledger pointer naming a missing generation fails loudly") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
+    val t = GraftTable.create(spark, scratch("tombcorrupt"), schema)
+    val del = Seq((1L, "x", 5L)).toDF("id", "v", "seq").withColumn("op", lit("DELETE"))
+    Scd.applyChangesScd1(t, del, Seq("id"), "seq", deleteWhen = Some("op = 'DELETE'"))
+    // corrupt the storage: point at a generation that does not exist —
+    // treating this as "no ledger" would silently drop tombstone
+    // protection and let a pre-delete zombie resurrect
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t.path, "_scd1_tombstones_ptr"),
+      "_scd1_tombstones_gmissing".getBytes("UTF-8"))
+    val stale = Seq((1L, "zombie", 3L)).toDF("id", "v", "seq").withColumn("op", lit("UPSERT"))
+    val e = intercept[IllegalStateException] {
+      Scd.applyChangesScd1(t, stale, Seq("id"), "seq",
+        deleteWhen = Some("op = 'DELETE'"))
+    }
+    assert(e.getMessage.contains("missing generation"), e.getMessage)
   }
 
   test("cold reopen after crash debris reconstructs the same snapshot") {

@@ -81,6 +81,54 @@ class BloomDedupSpec extends SparkTestBase {
     assert(viaShuffle.forall(_.getLong(0) < 900000))
   }
 
+  test("append merges into shard filters; saturation tracks items vs capacity") {
+    val path = scratch("bloomapp")
+    val half = corpus.filter(col("doc_id") % 2 === 0)
+    val rest = corpus.filter(col("doc_id") % 2 =!= 0)
+    val t = BloomDedup.build(half, path, shards = 4)
+    val s0 = BloomDedup.saturation(t)
+    assert(s0 > 0 && s0 <= 1.0, s"fresh index must be under capacity, got $s0")
+    BloomDedup.append(t, rest)
+    // no false negatives after the merge: every corpus member still hits
+    val idx = BloomDedup.load(t)
+    corpus.select(BloomDedup.fp(col("text")).as("f")).collect()
+      .foreach(r => assert(idx.mightContain(r.getLong(0)),
+        "append lost a member"))
+    // items accounting: shard items now cover the whole corpus
+    val items = t.read().agg(sum(col("items"))).head().getLong(0)
+    assert(items === corpus.count())
+    assert(BloomDedup.saturation(t) >= s0)
+  }
+
+  test("saturated index rebuilds; probe results unchanged; fpp restored") {
+    val path = scratch("bloomsat")
+    // size the index for a twentieth of the corpus, then append the rest:
+    // every shard ends up far past its sized-for capacity
+    val seed = corpus.filter(col("doc_id") % 20 === 0)
+    val t = BloomDedup.build(seed, path, shards = 4)
+    BloomDedup.append(t, corpus.filter(col("doc_id") % 20 =!= 0))
+    assert(BloomDedup.saturation(t) > 1.0, "index should be saturated")
+
+    val batch = corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+      .unionAll(corpus.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" xx novel xx")).as("text")))
+    val before = BloomDedup.dedupBatch(BloomDedup.load(t), corpus, batch)
+      .orderBy("b_id", "c_id").collect().toSeq
+
+    assert(BloomDedup.rebuildIfSaturated(t, corpus))
+    assert(BloomDedup.saturation(t) <= 1.0,
+      "rebuild must restore items <= capacity")
+    // idempotent: a healthy index does not rebuild again
+    assert(!BloomDedup.rebuildIfSaturated(t, corpus))
+
+    val after = BloomDedup.dedupBatch(BloomDedup.load(t), corpus, batch)
+      .orderBy("b_id", "c_id").collect().toSeq
+    assert(after === before, "rebuild changed probe results")
+    assert(after.nonEmpty)
+  }
+
   test("bloom prefilter rejects most non-members") {
     val bf = BloomDedup.buildFilter(corpus, fpp = 0.01)
     // 1000 fingerprints that are not in the corpus: at 1% fpp the

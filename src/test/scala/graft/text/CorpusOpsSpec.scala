@@ -77,6 +77,41 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(math.abs(got(2)._4 - 10.0 / 11) < 1e-4)
   }
 
+  test("vocabCoverage: no single-partition exchange over the vocabulary") {
+    // the rank + cumulative sum must run as in-bucket windows over a
+    // range partitioning, never as one global window (which would pull
+    // the whole vocabulary — 1e8 types at web scale — through one task)
+    val docs = Seq((1L, "a a b c d e f g h i j k"), (2L, "a b c z y x"))
+      .toDF("doc_id", "text")
+    val plan = CorpusOps.vocabCoverage(docs, "text", topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("REPARTITION"),
+      s"expected a range-bucketed vocab, got:\n$plan")
+    assert(!plan.toLowerCase.contains("singlepartition"),
+      s"single-partition exchange over the vocabulary:\n$plan")
+  }
+
+  test("vocabCoverage: rank and cum_share exact across bucket boundaries") {
+    // many distinct types + a tiny shuffle width force multi-row buckets
+    // so the cross-bucket offsets are actually exercised
+    val words = (1 to 200).map(i => s"w$i")
+    // word wI appears (201-i) times → rank i is wI, strictly decreasing n
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(201 - (i + 1))(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = CorpusOps.vocabCoverage(docs, "text", topK = 200)
+      .orderBy("rank").as[(String, Long, Int, Double)].collect().toSeq
+    assert(got.map(_._3) == (1 to 200))
+    assert(got.map(_._1) == words)
+    val total = (1 to 200).map(i => 201 - i).sum.toDouble
+    var cum = 0L
+    got.foreach { case (_, n, rank, share) =>
+      cum += n
+      assert(math.abs(share - cum / total) < 1e-4,
+        s"cum_share wrong at rank $rank")
+    }
+  }
+
   private def chunkRows(text: String, window: Int, stride: Int) =
     CorpusOps.chunkTokens(Seq((1L, text)).toDF("doc_id", "text"), window, stride)
       .orderBy("chunk_idx")

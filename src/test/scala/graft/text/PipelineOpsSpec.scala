@@ -150,4 +150,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!(ids.contains(0L) && ids.contains(999999L)),
       s"identical vectors must not both be picked: $ids")
   }
+
+  test("mmr: id column is type-generic — string ids pick the same vectors") {
+    // a string id (doc-key retrieval) must not NPE or mis-cast; picks
+    // must match the numeric-id run vector-for-vector (review finding:
+    // rerank used to cast idCol to long and getLong)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val numeric = Mmr.rerank(emb, q, nCand = 20, k = 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id"))
+    val strEmb = emb.withColumn("vec_id",
+      format_string("id%06d", col("vec_id")))
+    val viaString = Mmr.rerank(strEmb, q, nCand = 20, k = 5)
+      .orderBy("rank").collect()
+    assert(viaString.head.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val strIds = viaString.map(_.getAs[String]("vec_id"))
+    assert(strIds.toSeq === numeric.map(i => f"id$i%06d").toSeq,
+      "string-id picks must equal numeric-id picks")
+  }
 }
