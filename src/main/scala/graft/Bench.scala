@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   * (median absolute deviation across the reps, `queries_mad`) so a
   * cross-round delta can be judged against that query's measured
   * run-to-run spread instead of re-litigated with isolated reruns.
+  *
+  * Gates whose in-run MAD exceeds both an absolute floor and k× the
+  * catalog's median MAD get an extra ISOLATED pass (state reset + forced
+  * GC before every rep) recorded as `queries_isolated` — the record
+  * number for those gates; `tools/BenchDiff` prefers it automatically.
+  * Tunables: SPARK_GRAFT_ISOLATE_MAD_K (default 10),
+  * SPARK_GRAFT_ISOLATE_MAD_FLOOR (default 0.3 s).
   */
 object Bench {
 
@@ -144,6 +151,40 @@ object Bench {
         readOnly.size * 60.0 / ((System.nanoTime() - t0) / 1e9)
       }
 
+    // Isolated-rep pass for high-MAD gates. The catalog run times every
+    // gate in one long JVM session, so a gate's median can be inflated by
+    // its NEIGHBORS (shuffle-file cleanup, codegen cache churn, GC debt a
+    // previous query accrued) — round 9's two worst-MAD gates were
+    // exactly the two in-gate production loops, making round-over-round
+    // comparison of the flagship gates the least trustworthy numbers in
+    // the file. Mechanical answer: any gate whose MAD exceeds BOTH an
+    // absolute floor and k× the catalog's median MAD is re-measured
+    // isolated — full state reset + forced GC before every rep — and the
+    // quiet number is recorded alongside (never replacing) the in-run
+    // median, so BenchDiff can attribute a delta to neighbor noise
+    // without re-litigation.
+    val madK = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_MAD_K", "10").toDouble
+    val madFloor = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_MAD_FLOOR", "0.3").toDouble
+    val classMad = median(ok.map(_._4).filter(_ >= 0) match {
+      case s if s.isEmpty => Seq(0.0); case s => s })
+    val flagged = ok.filter { case (_, _, _, mad) =>
+      mad > madFloor && mad > madK * classMad }.map(_._1)
+    val isolated: Seq[(String, Double, Double)] = flagged.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to repeat).map { _ =>
+        resetRunState(gcEvery - 1) // reset + GC before EVERY rep
+        try timeOne(fn)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] isolated $name failed: ${e.getMessage}"); -1.0 }
+      }.filter(_ >= 0)
+      resetRunState(gcEvery - 1)
+      if (times.isEmpty) (name, -1.0, -1.0)
+      else {
+        val med = median(times)
+        (name, med, median(times.map(x => math.abs(x - med))))
+      }
+    }
+
     resetRunState(gcEvery - 1) // clean slate (+GC) before the micro-experiments
 
     def rmTree(dir: java.nio.file.Path): Unit =
@@ -266,8 +307,15 @@ object Bench {
     // delta should be compared against before anything is called a
     // regression
     val totalMad = ok.map(_._4).sum
+    // queries_isolated: quiet-box medians (and their MADs) for the gates
+    // the MAD rule flagged — the record number for those gates; the
+    // in-run median stays in `queries` for continuity
+    val qsIso = isolated.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val qsIsoMad = isolated.map { case (k, _, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
     val full =
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"sf":"$sfDir"}"""
+      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"queries_isolated":$qsIso,"queries_isolated_mad":$qsIsoMad,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
@@ -278,7 +326,7 @@ object Bench {
     val slowestMad = slowestQ
       .map { case (k, _, _, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$slowest,"queries_mad":$slowestMad,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
+      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$slowest,"queries_mad":$slowestMad,"queries_isolated":$qsIso,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

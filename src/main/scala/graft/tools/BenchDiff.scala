@@ -33,8 +33,16 @@ object BenchDiff {
 
   def diff(oldPath: String, newPath: String, k: Double = 4.0,
       floorSec: Double = 0.5): Seq[(String, Double, Double, Double)] = {
-    val (qo, qn) = (queriesOf(oldPath, "queries"), queriesOf(newPath, "queries"))
-    val (mo, mn) = (queriesOf(oldPath, "queries_mad"), queriesOf(newPath, "queries_mad"))
+    // a gate's isolated quiet-box number (queries_isolated, present when
+    // the in-run MAD flagged it) is its RECORD number — compare that when
+    // either side has one, so neighbor-window noise in the catalog run
+    // can't masquerade as a cross-round regression
+    val (qo, qn) =
+      (queriesOf(oldPath, "queries") ++ queriesOf(oldPath, "queries_isolated"),
+        queriesOf(newPath, "queries") ++ queriesOf(newPath, "queries_isolated"))
+    val (mo, mn) =
+      (queriesOf(oldPath, "queries_mad") ++ queriesOf(oldPath, "queries_isolated_mad"),
+        queriesOf(newPath, "queries_mad") ++ queriesOf(newPath, "queries_isolated_mad"))
     (qo.keySet & qn.keySet).toSeq.sorted.flatMap { q =>
       val (a, b) = (qo(q), qn(q))
       val bound = math.max(k * math.max(mo.getOrElse(q, 0.0), mn.getOrElse(q, 0.0)),
