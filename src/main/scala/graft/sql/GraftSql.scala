@@ -303,7 +303,9 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
 
   private def parseKvList(s: String): Map[String, String] =
     if (s == null || s.trim.isEmpty) Map.empty
-    else s.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+    else splitTopLevel(s).map(_.trim).filter(_.nonEmpty).map { kv =>
+      // quote-aware comma split above: a value literal like 'a,b' is one
+      // option, not two truncated ones
       val Array(k, v) = kv.split("=", 2).map(_.trim.stripPrefix("'").stripSuffix("'"))
       k -> v
     }.toMap
@@ -346,6 +348,37 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     out.toSeq
   }
 
+  /** First case-insensitive occurrence of `token` at or after `from` that
+    * sits OUTSIDE single-quoted literals and parens, or -1. Quote state is
+    * tracked from position 0 (so `from` may land mid-literal safely);
+    * doubled `''` escapes degrade to close+reopen, which preserves the
+    * in/out parity this scan needs. The keyword-in-a-literal router trap:
+    * `ON t.v <> 'WHEN MATCHED'` must not start the WHEN clauses early. */
+  private def indexOfTopLevel(s: String, token: String, from: Int = 0): Int = {
+    val u = s.toUpperCase; val tu = token.toUpperCase
+    var i = 0; var inQ = false; var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') depth -= 1
+      else if (!inQ && depth == 0 && i >= from && u.startsWith(tu, i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Every top-level occurrence (same contract as [[indexOfTopLevel]]). */
+  private def allIndicesTopLevel(s: String, token: String, from: Int = 0): Seq[Int] = {
+    val out = mutable.ArrayBuffer[Int]()
+    var i = indexOfTopLevel(s, token, from)
+    while (i >= 0) {
+      out += i
+      i = indexOfTopLevel(s, token, i + 1)
+    }
+    out.toSeq
+  }
+
   /** Index just past the balanced close paren for the open at `start`. */
   private def balancedEnd(s: String, start: Int): Int = {
     var depth = 0; var i = start; var inQ = false
@@ -368,7 +401,10 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     val upper = s.toUpperCase
     // manual scan: MERGE INTO <t> [AS] [a] USING <(subquery)|view> [AS] [a]
     // ON <cond> WHEN ... (regexes can't handle arbitrarily nested parens)
-    val usingIdx = upper.indexOf(" USING ")
+    // all clause keywords located TOP-LEVEL (outside literals/parens): a
+    // source literal like 'use ON it WHEN MATCHED' must not move a
+    // boundary (regex/indexOf router trap — round-10 fuzz finding)
+    val usingIdx = indexOfTopLevel(s, " USING ")
     require(usingIdx > 0, s"cannot parse MERGE INTO: $s")
     val targetTokens = s.substring("MERGE INTO".length, usingIdx)
       .trim.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
@@ -378,20 +414,26 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     val (usingPart, afterUsing) =
       if (s(i) == '(') { val e = balancedEnd(s, i); (s.substring(i, e), e) }
       else { val e = s.indexWhere(c => c.isWhitespace, i); (s.substring(i, e), e) }
-    val onIdx = upper.indexOf(" ON ", afterUsing)
+    val onIdx = indexOfTopLevel(s, " ON ", afterUsing)
     require(onIdx > 0, s"MERGE missing ON: $s")
     val sAlias = s.substring(afterUsing, onIdx).trim.split("\\s+")
       .filterNot(t => t.isEmpty || t.equalsIgnoreCase("AS")).headOption
-    val whenIdx = upper.indexOf("WHEN ", onIdx)
-    require(whenIdx > 0, s"MERGE missing WHEN clauses: $s")
+    // a clause starts at a top-level "WHEN [NOT] MATCHED" — plain "WHEN"
+    // is not enough (CASE WHEN in the ON condition stays where it is)
+    val clauseRe = "(?is)^WHEN\\s+(NOT\\s+)?MATCHED\\b.*".r.pattern
+    val whenStarts = allIndicesTopLevel(s, "WHEN ", onIdx)
+      .filter(ix => clauseRe.matcher(s.substring(ix)).matches())
+    require(whenStarts.nonEmpty, s"MERGE missing WHEN clauses: $s")
+    val whenIdx = whenStarts.head
     val onCond = s.substring(onIdx + 4, whenIdx).trim
-    val whenPart = s.substring(whenIdx)
-    runMerge(s, name, tAlias, usingPart, sAlias, onCond, whenPart)
+    val clauses = (whenStarts :+ s.length).sliding(2).map {
+      case Seq(a, b) => s.substring(a, b).trim }.toSeq
+    runMerge(s, name, tAlias, usingPart, sAlias, onCond, clauses)
   }
 
   private def runMerge(s: String, name: String, tAlias: Option[String],
       usingPart: String, sAlias: Option[String],
-      onCond: String, whenPart: String): DataFrame = {
+      onCond: String, clauses: Seq[String]): DataFrame = {
         val t = table(name)
         val source =
           if (usingPart.startsWith("("))
@@ -400,16 +442,23 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
         val tq = tAlias.getOrElse(name)
         val sq = sAlias.getOrElse(if (usingPart.startsWith("(")) "source" else usingPart)
         def requalify(e: String): String =
-          e.replaceAll(s"(?i)\\b$tq\\.", "target.")
-            .replaceAll(s"(?i)\\b$sq\\.", "source.")
+          e.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(tq) + "\\.", "target.")
+            .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(sq) + "\\.", "source.")
 
-        val whenRe = "(?is)WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+(.*?)(?=\\s*WHEN\\s+(?:NOT\\s+)?MATCHED|$)".r
+        // each clause = "WHEN [NOT] MATCHED [AND <cond>] THEN <action>";
+        // THEN is found top-level so a literal 'x THEN y' in the condition
+        // cannot split the clause early
+        val headRe = "(?is)WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.*))?".r
         var matched = Seq.empty[MergeOps.WhenMatched]
         var notMatched = Seq.empty[MergeOps.WhenNotMatched]
-        whenRe.findAllMatchIn(whenPart).foreach { m =>
-          val isNot = m.group(1) != null
-          val cond = Option(m.group(2)).map(requalify)
-          val action = m.group(3).trim
+        clauses.foreach { clause =>
+          val thenIdx = indexOfTopLevel(clause, " THEN ")
+          require(thenIdx > 0, s"WHEN clause missing THEN: $clause")
+          val (isNot, cond) = clause.substring(0, thenIdx).trim match {
+            case headRe(not, c) => (not != null, Option(c).map(requalify))
+            case h => sys.error(s"bad WHEN clause head: $h")
+          }
+          val action = clause.substring(thenIdx + " THEN ".length).trim
           val au = action.toUpperCase
           if (!isNot) {
             val a =
@@ -517,13 +566,20 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
   }
 
   private def update(s: String): DataFrame = {
-    val re = "(?is)UPDATE\\s+(\\w+)\\s+SET\\s+(.*?)(?:\\s+WHERE\\s+(.*))?$".r
+    val re = "(?is)UPDATE\\s+(\\w+)\\s+SET\\s+(.*)".r
     s match {
-      case re(name, setPart, pred) =>
+      case re(name, rest) =>
+        // WHERE found top-level: a SET literal like 'a WHERE b' must not
+        // split the statement early (the lazy-regex router trap)
+        val wIdx = indexOfTopLevel(rest, " WHERE ")
+        val (setPart, pred) =
+          if (wIdx >= 0) (rest.substring(0, wIdx),
+            rest.substring(wIdx + " WHERE ".length))
+          else (rest, "true")
         val assignments = splitTopLevel(setPart).map { kv =>
           val Array(k, v) = kv.split("=", 2); k.trim -> v.trim
         }.toMap
-        MergeOps.update(table(name), assignments, Option(pred).getOrElse("true"))
+        MergeOps.update(table(name), assignments, pred)
         emptyResult
       case _ => sys.error(s"cannot parse UPDATE: $s")
     }

@@ -1,0 +1,183 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+import graft.tables.GraftTable
+
+/** Fuzz pins for the regex/scan statement router: adversarial SQL
+  * literals — clause keywords, separators, quotes, unbalanced parens —
+  * pushed through the UPDATE / MERGE / DELETE / COPY INTO / DDL paths.
+  * Contract: every statement either parses CORRECTLY (the literal
+  * round-trips byte-for-byte, clause boundaries unmoved) or is rejected
+  * LOUDLY; a keyword inside a string literal must never silently move a
+  * clause boundary (the classic regex-router trap — `splitTopLevel`,
+  * `indexOfTopLevel`, and the top-level WHEN-clause splitter are the
+  * mechanisms under test).
+  */
+class GraftSqlFuzzSpec extends SparkTestBase {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    var seed = Seed(77L)
+    (1 to n).flatMap { _ =>
+      val v = g.apply(Gen.Parameters.default, seed)
+      seed = seed.next
+      v
+    }
+  }
+
+  /** SQL-escape for a single-quoted literal (doubled-quote form — the
+    * escape both Spark and the router's quote-parity scanners honor). */
+  private def esc(p: String): String = p.replace("'", "''")
+
+  // clause keywords, separators, quote games — no backslashes (Spark's
+  // backslash-escape handling is pinned by its own GraftSqlSpec test)
+  private val fragments = Seq(
+    "WHEN MATCHED", "WHEN NOT MATCHED", "THEN DELETE", "THEN UPDATE SET",
+    " USING ", " ON ", " WHERE ", " THEN ", "VALUES (1,2)", "INSERT *",
+    "a,b", "k=v", "it's", "two''quotes", "(", ")", "((", "))", ";",
+    "; DROP TABLE tgt", "SELECT * FROM t", "::int", "props:k",
+    "TIMESTAMP AS OF", "OPTIMIZE ZORDER BY", "MERGE INTO x")
+  private val payloadGen: Gen[String] = for {
+    n <- Gen.choose(1, 4)
+    parts <- Gen.listOfN(n, Gen.oneOf(fragments))
+    pad <- Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString)
+  } yield (parts :+ pad).mkString(" ")
+
+  private def freshSql(tag: String): GraftSql = {
+    import spark.implicits._
+    val g = new GraftSql(spark, scratch(tag))
+    val t = GraftTable.createFrom(spark, scratch(tag) + "/tgt",
+      Seq((1L, "one", 10L), (2L, "two", 20L), (3L, "three", 30L))
+        .toDF("id", "v", "n"))
+    g.register("tgt", t)
+    g
+  }
+
+  test("UPDATE round-trips adversarial literals exactly") {
+    val g = freshSql("fuzzupd")
+    samples(payloadGen, 12).foreach { p =>
+      g.sql(s"UPDATE tgt SET v = '${esc(p)}' WHERE id = 1")
+      val got = g.table("tgt").read().filter(col("id") === 1)
+        .select("v").head().getString(0)
+      assert(got === p, s"UPDATE mangled literal: <$p> -> <$got>")
+      // the other rows' values must be untouched (a moved WHERE boundary
+      // would update everything or throw)
+      assert(g.table("tgt").read().filter(col("id") === 2)
+        .select("v").head().getString(0) === "two")
+    }
+  }
+
+  test("MERGE: adversarial literal in source value round-trips") {
+    val g = freshSql("fuzzmrg")
+    samples(payloadGen, 8).foreach { p =>
+      g.sql(s"""MERGE INTO tgt AS t
+                USING (SELECT 2 AS id, '${esc(p)}' AS nv) AS s
+                ON t.id = s.id
+                WHEN MATCHED THEN UPDATE SET v = s.nv
+                WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.nv, 0)""")
+      val got = g.table("tgt").read().filter(col("id") === 2)
+        .select("v").head().getString(0)
+      assert(got === p, s"MERGE mangled literal: <$p> -> <$got>")
+    }
+  }
+
+  test("MERGE: clause keywords inside ON / AND literals move no boundary") {
+    val g = freshSql("fuzzon")
+    // ON-condition literal contains every clause keyword the scanner
+    // hunts for; the statement must still parse as ONE matched clause
+    g.sql("""MERGE INTO tgt AS t
+             USING (SELECT 1 AS id) AS s
+             ON t.id = s.id AND t.v <> 'x USING y ON z WHEN MATCHED THEN DELETE'
+             WHEN MATCHED THEN UPDATE SET v = 'hit'""")
+    assert(g.table("tgt").read().filter(col("v") === "hit").count() === 1)
+    // matched-condition literal with THEN + WHEN NOT MATCHED inside it
+    g.sql("""MERGE INTO tgt AS t
+             USING (SELECT 2 AS id, 'nv2' AS nv) AS s
+             ON t.id = s.id
+             WHEN MATCHED AND t.v <> 'a THEN b WHEN NOT MATCHED THEN INSERT *'
+               THEN UPDATE SET v = s.nv
+             WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.nv, 0)""")
+    assert(g.table("tgt").read().filter(col("id") === 2)
+      .select("v").head().getString(0) === "nv2")
+    // UPDATE SET value with a comma, a paren, and a CASE WHEN — the
+    // top-level comma split and clause split must both hold
+    g.sql("""MERGE INTO tgt AS t
+             USING (SELECT 3 AS id) AS s
+             ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET
+               v = concat('a,b(', CASE WHEN 1 = 1 THEN 'c' ELSE 'd' END),
+               n = t.n + 1""")
+    val r3 = g.table("tgt").read().filter(col("id") === 3).head()
+    assert(r3.getAs[String]("v") === "a,b(c" && r3.getAs[Long]("n") === 31L)
+  }
+
+  test("DELETE with keyword-literal predicate deletes exactly the match") {
+    val g = freshSql("fuzzdel")
+    samples(payloadGen, 6).foreach { p =>
+      g.sql(s"UPDATE tgt SET v = '${esc(p)}' WHERE id = 3")
+      val before = g.table("tgt").read().count()
+      g.sql(s"DELETE FROM tgt WHERE v = '${esc(p)}'")
+      assert(g.table("tgt").read().count() === before - 1,
+        s"DELETE removed the wrong rows for literal <$p>")
+      g.sql("""MERGE INTO tgt USING (SELECT 3 AS id, 'three' AS v, 30 AS n) s
+               ON tgt.id = s.id
+               WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, s.n)""")
+    }
+  }
+
+  test("sqlChain: ';' and keywords inside literals do not split statements") {
+    val g = freshSql("fuzzchain")
+    val r = g.sqlChain(
+      """UPDATE tgt SET v = 'a; DROP TABLE tgt; MERGE INTO' WHERE id = 1;
+         SELECT v FROM (SELECT 'x;y' AS v)""")
+    assert(r.head().getString(0) === "x;y")
+    assert(g.table("tgt").read().filter(col("id") === 1)
+      .select("v").head().getString(0) === "a; DROP TABLE tgt; MERGE INTO")
+  }
+
+  test("TBLPROPERTIES values with commas and '=' survive the kv parser") {
+    val g = freshSql("fuzzprops")
+    g.sql("ALTER TABLE tgt SET TBLPROPERTIES('a' = 'x,y', 'b' = 'k=v', 'c' = 'plain')")
+    val props = g.table("tgt").properties
+    assert(props("a") === "x,y" && props("b") === "k=v" && props("c") === "plain")
+  }
+
+  test("COPY INTO: PATTERN literal is honored, never routed") {
+    val g = freshSql("fuzzcopy")
+    import spark.implicits._
+    val dir = scratch("fuzzcopy-src")
+    Seq((9L, "nine", 90L)).toDF("id", "v", "n").write.parquet(dir + "/p")
+    val n = g.sql(s"COPY INTO tgt FROM '$dir/p' FILEFORMAT = PARQUET " +
+      "PATTERN = 'no such file *'").head().getLong(0)
+    assert(n === 0L, "non-matching PATTERN must ingest nothing")
+    val n2 = g.sql(s"COPY INTO tgt FROM '$dir/p' FILEFORMAT = PARQUET " +
+      "PATTERN = '*.parquet'").head().getLong(0)
+    assert(n2 === 1L)
+  }
+
+  test("malformed statements are rejected loudly, not silently misrouted") {
+    val g = freshSql("fuzzbad")
+    val bad = Seq(
+      "MERGE INTO tgt USING",                       // truncated
+      "MERGE INTO tgt USING (SELECT 1 AS id) s",    // missing ON
+      "MERGE INTO tgt USING (SELECT 1 AS id) s ON tgt.id = s.id", // no WHEN
+      "MERGE INTO tgt USING (SELECT 1 AS id) s ON tgt.id = s.id " +
+        "WHEN MATCHED UPDATE SET v = 'x'",          // missing THEN
+      "COPY INTO tgt FROM",                         // truncated
+      "RESTORE tgt TO VERSION AS OF abc",           // non-numeric version
+      "OPTIMIZE",                                   // no table
+      "UPDATE tgt SET",                             // no assignments
+      "VACUUM tgt RETAIN 0 VERSIONS")               // zero retention, no FORCE
+    bad.foreach { s =>
+      val e = intercept[Exception](g.sql(s))
+      assert(e.getMessage != null && e.getMessage.nonEmpty, s"silent on: $s")
+    }
+    // unbalanced paren in a USING subquery dies in balancedEnd, loudly
+    intercept[Exception](g.sql(
+      "MERGE INTO tgt USING (SELECT 1 AS id s ON tgt.id = s.id " +
+        "WHEN MATCHED THEN DELETE"))
+  }
+}
