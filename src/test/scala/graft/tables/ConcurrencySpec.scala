@@ -83,4 +83,59 @@ class ConcurrencySpec extends SparkTestBase {
     assert(t.read().columns.contains("w"))
     assert(wVals >= 0L) // column readable over files written before evolution
   }
+
+  test("8 mixed MERGE/append/OPTIMIZE writers serialize across random interleavings") {
+    // the reference's retry-merge contract (`HF/deltahelpers.py:132-172`)
+    // under adversarial scheduling: increments are read-modify-write, so
+    // any lost update (a commit based on a stale snapshot that still
+    // lands) shows up as v < nMergers; OPTIMIZE racing the writers must
+    // neither lose rows nor take a version gap. Three seeds randomize the
+    // start interleaving.
+    Seq(11, 22, 33).foreach { seed =>
+      val path = scratch(s"stress$seed")
+      GraftTable.createFrom(spark, path, (1L to 20L).map(i => (i, 0L)).toDF("id", "v"))
+      val nMergers = 5
+      val nAppenders = 2 // + 1 optimizer = 8 writers
+      val pool = Executors.newFixedThreadPool(8)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val rnd = new scala.util.Random(seed)
+      val jitter = (0 until 8).map(_ => rnd.nextInt(120))
+      val tasks = (0 until 8).map { i =>
+        Future {
+          Thread.sleep(jitter(i).toLong)
+          val t = GraftTable.load(spark, path) // independent writer handle
+          if (i < nMergers) {
+            // every merger increments EVERY row — maximal write overlap
+            val src = (1L to 20L).map(k => (k, 0L)).toDF("id", "v")
+            Concurrency.retry(maxTries = 40) {
+              MergeOps.mergeInto(t, src, "target.id = source.id",
+                matched = Seq(MergeOps.WhenMatched(None,
+                  MergeOps.UpdateSet(Map("v" -> "target.v + 1")))))
+            }
+          } else if (i < nMergers + nAppenders) {
+            Concurrency.retry(maxTries = 40) {
+              t.append(Seq((100L + i, -1L)).toDF("id", "v"))
+            }
+          } else {
+            Concurrency.retry(maxTries = 40) { Maintenance.optimize(t) }
+          }
+        }
+      }
+      Await.result(Future.sequence(tasks), 5.minutes)
+      pool.shutdown()
+
+      val t = GraftTable.load(spark, path)
+      val versions = t.commits.map(_.version)
+      assert(versions === versions.indices.map(_.toLong),
+        s"seed $seed: versions must be contiguous, got $versions")
+      // serializability: all 5 increments landed on every row — a lost
+      // update leaves some v < 5
+      val vs = t.read().filter($"id" <= 20L).select("v").as[Long].collect()
+      assert(vs.length === 20, s"seed $seed: OPTIMIZE lost or duplicated rows")
+      assert(vs.forall(_ == nMergers.toLong),
+        s"seed $seed: lost update — counters ${vs.sorted.toSeq}")
+      assert(t.read().filter($"id" > 20L).count() === nAppenders.toLong,
+        s"seed $seed: racing append lost")
+    }
+  }
 }
