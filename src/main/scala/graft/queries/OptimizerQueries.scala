@@ -122,5 +122,59 @@ object OptimizerQueries extends QueryBatch {
             WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber""")
   )
 
-  override def queries: Seq[GQ] = Seq(q120, q121)
+  /** Apply-then-measure auto-tuning round trip — the reference's Strategy
+    * RUNNER step (`30-performance/delta-optimizer/customer-facing-delta-
+    * optimizer/Step 2_ Strategy Runner.py`: execute the ranked commands
+    * the optimizer emitted), which q120 mirrored in emission only.
+    * A fragmented, unclustered copy of `orders` is profiled against the
+    * workload; the emitted `OPTIMIZE … ZORDER BY (…)` is APPLIED through
+    * the SQL router (the emitted string is real DDL, not a report), the
+    * write-predicate columns are set, and the measured file-pruning win
+    * on the workload's own predicates is asserted in-gate: the point
+    * lookup must read STRICTLY fewer files than before, and no predicate
+    * may get worse. The oracle checks the pruned reads return exactly
+    * the unpruned row counts (the file-count win itself is
+    * layout-dependent, so it lives in the require + spec, not SQL). */
+  private val q245 = GQ(
+    "q245_optimizer_apply",
+    (s, dir) => {
+      import s.implicits._
+      import graft.tables.GraftTable
+      val p = Scratch.dir("optapply")
+      val o = Tables.t(s, dir, "orders")
+      val t = GraftTable.create(s, p, o.schema)
+      t.setProperties(Map("graft.targetFileSize" -> (64 * 1024).toString))
+      t.append(o.repartition(32)) // every file spans the whole key range
+      val preds = Seq(
+        ("k42", "o_orderkey = 42"),
+        ("date96", "o_orderdate >= TIMESTAMP '1996-01-01'"))
+      val before = preds.map { case (_, pr) => t.pruneFiles(pr)._1.size }
+      val strat = WorkloadOptimizer.buildStrategy(s, workload(dir),
+          Map("orders" -> (t.read(), None)), minDistinct = 50,
+          exactCardinality = true)
+        .find(_.table == "orders")
+        .getOrElse(sys.error("optimizer emitted no strategy for orders"))
+      val g = new graft.sql.GraftSql(s, p + "-sql")
+      g.register("orders", t)
+      g.sql(strat.optimizeCommand) // the emitted command, verbatim
+      WorkloadOptimizer.writePredicateColumns(t, strat.zorderCols)
+      val after = preds.map { case (_, pr) => t.pruneFiles(pr)._1.size }
+      require(after.head < before.head,
+        s"applied strategy did not improve point-lookup pruning: " +
+          s"$before -> $after files")
+      require(after.zip(before).forall { case (a, b) => a <= b },
+        s"applied strategy regressed a workload predicate: $before -> $after")
+      preds.map { case (label, pr) => (label, t.readWhere(pr).count()) }
+        .toDF("predicate", "n_rows").orderBy("predicate")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'k42' AS predicate, count(*) AS n_rows FROM orders
+              WHERE o_orderkey = 42
+              UNION ALL
+              SELECT 'date96', count(*) FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+            ORDER BY predicate""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q120, q121, q245)
 }

@@ -50,4 +50,39 @@ class WorkloadOptimizerSpec extends SparkTestBase {
       Tables.t(spark, sf, "part").columns.toSeq)
     assert(w === Set("p_size"))
   }
+
+  test("apply-then-measure: emitted OPTIMIZE strictly improves file pruning") {
+    // the q245 round trip with the file counts pinned explicitly:
+    // fragmented unclustered table -> profile -> apply the EMITTED
+    // command through the SQL router -> point lookup prunes strictly
+    import graft.tables.GraftTable
+    val path = scratch("optapplyspec")
+    val o = Tables.t(spark, sf, "orders")
+    val t = GraftTable.create(spark, path, o.schema)
+    t.setProperties(Map("graft.targetFileSize" -> (32 * 1024).toString))
+    t.append(o.repartition(16))
+    val (keptBefore, totalBefore) = t.pruneFiles("o_orderkey = 42")
+    assert(totalBefore === 16)
+    assert(keptBefore.size >= totalBefore / 2,
+      "unclustered fragments should mostly survive pruning")
+
+    val strat = WorkloadOptimizer.buildStrategy(spark,
+        graft.queries.OptimizerQueries.workload(sf),
+        Map("orders" -> (t.read(), None)), minDistinct = 20,
+        exactCardinality = true)
+      .find(_.table == "orders").get
+    assert(strat.zorderCols.nonEmpty &&
+      strat.optimizeCommand.startsWith("OPTIMIZE orders ZORDER BY"))
+
+    val g = new graft.sql.GraftSql(spark, path + "-sql")
+    g.register("orders", t)
+    g.sql(strat.optimizeCommand)
+    val (keptAfter, totalAfter) = t.pruneFiles("o_orderkey = 42")
+    assert(totalAfter > 1, "optimize should still write multiple files")
+    assert(keptAfter.size < keptBefore.size,
+      s"pruning must strictly improve: ${keptBefore.size}/$totalBefore -> " +
+        s"${keptAfter.size}/$totalAfter")
+    // content unchanged by the applied layout
+    assert(t.read().count() === o.count())
+  }
 }
