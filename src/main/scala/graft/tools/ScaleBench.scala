@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Scaling-curve measurement (dev tool backing SCALING.md): run a set of
+  * gates at two dataset scale points (typically `ScaleGen` mult=1 and
+  * mult=10 — identical distributions, 10× the rows) and report the
+  * wall-clock ratio per gate. A sub-quadratic claim (dedup prefix
+  * filters, CC rounds, ANN cell probes, MERGE stats-pruned discovery,
+  * prefix-sum packing) passes when its ratio stays near the input-size
+  * ratio; anything super-linear beyond log factors gets attributed.
+  * This mirrors the reference's discipline of publishing runtime tables
+  * across 1 GB/100 GB/1 TB (`30-performance/TPC-DS Runner/README.md`).
+  *
+  * Methodology notes, honored by the harness:
+  *  - per-gate MEDIAN of `repeat` reps, state reset + forced GC between
+  *    gates (the Bench idioms), small scale measured before large;
+  *  - fixed per-gate costs (session, commit-log writes, tiny-table
+  *    overheads) do NOT scale with input, so ratios UNDER 10 are
+  *    expected for gates dominated by them — the red flag is only the
+  *    other direction;
+  *  - both absolute times are printed so the reader can judge how much
+  *    fixed cost the ratio hides.
+  *
+  * Usage: runMain graft.tools.ScaleBench <dirSmall> <dirLarge> [gates]
+  */
+object ScaleBench {
+
+  /** The heavy gates whose 100 TB claims SCALING.md verifies, grouped by
+    * claim family (family → gates). */
+  val Families: Seq[(String, Seq[String])] = Seq(
+    "merge-dml" -> Seq("q51_merge_clauses", "q50_merge_upsert"),
+    "layout-optimize" -> Seq("q58_optimize_zorder", "q121_stats_skipping"),
+    "exact-dedup" -> Seq("q73_exact_dedup"),
+    "near-dedup" -> Seq("q74_ngram_jaccard", "q75_minhash_lsh", "q76_simhash",
+      "q81_embedding_near_dup"),
+    "dedup-clusters" -> Seq("q202_dedup_clusters"),
+    "dedup-index" -> Seq("q216_dedup_index_table", "q209_incremental_dedup",
+      "q218_stream_ingest_dedup"),
+    "ann" -> Seq("q80_cosine_topk", "q208_pq_adc_topk", "q211_ann_index_table",
+      "q215_ivfpq_index_table", "q217_ann_batch_probe"),
+    "prefix-sums" -> Seq("q205_pack_sequences", "q224_budget_mixture"),
+    "text-rank" -> Seq("q207_vocab_coverage", "q233_bm25_topk",
+      "q226_lm_surprisal"),
+    "corpus-release" -> Seq("q237_shuffle_shards", "q223_curation_pipeline"))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleBench <dirSmall> <dirLarge> [gates]")
+    val (dirA, dirB) = (args(0), args(1))
+    val gates: Seq[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else Families.flatMap(_._2)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "25")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val qtmp = java.nio.file.Paths.get(graft.queries.Scratch.Root)
+    def reset(): Unit = {
+      spark.streams.active.foreach(_.stop())
+      graft.queries.StreamQueries.stopDerivedStreams()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      graft.tables.GraftTable.clearAllCaches()
+      graft.tables.GraftTable.deleteTree(qtmp)
+      System.gc()
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val reps = (1 to repeat).map { _ =>
+        reset()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      median(reps)
+    }
+
+    // warm-up both scale points (file listing, codegen)
+    Seq(dirA, dirB).foreach { d =>
+      graft.Tables.all.foreach(n => graft.Tables.t(spark, d, n).count())
+    }
+
+    val rows = gates.map { g =>
+      val a = time(g, dirA)
+      val b = time(g, dirB)
+      val fam = Families.find(_._2.contains(g)).map(_._1).getOrElse("other")
+      println(f"[scalebench] $fam%-16s $g%-28s $a%7.2f s -> $b%7.2f s  ratio ${b / a}%5.2f")
+      (fam, g, a, b)
+    }
+    val json = rows.map { case (fam, g, a, b) =>
+      f"""{"family":"$fam","gate":"$g","small_sec":$a%.3f,"large_sec":$b%.3f,"ratio":${b / a}%.2f}"""
+    }.mkString("[", ",", "]")
+    val out = java.nio.file.Paths.get("target", "scalebench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    println(s"[scalebench] wrote $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,212 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scaled testdata generator for the SCALING.md curve
+  * (dev tool): emits the same ten-table schema as `/root/testdata`
+  * (FIXTURES.md §A) at `mult`× the sf0.1 row counts, written under a
+  * caller-chosen directory (never `/root/testdata`, which is read-only).
+  *
+  * Everything is a pure hash of the row id (`xxhash64`) — no RNG, no
+  * driver-side loops, no collects — so the data is identical across
+  * runs, thread counts, and partitionings, and generation is one
+  * distributed projection per table. Distributional shape mirrors what
+  * the scaling measurement needs from the driver data, not its exact
+  * values: documents carry ~2% exact duplicates + ~2% near-duplicates
+  * (one appended token) of earlier docs, text length 8–100 words over a
+  * small vocabulary (shingle/minhash collisions happen, as in web text);
+  * embeddings are 64-d with 10 latent centers + noise (so IVF/PQ cells
+  * are non-degenerate); the TPC-H-ish tables keep referential integrity
+  * (l_orderkey ⊂ o_orderkey, o_custkey ⊂ c_custkey).
+  *
+  * Usage: runMain graft.tools.ScaleGen <outDir> [mult]
+  */
+object ScaleGen {
+
+  private val Vocab: Seq[String] = Seq(
+    "batch", "part", "spark", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "hash", "merge", "table", "index", "query",
+    "plan", "join", "filter", "group", "stream", "write", "read", "file",
+    "page", "block", "cache", "shard", "probe", "build", "stage", "task",
+    "node", "core", "byte", "row", "key", "span", "range", "stats",
+    "prune", "codec", "frame", "state", "event", "token", "vector",
+    "text", "model", "train", "corpus", "sample", "weight", "score",
+    "rank", "fetch", "store", "delta", "log", "commit", "version")
+
+  /** word_i of a row: vocab[xxhash64(salt, id, i) mod |V|]. */
+  private def word(salt: Int, id: Column, i: Column): Column =
+    element_at(
+      array(Vocab.map(lit): _*),
+      (pmod(xxhash64(lit(salt), id, i), lit(Vocab.size.toLong)) + 1).cast("int"))
+
+  /** Deterministic text of `seed`: len(seed) in [8,100] words. */
+  private def textOf(seed: Column): Column = {
+    val len = (pmod(xxhash64(lit(1), seed), lit(93L)) + 8).cast("int")
+    concat_ws(" ", transform(sequence(lit(0), len - 1),
+      i => word(2, seed, i.cast("long"))))
+  }
+
+  def documents(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    // 2% exact dups + 2% near dups of an earlier doc (seed = hash mod id)
+    val kind = pmod(xxhash64(lit(3), id), lit(100L))
+    val seed = when(kind < 4 && id > lit(0L),
+      pmod(xxhash64(lit(4), id), id)).otherwise(id)
+    val base = textOf(seed)
+    val text = when(kind >= 2 && kind < 4 && id > lit(0L),
+      concat(base, lit(" "), word(5, id, lit(0)))).otherwise(base)
+    spark.range(n).select(
+      id.as("doc_id"),
+      text.as("text"),
+      element_at(array(lit("en"), lit("en"), lit("en"), lit("en"),
+        lit("en"), lit("en"), lit("en"), lit("en"), lit("de"), lit("fr")),
+        (pmod(xxhash64(lit(6), id), lit(10L)) + 1).cast("int")).as("lang"),
+      concat(lit("src"), pmod(xxhash64(lit(7), id), lit(20L)).cast("string")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def embeddings(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    val center = pmod(id, lit(10L))
+    val emb = transform(sequence(lit(0), lit(63)), j => {
+      val c = (pmod(xxhash64(center, j.cast("long")), lit(2001L)) - 1000)
+        .cast("double") / 1250.0
+      val noise = (pmod(xxhash64(lit(8), id, j.cast("long")), lit(401L)) - 200)
+        .cast("double") / 1000.0
+      (c + noise).cast("float")
+    })
+    spark.range(n).select(id.as("vec_id"), emb.as("embedding"),
+      center.cast("int").as("label"))
+  }
+
+  def customer(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      (col("id") + 1).as("c_custkey"),
+      concat(lit("Customer#"), col("id").cast("string")).as("c_name"),
+      pmod(xxhash64(lit(10), col("id")), lit(25L)).cast("int").as("c_nationkey"),
+      ((pmod(xxhash64(lit(11), col("id")), lit(1099999L)) - 99999).cast("double")
+        / 100.0).as("c_acctbal"),
+      element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+        lit("HOUSEHOLD"), lit("MACHINERY")),
+        (pmod(xxhash64(lit(12), col("id")), lit(5L)) + 1).cast("int"))
+        .as("c_mktsegment"))
+
+  def supplier(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      (col("id") + 1).as("s_suppkey"),
+      concat(lit("Supplier#"), col("id").cast("string")).as("s_name"),
+      pmod(xxhash64(lit(13), col("id")), lit(25L)).cast("int").as("s_nationkey"),
+      ((pmod(xxhash64(lit(14), col("id")), lit(1099999L)) - 99999).cast("double")
+        / 100.0).as("s_acctbal"))
+
+  def part(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      (col("id") + 1).as("p_partkey"),
+      concat_ws(" ", word(15, col("id"), lit(0)), word(15, col("id"), lit(1)),
+        word(15, col("id"), lit(2))).as("p_name"),
+      concat(lit("Brand#"),
+        (pmod(xxhash64(lit(16), col("id")), lit(5L)) + 1).cast("string"),
+        (pmod(xxhash64(lit(17), col("id")), lit(5L)) + 1).cast("string"))
+        .as("p_brand"),
+      concat_ws(" ", word(18, col("id"), lit(0)), word(18, col("id"), lit(1)))
+        .as("p_type"),
+      (pmod(xxhash64(lit(19), col("id")), lit(50L)) + 1).cast("int").as("p_size"),
+      ((pmod(xxhash64(lit(20), col("id")), lit(200000L)) + 90000).cast("double")
+        / 100.0).as("p_retailprice"))
+
+  def orders(spark: SparkSession, n: Long, nCust: Long): DataFrame =
+    spark.range(n).select(
+      (col("id") + 1).as("o_orderkey"),
+      (pmod(xxhash64(lit(21), col("id")), lit(nCust)) + 1).as("o_custkey"),
+      element_at(array(lit("O"), lit("O"), lit("F"), lit("F"), lit("P")),
+        (pmod(xxhash64(lit(22), col("id")), lit(5L)) + 1).cast("int"))
+        .as("o_orderstatus"),
+      ((pmod(xxhash64(lit(23), col("id")), lit(45000000L)) + 100000).cast("double")
+        / 100.0).as("o_totalprice"),
+      to_timestamp(date_add(lit("1995-01-01").cast("date"),
+        pmod(xxhash64(lit(24), col("id")), lit(1460L)).cast("int")))
+        .as("o_orderdate"),
+      element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+        lit("4-NOT SPECIFIED"), lit("5-LOW")),
+        (pmod(xxhash64(lit(25), col("id")), lit(5L)) + 1).cast("int"))
+        .as("o_orderpriority"))
+
+  def lineitem(spark: SparkSession, n: Long, nPart: Long, nSupp: Long): DataFrame =
+    spark.range(n).select(
+      (col("id") / 4 + 1).cast("long").as("l_orderkey"),
+      (pmod(xxhash64(lit(26), col("id")), lit(nPart)) + 1).as("l_partkey"),
+      (pmod(xxhash64(lit(27), col("id")), lit(nSupp)) + 1).as("l_suppkey"),
+      (pmod(col("id"), lit(4L)) + 1).cast("int").as("l_linenumber"),
+      (pmod(xxhash64(lit(28), col("id")), lit(50L)) + 1).cast("double")
+        .as("l_quantity"),
+      ((pmod(xxhash64(lit(29), col("id")), lit(9000000L)) + 100000).cast("double")
+        / 100.0).as("l_extendedprice"),
+      (pmod(xxhash64(lit(30), col("id")), lit(11L)).cast("double") / 100.0)
+        .as("l_discount"),
+      (pmod(xxhash64(lit(31), col("id")), lit(9L)).cast("double") / 100.0)
+        .as("l_tax"),
+      element_at(array(lit("A"), lit("N"), lit("N"), lit("R")),
+        (pmod(xxhash64(lit(32), col("id")), lit(4L)) + 1).cast("int"))
+        .as("l_returnflag"),
+      element_at(array(lit("O"), lit("F")),
+        (pmod(xxhash64(lit(33), col("id")), lit(2L)) + 1).cast("int"))
+        .as("l_linestatus"),
+      to_timestamp(date_add(lit("1995-01-01").cast("date"),
+        pmod(xxhash64(lit(34), col("id")), lit(1520L)).cast("int")))
+        .as("l_shipdate"))
+
+  def events(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("event_id"),
+      // one week of events starting 2024-01-01 UTC, in id order (streams
+      // assume roughly monotone event time)
+      timestamp_seconds(lit(1704067200.0) +
+        col("id").cast("double") * (604800.0 / n)).as("ts"),
+      pmod(xxhash64(lit(35), col("id")), lit(math.max(n / 100, 1L))).as("user_id"),
+      element_at(array(lit("click"), lit("view"), lit("view"), lit("buy"),
+        lit("scroll")), (pmod(xxhash64(lit(36), col("id")), lit(5L)) + 1)
+        .cast("int")).as("event_type"),
+      (pmod(xxhash64(lit(37), col("id")), lit(100000L)).cast("double") / 100.0)
+        .as("value"),
+      concat(lit("{\"device\":\"d"), pmod(xxhash64(lit(38), col("id")), lit(9L)).cast("string"),
+        lit("\",\"score\":"), pmod(xxhash64(lit(39), col("id")), lit(100L)).cast("string"),
+        lit("}")).as("props"))
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult]")
+    val out = args(0)
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scalegen")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val m = mult.toLong
+    val nCust = 15000L * m
+    val nSupp = 1000L * m
+    val nPart = 20000L * m
+    def write(name: String, df: DataFrame, parts: Int): Unit = {
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name written")
+    }
+    // region/nation are fixed-size dimensions — copy from the driver data
+    Seq("region", "nation").foreach { nm =>
+      write(nm, spark.read.parquet(s"/root/testdata/sf0.1/$nm.parquet"), 1)
+    }
+    write("customer", customer(spark, nCust), 4 * mult)
+    write("supplier", supplier(spark, nSupp), 1)
+    write("part", part(spark, nPart), 4 * mult)
+    write("orders", orders(spark, 150000L * m, nCust), 8 * mult)
+    write("lineitem", lineitem(spark, 600000L * m, nPart, nSupp), 16 * mult)
+    write("events", events(spark, 100000L * m), 4 * mult)
+    write("documents", documents(spark, 5000L * m), 2 * mult)
+    write("embeddings", embeddings(spark, 2000L * m), 2 * mult)
+    spark.stop()
+  }
+}
