@@ -68,7 +68,16 @@ object ScaleGen {
 
   def embeddings(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
-    val center = pmod(id, lit(10L))
+    // Diversity must GROW with corpus size (a real web corpus adds new
+    // topics as it adds documents): ~200 vectors per latent center, so
+    // LSH/IVF bucket occupancy stays constant as n scales. A fixed
+    // center count makes every similarity bucket degenerate at scale —
+    // in-bucket candidate pairing then grows quadratically in n, which
+    // measures the GENERATOR's pathology, not the operator (observed:
+    // q81 at mult=100 with 10 fixed centers). label keeps 10 classes for
+    // the classifier-shaped gates.
+    val nCenters = math.max(10L, n / 200L)
+    val center = pmod(id, lit(nCenters))
     val emb = transform(sequence(lit(0), lit(63)), j => {
       val c = (pmod(xxhash64(center, j.cast("long")), lit(2001L)) - 1000)
         .cast("double") / 1250.0
@@ -77,7 +86,7 @@ object ScaleGen {
       (c + noise).cast("float")
     })
     spark.range(n).select(id.as("vec_id"), emb.as("embedding"),
-      center.cast("int").as("label"))
+      pmod(center, lit(10L)).cast("int").as("label"))
   }
 
   def customer(spark: SparkSession, n: Long): DataFrame =
