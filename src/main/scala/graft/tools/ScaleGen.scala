@@ -183,9 +183,14 @@ object ScaleGen {
         lit("}")).as("props"))
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult]")
+    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult] [tables]")
     val out = args(0)
     val mult = if (args.length > 1) args(1).toInt else 10
+    // optional comma-list restricts which tables are written (a
+    // three-decade documents/embeddings point does not need 19 GB of
+    // lineitem)
+    val onlyTables: Option[Set[String]] =
+      args.drop(2).headOption.map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scalegen")
@@ -199,10 +204,12 @@ object ScaleGen {
     val nCust = 15000L * m
     val nSupp = 1000L * m
     val nPart = 20000L * m
-    def write(name: String, df: DataFrame, parts: Int): Unit = {
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$out/$name.parquet")
-      println(s"[scalegen] $name written")
+    def write(name: String, df: => DataFrame, parts: Int): Unit = {
+      if (onlyTables.forall(_.contains(name))) {
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$out/$name.parquet")
+        println(s"[scalegen] $name written")
+      }
     }
     // region/nation are fixed-size dimensions — copy from the driver data
     Seq("region", "nation").foreach { nm =>
