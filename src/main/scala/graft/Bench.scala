@@ -183,7 +183,10 @@ object Bench {
         val med = median(times)
         (name, med, median(times.map(x => math.abs(x - med))))
       }
-    }
+    }.filter(_._2 >= 0) // an all-reps-failed gate must not serialize -1.0
+                        // into queries_isolated (BenchDiff would prefer it
+                        // as the record number — review finding); the
+                        // in-run median in `queries` remains its record
 
     resetRunState(gcEvery - 1) // clean slate (+GC) before the micro-experiments
 

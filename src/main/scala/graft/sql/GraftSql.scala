@@ -348,33 +348,41 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     out.toSeq
   }
 
-  /** First case-insensitive occurrence of `token` at or after `from` that
-    * sits OUTSIDE single-quoted literals and parens, or -1. Quote state is
-    * tracked from position 0 (so `from` may land mid-literal safely);
-    * doubled `''` escapes degrade to close+reopen, which preserves the
-    * in/out parity this scan needs. The keyword-in-a-literal router trap:
-    * `ON t.v <> 'WHEN MATCHED'` must not start the WHEN clauses early. */
-  private def indexOfTopLevel(s: String, token: String, from: Int = 0): Int = {
-    val u = s.toUpperCase; val tu = token.toUpperCase
+  /** First case-insensitive WORD-BOUNDED occurrence of keyword `kw` at or
+    * after `from` that sits OUTSIDE single-quoted literals and parens, or
+    * -1; returns the index of the keyword itself. Word boundaries (any
+    * non-identifier char: whitespace incl. newlines/tabs, parens, quotes)
+    * replace the old single-space-delimited tokens, so `SET v = 1\nWHERE
+    * id = 2` parses like its one-line form. Quote state is tracked from
+    * position 0 (so `from` may land mid-literal safely); doubled `''`
+    * escapes degrade to close+reopen, which preserves the in/out parity
+    * this scan needs. The keyword-in-a-literal router trap: `ON t.v <>
+    * 'WHEN MATCHED'` must not start the WHEN clauses early. */
+  private def indexOfKeywordTopLevel(s: String, kw: String, from: Int = 0): Int = {
+    val u = s.toUpperCase; val k = kw.toUpperCase
+    def boundary(c: Char): Boolean = !c.isLetterOrDigit && c != '_'
     var i = 0; var inQ = false; var depth = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\'') inQ = !inQ
       else if (!inQ && c == '(') depth += 1
       else if (!inQ && c == ')') depth -= 1
-      else if (!inQ && depth == 0 && i >= from && u.startsWith(tu, i)) return i
+      else if (!inQ && depth == 0 && i >= from && u.startsWith(k, i) &&
+          (i == 0 || boundary(s.charAt(i - 1))) &&
+          (i + k.length >= s.length || boundary(s.charAt(i + k.length))))
+        return i
       i += 1
     }
     -1
   }
 
-  /** Every top-level occurrence (same contract as [[indexOfTopLevel]]). */
-  private def allIndicesTopLevel(s: String, token: String, from: Int = 0): Seq[Int] = {
+  /** Every top-level occurrence (same contract as [[indexOfKeywordTopLevel]]). */
+  private def allKeywordsTopLevel(s: String, kw: String, from: Int = 0): Seq[Int] = {
     val out = mutable.ArrayBuffer[Int]()
-    var i = indexOfTopLevel(s, token, from)
+    var i = indexOfKeywordTopLevel(s, kw, from)
     while (i >= 0) {
       out += i
-      i = indexOfTopLevel(s, token, i + 1)
+      i = indexOfKeywordTopLevel(s, kw, i + 1)
     }
     out.toSeq
   }
@@ -401,31 +409,33 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     val upper = s.toUpperCase
     // manual scan: MERGE INTO <t> [AS] [a] USING <(subquery)|view> [AS] [a]
     // ON <cond> WHEN ... (regexes can't handle arbitrarily nested parens)
-    // all clause keywords located TOP-LEVEL (outside literals/parens): a
-    // source literal like 'use ON it WHEN MATCHED' must not move a
-    // boundary (regex/indexOf router trap — round-10 fuzz finding)
-    val usingIdx = indexOfTopLevel(s, " USING ")
+    // all clause keywords located TOP-LEVEL (outside literals/parens) at
+    // word boundaries: a source literal like 'use ON it WHEN MATCHED'
+    // must not move a boundary (regex/indexOf router trap — round-10
+    // fuzz finding), and newline/tab-separated clauses must parse like
+    // their one-line forms
+    val usingIdx = indexOfKeywordTopLevel(s, "USING")
     require(usingIdx > 0, s"cannot parse MERGE INTO: $s")
     val targetTokens = s.substring("MERGE INTO".length, usingIdx)
       .trim.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
     val (name, tAlias) = (targetTokens(0), targetTokens.lift(1))
-    var i = usingIdx + " USING ".length
+    var i = usingIdx + "USING".length
     while (s(i).isWhitespace) i += 1
     val (usingPart, afterUsing) =
       if (s(i) == '(') { val e = balancedEnd(s, i); (s.substring(i, e), e) }
       else { val e = s.indexWhere(c => c.isWhitespace, i); (s.substring(i, e), e) }
-    val onIdx = indexOfTopLevel(s, " ON ", afterUsing)
+    val onIdx = indexOfKeywordTopLevel(s, "ON", afterUsing)
     require(onIdx > 0, s"MERGE missing ON: $s")
     val sAlias = s.substring(afterUsing, onIdx).trim.split("\\s+")
       .filterNot(t => t.isEmpty || t.equalsIgnoreCase("AS")).headOption
     // a clause starts at a top-level "WHEN [NOT] MATCHED" — plain "WHEN"
     // is not enough (CASE WHEN in the ON condition stays where it is)
     val clauseRe = "(?is)^WHEN\\s+(NOT\\s+)?MATCHED\\b.*".r.pattern
-    val whenStarts = allIndicesTopLevel(s, "WHEN ", onIdx)
+    val whenStarts = allKeywordsTopLevel(s, "WHEN", onIdx)
       .filter(ix => clauseRe.matcher(s.substring(ix)).matches())
     require(whenStarts.nonEmpty, s"MERGE missing WHEN clauses: $s")
     val whenIdx = whenStarts.head
-    val onCond = s.substring(onIdx + 4, whenIdx).trim
+    val onCond = s.substring(onIdx + "ON".length, whenIdx).trim
     val clauses = (whenStarts :+ s.length).sliding(2).map {
       case Seq(a, b) => s.substring(a, b).trim }.toSeq
     runMerge(s, name, tAlias, usingPart, sAlias, onCond, clauses)
@@ -452,13 +462,13 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
         var matched = Seq.empty[MergeOps.WhenMatched]
         var notMatched = Seq.empty[MergeOps.WhenNotMatched]
         clauses.foreach { clause =>
-          val thenIdx = indexOfTopLevel(clause, " THEN ")
+          val thenIdx = indexOfKeywordTopLevel(clause, "THEN")
           require(thenIdx > 0, s"WHEN clause missing THEN: $clause")
           val (isNot, cond) = clause.substring(0, thenIdx).trim match {
             case headRe(not, c) => (not != null, Option(c).map(requalify))
             case h => sys.error(s"bad WHEN clause head: $h")
           }
-          val action = clause.substring(thenIdx + " THEN ".length).trim
+          val action = clause.substring(thenIdx + "THEN".length).trim
           val au = action.toUpperCase
           if (!isNot) {
             val a =
@@ -571,10 +581,10 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
       case re(name, rest) =>
         // WHERE found top-level: a SET literal like 'a WHERE b' must not
         // split the statement early (the lazy-regex router trap)
-        val wIdx = indexOfTopLevel(rest, " WHERE ")
+        val wIdx = indexOfKeywordTopLevel(rest, "WHERE")
         val (setPart, pred) =
           if (wIdx >= 0) (rest.substring(0, wIdx),
-            rest.substring(wIdx + " WHERE ".length))
+            rest.substring(wIdx + "WHERE".length))
           else (rest, "true")
         val assignments = splitTopLevel(setPart).map { kv =>
           val Array(k, v) = kv.split("=", 2); k.trim -> v.trim

@@ -142,12 +142,54 @@ object BloomDedup {
     * OR-merge-compatible with the persisted ones. The merge itself is
     * shard-cardinality work (≤ `shards` rows on each side — the same
     * bounded working set [[load]] collects), then one overwrite commit. */
+  /** The per-shard capacity the persisted filters were sized for. For an
+    * index persisted before the capacity property existed, the capacity
+    * is RE-DERIVED from a stored filter, self-validating: binary-search
+    * the smallest n whose `create(n, fpp)` reaches the stored bit size
+    * (bitSize is monotone in n), then scan its neighborhood for a value
+    * whose fresh filter actually OR-merges with the stored one (the
+    * sizing internals changed across Spark's filter versions, so a
+    * formula inversion is fragile; an attempted merge is the ground
+    * truth). Defaulting a legacy index to capacity 1 would build
+    * append-time partials bit-incompatible with the stored filters and
+    * crash the merge (review finding). */
+  private def capacityOf(t: GraftTable): Long =
+    t.properties.get(CapacityProp).map(_.toLong).getOrElse {
+      val fpp = t.properties(FppProp).toDouble
+      t.read().select("filter").limit(1).collect().headOption match {
+        case None => 1L // empty index: nothing persisted to be compatible with
+        case Some(row) =>
+          val bytes = row.getAs[Array[Byte]](0)
+          val bits = BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes)).bitSize()
+          var lo = 1L
+          var hi = 1L
+          while (BloomFilter.create(hi, fpp).bitSize() < bits) hi *= 2
+          while (lo < hi) {
+            val mid = lo + (hi - lo) / 2
+            if (BloomFilter.create(mid, fpp).bitSize() >= bits) hi = mid
+            else lo = mid + 1
+          }
+          def compatible(n: Long): Boolean =
+            try {
+              BloomFilter.create(n, fpp).mergeInPlace(BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(bytes)))
+              true
+            } catch { case _: Exception => false }
+          (math.max(1L, lo - 8) to lo + 8).find(compatible).getOrElse(
+            throw new IllegalStateException(
+              s"cannot derive a merge-compatible capacity for legacy bloom " +
+                s"index ${t.path} (stored bitSize=$bits, fpp=$fpp); rebuild " +
+                "the index from the corpus (BloomDedup.build) to upgrade it"))
+      }
+    }
+
   def append(t: GraftTable, docs: DataFrame, textCol: String = "text"): Unit = {
     val s = docs.sparkSession
     val props = t.properties
     val shards = props(ShardsProp).toInt
     val fpp = props(FppProp).toDouble
-    val capacity = props.getOrElse(CapacityProp, "1").toLong
+    val capacity = capacityOf(t)
     val fps = docs.select(fp(col(textCol)).as("fp"))
     val fresh = shardRows(fps, shards, capacity, fpp)
       .collect().map(r => r.getInt(0) -> (r.getAs[Array[Byte]](1), r.getLong(2)))
@@ -178,7 +220,7 @@ object BloomDedup {
     * > 1.0 means at least one shard holds more items than its filter was
     * sized for and its effective fpp now exceeds the configured one. */
   def saturation(t: GraftTable): Double = {
-    val capacity = math.max(t.properties.getOrElse(CapacityProp, "1").toLong, 1L)
+    val capacity = math.max(capacityOf(t), 1L)
     val row = t.read().agg(max(col("items"))).head()
     if (row.isNullAt(0)) 0.0 else row.getLong(0).toDouble / capacity
   }

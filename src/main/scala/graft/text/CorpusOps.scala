@@ -111,60 +111,55 @@ object CorpusOps {
     * report ("how many types cover 90% of tokens").
     *
     * The corpus-size work is the map-side-combined word count, computed
-    * ONCE; everything after operates on the *vocabulary* (bounded by
-    * distinct types, ~1e6-1e8 at web scale — metadata next to a 100 TB
-    * corpus). Even so, the rank + cumulative sum do NOT run as one global
-    * window (a single-partition exchange over the vocabulary would
-    * serialize the 1e8-type end of that range through one task): the
-    * collapsed vocab is RANGE-BUCKETED on the sort key
-    * `(n desc, word)`, in-bucket windows rank and prefix-sum in parallel,
-    * and the cross-bucket correction is a per-bucket (count, token-sum)
-    * total — shuffle-partition-cardinality driver metadata turned into
-    * exclusive offsets, the [[packSequences]] two-phase prefix-sum idiom.
-    * The grand total is the sum of the same per-bucket totals, so no
-    * second corpus or vocab scan.
-    */
+    * ONCE (the collapsed vocabulary is persisted across the two bounded
+    * follow-up jobs, then released — the output is materialized
+    * driver-side, so no returned plan pins the cache). Everything after
+    * operates on the *vocabulary* (bounded by distinct types, ~1e6-1e8
+    * at web scale — metadata next to a 100 TB corpus), and neither
+    * follow-up is a global window: the grand total is one aggregate, and
+    * the top-K by `(n desc, word)` is a distributed
+    * TakeOrderedAndProject (per-partition top-K merged on the driver) —
+    * no single-partition exchange at any vocabulary size. Rank and
+    * cumulative share are then computed over the COLLECTED top-K rows —
+    * driver work bounded by the caller's topK, fully deterministic (an
+    * earlier round's range-bucketed window recomputed its sampled
+    * repartitionByRange bounds per job, so the two passes could disagree
+    * on bucket boundaries — review finding). */
   def vocabCoverage(docs: DataFrame, textCol: String = "text",
       topK: Int = 50): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
     val counts = docs
       .select(explode(TextOps.words(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
-    // range partitions come out ordered along the sort key, so
-    // spark_partition_id() IS the bucket rank; (n, word) pairs are
-    // distinct (words are grouped), so bucket boundaries cannot split a
-    // sort key and in-bucket rank + offset = exact global rank.
-    val nBuckets = spark.sessionState.conf.numShufflePartitions
-    val bucketed = counts
-      .repartitionByRange(nBuckets, col("n").desc, col("word"))
-      .withColumn("__b", spark_partition_id())
-    val inBucket = Window.partitionBy("__b").orderBy(col("n").desc, col("word"))
-    val ranked = bucketed
-      .withColumn("__r", row_number().over(inBucket))
-      .withColumn("__cum", sum("n").over(
-        inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = bucketed.groupBy("__b")
-      .agg(count(lit(1)).as("__cnt"), sum("n").as("__sum"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    if (totals.isEmpty)
-      return counts.select(col("word"), col("n"),
-        lit(0).as("rank"), lit(0.0).as("cum_share")).filter(lit(false))
-    val grand = totals.map(_._3).sum.toDouble
-    val offsets = totals.scanLeft((0, 0L, 0L)) {
-      case ((_, rAcc, sAcc), (b, cnt, s)) => (b, rAcc + cnt, sAcc + s)
-    }.dropRight(1).zip(totals).map { case ((_, rOff, sOff), (b, _, _)) =>
-      (b, rOff, sOff)
-    }
-    val offDf = broadcast(offsets.toSeq.toDF("__b", "__roff", "__soff"))
-    ranked.join(offDf, Seq("__b"))
-      .withColumn("rank", (col("__r") + col("__roff")).cast("int"))
-      .filter(col("rank") <= topK)
-      .select(col("word"), col("n"), col("rank"),
-        round((col("__cum") + col("__soff")) / lit(grand) + lit(1e-9), 6)
-          .as("cum_share"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totalRow = counts.agg(sum("n")).head()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cum_share",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      if (totalRow.isNullAt(0))
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val grand = totalRow.getLong(0).toDouble
+      val top = counts.orderBy(col("n").desc, col("word")).limit(topK)
+        .collect() // TakeOrderedAndProject: <= topK rows reach the driver
+      var cum = 0L
+      val rows = top.zipWithIndex.map { case (r, i) =>
+        cum += r.getLong(1)
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1), i + 1,
+          BigDecimal(cum / grand + 1e-9)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    } finally counts.unpersist(blocking = false)
   }
 
   /** Token-budget mixture materialization — the step that turns mixture

@@ -34,15 +34,25 @@ object BenchDiff {
   def diff(oldPath: String, newPath: String, k: Double = 4.0,
       floorSec: Double = 0.5): Seq[(String, Double, Double, Double)] = {
     // a gate's isolated quiet-box number (queries_isolated, present when
-    // the in-run MAD flagged it) is its RECORD number — compare that when
-    // either side has one, so neighbor-window noise in the catalog run
-    // can't masquerade as a cross-round regression
+    // the in-run MAD flagged it) is measured under a DIFFERENT protocol
+    // than the in-run median (state reset + forced GC before every rep —
+    // cold-start cost the catalog run amortizes), so the two statistics
+    // are only comparable to their own kind: prefer isolated numbers
+    // ONLY when BOTH rounds carry one for the gate (comparing one
+    // round's isolated 20 s against the other's in-run 29 s would flag
+    // the exact neighbor-noise artifact this mechanism exists to
+    // suppress — review finding)
+    val (isoO, isoN) =
+      (queriesOf(oldPath, "queries_isolated"), queriesOf(newPath, "queries_isolated"))
+    val both = isoO.keySet & isoN.keySet
     val (qo, qn) =
-      (queriesOf(oldPath, "queries") ++ queriesOf(oldPath, "queries_isolated"),
-        queriesOf(newPath, "queries") ++ queriesOf(newPath, "queries_isolated"))
+      (queriesOf(oldPath, "queries") ++ isoO.view.filterKeys(both).toMap,
+        queriesOf(newPath, "queries") ++ isoN.view.filterKeys(both).toMap)
     val (mo, mn) =
-      (queriesOf(oldPath, "queries_mad") ++ queriesOf(oldPath, "queries_isolated_mad"),
-        queriesOf(newPath, "queries_mad") ++ queriesOf(newPath, "queries_isolated_mad"))
+      (queriesOf(oldPath, "queries_mad") ++
+        queriesOf(oldPath, "queries_isolated_mad").view.filterKeys(both).toMap,
+        queriesOf(newPath, "queries_mad") ++
+          queriesOf(newPath, "queries_isolated_mad").view.filterKeys(both).toMap)
     (qo.keySet & qn.keySet).toSeq.sorted.flatMap { q =>
       val (a, b) = (qo(q), qn(q))
       val bound = math.max(k * math.max(mo.getOrElse(q, 0.0), mn.getOrElse(q, 0.0)),

@@ -82,15 +82,23 @@ object ScaleBench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // a failing gate (e.g. a partial scale point missing its table) must
+    // not abort the run and lose every prior gate's measurement — record
+    // -1, keep going, and filter it from the JSON
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       val reps = (1 to repeat).map { _ =>
         reset()
         val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      median(reps)
+        try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[scalebench] $name failed at $dir: ${e.getMessage}")
+          -1.0
+        }
+      }.filter(_ >= 0)
+      if (reps.isEmpty) -1.0 else median(reps)
     }
 
     // warm-up both scale points (file listing, codegen); a partial scale
@@ -106,12 +114,16 @@ object ScaleBench {
       val a = time(g, dirA)
       val b = time(g, dirB)
       val fam = Families.find(_._2.contains(g)).map(_._1).getOrElse("other")
-      println(f"[scalebench] $fam%-16s $g%-28s $a%7.2f s -> $b%7.2f s  ratio ${b / a}%5.2f")
+      if (a < 0 || b < 0)
+        println(f"[scalebench] $fam%-16s $g%-28s FAILED (small=$a%.2f large=$b%.2f)")
+      else
+        println(f"[scalebench] $fam%-16s $g%-28s $a%7.2f s -> $b%7.2f s  ratio ${b / a}%5.2f")
       (fam, g, a, b)
     }
-    val json = rows.map { case (fam, g, a, b) =>
-      f"""{"family":"$fam","gate":"$g","small_sec":$a%.3f,"large_sec":$b%.3f,"ratio":${b / a}%.2f}"""
-    }.mkString("[", ",", "]")
+    val json = rows.filter { case (_, _, a, b) => a >= 0 && b >= 0 }
+      .map { case (fam, g, a, b) =>
+        f"""{"family":"$fam","gate":"$g","small_sec":$a%.3f,"large_sec":$b%.3f,"ratio":${b / a}%.2f}"""
+      }.mkString("[", ",", "]")
     val out = java.nio.file.Paths.get("target", "scalebench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))

@@ -63,7 +63,10 @@ object Mmr {
       .select(col(idCol).as("id"),
         round(VectorOps.cosine(col(vecCol), q) + lit(1e-9), 4).as("sim"),
         VectorOps.normalized(col(vecCol)).as("v"))
-      .orderBy(col("sim").desc, col("id")).limit(nCand)
+      // nulls LAST to agree with the driver-side tie-break's idOrd (a
+      // keyed row beats an unkeyed one on both sides of the cut —
+      // Spark's asc default is nulls first, the opposite)
+      .orderBy(col("sim").desc, col("id").asc_nulls_last).limit(nCand)
       .collect()
       .map(r => (r.get(0), r.getDouble(1), r.getSeq[Double](2).toArray))
 

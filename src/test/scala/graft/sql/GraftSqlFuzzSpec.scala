@@ -128,6 +128,25 @@ class GraftSqlFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("newline/tab-separated clauses parse like their one-line forms") {
+    // the keyword scanner must accept any whitespace at clause
+    // boundaries (review finding: single-space tokens rejected
+    // 'SET v = 1\nWHERE id = 2')
+    val g = freshSql("fuzzws")
+    g.sql("UPDATE tgt SET v = 'nl'\nWHERE id = 2")
+    assert(g.table("tgt").read().filter(col("v") === "nl").count() === 1)
+    g.sql("UPDATE tgt SET v = 'tab'\twHERE id = 2")
+    assert(g.table("tgt").read().filter(col("v") === "tab").count() === 1)
+    g.sql("MERGE INTO tgt AS t\nUSING\n(SELECT 1 AS id) AS s\nON t.id = s.id\n" +
+      "WHEN MATCHED AND t.n > 0 THEN\nUPDATE SET v = 'ml'\n" +
+      "WHEN NOT MATCHED THEN\n\tINSERT (id, v, n) VALUES (s.id, 'x', 0)")
+    assert(g.table("tgt").read().filter(col("v") === "ml").count() === 1)
+    // keyword as identifier substring must NOT match ("WHEREABOUTS")
+    g.sql("UPDATE tgt SET v = 'whereabouts are unknown' WHERE id = 3")
+    assert(g.table("tgt").read().filter(col("id") === 3)
+      .select("v").head().getString(0) === "whereabouts are unknown")
+  }
+
   test("sqlChain: ';' and keywords inside literals do not split statements") {
     val g = freshSql("fuzzchain")
     val r = g.sqlChain(

