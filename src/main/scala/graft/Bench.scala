@@ -71,38 +71,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Per-query state reset. Round-5 bench showed 2-6× inflation on
-    // queries whose code hadn't changed (q121 14.8 s in-run vs 2.4 s
-    // isolated): accumulated single-JVM run state, not plan cost. Each
-    // query must see the session the previous one started with:
-    //  - stray streams stopped (none expected; availableNow queries join)
-    //  - persisted/localCheckpointed blocks unpersisted (ContextCleaner
-    //    only reclaims them on driver GC, far too late here)
-    //  - the scratch-table area wiped (137 queries × repeat leave ~550 MB
-    //    / ~240 commit-logged tables under target/qtmp otherwise)
-    //  - the parsed-commit-log/stats caches for those dead tables dropped
-    //  - a forced GC every `gcEvery` queries so the ContextCleaner
-    //    actually releases shuffle files/broadcasts mid-run
-    val qtmp = java.nio.file.Paths.get(graft.queries.Scratch.Root)
-    def wipeScratch(): Unit = graft.tables.GraftTable.deleteTree(qtmp)
+    // Per-query state reset (tools.Harness — shared with the scaling
+    // harnesses so a reset fix applies everywhere at once). Round-5 bench
+    // showed 2-6× inflation on queries whose code hadn't changed (q121
+    // 14.8 s in-run vs 2.4 s isolated): accumulated single-JVM run
+    // state, not plan cost. GC is forced only every `gcEvery` queries —
+    // between queries, never inside one.
     val gcEvery = 16
-    def resetRunState(i: Int): Unit = {
-      spark.streams.active.foreach(_.stop())
-      // stream gates run on derived sessions whose queries register in a
-      // DIFFERENT StreamingQueryManager — the line above cannot see them
-      graft.queries.StreamQueries.stopDerivedStreams()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-      graft.tables.GraftTable.clearAllCaches()
-      wipeScratch()
-      if (i % gcEvery == gcEvery - 1) System.gc()
-    }
-    wipeScratch() // residue from earlier runs
+    def resetRunState(i: Int): Unit =
+      graft.tools.Harness.resetRunState(spark, gc = i % gcEvery == gcEvery - 1)
+    graft.tools.Harness.wipeScratch() // residue from earlier runs
 
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
+    def median(xs: Seq[Double]): Double = graft.tools.Harness.median(xs)
 
     // (name, median, min, mad) per query — median is the headline
     // statistic; mad = median(|rep − median|) is the per-query spread, so

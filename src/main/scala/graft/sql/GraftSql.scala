@@ -332,49 +332,44 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
 
   // ---- MERGE INTO --------------------------------------------------------
 
-  /** Split on top-level commas (not inside parens/quotes). */
+  /** Split on top-level commas (not inside parens/quotes; both literal
+    * escape forms honored — a backslash-escaped quote must not desync
+    * the quote parity, the SqlText contract). */
   private def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
     val out = mutable.ArrayBuffer[String]()
     var depth = 0; var inQ = false; val cur = new StringBuilder
-    s.foreach {
-      case '\'' => inQ = !inQ; cur += '\''
-      case '(' if !inQ => depth += 1; cur += '('
-      case ')' if !inQ => depth -= 1; cur += ')'
-      case c if c == sep && depth == 0 && !inQ =>
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ && c == '\\' && i + 1 < s.length) {
+        cur += c; cur += s.charAt(i + 1); i += 1
+      } else if (c == '\'') { inQ = !inQ; cur += c }
+      else if (!inQ && c == '(') { depth += 1; cur += c }
+      else if (!inQ && c == ')') { depth -= 1; cur += c }
+      else if (!inQ && depth == 0 && c == sep) {
         out += cur.toString.trim; cur.clear()
-      case c => cur += c
+      } else cur += c
+      i += 1
     }
     if (cur.nonEmpty) out += cur.toString.trim
     out.toSeq
   }
 
   /** First case-insensitive WORD-BOUNDED occurrence of keyword `kw` at or
-    * after `from` that sits OUTSIDE single-quoted literals and parens, or
-    * -1; returns the index of the keyword itself. Word boundaries (any
-    * non-identifier char: whitespace incl. newlines/tabs, parens, quotes)
-    * replace the old single-space-delimited tokens, so `SET v = 1\nWHERE
-    * id = 2` parses like its one-line form. Quote state is tracked from
-    * position 0 (so `from` may land mid-literal safely); doubled `''`
-    * escapes degrade to close+reopen, which preserves the in/out parity
-    * this scan needs. The keyword-in-a-literal router trap: `ON t.v <>
-    * 'WHEN MATCHED'` must not start the WHEN clauses early. */
-  private def indexOfKeywordTopLevel(s: String, kw: String, from: Int = 0): Int = {
-    val u = s.toUpperCase; val k = kw.toUpperCase
-    def boundary(c: Char): Boolean = !c.isLetterOrDigit && c != '_'
-    var i = 0; var inQ = false; var depth = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\'') inQ = !inQ
-      else if (!inQ && c == '(') depth += 1
-      else if (!inQ && c == ')') depth -= 1
-      else if (!inQ && depth == 0 && i >= from && u.startsWith(k, i) &&
-          (i == 0 || boundary(s.charAt(i - 1))) &&
-          (i + k.length >= s.length || boundary(s.charAt(i + k.length))))
-        return i
-      i += 1
-    }
-    -1
-  }
+    * after `from` that sits OUTSIDE single-quoted literals, quoted
+    * identifiers, comments, and parens, or -1; returns the index of the
+    * keyword itself. Word boundaries (any non-identifier char:
+    * whitespace incl. newlines/tabs, parens, quotes) replace the old
+    * single-space-delimited tokens, so `SET v = 1\nWHERE id = 2` parses
+    * like its one-line form. Delegates to [[SqlText.topLevelIndexOf]] —
+    * the module's ONE quote-state scanner: it matches in place via
+    * regionMatches (a toUpperCase copy can CHANGE LENGTH — 'ß' → "SS" —
+    * desyncing every index, and is locale-sensitive) and honors both
+    * literal escape forms (doubled '' and backslash), per the SqlText
+    * contract the fuzz spec pins. The keyword-in-a-literal router trap:
+    * `ON t.v <> 'WHEN MATCHED'` must not start the WHEN clauses early. */
+  private def indexOfKeywordTopLevel(s: String, kw: String, from: Int = 0): Int =
+    SqlText.topLevelIndexOf(s, kw, from)
 
   /** Every top-level occurrence (same contract as [[indexOfKeywordTopLevel]]). */
   private def allKeywordsTopLevel(s: String, kw: String, from: Int = 0): Seq[Int] = {
@@ -387,17 +382,18 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     out.toSeq
   }
 
-  /** Index just past the balanced close paren for the open at `start`. */
+  /** Index just past the balanced close paren for the open at `start`
+    * (escape handling as [[splitTopLevel]]). */
   private def balancedEnd(s: String, start: Int): Int = {
     var depth = 0; var i = start; var inQ = false
     while (i < s.length) {
-      s(i) match {
-        case '\'' => inQ = !inQ
-        case '(' if !inQ => depth += 1
-        case ')' if !inQ =>
-          depth -= 1
-          if (depth == 0) return i + 1
-        case _ =>
+      val c = s.charAt(i)
+      if (inQ && c == '\\' && i + 1 < s.length) i += 1
+      else if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') {
+        depth -= 1
+        if (depth == 0) return i + 1
       }
       i += 1
     }
@@ -406,7 +402,6 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
 
   private def merge(s: String): DataFrame = {
     catalog.foreach { case (n, t) => t.read().createOrReplaceTempView(n) }
-    val upper = s.toUpperCase
     // manual scan: MERGE INTO <t> [AS] [a] USING <(subquery)|view> [AS] [a]
     // ON <cond> WHEN ... (regexes can't handle arbitrarily nested parens)
     // all clause keywords located TOP-LEVEL (outside literals/parens) at

@@ -527,6 +527,30 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       removedDv = dvAt().map(rel))
   }
 
+  /** Overwrite CONDITIONED ON A SNAPSHOT: removes exactly
+    * `snapshotFiles` (absolute paths — the file list the caller READ
+    * before computing `df`). If an interleaved commit already removed
+    * any of them, the write-write conflict check throws
+    * [[GraftTable.ConcurrentCommitException]] so `Concurrency.retry`
+    * can recompute from the fresh tip — the read-modify-write
+    * protection a plain [[overwrite]] cannot give (its removed list is
+    * re-listed at commit time, so a stale rewrite would silently
+    * replace an interleaved writer's commit). Index-maintenance callers
+    * (e.g. the Bloom dedup index) read state, merge, and publish with
+    * this. */
+  def overwriteSnapshot(df: DataFrame, snapshotFiles: Seq[String],
+      operation: String = "OVERWRITE",
+      extraProps: Map[String, String] = Map.empty): Commit = {
+    def rel(p: String) = Paths.get(path).relativize(Paths.get(p)).toString
+    val removed = snapshotFiles.map(rel)
+    val withId = assignIdentity(df)
+    val files = writeData(withId._1)
+    commit(operation, files, removed, withId._1.schema, identity = withId._2,
+      props = if (extraProps.isEmpty) null else properties ++ extraProps,
+      fileStats = harvestStats(files),
+      removedDv = dvAt().map(rel))
+  }
+
   /** TRUNCATE: drop every live file, keep schema (`DP/Step 1:231`). */
   def truncate(): Commit = {
     def rel(p: String) = Paths.get(path).relativize(Paths.get(p)).toString

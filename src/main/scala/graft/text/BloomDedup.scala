@@ -190,12 +190,21 @@ object BloomDedup {
     val shards = props(ShardsProp).toInt
     val fpp = props(FppProp).toDouble
     val capacity = capacityOf(t)
+    // the files this read-modify-write READS condition the publish below:
+    // an interleaved append/rebuild then surfaces as a
+    // ConcurrentCommitException instead of a silently lost update (lost
+    // fingerprints = Bloom false negatives, which the module contract
+    // forbids — review finding). Multi-writer callers wrap in
+    // Concurrency.retry, the engine-wide discipline.
+    val snapshotFiles = t.filesAt()
     val fps = docs.select(fp(col(textCol)).as("fp"))
     val fresh = shardRows(fps, shards, capacity, fpp)
       .collect().map(r => r.getInt(0) -> (r.getAs[Array[Byte]](1), r.getLong(2)))
       .toMap
     if (fresh.isEmpty) return
-    val existing = t.read().select("shard", "filter", "items")
+    val existing = (if (snapshotFiles.isEmpty) t.read()
+                    else t.readFiles(snapshotFiles))
+      .select("shard", "filter", "items")
       .collect().map(r => r.getInt(0) -> (r.getAs[Array[Byte]](1), r.getLong(2)))
       .toMap
     val merged = (existing.keySet ++ fresh.keySet).toSeq.sorted.map { sh =>
@@ -213,7 +222,13 @@ object BloomDedup {
       }
     }
     import s.implicits._
-    t.overwrite(merged.toDF("shard", "filter", "items"), "BLOOM INDEX APPEND")
+    // a legacy index's derived capacity rides the same commit, so the
+    // self-validating derivation runs once, not on every later call
+    val capProp =
+      if (props.contains(CapacityProp)) Map.empty[String, String]
+      else Map(CapacityProp -> capacity.toString)
+    t.overwriteSnapshot(merged.toDF("shard", "filter", "items"),
+      snapshotFiles, "BLOOM INDEX APPEND", extraProps = capProp)
   }
 
   /** Saturation ratio: max over shards of items / sized-for capacity.
@@ -227,13 +242,19 @@ object BloomDedup {
 
   /** Rebuild trigger: when [[saturation]] exceeds `threshold`, rebuild
     * every shard filter from the live corpus, re-sized (same ×2 slack
-    * rule as [[build]]) so the configured fpp holds again, and update the
-    * capacity property. Probe results are unchanged by construction —
-    * dedupBatch verifies exactly — the rebuild restores the fpp that
-    * keeps the verify join batch-bounded-tight. Returns true iff a
-    * rebuild ran. */
+    * rule as [[build]]) so the configured fpp holds again. The resized
+    * filters and the new capacity property land in ONE
+    * snapshot-conditioned commit: a separate property commit would leave
+    * a crash window where big filters carry the old small capacity
+    * (saturation() > 1 → a spurious immediate re-rebuild), and an
+    * interleaved append between the saturation check and the publish
+    * must conflict, not be silently overwritten (review findings).
+    * Probe results are unchanged by construction — dedupBatch verifies
+    * exactly. Returns true iff a rebuild ran; multi-writer callers wrap
+    * in `Concurrency.retry`. */
   def rebuildIfSaturated(t: GraftTable, corpus: DataFrame,
       textCol: String = "text", threshold: Double = 1.0): Boolean = {
+    val snapshotFiles = t.filesAt() // BEFORE the saturation read
     if (saturation(t) <= threshold) return false
     val props = t.properties
     val shards = props(ShardsProp).toInt
@@ -241,8 +262,9 @@ object BloomDedup {
     val fps = corpus.select(fp(col(textCol)).as("fp"))
     val n = fps.count()
     val perShard = math.max(n / shards, 1L) * 2
-    t.overwrite(shardRows(fps, shards, perShard, fpp), "BLOOM INDEX REBUILD")
-    t.setProperties(Map(CapacityProp -> perShard.toString))
+    t.overwriteSnapshot(shardRows(fps, shards, perShard, fpp),
+      snapshotFiles, "BLOOM INDEX REBUILD",
+      extraProps = Map(CapacityProp -> perShard.toString))
     true
   }
 

@@ -30,10 +30,7 @@ object ProfPairs {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
+    def median(xs: Seq[Double]): Double = Harness.median(xs)
     val res = Seq(args(0), args(1)).map { dir =>
       val emb = graft.Tables.t(spark, dir, "embeddings")
       val n = emb.count()

@@ -68,37 +68,32 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val qtmp = java.nio.file.Paths.get(graft.queries.Scratch.Root)
-    def reset(): Unit = {
-      spark.streams.active.foreach(_.stop())
-      graft.queries.StreamQueries.stopDerivedStreams()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-      graft.tables.GraftTable.clearAllCaches()
-      graft.tables.GraftTable.deleteTree(qtmp)
-      System.gc()
-    }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
+    def reset(): Unit = Harness.resetRunState(spark)
+    def median(xs: Seq[Double]): Double = Harness.median(xs)
     // a failing gate (e.g. a partial scale point missing its table) must
     // not abort the run and lose every prior gate's measurement — record
     // -1, keep going, and filter it from the JSON
     def time(name: String, dir: String): Double = {
-      val fn = SparkEntry.queries(name)
-      val reps = (1 to repeat).map { _ =>
-        reset()
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, dir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[scalebench] $name failed at $dir: ${e.getMessage}")
+      // the lookup itself is inside the guard: a typo'd gate name must
+      // not abort the run and lose every prior gate's measurement
+      SparkEntry.queries.get(name) match {
+        case None =>
+          System.err.println(s"[scalebench] unknown gate: $name")
           -1.0
-        }
-      }.filter(_ >= 0)
-      if (reps.isEmpty) -1.0 else median(reps)
+        case Some(fn) =>
+          val reps = (1 to repeat).map { _ =>
+            reset()
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, dir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              System.err.println(s"[scalebench] $name failed at $dir: ${e.getMessage}")
+              -1.0
+            }
+          }.filter(_ >= 0)
+          if (reps.isEmpty) -1.0 else median(reps)
+      }
     }
 
     // warm-up both scale points (file listing, codegen); a partial scale

@@ -77,17 +77,39 @@ object Mmr {
       r4(s)
     }
 
-    // deterministic tie-break on the RUNTIME id value: exact (BigDecimal)
-    // for numerics — identical to the old `cast("long")` ordering — and
-    // lexicographic for strings; nulls (admissible in a generic id) sort
-    // last so a keyed row always beats an unkeyed one.
+    // deterministic tie-break on the RUNTIME id value, matched to
+    // SPARK'S sort order (the candidate cut above sorts with it, so the
+    // two sides of the nCand boundary must agree): floating ids compare
+    // via Double/Float.compare (NaN deterministically last, no
+    // BigDecimal parse crash on NaN/Infinity), integral ids exactly via
+    // BigDecimal — identical to the old `cast("long")` ordering —
+    // strings by unsigned UTF-8 bytes (Spark's UTF8String binary order,
+    // which differs from String.compareTo for supplementary
+    // characters); nulls sort last on BOTH sides of the cut
+    // (asc_nulls_last above) so a keyed row always beats an unkeyed one.
+    def utf8Compare(x: String, y: String): Int = {
+      val xb = x.getBytes("UTF-8"); val yb = y.getBytes("UTF-8")
+      val n = math.min(xb.length, yb.length)
+      var i = 0
+      while (i < n) {
+        val d = (xb(i) & 0xff) - (yb(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      xb.length - yb.length
+    }
     val idOrd: Ordering[Any] = new Ordering[Any] {
       def compare(a: Any, b: Any): Int = (a, b) match {
         case (null, null) => 0
         case (null, _) => 1
         case (_, null) => -1
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          java.lang.Double.compare(x, y)
+        case (x: java.lang.Float, y: java.lang.Float) =>
+          java.lang.Float.compare(x, y)
         case (x: java.lang.Number, y: java.lang.Number) =>
           BigDecimal(x.toString).compare(BigDecimal(y.toString))
+        case (x: String, y: String) => utf8Compare(x, y)
         case (x, y) => x.toString.compareTo(y.toString)
       }
     }

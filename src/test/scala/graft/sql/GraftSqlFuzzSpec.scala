@@ -147,6 +147,32 @@ class GraftSqlFuzzSpec extends SparkTestBase {
       .select("v").head().getString(0) === "whereabouts are unknown")
   }
 
+  test("backslash-escaped quotes and length-changing case do not desync the scanner") {
+    val g = freshSql("fuzzesc")
+    // backslash-escaped quote inside a literal that ALSO contains WHERE:
+    // the scanner must keep quote parity (review finding: the naive
+    // toggle treated \' as a close and found the literal's WHERE)
+    g.sql("UPDATE tgt SET v = 'it\\'s x WHERE y' WHERE id = 1")
+    assert(g.table("tgt").read().filter(col("id") === 1)
+      .select("v").head().getString(0) === "it's x WHERE y")
+    assert(g.table("tgt").read().filter(col("v") === "two").count() === 1,
+      "rows outside the WHERE must be untouched")
+    // length-changing uppercase: 'ß'.toUpperCase = \"SS\" — a scanner
+    // working on a toUpperCase COPY desyncs every index after it and
+    // loses the real WHERE (silent full-table update)
+    g.sql("UPDATE tgt SET v = 'straße' WHERE id = 2")
+    assert(g.table("tgt").read().filter(col("v") === "straße").count() === 1)
+    assert(g.table("tgt").read().filter(col("id") === 3)
+      .select("v").head().getString(0) === "three",
+      "a desynced scanner would have updated every row")
+    // backslash-escaped quote in a MERGE source literal with clause
+    // keywords inside
+    g.sql("MERGE INTO tgt AS t USING (SELECT 3 AS id, 'don\\'t WHEN MATCHED THEN' AS nv) AS s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.nv")
+    assert(g.table("tgt").read().filter(col("id") === 3)
+      .select("v").head().getString(0) === "don't WHEN MATCHED THEN")
+  }
+
   test("sqlChain: ';' and keywords inside literals do not split statements") {
     val g = freshSql("fuzzchain")
     val r = g.sqlChain(

@@ -84,6 +84,30 @@ class ConcurrencySpec extends SparkTestBase {
     assert(wVals >= 0L) // column readable over files written before evolution
   }
 
+  test("overwriteSnapshot: a stale read-modify-write conflicts instead of losing the interleaved commit") {
+    // the index-maintenance pattern (read state -> merge -> publish): a
+    // writer whose snapshot predates an interleaved commit must get a
+    // ConcurrentCommitException, not silently replace that commit (for a
+    // Bloom index, a lost append = false negatives)
+    val path = scratch("snapshot-ow")
+    val t = GraftTable.createFrom(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    val snapshot = t.filesAt() // writer A reads here
+    // writer B lands an interleaved overwrite
+    GraftTable.load(spark, path).overwrite(Seq((2L, "b")).toDF("id", "v"))
+    // writer A publishes against its stale snapshot -> must throw
+    intercept[GraftTable.ConcurrentCommitException] {
+      t.overwriteSnapshot(Seq((3L, "c")).toDF("id", "v"), snapshot)
+    }
+    assert(GraftTable.load(spark, path).read()
+      .select("v").head().getString(0) === "b",
+      "the interleaved commit must survive")
+    // and with a FRESH snapshot the same writer succeeds
+    val t2 = GraftTable.load(spark, path)
+    t2.overwriteSnapshot(Seq((3L, "c")).toDF("id", "v"), t2.filesAt())
+    assert(GraftTable.load(spark, path).read()
+      .select("v").head().getString(0) === "c")
+  }
+
   test("8 mixed MERGE/append/OPTIMIZE writers serialize across random interleavings") {
     // the reference's retry-merge contract (`HF/deltahelpers.py:132-172`)
     // under adversarial scheduling: increments are read-modify-write, so
