@@ -111,7 +111,10 @@ object Bench {
     // concurrent QPM over the read-only relational subset (the reference's
     // throughput mode: N workers, cache off). DDL/scratch-table queries are
     // excluded — they share session temp-view names.
-    val conc = sys.env.getOrElse("SPARK_GRAFT_CONCURRENCY", "4").toInt
+    // also parsed after the catalog run — same degrade-don't-abort rule as
+    // the MAD tunables below
+    val conc = sys.env.get("SPARK_GRAFT_CONCURRENCY")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(4)
     // two-digit q0x–q4x only: the 3-digit q1xx/q2xx families are DDL,
     // streaming, and table-maintenance scripts, not the read-only subset
     val readOnly = queries.filter(q => q._1.matches("^q[0-4]\\d_.*"))
@@ -143,8 +146,18 @@ object Bench {
     // quiet number is recorded alongside (never replacing) the in-run
     // median, so BenchDiff can attribute a delta to neighbor noise
     // without re-litigation.
-    val madK = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_MAD_K", "10").toDouble
-    val madFloor = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_MAD_FLOOR", "0.3").toDouble
+    // parsed AFTER the catalog has been timed — a malformed env value must
+    // degrade to the default (with a warning), not abort the run and lose
+    // every measurement above (review finding)
+    def envDouble(name: String, default: Double): Double =
+      sys.env.get(name).flatMap { v =>
+        val p = scala.util.Try(v.toDouble).toOption
+        if (p.isEmpty) System.err.println(
+          s"[bench] ignoring malformed $name='$v', using $default")
+        p
+      }.getOrElse(default)
+    val madK = envDouble("SPARK_GRAFT_ISOLATE_MAD_K", 10)
+    val madFloor = envDouble("SPARK_GRAFT_ISOLATE_MAD_FLOOR", 0.3)
     val classMad = median(ok.map(_._4).filter(_ >= 0) match {
       case s if s.isEmpty => Seq(0.0); case s => s })
     val flagged = ok.filter { case (_, _, _, mad) =>

@@ -44,7 +44,11 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
   // ---- entry point -------------------------------------------------------
 
   def sql(statement: String): DataFrame = {
-    val s = statement.trim.stripSuffix(";").trim
+    // comments go first (outside literals/quoted identifiers; hints
+    // survive): every router path below — regex heads, keyword scans,
+    // comma splits — then sees comment-free text, so a comment can never
+    // hide a clause boundary or leak into a parsed fragment
+    val s = SqlText.stripComments(statement).trim.stripSuffix(";").trim
     val u = s.toUpperCase
     if (u.startsWith("COPY INTO")) copyInto(s)
     else if (u.startsWith("MERGE INTO")) merge(s)
@@ -136,7 +140,9 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     * quote-aware — a ';' inside a string literal does not break the
     * statement. */
   def sqlChain(statements: String): DataFrame =
-    SqlText.splitStatements(statements)
+    // strip before splitting: a ';' inside a comment must not split the
+    // chain (sql() re-strips per statement; stripping is idempotent)
+    SqlText.splitStatements(SqlText.stripComments(statements))
       .map(sql).lastOption.getOrElse(emptyResult)
 
   private def emptyResult: DataFrame = {
@@ -332,27 +338,46 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
 
   // ---- MERGE INTO --------------------------------------------------------
 
-  /** Split on top-level commas (not inside parens/quotes; both literal
-    * escape forms honored — a backslash-escaped quote must not desync
-    * the quote parity, the SqlText contract). */
+  /** Split on top-level commas — not inside parens, string literals
+    * (both escape forms honored — a backslash-escaped quote must not
+    * desync the quote parity, the SqlText contract), or quoted
+    * identifiers: a backtick name like `` `a, b` `` is ONE identifier
+    * and its comma must not split an assignment list (review finding;
+    * comments never reach here — [[sql]] strips them up front). */
   private def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
     val out = mutable.ArrayBuffer[String]()
-    var depth = 0; var inQ = false; val cur = new StringBuilder
+    var depth = 0; var inQ = false; var inD = false; var inB = false
+    val cur = new StringBuilder
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inQ && c == '\\' && i + 1 < s.length) {
-        cur += c; cur += s.charAt(i + 1); i += 1
-      } else if (c == '\'') { inQ = !inQ; cur += c }
-      else if (!inQ && c == '(') { depth += 1; cur += c }
-      else if (!inQ && c == ')') { depth -= 1; cur += c }
-      else if (!inQ && depth == 0 && c == sep) {
+      if (inQ) {
+        if (c == '\\' && i + 1 < s.length) { cur += c; cur += s.charAt(i + 1); i += 1 }
+        else { if (c == '\'') inQ = false; cur += c }
+      } else if (inD) { if (c == '"') inD = false; cur += c }
+      else if (inB) { if (c == '`') inB = false; cur += c }
+      else if (c == '\'') { inQ = true; cur += c }
+      else if (c == '"') { inD = true; cur += c }
+      else if (c == '`') { inB = true; cur += c }
+      else if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (depth == 0 && c == sep) {
         out += cur.toString.trim; cur.clear()
       } else cur += c
       i += 1
     }
     if (cur.nonEmpty) out += cur.toString.trim
     out.toSeq
+  }
+
+  /** Strip surrounding backticks off a parsed assignment-target name so
+    * it matches the raw schema field name (`` `my col` = v `` assigns
+    * column "my col"). */
+  private def unquoteIdent(k: String): String = {
+    val t = k.trim
+    if (t.length >= 2 && t.startsWith("`") && t.endsWith("`"))
+      t.substring(1, t.length - 1)
+    else t
   }
 
   /** First case-insensitive WORD-BOUNDED occurrence of keyword `kw` at or
@@ -370,6 +395,28 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
     * `ON t.v <> 'WHEN MATCHED'` must not start the WHEN clauses early. */
   private def indexOfKeywordTopLevel(s: String, kw: String, from: Int = 0): Int =
     SqlText.topLevelIndexOf(s, kw, from)
+
+  /** First top-level THEN that does not belong to an open CASE…END:
+    * walks the top-level CASE/THEN/END keywords in text order tracking
+    * CASE nesting, so the clause-terminating THEN of a MERGE WHEN clause
+    * is found even when the clause condition contains an unparenthesized
+    * CASE expression (whose own THENs sit at caseDepth > 0). */
+  private def indexOfClauseThen(s: String): Int = {
+    var from = 0
+    var caseDepth = 0
+    while (from < s.length) {
+      val nc = indexOfKeywordTopLevel(s, "CASE", from)
+      val nt = indexOfKeywordTopLevel(s, "THEN", from)
+      val ne = indexOfKeywordTopLevel(s, "END", from)
+      if (nt < 0) return -1
+      val j = Seq(nc, nt, ne).filter(_ >= 0).min
+      if (j == nc) { caseDepth += 1; from = j + "CASE".length }
+      else if (j == ne) { caseDepth = math.max(0, caseDepth - 1); from = j + "END".length }
+      else if (caseDepth == 0) return j
+      else from = j + "THEN".length
+    }
+    -1
+  }
 
   /** Every top-level occurrence (same contract as [[indexOfKeywordTopLevel]]). */
   private def allKeywordsTopLevel(s: String, kw: String, from: Int = 0): Seq[Int] = {
@@ -451,13 +498,15 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
             .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(sq) + "\\.", "source.")
 
         // each clause = "WHEN [NOT] MATCHED [AND <cond>] THEN <action>";
-        // THEN is found top-level so a literal 'x THEN y' in the condition
-        // cannot split the clause early
+        // THEN is found top-level AND outside any open CASE…END, so
+        // neither a literal 'x THEN y' nor a legal unparenthesized
+        // CASE WHEN … THEN … END in the condition can split the clause
+        // early (review finding)
         val headRe = "(?is)WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.*))?".r
         var matched = Seq.empty[MergeOps.WhenMatched]
         var notMatched = Seq.empty[MergeOps.WhenNotMatched]
         clauses.foreach { clause =>
-          val thenIdx = indexOfKeywordTopLevel(clause, "THEN")
+          val thenIdx = indexOfClauseThen(clause)
           require(thenIdx > 0, s"WHEN clause missing THEN: $clause")
           val (isNot, cond) = clause.substring(0, thenIdx).trim match {
             case headRe(not, c) => (not != null, Option(c).map(requalify))
@@ -473,7 +522,8 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
                 if (setPart == "*") MergeOps.UpdateAll
                 else MergeOps.UpdateSet(splitTopLevel(setPart).map { kv =>
                   val Array(k, v) = kv.split("=", 2)
-                  k.trim.replaceFirst(s"(?i)^$tq\\.", "") -> requalify(v.trim)
+                  unquoteIdent(k.trim.replaceFirst(s"(?i)^$tq\\.", "")) ->
+                    requalify(v.trim)
                 }.toMap)
               } else sys.error(s"bad MATCHED action: $action")
             matched :+= MergeOps.WhenMatched(cond, a)
@@ -582,7 +632,7 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
             rest.substring(wIdx + "WHERE".length))
           else (rest, "true")
         val assignments = splitTopLevel(setPart).map { kv =>
-          val Array(k, v) = kv.split("=", 2); k.trim -> v.trim
+          val Array(k, v) = kv.split("=", 2); unquoteIdent(k) -> v.trim
         }.toMap
         MergeOps.update(table(name), assignments, pred)
         emptyResult
@@ -718,6 +768,43 @@ object SqlText {
       i += 1
     }
     -1
+  }
+
+  /** Remove `--` line comments and block comments occurring OUTSIDE
+    * string literals and quoted identifiers (`"…"`, `` `…` ``) — comment
+    * markers inside a literal are payload and survive byte-for-byte.
+    * Optimizer hints (`/*+ … */`) are preserved verbatim: they are
+    * semantics, not commentary. A removed line comment keeps its
+    * terminating newline and a removed block comment leaves one space,
+    * so token boundaries survive (`a/*x*/b` → `a b`, never `ab`). */
+  def stripComments(sql: String): String = {
+    val out = new StringBuilder
+    var inQ = false; var inD = false; var inB = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) {
+        if (c == '\\' && i + 1 < sql.length) { out += c; out += sql.charAt(i + 1); i += 1 }
+        else { if (c == '\'') inQ = false; out += c }
+      } else if (inD) { if (c == '"') inD = false; out += c }
+      else if (inB) { if (c == '`') inB = false; out += c }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val nl = sql.indexOf('\n', i)
+        i = (if (nl < 0) sql.length else nl) - 1 // the '\n' itself survives
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*' &&
+                 !(i + 2 < sql.length && sql.charAt(i + 2) == '+')) {
+        val e = sql.indexOf("*/", i + 2)
+        i = (if (e < 0) sql.length else e + 2) - 1
+        out += ' '
+      } else {
+        if (c == '\'') inQ = true
+        else if (c == '"') inD = true
+        else if (c == '`') inB = true
+        out += c
+      }
+      i += 1
+    }
+    out.toString
   }
 
   /** Split a chain on ';' occurring outside single-quoted literals. */

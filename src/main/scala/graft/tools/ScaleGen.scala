@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * values: documents carry ~2% exact duplicates + ~2% near-duplicates
   * (one appended token) of earlier docs, text length 8–100 words over a
   * small vocabulary (shingle/minhash collisions happen, as in web text);
-  * embeddings are 64-d with 10 latent centers + noise (so IVF/PQ cells
-  * are non-degenerate); the TPC-H-ish tables keep referential integrity
-  * (l_orderkey ⊂ o_orderkey, o_custkey ⊂ c_custkey).
+  * embeddings are 64-d with latent centers scaled at ~200 vectors per
+  * center plus noise (diversity grows with corpus size, keeping IVF/LSH
+  * cell occupancy constant — see [[embeddings]]); the TPC-H-ish tables
+  * keep referential integrity (l_orderkey ⊂ o_orderkey, o_custkey ⊂
+  * c_custkey).
   *
   * Usage: runMain graft.tools.ScaleGen <outDir> [mult]
   */
@@ -49,10 +51,20 @@ object ScaleGen {
 
   def documents(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
-    // 2% exact dups + 2% near dups of an earlier doc (seed = hash mod id)
-    val kind = pmod(xxhash64(lit(3), id), lit(100L))
-    val seed = when(kind < 4 && id > lit(0L),
-      pmod(xxhash64(lit(4), id), id)).otherwise(id)
+    // 2% exact dups + 2% near dups of an earlier doc. The seed must be a
+    // BASE doc (kind >= 4): a dup-of-a-dup seed would copy textOf(seed),
+    // which is NOT that doc's actual text, silently lowering the
+    // effective duplicate rate (review finding). kind is hash-derived, so
+    // base-ness can't be arranged by construction — probe up to three
+    // hash candidates and take the first base one (~96% of ids are base,
+    // so P(all three dups) ≈ 6e-5; the residual approximation is noted
+    // here rather than chased further).
+    def kindOf(c: Column): Column = pmod(xxhash64(lit(3), c), lit(100L))
+    val kind = kindOf(id)
+    def cand(salt: Int): Column = pmod(xxhash64(lit(salt), id), id)
+    val baseSeed = when(kindOf(cand(4)) >= 4, cand(4))
+      .otherwise(when(kindOf(cand(41)) >= 4, cand(41)).otherwise(cand(42)))
+    val seed = when(kind < 4 && id > lit(0L), baseSeed).otherwise(id)
     val base = textOf(seed)
     val text = when(kind >= 2 && kind < 4 && id > lit(0L),
       concat(base, lit(" "), word(5, id, lit(0)))).otherwise(base)

@@ -33,13 +33,19 @@ class GraftSqlFuzzSpec extends SparkTestBase {
   private def esc(p: String): String = p.replace("'", "''")
 
   // clause keywords, separators, quote games — no backslashes (Spark's
-  // backslash-escape handling is pinned by its own GraftSqlSpec test)
+  // backslash-escape handling is pinned by its own GraftSqlSpec test).
+  // Comment markers and backtick identifiers ride INSIDE literals here:
+  // the comment stripper and keyword scanners must treat them as payload
+  // (a '--' in a literal is not a comment; a '`' in a literal opens no
+  // identifier)
   private val fragments = Seq(
     "WHEN MATCHED", "WHEN NOT MATCHED", "THEN DELETE", "THEN UPDATE SET",
     " USING ", " ON ", " WHERE ", " THEN ", "VALUES (1,2)", "INSERT *",
     "a,b", "k=v", "it's", "two''quotes", "(", ")", "((", "))", ";",
     "; DROP TABLE tgt", "SELECT * FROM t", "::int", "props:k",
-    "TIMESTAMP AS OF", "OPTIMIZE ZORDER BY", "MERGE INTO x")
+    "TIMESTAMP AS OF", "OPTIMIZE ZORDER BY", "MERGE INTO x",
+    "-- not a comment", "/* not, a block */", "*/", "`weird id`",
+    "` WHERE `", "CASE WHEN a THEN b END")
   private val payloadGen: Gen[String] = for {
     n <- Gen.choose(1, 4)
     parts <- Gen.listOfN(n, Gen.oneOf(fragments))
@@ -201,6 +207,86 @@ class GraftSqlFuzzSpec extends SparkTestBase {
     val n2 = g.sql(s"COPY INTO tgt FROM '$dir/p' FILEFORMAT = PARQUET " +
       "PATTERN = '*.parquet'").head().getLong(0)
     assert(n2 === 1L)
+  }
+
+  test("comments outside literals are stripped; inside literals they are payload") {
+    val g = freshSql("fuzzcmt")
+    // trailing -- comment carrying a comma and a WHERE: neither may move
+    // the assignment split or the predicate boundary
+    g.sql("UPDATE tgt SET v = 'c1' -- not a boundary, WHERE id = 3\nWHERE id = 1")
+    assert(g.table("tgt").read().filter(col("id") === 1)
+      .select("v").head().getString(0) === "c1")
+    assert(g.table("tgt").read().filter(col("id") === 3)
+      .select("v").head().getString(0) === "three")
+    // block comment with a comma BETWEEN assignments
+    g.sql("UPDATE tgt SET v = 'c2', /* skip, these, commas */ n = 99 WHERE id = 2")
+    val r2 = g.table("tgt").read().filter(col("id") === 2).head()
+    assert(r2.getAs[String]("v") === "c2" && r2.getAs[Long]("n") === 99L)
+    // comment markers INSIDE a literal survive byte-for-byte
+    g.sql("UPDATE tgt SET v = 'has -- no comment /* nor block */' WHERE id = 1")
+    assert(g.table("tgt").read().filter(col("id") === 1)
+      .select("v").head().getString(0) === "has -- no comment /* nor block */")
+    // a ';' inside a comment must not split a chain; a comment between
+    // MERGE clauses must not hide the clause boundary
+    val r = g.sqlChain(
+      """MERGE INTO tgt AS t -- merge; with, commentary WHEN MATCHED
+         USING (SELECT 9 AS id, 'nine' AS nv) AS s
+         ON t.id = s.id /* block; comment THEN DELETE */
+         WHEN MATCHED THEN UPDATE SET v = s.nv
+         WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.nv, 0);
+         SELECT v FROM (SELECT 'x;--y' AS v)""")
+    assert(r.head().getString(0) === "x;--y")
+    assert(g.table("tgt").read().filter(col("id") === 9)
+      .select("v").head().getString(0) === "nine")
+  }
+
+  test("backtick identifiers: keywords and commas inside `…` move no boundary") {
+    import spark.implicits._
+    val g = new GraftSql(spark, scratch("fuzzbt"))
+    val t = GraftTable.createFrom(spark, scratch("fuzzbt") + "/tgt",
+      Seq((1L, "one", 10L), (2L, "two", 20L))
+        .toDF("id", "when matched then", "my where"))
+    g.register("tgt", t)
+    // backticked column names carrying clause keywords, referenced in SET
+    // target, SET value, and WHERE — the scanner must skip `…` content
+    g.sql("UPDATE tgt SET `when matched then` = 'hit' WHERE `my where` = 10")
+    assert(g.table("tgt").read().filter(col("id") === 1)
+      .select("when matched then").head().getString(0) === "hit")
+    assert(g.table("tgt").read().filter(col("id") === 2)
+      .select("when matched then").head().getString(0) === "two")
+    // MERGE with the keyword-named column in ON, condition, and SET
+    g.sql("""MERGE INTO tgt AS t
+             USING (SELECT 2 AS id, 'mhit' AS nv) AS s
+             ON t.id = s.id AND t.`when matched then` <> 'zzz'
+             WHEN MATCHED AND t.`my where` > 0 THEN
+               UPDATE SET `when matched then` = s.nv
+             WHEN NOT MATCHED THEN INSERT (id, `when matched then`, `my where`)
+               VALUES (s.id, s.nv, 0)""")
+    assert(g.table("tgt").read().filter(col("id") === 2)
+      .select("when matched then").head().getString(0) === "mhit")
+  }
+
+  test("unparenthesized CASE WHEN … THEN … END in a MERGE condition parses") {
+    val g = freshSql("fuzzcase")
+    // the CASE's own THEN must not terminate the WHEN clause early
+    // (clause-splitter CASE-nesting — review finding)
+    g.sql("""MERGE INTO tgt AS t
+             USING (SELECT 1 AS id, 'chit' AS nv) AS s
+             ON t.id = s.id
+             WHEN MATCHED AND CASE WHEN t.n > 5 THEN true ELSE false END
+               THEN UPDATE SET v = s.nv
+             WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.nv, 0)""")
+    assert(g.table("tgt").read().filter(col("id") === 1)
+      .select("v").head().getString(0) === "chit")
+    // CASE in the UPDATE SET value together with a following assignment
+    g.sql("""MERGE INTO tgt AS t
+             USING (SELECT 2 AS id) AS s
+             ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET
+               v = CASE WHEN t.n = 20 THEN 'twenty' ELSE 'other' END,
+               n = t.n + 2""")
+    val r2 = g.table("tgt").read().filter(col("id") === 2).head()
+    assert(r2.getAs[String]("v") === "twenty" && r2.getAs[Long]("n") === 22L)
   }
 
   test("malformed statements are rejected loudly, not silently misrouted") {
