@@ -184,6 +184,29 @@ object BloomDedup {
       }
     }
 
+  /** OR-merge (filter bytes, items) rows that share a shard id. Duplicate
+    * shard rows are LEGAL: two appends racing on an EMPTY index both
+    * publish with removed=Nil — a pure append, which the commit protocol
+    * deliberately never conflicts on — so the table can carry one row per
+    * writer for a shard. Collapsing such duplicates with `.toMap` would
+    * silently keep one writer's filter and drop the other's fingerprints
+    * = Bloom false negatives, the module's forbidden failure (review
+    * finding). Every reader therefore merges, never picks. */
+  private def orMergeRows(rows: Seq[(Int, Array[Byte], Long)]):
+      Map[Int, (Array[Byte], Long)] =
+    rows.groupBy(_._1).map { case (sh, grp) =>
+      if (grp.size == 1) sh -> (grp.head._2, grp.head._3)
+      else {
+        val merged = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(grp.head._2))
+        grp.tail.foreach(g => merged.mergeInPlace(
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(g._2))))
+        val bos = new java.io.ByteArrayOutputStream()
+        merged.writeTo(bos)
+        sh -> (bos.toByteArray, grp.map(_._3).sum)
+      }
+    }
+
   def append(t: GraftTable, docs: DataFrame, textCol: String = "text"): Unit = {
     val s = docs.sparkSession
     val props = t.properties
@@ -195,18 +218,28 @@ object BloomDedup {
     // ConcurrentCommitException instead of a silently lost update (lost
     // fingerprints = Bloom false negatives, which the module contract
     // forbids — review finding). Multi-writer callers wrap in
-    // Concurrency.retry, the engine-wide discipline.
+    // Concurrency.retry, the engine-wide discipline. One hole remains by
+    // design: with an EMPTY snapshot the publish has nothing to condition
+    // on (removed=Nil is a pure append and never conflicts), so two
+    // racing first appends BOTH land — which is safe, because they also
+    // read nothing, and every reader OR-merges duplicate shard rows
+    // ([[orMergeRows]]): the union of both writers' fingerprints
+    // survives, no false negatives.
     val snapshotFiles = t.filesAt()
     val fps = docs.select(fp(col(textCol)).as("fp"))
     val fresh = shardRows(fps, shards, capacity, fpp)
       .collect().map(r => r.getInt(0) -> (r.getAs[Array[Byte]](1), r.getLong(2)))
       .toMap
     if (fresh.isEmpty) return
-    val existing = (if (snapshotFiles.isEmpty) t.read()
-                    else t.readFiles(snapshotFiles))
-      .select("shard", "filter", "items")
-      .collect().map(r => r.getInt(0) -> (r.getAs[Array[Byte]](1), r.getLong(2)))
-      .toMap
+    // read exactly the conditioned snapshot: an empty snapshot reads
+    // NOTHING (reading the live tip here would fold in an interleaved
+    // writer's rows without conditioning on its files — review finding)
+    val existing =
+      if (snapshotFiles.isEmpty) Map.empty[Int, (Array[Byte], Long)]
+      else orMergeRows(t.readFiles(snapshotFiles)
+        .select("shard", "filter", "items")
+        .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+        .toSeq)
     val merged = (existing.keySet ++ fresh.keySet).toSeq.sorted.map { sh =>
       (existing.get(sh), fresh.get(sh)) match {
         case (Some((eb, en)), Some((fb, fn))) =>
@@ -236,7 +269,13 @@ object BloomDedup {
     * sized for and its effective fpp now exceeds the configured one. */
   def saturation(t: GraftTable): Double = {
     val capacity = math.max(capacityOf(t), 1L)
-    val row = t.read().agg(max(col("items"))).head()
+    // per-shard items are SUMMED across duplicate rows first (racing
+    // first-appends can leave one row per writer for a shard; the
+    // shard's filter effectively holds the union, so the summed count is
+    // the honest — if slightly over- on shared fingerprints — load)
+    val row = t.read().groupBy(col("shard"))
+      .agg(sum(col("items")).as("items"))
+      .agg(max(col("items"))).head()
     if (row.isNullAt(0)) 0.0 else row.getLong(0).toDouble / capacity
   }
 
@@ -268,17 +307,19 @@ object BloomDedup {
     true
   }
 
-  /** Reopen a persisted sharded index (collect is `shards` rows, each
-    * bounded by its filter's bit array — the probe-side working set). */
+  /** Reopen a persisted sharded index (collect is a handful of rows per
+    * shard, each bounded by its filter's bit array — the probe-side
+    * working set). Duplicate shard rows OR-merge ([[orMergeRows]]). */
   def load(t: GraftTable): BloomIndex = {
     val shards = t.properties.getOrElse(ShardsProp,
       throw new IllegalArgumentException(
         s"${t.path} is not a bloom index table: property $ShardsProp missing " +
           "(build one with BloomDedup.build)")).toInt
-    val filters = t.read().select("shard", "filter").collect().map { r =>
-      r.getInt(0) -> BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-    }.toMap
+    val filters = orMergeRows(t.read().select("shard", "filter", "items")
+        .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+        .toSeq)
+      .map { case (sh, (bytes, _)) =>
+        sh -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)) }
     BloomIndex(shards, filters)
   }
 

@@ -150,6 +150,88 @@ class BloomDedupSpec extends SparkTestBase {
     assert(after.nonEmpty)
   }
 
+  test("racing first appends to an EMPTY index lose no fingerprint") {
+    // an empty snapshot gives the publish nothing to condition on
+    // (removed=Nil is a pure append, never a conflict), so BOTH racers
+    // land and the table carries duplicate shard rows — legal by design;
+    // every reader must OR-merge them, not Map-collapse to one writer's
+    // filter (review finding: collapse = false negatives)
+    val path = scratch("bloomrace0")
+    val t = BloomDedup.build(corpus.limit(0), path, shards = 4)
+    val a = corpus.filter(col("doc_id") % 2 === 0).cache()
+    val b = corpus.filter(col("doc_id") % 2 =!= 0).cache()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def run(docs: org.apache.spark.sql.DataFrame): Thread = {
+      val th = new Thread(() => {
+        barrier.await()
+        graft.tables.Concurrency.retry() { BloomDedup.append(t, docs) }
+      })
+      th.start(); th
+    }
+    val threads = Seq(run(a), run(b))
+    threads.foreach(_.join())
+    val idx = BloomDedup.load(t)
+    corpus.select(BloomDedup.fp(col("text")).as("f")).collect()
+      .foreach(r => assert(idx.mightContain(r.getLong(0)),
+        "a racing first append's fingerprints were dropped"))
+    // saturation must count BOTH writers' items (summed per shard)
+    assert(t.read().agg(sum(col("items"))).head().getLong(0) === corpus.count())
+    a.unpersist(); b.unpersist()
+  }
+
+  test("interleaved append vs rebuild: conflict + retry converge, no false negatives") {
+    // the verdict's end-to-end race: one live writer appending while
+    // another rebuilds a saturated index. Both publishes are
+    // snapshot-conditioned, so an interleave must surface as a
+    // ConcurrentCommitException (never a silent lost update) and retry
+    // must converge to an index with zero false negatives.
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def retryCounting[A](body: => A): A = {
+      var out: Option[A] = None
+      while (out.isEmpty) {
+        try out = Some(body)
+        catch { case _: GraftTable.ConcurrentCommitException =>
+          conflicts.incrementAndGet(); Thread.sleep(20) }
+      }
+      out.get
+    }
+    (1 to 3).foreach { seedRun =>
+      val path = scratch(s"bloomrace$seedRun")
+      // sized for a twentieth of the corpus → saturated after the append
+      val seed = corpus.filter(col("doc_id") % 20 === 0)
+      val t = BloomDedup.build(seed, path, shards = 4)
+      BloomDedup.append(t, corpus.filter(col("doc_id") % 20 =!= 0))
+      assert(BloomDedup.saturation(t) > 1.0)
+      // the racing append's docs are IN the corpus the rebuild reads, so
+      // the final index must contain them regardless of interleave order
+      val extra = corpus.filter(col("doc_id") % 13 === seedRun).cache()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val rebuilder = new Thread(() => {
+        barrier.await()
+        retryCounting { BloomDedup.rebuildIfSaturated(t, corpus) }
+      })
+      val appender = new Thread(() => {
+        barrier.await()
+        retryCounting { BloomDedup.append(t, extra) }
+      })
+      rebuilder.start(); appender.start()
+      rebuilder.join(); appender.join()
+      val idx = BloomDedup.load(t)
+      corpus.select(BloomDedup.fp(col("text")).as("f")).collect()
+        .foreach(r => assert(idx.mightContain(r.getLong(0)),
+          s"run $seedRun: interleaved append/rebuild lost a member"))
+      // the commit log must be gap-free (every version exactly once)
+      val versions = t.history.select("version").collect().map(_.getLong(0)).sorted
+      assert(versions === (versions.min to versions.max),
+        s"run $seedRun: version gap under racing writers")
+      extra.unpersist()
+    }
+    // across 3 seeded runs with a start barrier, at least one interleave
+    // is overwhelmingly likely to collide; if none did, the pin still
+    // holds (no false negatives) — log it rather than flake
+    info(s"observed ${conflicts.get()} ConcurrentCommitException(s) across 3 runs")
+  }
+
   test("bloom prefilter rejects most non-members") {
     val bf = BloomDedup.buildFilter(corpus, fpp = 0.01)
     // 1000 fingerprints that are not in the corpus: at 1% fpp the
