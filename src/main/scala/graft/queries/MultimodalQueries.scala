@@ -60,6 +60,64 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY doc_id, dim""")
   )
 
+  /** REAL image decode (javax.imageio, in the JDK): per-doc solid-fill
+    * PNGs are encoded executor-side, then decoded — width/height/
+    * channels/format metadata, exact per-channel pixel means, and a
+    * deterministic integer box-filter downscale whose output PNG is
+    * decoded again. Solid fills make every statistic exactly computable
+    * from doc_id alone, so the whole decode→stats→resize→re-decode
+    * pipeline has a plain-SQL oracle. Everything is a narrow per-row
+    * projection: encode/decode never shuffle. */
+  private val q246 = GQ(
+    "q246_image_decode",
+    (s, dir) => {
+      import Multimodal.ImageCodec
+      val docs = Tables.t(s, dir, "documents").select("doc_id")
+        .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(25))).cast("int"))
+        .withColumn("h", (lit(8) + pmod(col("doc_id") * 7, lit(25))).cast("int"))
+        .withColumn("r", pmod(col("doc_id"), lit(256)).cast("int"))
+        .withColumn("g", pmod(col("doc_id") * 3, lit(256)).cast("int"))
+        .withColumn("b", pmod(col("doc_id") * 5, lit(256)).cast("int"))
+      docs
+        .withColumn("blob", ImageCodec.encodePngUdf(
+          col("w"), col("h"), col("r"), col("g"), col("b")))
+        .withColumn("meta", ImageCodec.decodeMetaUdf(col("blob")))
+        .withColumn("means", ImageCodec.channelMeansUdf(col("blob")))
+        .withColumn("small", ImageCodec.downscaleUdf(16)(col("blob")))
+        .withColumn("smeta", ImageCodec.decodeMetaUdf(col("small")))
+        .withColumn("smeans", ImageCodec.channelMeansUdf(col("small")))
+        .select(
+          col("doc_id"),
+          col("meta._1").as("width"), col("meta._2").as("height"),
+          col("meta._3").as("channels"), col("meta._4").as("format"),
+          col("means")(0).as("mean_r"), col("means")(1).as("mean_g"),
+          col("means")(2).as("mean_b"),
+          col("smeta._1").as("ds_width"), col("smeta._2").as("ds_height"),
+          col("smeans")(0).as("ds_mean_r"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels, 'png' AS format,
+              CAST(r AS DOUBLE) AS mean_r, CAST(g AS DOUBLE) AS mean_g,
+              CAST(b AS DOUBLE) AS mean_b,
+              CAST(CASE WHEN m <= 16 THEN w
+                   ELSE greatest(1, CAST(round(w * 16.0 / m) AS INTEGER)) END
+                AS INTEGER) AS ds_width,
+              CAST(CASE WHEN m <= 16 THEN h
+                   ELSE greatest(1, CAST(round(h * 16.0 / m) AS INTEGER)) END
+                AS INTEGER) AS ds_height,
+              CAST(r AS DOUBLE) AS ds_mean_r
+            FROM (SELECT doc_id,
+                    8 + doc_id % 25 AS w,
+                    8 + (doc_id * 7) % 25 AS h,
+                    doc_id % 256 AS r, (doc_id * 3) % 256 AS g,
+                    (doc_id * 5) % 256 AS b,
+                    greatest(8 + doc_id % 25, 8 + (doc_id * 7) % 25) AS m
+                  FROM documents)
+            ORDER BY doc_id""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -83,5 +141,5 @@ object MultimodalQueries extends QueryBatch {
             ) r(queryId, rows, status) ORDER BY queryId""")
   )
 
-  override def queries: Seq[GQ] = Seq(q130, q131, q132)
+  override def queries: Seq[GQ] = Seq(q130, q131, q132, q246)
 }

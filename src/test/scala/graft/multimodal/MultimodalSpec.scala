@@ -40,6 +40,60 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("ImageCodec: PNG round-trip gives exact metadata and pixel means") {
+    import Multimodal.ImageCodec
+    val png = ImageCodec.encodePng(20, 12, 10, 200, 77)
+    val m = ImageCodec.decodeMeta(png)
+    assert((m.width, m.height, m.channels, m.format) === (20, 12, 3, "png"))
+    assert(ImageCodec.channelMeans(png).toSeq === Seq(10.0, 200.0, 77.0))
+  }
+
+  test("ImageCodec: JPEG decodes with exact dims; lossy means stay close") {
+    import Multimodal.ImageCodec
+    val jpg = ImageCodec.encodeJpeg(33, 17, 120, 60, 180)
+    val m = ImageCodec.decodeMeta(jpg)
+    assert((m.width, m.height, m.channels) === (33, 17, 3))
+    assert(m.format.startsWith("jp"), s"format was ${m.format}")
+    val means = ImageCodec.channelMeans(jpg)
+    Seq(120.0, 60.0, 180.0).zip(means).foreach { case (want, got) =>
+      assert(math.abs(want - got) < 12.0,
+        s"JPEG mean drifted implausibly: want ~$want got $got")
+    }
+  }
+
+  test("ImageCodec: downscale preserves aspect ratio, solid color, determinism") {
+    import Multimodal.ImageCodec
+    val png = ImageCodec.encodePng(64, 32, 5, 6, 7)
+    val small = ImageCodec.downscale(png, 16)
+    val m = ImageCodec.decodeMeta(small)
+    assert((m.width, m.height) === (16, 8)) // longest edge 64 -> 16
+    assert(ImageCodec.channelMeans(small).toSeq === Seq(5.0, 6.0, 7.0))
+    // bit-deterministic: the integer box filter + PNG encode must be
+    // byte-identical across calls (the 100 TB contract: re-running a
+    // stage on the same blob yields the same blob)
+    assert(java.util.Arrays.equals(small, ImageCodec.downscale(png, 16)))
+    // an image already inside the budget keeps its dims
+    val asIs = ImageCodec.decodeMeta(ImageCodec.downscale(
+      ImageCodec.encodePng(10, 14, 1, 2, 3), 16))
+    assert((asIs.width, asIs.height) === (10, 14))
+  }
+
+  test("ImageCodec: undecodable bytes yield null, not an exception") {
+    import Multimodal.ImageCodec
+    assert(ImageCodec.decodeMeta("not an image".getBytes) === null)
+    assert(ImageCodec.channelMeans(Array.emptyByteArray) === null)
+    assert(ImageCodec.downscale(null, 16) === null)
+    // and through the UDF path: corrupt rows become NULL columns that
+    // survive the projection (quarantine is the caller's filter)
+    val df = Seq((1L, "corrupt".getBytes), (2L, ImageCodec.encodePng(4, 4, 9, 9, 9)))
+      .toDF("id", "blob")
+      .withColumn("meta", ImageCodec.decodeMetaUdf(col("blob")))
+    val rows = df.select(col("id"), col("meta").isNull.as("bad"))
+      .orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getBoolean(1))).toSeq ===
+      Seq((1L, true), (2L, false)))
+  }
+
   test("media metadata carries size and type") {
     val df = Seq((1L, "hello")).toDF("id", "text")
       .withColumn("blob", col("text").cast("binary"))
