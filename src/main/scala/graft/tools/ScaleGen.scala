@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * keep referential integrity (l_orderkey ⊂ o_orderkey, o_custkey ⊂
   * c_custkey).
   *
-  * Usage: runMain graft.tools.ScaleGen <outDir> [mult]
+  * Usage: runMain graft.tools.ScaleGen <outDir> [mult] [tables] [heaps]
   */
 object ScaleGen {
 
@@ -42,15 +42,32 @@ object ScaleGen {
       array(Vocab.map(lit): _*),
       (pmod(xxhash64(lit(salt), id, i), lit(Vocab.size.toLong)) + 1).cast("int"))
 
-  /** Deterministic text of `seed`: len(seed) in [8,100] words. */
-  private def textOf(seed: Column): Column = {
-    val len = (pmod(xxhash64(lit(1), seed), lit(93L)) + 8).cast("int")
-    concat_ws(" ", transform(sequence(lit(0), len - 1),
-      i => word(2, seed, i.cast("long"))))
-  }
-
-  def documents(spark: SparkSession, n: Long): DataFrame = {
+  /** `heapsVocab=false` (default): the fixed 61-word vocabulary — at
+    * m1000 the 61³ 3-gram shingle space saturates and postings-per-type
+    * grows linearly (SCALING.md's q74 attribution). `heapsVocab=true`:
+    * synthetic tokens "w<k>" drawn from a vocabulary that GROWS with the
+    * corpus per Heap's law (V = √totalTokens, β = 0.5 — the empirical
+    * web-text exponent), so the shingle type space outruns the token
+    * count and postings-per-type stays near-flat at every scale — the
+    * counter-experiment data for q74's saturation attribution. Dup/
+    * near-dup structure (rates, seeds, lengths) is IDENTICAL in both
+    * modes; only the token spelling changes. */
+  def documents(spark: SparkSession, n: Long,
+      heapsVocab: Boolean = false, parts: Int = 32): DataFrame = {
     val id = col("id")
+    val mkWord: (Int, Column, Column) => Column =
+      if (!heapsVocab) (s, c, i) => word(s, c, i)
+      else {
+        // ~54 = mean words/doc (uniform 8..100), so V tracks token count
+        val v = math.max(61L, math.round(math.sqrt(n * 54.0)))
+        (s, c, i) =>
+          concat(lit("w"), pmod(xxhash64(lit(s), c, i), lit(v)).cast("string"))
+      }
+    val textOfV: Column => Column = seed => {
+      val len = (pmod(xxhash64(lit(1), seed), lit(93L)) + 8).cast("int")
+      concat_ws(" ", transform(sequence(lit(0), len - 1),
+        i => mkWord(2, seed, i.cast("long"))))
+    }
     // 2% exact dups + 2% near dups of an earlier doc. The seed must be a
     // BASE doc (kind >= 4): a dup-of-a-dup seed would copy textOf(seed),
     // which is NOT that doc's actual text, silently lowering the
@@ -65,10 +82,10 @@ object ScaleGen {
     val baseSeed = when(kindOf(cand(4)) >= 4, cand(4))
       .otherwise(when(kindOf(cand(41)) >= 4, cand(41)).otherwise(cand(42)))
     val seed = when(kind < 4 && id > lit(0L), baseSeed).otherwise(id)
-    val base = textOf(seed)
+    val base = textOfV(seed)
     val text = when(kind >= 2 && kind < 4 && id > lit(0L),
-      concat(base, lit(" "), word(5, id, lit(0)))).otherwise(base)
-    spark.range(n).select(
+      concat(base, lit(" "), mkWord(5, id, lit(0)))).otherwise(base)
+    spark.range(0, n, 1, parts).select(
       id.as("doc_id"),
       text.as("text"),
       element_at(array(lit("en"), lit("en"), lit("en"), lit("en"),
@@ -78,7 +95,7 @@ object ScaleGen {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
-  def embeddings(spark: SparkSession, n: Long): DataFrame = {
+  def embeddings(spark: SparkSession, n: Long, parts: Int = 32): DataFrame = {
     val id = col("id")
     // Diversity must GROW with corpus size (a real web corpus adds new
     // topics as it adds documents): ~200 vectors per latent center, so
@@ -97,12 +114,12 @@ object ScaleGen {
         .cast("double") / 1000.0
       (c + noise).cast("float")
     })
-    spark.range(n).select(id.as("vec_id"), emb.as("embedding"),
+    spark.range(0, n, 1, parts).select(id.as("vec_id"), emb.as("embedding"),
       pmod(center, lit(10L)).cast("int").as("label"))
   }
 
-  def customer(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n).select(
+  def customer(spark: SparkSession, n: Long, parts: Int = 32): DataFrame =
+    spark.range(0, n, 1, parts).select(
       (col("id") + 1).as("c_custkey"),
       concat(lit("Customer#"), col("id").cast("string")).as("c_name"),
       pmod(xxhash64(lit(10), col("id")), lit(25L)).cast("int").as("c_nationkey"),
@@ -113,16 +130,16 @@ object ScaleGen {
         (pmod(xxhash64(lit(12), col("id")), lit(5L)) + 1).cast("int"))
         .as("c_mktsegment"))
 
-  def supplier(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n).select(
+  def supplier(spark: SparkSession, n: Long, parts: Int = 32): DataFrame =
+    spark.range(0, n, 1, parts).select(
       (col("id") + 1).as("s_suppkey"),
       concat(lit("Supplier#"), col("id").cast("string")).as("s_name"),
       pmod(xxhash64(lit(13), col("id")), lit(25L)).cast("int").as("s_nationkey"),
       ((pmod(xxhash64(lit(14), col("id")), lit(1099999L)) - 99999).cast("double")
         / 100.0).as("s_acctbal"))
 
-  def part(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n).select(
+  def part(spark: SparkSession, n: Long, parts: Int = 32): DataFrame =
+    spark.range(0, n, 1, parts).select(
       (col("id") + 1).as("p_partkey"),
       concat_ws(" ", word(15, col("id"), lit(0)), word(15, col("id"), lit(1)),
         word(15, col("id"), lit(2))).as("p_name"),
@@ -136,8 +153,8 @@ object ScaleGen {
       ((pmod(xxhash64(lit(20), col("id")), lit(200000L)) + 90000).cast("double")
         / 100.0).as("p_retailprice"))
 
-  def orders(spark: SparkSession, n: Long, nCust: Long): DataFrame =
-    spark.range(n).select(
+  def orders(spark: SparkSession, n: Long, nCust: Long, parts: Int = 32): DataFrame =
+    spark.range(0, n, 1, parts).select(
       (col("id") + 1).as("o_orderkey"),
       (pmod(xxhash64(lit(21), col("id")), lit(nCust)) + 1).as("o_custkey"),
       element_at(array(lit("O"), lit("O"), lit("F"), lit("F"), lit("P")),
@@ -153,8 +170,9 @@ object ScaleGen {
         (pmod(xxhash64(lit(25), col("id")), lit(5L)) + 1).cast("int"))
         .as("o_orderpriority"))
 
-  def lineitem(spark: SparkSession, n: Long, nPart: Long, nSupp: Long): DataFrame =
-    spark.range(n).select(
+  def lineitem(spark: SparkSession, n: Long, nPart: Long, nSupp: Long,
+      parts: Int = 32): DataFrame =
+    spark.range(0, n, 1, parts).select(
       (col("id") / 4 + 1).cast("long").as("l_orderkey"),
       (pmod(xxhash64(lit(26), col("id")), lit(nPart)) + 1).as("l_partkey"),
       (pmod(xxhash64(lit(27), col("id")), lit(nSupp)) + 1).as("l_suppkey"),
@@ -177,8 +195,8 @@ object ScaleGen {
         pmod(xxhash64(lit(34), col("id")), lit(1520L)).cast("int")))
         .as("l_shipdate"))
 
-  def events(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n).select(
+  def events(spark: SparkSession, n: Long, parts: Int = 32): DataFrame =
+    spark.range(0, n, 1, parts).select(
       col("id").as("event_id"),
       // one week of events starting 2024-01-01 UTC, in id order (streams
       // assume roughly monotone event time)
@@ -195,7 +213,7 @@ object ScaleGen {
         lit("}")).as("props"))
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult] [tables]")
+    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult] [tables] [heaps]")
     val out = args(0)
     val mult = if (args.length > 1) args(1).toInt else 10
     // optional comma-list restricts which tables are written (a
@@ -203,6 +221,9 @@ object ScaleGen {
     // lineitem)
     val onlyTables: Option[Set[String]] =
       args.drop(2).headOption.map(_.split(",").map(_.trim).toSet)
+    // optional 4th arg "heaps": growing-vocabulary documents (see
+    // [[documents]]) for the q74 saturation counter-experiment
+    val heaps = args.drop(3).headOption.contains("heaps")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scalegen")
@@ -216,25 +237,32 @@ object ScaleGen {
     val nCust = 15000L * m
     val nSupp = 1000L * m
     val nPart = 20000L * m
-    def write(name: String, df: => DataFrame, parts: Int): Unit = {
+    // partition count is given to spark.range at BIRTH (the generators'
+    // content is a pure function of id, so no repartition shuffle is ever
+    // needed — at m1000 the old post-hoc repartition of 600 M lineitem
+    // rows spilled a 30 GB shuffle just to relayout files). Capped at
+    // 256: file COUNT tracks parallelism, file SIZE absorbs scale (the
+    // 100 TB discipline — 16×mult uncapped would write 16,000 tiny
+    // files at m1000).
+    def cap(p: Int): Int = math.max(1, math.min(p, 256))
+    def write(name: String, df: => DataFrame): Unit = {
       if (onlyTables.forall(_.contains(name))) {
-        df.repartition(parts).write.mode("overwrite")
-          .parquet(s"$out/$name.parquet")
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
         println(s"[scalegen] $name written")
       }
     }
     // region/nation are fixed-size dimensions — copy from the driver data
     Seq("region", "nation").foreach { nm =>
-      write(nm, spark.read.parquet(s"/root/testdata/sf0.1/$nm.parquet"), 1)
+      write(nm, spark.read.parquet(s"/root/testdata/sf0.1/$nm.parquet").coalesce(1))
     }
-    write("customer", customer(spark, nCust), 4 * mult)
-    write("supplier", supplier(spark, nSupp), 1)
-    write("part", part(spark, nPart), 4 * mult)
-    write("orders", orders(spark, 150000L * m, nCust), 8 * mult)
-    write("lineitem", lineitem(spark, 600000L * m, nPart, nSupp), 16 * mult)
-    write("events", events(spark, 100000L * m), 4 * mult)
-    write("documents", documents(spark, 5000L * m), 2 * mult)
-    write("embeddings", embeddings(spark, 2000L * m), 2 * mult)
+    write("customer", customer(spark, nCust, cap(4 * mult)))
+    write("supplier", supplier(spark, nSupp, 1))
+    write("part", part(spark, nPart, cap(4 * mult)))
+    write("orders", orders(spark, 150000L * m, nCust, cap(8 * mult)))
+    write("lineitem", lineitem(spark, 600000L * m, nPart, nSupp, cap(16 * mult)))
+    write("events", events(spark, 100000L * m, cap(4 * mult)))
+    write("documents", documents(spark, 5000L * m, heaps, cap(2 * mult)))
+    write("embeddings", embeddings(spark, 2000L * m, cap(2 * mult)))
     spark.stop()
   }
 }
