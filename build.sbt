@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Extra -D/-X flags for one-off runs (e.g. zstd compression to fit a
+  // third-decade ZORDER measurement on this box's disk) without editing
+  // the build: SPARK_GRAFT_JAVA_OPTS="-Dspark.io.compression.codec=zstd".
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

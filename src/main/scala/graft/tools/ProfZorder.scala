@@ -15,11 +15,20 @@ import graft.tables.{GraftTable, Maintenance}
   * parallelism, not a fixed byte constant), isolating the growth to
   * the gate's constant, not the operator.
   *
-  * Usage: runMain graft.tools.ProfZorder <dirSmall> <dirLarge>
+  * Usage: runMain graft.tools.ProfZorder <dirSmall> <dirLarge> [fileBytes]
+  *
+  * The optional `fileBytes` fixes targetFileSize to the SAME absolute
+  * value on both legs, so file COUNT (= sort partition count) grows
+  * with the table — per-sort-task work stays constant, exactly how a
+  * cluster absorbs a decade (10× data → 10× executors → same work per
+  * wave slot). Without it each leg gets bytes/32, which 10×es the
+  * per-task sort and measures single-box spill on top of the operator.
   */
 object ProfZorder {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ProfZorder <dirSmall> <dirLarge>")
+    require(args.length >= 2, "usage: ProfZorder <dirSmall> <dirLarge> [fileBytes]")
+    val fixedFileBytes: Option[Long] =
+      if (args.length > 2) Some(args(2).toLong) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-profzorder")
@@ -37,7 +46,7 @@ object ProfZorder {
       val bytes = t.filesAt()
         .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
       t.setProperties(Map("graft.targetFileSize" ->
-        math.max(bytes / 32, 256 * 1024).toString))
+        fixedFileBytes.getOrElse(math.max(bytes / 32, 256 * 1024)).toString))
       val t1 = System.nanoTime()
       Maintenance.optimize(t, zorderBy = Seq("l_orderkey"))
       val t2 = System.nanoTime()
