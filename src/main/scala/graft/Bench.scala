@@ -160,8 +160,19 @@ object Bench {
     val madFloor = envDouble("SPARK_GRAFT_ISOLATE_MAD_FLOOR", 0.3)
     val classMad = median(ok.map(_._4).filter(_ >= 0) match {
       case s if s.isEmpty => Seq(0.0); case s => s })
-    val flagged = ok.filter { case (_, _, _, mad) =>
-      mad > madFloor && mad > madK * classMad }.map(_._1)
+    // Pin list: gates that inflate under CO-LOCATED load outside this
+    // JVM (q58's driver-run history: in-run 9.31/MAD 2.97 vs isolated
+    // 3.73 across three rounds, while the full catalog run on a quiet
+    // box measures 4.01/MAD 0.03 and stays ≤ 4.1 s under sustained
+    // disk/cpu hogs — target/q58exp*). The MAD trigger only fires when
+    // the interference hits the measured reps; pinning records the
+    // quiet number EVERY round so BenchDiff never lacks it.
+    val alwaysIsolate = sys.env.get("SPARK_GRAFT_ISOLATE_ALWAYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("q58_optimize_zorder"))
+    val flagged = (ok.filter { case (_, _, _, mad) =>
+      mad > madFloor && mad > madK * classMad }.map(_._1) ++
+      alwaysIsolate.filter(n => ok.exists(_._1 == n))).distinct
     val isolated: Seq[(String, Double, Double)] = flagged.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to repeat).map { _ =>

@@ -42,9 +42,10 @@ object ScaleGen {
       array(Vocab.map(lit): _*),
       (pmod(xxhash64(lit(salt), id, i), lit(Vocab.size.toLong)) + 1).cast("int"))
 
-  /** `heapsVocab=false` (default): the fixed 61-word vocabulary — at
-    * m1000 the 61³ 3-gram shingle space saturates and postings-per-type
-    * grows linearly (SCALING.md's q74 attribution). `heapsVocab=true`:
+  /** `heapsVocab=false` (default): the fixed 61-word vocabulary — as
+    * the corpus grows, the 5-gram shingle postings TAIL fattens and raw
+    * candidate-pair mass super-linearizes (SCALING.md's q74
+    * attribution, measured by `ProfVocab`). `heapsVocab=true`:
     * synthetic tokens "w<k>" drawn from a vocabulary that GROWS with the
     * corpus per Heap's law (V = √totalTokens, β = 0.5 — the empirical
     * web-text exponent), so the shingle type space outruns the token
