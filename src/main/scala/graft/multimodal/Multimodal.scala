@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * IMAGES are handled by a REAL pure-JVM codec ([[ImageCodec]]):
   * `javax.imageio` ships in the JDK, so PNG/JPEG decode, per-channel
   * pixel statistics, and a deterministic integer box-filter downscale
-  * all run executor-side with no external library. AUDIO/VIDEO codecs do
-  * NOT ship in the JDK; for those modalities [[FakeCodec]] remains the
-  * deterministic byte-level stand-in — swapping in a real decoder (JNI /
-  * javacv) changes only the byte→byte function, not the dataflow.
+  * all run executor-side with no external library. AUDIO likewise
+  * ([[AudioCodec]]): `javax.sound.sampled` ships in the JDK — WAV/PCM
+  * decode, per-channel sample statistics, integer-decimation
+  * downsample. VIDEO codecs do NOT ship in the JDK; for that modality
+  * [[FakeCodec]] remains the deterministic byte-level stand-in —
+  * swapping in a real decoder (JNI / javacv) changes only the
+  * byte→byte function, not the dataflow.
   *
   * Every stage here is a narrow per-row transformation that never
   * shuffles, which is what makes this viable over 100 TB of media — the
@@ -218,10 +221,168 @@ object Multimodal {
       udf((w: Int, h: Int, r: Int, g: Int, b: Int) => encodePng(w, h, r, g, b))
   }
 
-  /** Deterministic byte-level stand-ins for the modalities whose codecs
-    * do NOT ship in the JDK (audio/video). Real implementations plug in
+  /** REAL audio codec on `javax.sound.sampled` (in the JDK — no
+    * external dependency): decode WAV (RIFF/PCM) blobs executor-side,
+    * extract typed metadata and per-channel sample statistics, and
+    * downsample by integer frame decimation. Same contract as
+    * [[ImageCodec]]: per-row byte→value UDFs (non-codegen islands by
+    * necessity — sample loops have no Column form) that run inside the
+    * scan projection, never shuffle, and parallelize per partition;
+    * undecodable bytes become NULL (quarantine is the caller's filter),
+    * never exceptions. */
+  object AudioCodec {
+
+    /** Decoded metadata, or null for bytes no installed reader
+      * understands. `durationMs` = frames * 1000 / sampleRate with
+      * integer division — the SQL-replayable formula. */
+    final case class AudioMeta(sampleRate: Int, channels: Int,
+        bitsPerSample: Int, frames: Long, durationMs: Long, format: String)
+
+    private def readStream(blob: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] =
+      if (blob == null || blob.isEmpty) None
+      else try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob)))
+      catch { case _: Exception => None }
+
+    def decodeMeta(blob: Array[Byte]): AudioMeta =
+      readStream(blob).map { in =>
+        try {
+          val f = in.getFormat
+          val frames = in.getFrameLength
+          val rate = math.round(f.getSampleRate)
+          AudioMeta(rate, f.getChannels, f.getSampleSizeInBits, frames,
+            if (rate > 0) frames * 1000L / rate else -1L,
+            f.getEncoding.toString.toLowerCase)
+        } finally in.close()
+      }.orNull
+
+    /** Fully read a PCM16 signed little-endian stream into per-frame
+      * channel samples; None for anything else (the fixture/coverage
+      * format; other encodings quarantine as null like corrupt bytes —
+      * a 100 TB pipeline filters, it doesn't throw). */
+    private def readPcm16(blob: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Short])] =
+      readStream(blob).flatMap { in =>
+        try {
+          val f = in.getFormat
+          val ok = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          if (!ok) None
+          else {
+            val bytes = in.readAllBytes()
+            val out = new Array[Short](bytes.length / 2)
+            var i = 0
+            while (i < out.length) {
+              out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+              i += 1
+            }
+            Some((f, out))
+          }
+        } finally in.close()
+      }
+
+    /** Per-channel mean sample value (exact for constant fills,
+      * deterministic always — integer sums divided once). Null for
+      * undecodable / non-PCM16 bytes. */
+    def channelMeans(blob: Array[Byte]): Array[Double] =
+      readPcm16(blob).map { case (f, samples) =>
+        val ch = f.getChannels
+        val sums = new Array[Long](ch)
+        var i = 0
+        while (i < samples.length) { sums(i % ch) += samples(i); i += 1 }
+        val frames = math.max(1, samples.length / ch)
+        sums.map(_.toDouble / frames)
+      }.orNull
+
+    /** Peak |sample| across all channels (clip / loudness scan). */
+    def peak(blob: Array[Byte]): java.lang.Integer =
+      readPcm16(blob).map { case (_, samples) =>
+        var m = 0; var i = 0
+        while (i < samples.length) {
+          val a = math.abs(samples(i).toInt); if (a > m) m = a; i += 1
+        }
+        java.lang.Integer.valueOf(m)
+      }.orNull
+
+    /** Deterministic downsample: keep every `factor`-th frame (pure
+      * integer decimation — identical across JVMs; a real resampler's
+      * interpolation kernel would replace just this loop), re-encoded as
+      * PCM16 WAV at sampleRate/factor via the JDK writer. Null for
+      * undecodable / non-PCM16 bytes. */
+    def downsample(blob: Array[Byte], factor: Int): Array[Byte] =
+      readPcm16(blob).map { case (f, samples) =>
+        val ch = f.getChannels
+        val frames = samples.length / ch
+        val outFrames = (frames + factor - 1) / factor
+        val out = new Array[Byte](outFrames * ch * 2)
+        var of = 0
+        while (of < outFrames) {
+          var c = 0
+          while (c < ch) {
+            val s = samples(of * factor * ch + c)
+            out((of * ch + c) * 2) = (s & 0xff).toByte
+            out((of * ch + c) * 2 + 1) = ((s >> 8) & 0xff).toByte
+            c += 1
+          }
+          of += 1
+        }
+        writeWav(out, f.getSampleRate / factor, ch)
+      }.orNull
+
+    /** PCM16 WAV bytes via the JDK encoder (AudioSystem.write — the
+      * same writer real pipelines use; deterministic for given PCM). */
+    private def writeWav(pcm: Array[Byte], rate: Float, channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, channels, channels * 2, rate, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / (channels * 2))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Constant-fill WAV encoder — the deterministic fixture generator
+      * for specs/gates (channel c holds `values(c)` in every frame, so
+      * every statistic is exactly computable in the SQL oracle). */
+    def encodeWav(frames: Int, sampleRate: Int, values: Array[Short]): Array[Byte] = {
+      val ch = values.length
+      val pcm = new Array[Byte](frames * ch * 2)
+      var fIdx = 0
+      while (fIdx < frames) {
+        var c = 0
+        while (c < ch) {
+          val s = values(c)
+          pcm((fIdx * ch + c) * 2) = (s & 0xff).toByte
+          pcm((fIdx * ch + c) * 2 + 1) = ((s >> 8) & 0xff).toByte
+          c += 1
+        }
+        fIdx += 1
+      }
+      writeWav(pcm, sampleRate.toFloat, ch)
+    }
+
+    // ---- Column wrappers (Scala UDFs over the byte functions) ----------
+
+    import org.apache.spark.sql.functions.udf
+
+    val decodeMetaUdf = udf((b: Array[Byte]) => Option(decodeMeta(b))
+      .map(m => (m.sampleRate, m.channels, m.bitsPerSample, m.frames,
+        m.durationMs, m.format)))
+    val channelMeansUdf = udf((b: Array[Byte]) => Option(channelMeans(b)))
+    val peakUdf = udf((b: Array[Byte]) => Option(peak(b)).map(_.intValue))
+    def downsampleUdf(factor: Int) =
+      udf((b: Array[Byte]) => Option(downsample(b, factor)))
+    val encodeWavUdf = udf((frames: Int, rate: Int, v0: Int, v1: Int, ch: Int) =>
+      encodeWav(frames, rate,
+        if (ch >= 2) Array(v0.toShort, v1.toShort) else Array(v0.toShort)))
+  }
+
+  /** Deterministic byte-level stand-ins for the modality whose codec
+    * does NOT ship in the JDK (video). Real implementations plug in
     * here (e.g. via JNI/javacv) without touching the dataflow; images
-    * use the real [[ImageCodec]] above. */
+    * use the real [[ImageCodec]] and audio the real [[AudioCodec]]
+    * above. */
   object FakeCodec {
     /** "Decode" = identity passthrough tagged with a decode marker. */
     def decode(blob: Column): Column = blob

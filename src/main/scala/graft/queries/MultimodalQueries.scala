@@ -118,6 +118,64 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY doc_id""")
   )
 
+  /** REAL audio decode (javax.sound.sampled, in the JDK): per-doc
+    * constant-fill PCM16 WAVs are encoded executor-side, then decoded —
+    * sample-rate/channels/bits/frames/duration metadata, exact
+    * per-channel sample means, clip-scan peak, and an integer-decimation
+    * downsample whose output WAV is decoded again. Constant fills make
+    * every statistic exactly computable from doc_id alone, so the whole
+    * encode→decode→stats→downsample→re-decode pipeline has a plain-SQL
+    * oracle. Everything is a narrow per-row projection: no shuffle. */
+  private val q247 = GQ(
+    "q247_audio_decode",
+    (s, dir) => {
+      import Multimodal.AudioCodec
+      val docs = Tables.t(s, dir, "documents").select("doc_id")
+        .withColumn("frames", (lit(50) + pmod(col("doc_id"), lit(200))).cast("int"))
+        .withColumn("ch", (lit(1) + pmod(col("doc_id"), lit(2))).cast("int"))
+        .withColumn("v0", (pmod(col("doc_id") * 7, lit(60001)) - 30000).cast("int"))
+        .withColumn("v1", (pmod(col("doc_id") * 11, lit(60001)) - 30000).cast("int"))
+      docs
+        .withColumn("blob", AudioCodec.encodeWavUdf(
+          col("frames"), lit(8000), col("v0"), col("v1"), col("ch")))
+        .withColumn("meta", AudioCodec.decodeMetaUdf(col("blob")))
+        .withColumn("means", AudioCodec.channelMeansUdf(col("blob")))
+        .withColumn("pk", AudioCodec.peakUdf(col("blob")))
+        .withColumn("small", AudioCodec.downsampleUdf(4)(col("blob")))
+        .withColumn("smeta", AudioCodec.decodeMetaUdf(col("small")))
+        .withColumn("smeans", AudioCodec.channelMeansUdf(col("small")))
+        .select(
+          col("doc_id"),
+          col("meta._1").as("sample_rate"), col("meta._2").as("channels"),
+          col("meta._3").as("bits"), col("meta._4").as("n_frames"),
+          col("meta._5").as("duration_ms"), col("meta._6").as("format"),
+          col("means")(0).as("mean_c0"), col("pk").as("peak"),
+          col("smeta._1").as("ds_rate"), col("smeta._4").as("ds_frames"),
+          col("smeans")(0).as("ds_mean_c0"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CAST(8000 AS INTEGER) AS sample_rate,
+              CAST(ch AS INTEGER) AS channels,
+              CAST(16 AS INTEGER) AS bits,
+              CAST(frames AS BIGINT) AS n_frames,
+              CAST(frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+              'pcm_signed' AS format,
+              CAST(v0 AS DOUBLE) AS mean_c0,
+              CAST(CASE WHEN ch = 2 THEN greatest(abs(v0), abs(v1))
+                   ELSE abs(v0) END AS INTEGER) AS peak,
+              CAST(2000 AS INTEGER) AS ds_rate,
+              CAST(ceil(frames / 4.0) AS BIGINT) AS ds_frames,
+              CAST(v0 AS DOUBLE) AS ds_mean_c0
+            FROM (SELECT doc_id,
+                    50 + doc_id % 200 AS frames,
+                    1 + doc_id % 2 AS ch,
+                    (doc_id * 7) % 60001 - 30000 AS v0,
+                    (doc_id * 11) % 60001 - 30000 AS v1
+                  FROM documents)
+            ORDER BY doc_id""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -141,5 +199,5 @@ object MultimodalQueries extends QueryBatch {
             ) r(queryId, rows, status) ORDER BY queryId""")
   )
 
-  override def queries: Seq[GQ] = Seq(q130, q131, q132, q246)
+  override def queries: Seq[GQ] = Seq(q130, q131, q132, q246, q247)
 }

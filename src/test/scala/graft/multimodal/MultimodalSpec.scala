@@ -94,6 +94,45 @@ class MultimodalSpec extends SparkTestBase {
       Seq((1L, true), (2L, false)))
   }
 
+  test("AudioCodec: WAV round-trip gives exact metadata and channel means") {
+    import Multimodal.AudioCodec
+    val wav = AudioCodec.encodeWav(400, 8000, Array(1234.toShort, (-2000).toShort))
+    val m = AudioCodec.decodeMeta(wav)
+    assert((m.sampleRate, m.channels, m.bitsPerSample, m.frames) ===
+      (8000, 2, 16, 400L))
+    assert(m.durationMs === 50L) // 400 frames / 8 frames-per-ms
+    assert(m.format === "pcm_signed")
+    assert(AudioCodec.channelMeans(wav).toSeq === Seq(1234.0, -2000.0))
+    assert(AudioCodec.peak(wav).intValue === 2000)
+  }
+
+  test("AudioCodec: decimation downsample keeps ceil(frames/k) at rate/k") {
+    import Multimodal.AudioCodec
+    // 401 frames: non-divisible by 4, so the last partial stride still
+    // emits a frame — ceil semantics, mirrored by the oracle SQL
+    val wav = AudioCodec.encodeWav(401, 8000, Array(777.toShort))
+    val ds = AudioCodec.downsample(wav, 4)
+    val m = AudioCodec.decodeMeta(ds)
+    assert((m.sampleRate, m.channels, m.frames) === (2000, 1, 101L))
+    // constant fill survives decimation exactly
+    assert(AudioCodec.channelMeans(ds).toSeq === Seq(777.0))
+  }
+
+  test("AudioCodec: undecodable bytes yield null through the UDF path") {
+    import Multimodal.AudioCodec
+    assert(AudioCodec.decodeMeta("not audio".getBytes) === null)
+    assert(AudioCodec.channelMeans(Array.emptyByteArray) === null)
+    assert(AudioCodec.downsample(null, 2) === null)
+    val df = Seq((1L, "corrupt".getBytes),
+      (2L, AudioCodec.encodeWav(8, 8000, Array(5.toShort))))
+      .toDF("id", "blob")
+      .withColumn("meta", AudioCodec.decodeMetaUdf(col("blob")))
+    val rows = df.select(col("id"), col("meta").isNull.as("bad"))
+      .orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getBoolean(1))).toSeq ===
+      Seq((1L, true), (2L, false)))
+  }
+
   test("media metadata carries size and type") {
     val df = Seq((1L, "hello")).toDF("id", "text")
       .withColumn("blob", col("text").cast("binary"))
