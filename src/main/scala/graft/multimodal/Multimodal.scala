@@ -163,6 +163,81 @@ object Multimodal {
         bos.toByteArray
       }.orNull
 
+    /** 64-bit average-hash (aHash) perceptual fingerprint: decode →
+      * integer box-downscale to 8×8 → per-cell luma (299/587/114
+      * milli-weights, integer) → bit i set iff cell i's luma exceeds the
+      * 64-cell mean. Classic perceptual-dedup signature: resize/re-encode
+      * variants of an image land within a few bits, so near-duplicate
+      * detection over a binary image column is
+      * aHashUdf → [[graft.text.DedupOps.fingerprintPairs]] — the same
+      * pigeonhole-banded hamming join the text side uses, no quadratic
+      * stage. Null for undecodable bytes. */
+    def aHash(blob: Array[Byte]): java.lang.Long =
+      readImage(blob).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val src = img.getRaster
+        val bands = src.getNumBands
+        val luma = new Array[Long](64)
+        var cy = 0
+        while (cy < 8) {
+          val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+          var cx = 0
+          while (cx < 8) {
+            val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+            var sum = 0L; var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                sum +=
+                  (if (bands >= 3)
+                    299L * src.getSample(x, y, 0) +
+                      587L * src.getSample(x, y, 1) +
+                      114L * src.getSample(x, y, 2)
+                  else 1000L * src.getSample(x, y, 0))
+                x += 1
+              }
+              y += 1
+            }
+            luma(cy * 8 + cx) = sum / ((x1 - x0).toLong * (y1 - y0))
+            cx += 1
+          }
+          cy += 1
+        }
+        val mean = luma.sum / 64
+        var hash = 0L; var i = 0
+        while (i < 64) { if (luma(i) > mean) hash |= 1L << i; i += 1 }
+        java.lang.Long.valueOf(hash)
+      }.orNull
+
+    /** 8×8-cell black/white pattern PNG (cell i white iff bit i of
+      * `pattern`; `cell` pixels per cell edge) — the deterministic
+      * fixture for perceptual-hash specs/gates: box-downscale recovers
+      * each cell exactly, so `aHash(encodePatternPng(p)) == p` for any
+      * p with at least one zero bit (all-ones has no cell above the
+      * mean). */
+    def encodePatternPng(pattern: Long, cell: Int = 4): Array[Byte] = {
+      val side = 8 * cell
+      val img = new java.awt.image.BufferedImage(side, side,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val raster = img.getRaster
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          val bit = (y / cell) * 8 + (x / cell)
+          val v = if (((pattern >>> bit) & 1L) == 1L) 255 else 0
+          raster.setSample(x, y, 0, v)
+          raster.setSample(x, y, 1, v)
+          raster.setSample(x, y, 2, v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     /** Solid-fill PNG encoder — the deterministic fixture generator for
       * specs/gates (solid fills make every pixel statistic exactly
       * computable in the SQL oracle). */
@@ -219,6 +294,9 @@ object Multimodal {
       udf((b: Array[Byte]) => Option(downscale(b, maxDim)))
     val encodePngUdf =
       udf((w: Int, h: Int, r: Int, g: Int, b: Int) => encodePng(w, h, r, g, b))
+    val aHashUdf = udf((b: Array[Byte]) => Option(aHash(b)).map(_.longValue))
+    val encodePatternPngUdf =
+      udf((p: Long, cell: Int) => encodePatternPng(p, cell))
   }
 
   /** REAL audio codec on `javax.sound.sampled` (in the JDK — no

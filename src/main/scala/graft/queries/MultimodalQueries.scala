@@ -176,6 +176,50 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY doc_id""")
   )
 
+  /** Perceptual image near-dup: every doc gets an 8×8-cell pattern PNG
+    * (repetition-coded group pattern, ~1 doc in 3 with one cell flipped
+    * — a "re-encoded variant"), then aHash fingerprints each image and
+    * the pigeonhole-banded hamming join finds all pairs within radius 2.
+    * Group patterns differ by ≥ 8 bits by construction (byte-repetition
+    * code), so exactly the same-group pairs — and their exact hamming
+    * distances — are SQL-predictable without bit arithmetic in the
+    * oracle. The scalable shape: per-row UDF fingerprint in the scan
+    * projection, then a bucketed join keyed on (chunk, value) — no
+    * quadratic candidate stage at any corpus size. */
+  private val q248 = GQ(
+    "q248_image_near_dup",
+    (s, dir) => {
+      import Multimodal.ImageCodec
+      val d = Tables.t(s, dir, "documents").select("doc_id")
+        .withColumn("g", pmod(col("doc_id"), lit(200L)))
+        .withColumn("fb", when(pmod(col("doc_id"), lit(3)) === 0,
+          expr("(doc_id div 200) % 64")).otherwise(lit(-1L)))
+      val pBase = (0 until 8).map { j =>
+        when(shiftright(col("g"), j).bitwiseAND(lit(1L)) =!= 0,
+          lit(255L << (8 * j))).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      val p = when(col("fb") >= 0,
+        pBase.bitwiseXOR(expr("shiftleft(1L, cast(fb as int))")))
+        .otherwise(pBase)
+      val fps = d
+        .withColumn("blob", ImageCodec.encodePatternPngUdf(p, lit(4)))
+        .withColumn("fp", ImageCodec.aHashUdf(col("blob")))
+      graft.text.DedupOps.fingerprintPairs(fps, "doc_id", "fp", maxHamming = 2)
+        .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 200 AS g,
+                CASE WHEN doc_id % 3 = 0 THEN (doc_id // 200) % 64
+                     ELSE -1 END AS fb
+              FROM documents)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(CASE WHEN a.fb = b.fb THEN 0
+                        WHEN a.fb = -1 OR b.fb = -1 THEN 1
+                        ELSE 2 END AS INTEGER) AS hamming
+            FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+            ORDER BY d1, d2""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -199,5 +243,5 @@ object MultimodalQueries extends QueryBatch {
             ) r(queryId, rows, status) ORDER BY queryId""")
   )
 
-  override def queries: Seq[GQ] = Seq(q130, q131, q132, q246, q247)
+  override def queries: Seq[GQ] = Seq(q130, q131, q132, q246, q247, q248)
 }

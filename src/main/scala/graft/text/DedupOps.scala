@@ -482,10 +482,31 @@ object DedupOps {
         }.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
+  /** Hamming-radius pairs over an ARBITRARY persisted 64-bit fingerprint
+    * column — perceptual image aHash, simhash, any locality-preserving
+    * signature. Public modality-agnostic face of the pigeonhole chunk
+    * blocking simhashPairs uses internally: pairs within the radius must
+    * share one of maxHamming+1 chunks, so the join touches only
+    * same-chunk-value buckets — no quadratic candidate stage, shuffle
+    * keyed on (chunk, value) exactly like any other bucketed join at
+    * 100 TB. Output (d1, d2, hamming), exact within the radius.
+    * Requires maxHamming ≤ 7 so chunks are ≥ 8 bits (smaller chunks
+    * bucket too coarsely to prune — the same bound simhashPairs
+    * enforces before falling back to prefix candidates). */
+  def fingerprintPairs(df: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int): DataFrame = {
+    require(64 / (maxHamming + 1) >= 8,
+      s"maxHamming=$maxHamming too wide for 64-bit chunk blocking (max 7)")
+    chunkBlockCandidates(
+      df.select(col(idCol).as("doc_id"), col(fpCol).as("simhash")),
+      maxHamming, keepHamming = true)
+  }
+
   /** Chunk-blocked candidate pairs with hamming ≤ maxHamming: pairs within
     * the radius must share at least one of maxHamming+1 chunks
     * (pigeonhole), so only same-chunk-value buckets are joined. */
-  private def chunkBlockCandidates(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  private def chunkBlockCandidates(sigs: DataFrame, maxHamming: Int,
+      keepHamming: Boolean = false): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
     val chunks = sigs.select(col("doc_id"), col("simhash"),
@@ -503,7 +524,8 @@ object DedupOps {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming) // before distinct: random pairs
       .distinct()                           // sit at hamming ≈ 32 and vanish
-      .select("d1", "d2")
+      .select((Seq("d1", "d2") ++ (if (keepHamming) Seq("hamming") else Nil))
+        .map(col): _*)
   }
 
   /** SimHash near-dup pairs: {hamming ≤ maxHamming} ∩ {jaccard ≥ threshold},

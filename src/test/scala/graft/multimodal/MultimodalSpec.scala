@@ -133,6 +133,37 @@ class MultimodalSpec extends SparkTestBase {
       Seq((1L, true), (2L, false)))
   }
 
+  test("aHash recovers the pattern exactly and survives a resize") {
+    import Multimodal.ImageCodec
+    val patterns = Seq(0L, 0x00FF00FF00FF00FFL, 0x123456789ABCDEFL,
+      255L << 56, 1L)
+    patterns.foreach { p =>
+      val png = ImageCodec.encodePatternPng(p, cell = 4)
+      assert(ImageCodec.aHash(png).longValue === p, s"pattern $p")
+      // the perceptual contract: a downscaled re-encode hashes identically
+      val small = ImageCodec.downscale(png, 16) // 32x32 -> 16x16
+      assert(ImageCodec.aHash(small).longValue === p, s"resized pattern $p")
+    }
+    assert(ImageCodec.aHash("junk".getBytes) === null)
+  }
+
+  test("fingerprintPairs finds exactly the within-radius pairs") {
+    import Multimodal.ImageCodec
+    import graft.text.DedupOps
+    // base, 1-bit variant, 2-bit variant, and a far pattern (byte flip)
+    val base = 0x00FF00FF00FF00FFL
+    val rows = Seq(
+      (1L, base), (2L, base ^ 1L), (3L, base ^ 3L), (4L, base ^ 255L))
+    val df = rows.toDF("doc_id", "p")
+      .withColumn("blob", ImageCodec.encodePatternPngUdf(col("p"), lit(4)))
+      .withColumn("fp", ImageCodec.aHashUdf(col("blob")))
+    val pairs = DedupOps.fingerprintPairs(df, "doc_id", "fp", maxHamming = 2)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // 4 is >= 7 bits from everything; (1,3)=2, (1,2)=1, (2,3)=1
+    assert(pairs.toSeq === Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)))
+  }
+
   test("media metadata carries size and type") {
     val df = Seq((1L, "hello")).toDF("id", "text")
       .withColumn("blob", col("text").cast("binary"))
