@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * all run executor-side with no external library. AUDIO likewise
   * ([[AudioCodec]]): `javax.sound.sampled` ships in the JDK — WAV/PCM
   * decode, per-channel sample statistics, integer-decimation
-  * downsample. VIDEO codecs do NOT ship in the JDK; for that modality
-  * [[FakeCodec]] remains the deterministic byte-level stand-in —
-  * swapping in a real decoder (JNI / javacv) changes only the
-  * byte→byte function, not the dataflow.
+  * downsample. VIDEO ([[VideoCodec]]): a real RIFF/AVI container
+  * walker carrying Motion-PNG frames — container metadata, frame
+  * extraction, per-frame stats, scene-cut detection, keyframe
+  * decimation — all pure JVM; only an interframe codec (H.264 etc.)
+  * would need JNI/javacv, and swapping one in changes only the
+  * per-frame byte→pixels step, not the container walk or dataflow.
   *
   * Every stage here is a narrow per-row transformation that never
   * shuffles, which is what makes this viable over 100 TB of media — the
@@ -456,11 +458,232 @@ object Multimodal {
         if (ch >= 2) Array(v0.toShort, v1.toShort) else Array(v0.toShort)))
   }
 
-  /** Deterministic byte-level stand-ins for the modality whose codec
-    * does NOT ship in the JDK (video). Real implementations plug in
-    * here (e.g. via JNI/javacv) without touching the dataflow; images
-    * use the real [[ImageCodec]] and audio the real [[AudioCodec]]
-    * above. */
+  /** REAL video container codec, pure JVM: RIFF/AVI (the public
+    * Microsoft AVI 1.0 container layout — `RIFF('AVI ')` with `hdrl`
+    * (avih + strl/strh/strf) headers, a `movi` frame list, and an
+    * `idx1` index) carrying one PNG per frame (Motion-PNG, fourcc
+    * `MPNG` — a registered VfW codec id). Both layers are real,
+    * parseable formats: the container walker below reads any
+    * spec-shaped AVI's geometry/fps/frame chunks, and each frame is
+    * decoded by the JDK's ImageIO exactly like [[ImageCodec]]. What the
+    * JDK does NOT ship is an interframe codec (H.264 etc.) — swapping
+    * one in (JNI/javacv) replaces only the per-frame byte→pixels step,
+    * not the container walk or the dataflow. Same contract as the other
+    * codecs: per-row byte→value UDFs that run inside the scan
+    * projection, never shuffle, and parallelize per partition;
+    * undecodable bytes become NULL (quarantine is the caller's
+    * filter), never exceptions. */
+  object VideoCodec {
+
+    /** Decoded container metadata, or null for bytes that are not a
+      * spec-shaped AVI. `durationMs` = nFrames * 1000 * scale / rate
+      * with integer division — the SQL-replayable formula (fps =
+      * rate/scale; the fixture writes scale=1). */
+    final case class VideoMeta(width: Int, height: Int, nFrames: Int,
+        fps: Int, durationMs: Long, codec: String)
+
+    // ---- RIFF plumbing (little-endian, word-aligned chunks) ----------
+
+    private def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    private def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(id.getBytes("US-ASCII")); bos.write(le32(data.length))
+      bos.write(data)
+      if ((data.length & 1) == 1) bos.write(0) // RIFF chunks word-align
+      bos.toByteArray
+    }
+
+    private def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("LIST".getBytes("US-ASCII")); bos.write(le32(4 + body.length))
+      bos.write(listType.getBytes("US-ASCII")); bos.write(body)
+      bos.toByteArray
+    }
+
+    /** Write an AVI holding `frames` (each already-encoded PNG bytes)
+      * at `fps`, with full avih/strh/strf headers and an idx1 index —
+      * readable by any AVI-aware tool that knows the MPNG fourcc. */
+    def encodeAvi(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+      require(fps > 0, "fps must be positive")
+      val avih = {
+        val d = new java.io.ByteArrayOutputStream()
+        d.write(le32(1000000 / fps)) // dwMicroSecPerFrame
+        d.write(le32(0)); d.write(le32(0)) // maxBytesPerSec, padding
+        d.write(le32(0x10)) // dwFlags: AVIF_HASINDEX
+        d.write(le32(frames.length)) // dwTotalFrames
+        d.write(le32(0)); d.write(le32(1)) // initialFrames, dwStreams
+        d.write(le32(0)) // suggestedBufferSize
+        d.write(le32(w)); d.write(le32(h))
+        (0 until 4).foreach(_ => d.write(le32(0))) // dwReserved
+        chunk("avih", d.toByteArray)
+      }
+      val strh = {
+        val d = new java.io.ByteArrayOutputStream()
+        d.write("vids".getBytes("US-ASCII")) // fccType
+        d.write("MPNG".getBytes("US-ASCII")) // fccHandler
+        d.write(le32(0)); d.write(le32(0)) // flags, prio+lang
+        d.write(le32(0)) // initialFrames
+        d.write(le32(1)); d.write(le32(fps)) // dwScale, dwRate → fps
+        d.write(le32(0)); d.write(le32(frames.length)) // start, dwLength
+        d.write(le32(0)); d.write(le32(-1)) // bufSize, quality
+        d.write(le32(0)) // sampleSize
+        d.write(le32(0)); d.write(le32((h << 16) | (w & 0xffff))) // rcFrame
+        chunk("strh", d.toByteArray)
+      }
+      val strf = {
+        val d = new java.io.ByteArrayOutputStream()
+        d.write(le32(40)); d.write(le32(w)); d.write(le32(h)) // BITMAPINFOHEADER
+        d.write(le32((24 << 16) | 1)) // biPlanes=1, biBitCount=24
+        d.write("MPNG".getBytes("US-ASCII")) // biCompression
+        d.write(le32(0)); d.write(le32(0)); d.write(le32(0))
+        d.write(le32(0)); d.write(le32(0))
+        chunk("strf", d.toByteArray)
+      }
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val moviChunks = frames.map(f => chunk("00dc", f))
+      val movi = list("movi", moviChunks.toArray.flatten)
+      val idx1 = {
+        val d = new java.io.ByteArrayOutputStream()
+        var off = 4 // offsets conventionally count from the 'movi' fourcc
+        moviChunks.zip(frames).foreach { case (c, f) =>
+          d.write("00dc".getBytes("US-ASCII"))
+          d.write(le32(0x10)) // AVIIF_KEYFRAME — every MPNG frame is one
+          d.write(le32(off)); d.write(le32(f.length))
+          off += c.length
+        }
+        chunk("idx1", d.toByteArray)
+      }
+      val body = hdrl ++ movi ++ idx1
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(4 + body.length))
+      bos.write("AVI ".getBytes("US-ASCII")); bos.write(body)
+      bos.toByteArray
+    }
+
+    /** Walk the RIFF tree: metadata from avih/strh, frame payloads from
+      * the movi list's `##dc`/`##db` chunks. None for anything that is
+      * not a spec-shaped AVI (wrong magic, truncated chunks, no movi). */
+    private def parse(blob: Array[Byte]): Option[(VideoMeta, Array[Array[Byte]])] = {
+      if (blob == null || blob.length < 24 ||
+        fourcc(blob, 0) != "RIFF" || fourcc(blob, 8) != "AVI ") return None
+      try {
+        var width, height, total = -1
+        var scale, rate = 0L
+        val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        def walk(from: Int, to: Int, ctx: String): Unit = {
+          var pos = from
+          while (pos + 8 <= to) {
+            val id = fourcc(blob, pos)
+            val size = u32(blob, pos + 4)
+            val end = pos + 8 + size
+            if (end > to) throw new IllegalArgumentException("truncated chunk")
+            if (id == "LIST")
+              walk(pos + 12, end.toInt, fourcc(blob, pos + 8))
+            else if (id == "avih" && size >= 40) {
+              width = u32(blob, pos + 8 + 32).toInt
+              height = u32(blob, pos + 8 + 36).toInt
+              total = u32(blob, pos + 8 + 16).toInt
+            } else if (id == "strh" && size >= 36 &&
+              fourcc(blob, pos + 8) == "vids") {
+              scale = u32(blob, pos + 8 + 20); rate = u32(blob, pos + 8 + 24)
+            } else if (ctx == "movi" && id.length == 4 &&
+              (id.endsWith("dc") || id.endsWith("db")))
+              frames += java.util.Arrays.copyOfRange(blob, pos + 8, end.toInt)
+            pos = (end + (size & 1)).toInt // word alignment
+          }
+        }
+        walk(12, blob.length, "AVI ")
+        if (width < 0 || scale <= 0 || rate <= 0 || frames.isEmpty) None
+        else {
+          val fps = (rate / scale).toInt
+          val n = frames.length
+          Some((VideoMeta(width, height, n, fps,
+            if (rate > 0) n * 1000L * scale / rate else -1L, "mpng"),
+            frames.toArray))
+        }
+      } catch { case _: Exception => None }
+    }
+
+    def decodeMeta(blob: Array[Byte]): VideoMeta =
+      parse(blob).map(_._1).orNull
+
+    /** Frame payloads (PNG bytes), container-level only — no pixel
+      * decode. Null for non-AVI bytes. */
+    def frames(blob: Array[Byte]): Array[Array[Byte]] =
+      parse(blob).map(_._2).orNull
+
+    /** Per-frame mean of pixel channel 0 (exact for solid fills), via
+      * the same ImageIO decode as [[ImageCodec]]. Null if the container
+      * or ANY frame fails to decode — a partially-readable video
+      * quarantines whole, like corrupt bytes. */
+    def frameMeans(blob: Array[Byte]): Array[Double] =
+      parse(blob).flatMap { case (_, fs) =>
+        val means = fs.map(f => Option(ImageCodec.channelMeans(f)))
+        if (means.exists(_.isEmpty)) None
+        else Some(means.map(_.get.head))
+      }.orNull
+
+    /** Scene-cut indices: frames i ≥ 1 where the mean-luma jump from
+      * frame i-1 exceeds `threshold` — the standard intensity-delta
+      * shot-boundary heuristic, exact on solid-fill fixtures. */
+    def sceneCuts(blob: Array[Byte], threshold: Double): Array[Int] =
+      Option(frameMeans(blob)).map { m =>
+        (1 until m.length).filter(i => math.abs(m(i) - m(i - 1)) > threshold).toArray
+      }.orNull
+
+    /** Deterministic keyframe decimation: keep every `stride`-th frame
+      * and re-encode the container (fps unchanged — the sampled clip is
+      * shorter, exactly ceil(n/stride) frames). The video analogue of
+      * audio's decimation downsample. */
+    def decimate(blob: Array[Byte], stride: Int): Array[Byte] =
+      parse(blob).map { case (m, fs) =>
+        encodeAvi(fs.zipWithIndex.collect { case (f, i) if i % stride == 0 => f },
+          m.width, m.height, m.fps)
+      }.orNull
+
+    /** Solid-fill fixture: `nFrames` gray frames at `fps`; frames
+      * before `cutIdx` fill `vA`, from `cutIdx` on fill `vB` (cutIdx<0
+      * = no cut). Every statistic is exactly computable in the SQL
+      * oracle from the parameters. */
+    def encodeSolidAvi(nFrames: Int, w: Int, h: Int, fps: Int,
+        cutIdx: Int, vA: Int, vB: Int): Array[Byte] =
+      encodeAvi((0 until nFrames).map { i =>
+        val v = if (cutIdx >= 0 && i >= cutIdx) vB else vA
+        ImageCodec.encodePng(w, h, v, v, v)
+      }, w, h, fps)
+
+    // ---- Column wrappers (Scala UDFs over the byte functions) ----------
+
+    import org.apache.spark.sql.functions.udf
+
+    val decodeMetaUdf = udf((b: Array[Byte]) => Option(decodeMeta(b))
+      .map(m => (m.width, m.height, m.nFrames, m.fps, m.durationMs, m.codec)))
+    val frameMeansUdf = udf((b: Array[Byte]) => Option(frameMeans(b)))
+    def sceneCutsUdf(threshold: Double) =
+      udf((b: Array[Byte]) => Option(sceneCuts(b, threshold)))
+    def decimateUdf(stride: Int) =
+      udf((b: Array[Byte]) => Option(decimate(b, stride)))
+    val encodeSolidAviUdf =
+      udf((nf: Int, w: Int, h: Int, fps: Int, cut: Int, vA: Int, vB: Int) =>
+        encodeSolidAvi(nf, w, h, fps, cut, vA, vB))
+  }
+
+  /** Deterministic byte-level stand-ins for generic opaque media
+    * bytes — kept for the modality-agnostic plumbing gates (q130/q131:
+    * schema, partitioning, batch shape). The REAL codecs above
+    * ([[ImageCodec]], [[AudioCodec]], [[VideoCodec]]) replace these for
+    * image/audio/video; a hardware H.264 decoder would plug in via
+    * JNI/javacv without touching the dataflow. */
   object FakeCodec {
     /** "Decode" = identity passthrough tagged with a decode marker. */
     def decode(blob: Column): Column = blob

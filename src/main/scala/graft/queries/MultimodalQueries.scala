@@ -220,6 +220,117 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY d1, d2""")
   )
 
+  /** REAL video container decode (RIFF/AVI + Motion-PNG, pure JVM):
+    * per-doc solid-fill clips — half with one mid-clip fill jump (a
+    * "scene change") — are encoded executor-side, then the container is
+    * re-parsed for geometry/fps/frame-count/duration metadata,
+    * per-frame means drive intensity-delta scene-cut detection, and a
+    * keyframe decimation (every 2nd frame) is re-encoded and re-parsed.
+    * Solid fills + scale=1 timing make every statistic exactly
+    * computable from doc_id alone, so the whole
+    * encode→parse→stats→cut-detect→decimate→re-parse pipeline has a
+    * plain-SQL oracle. Narrow per-row projections throughout: the
+    * decode never shuffles. */
+  private val q249 = GQ(
+    "q249_video_decode",
+    (s, dir) => {
+      import Multimodal.VideoCodec
+      val d = Tables.t(s, dir, "documents").select("doc_id")
+        .withColumn("nf", (lit(3) + pmod(col("doc_id"), lit(6))).cast("int"))
+        .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(9))).cast("int"))
+        .withColumn("h", (lit(8) + pmod(col("doc_id") * 3, lit(9))).cast("int"))
+        .withColumn("fps", (lit(5) + pmod(col("doc_id"), lit(10))).cast("int"))
+        .withColumn("va", pmod(col("doc_id"), lit(200)).cast("int"))
+        .withColumn("cut", when(pmod(col("doc_id"), lit(2)) === 0,
+          (lit(1) + pmod(col("doc_id"), (col("nf") - 1).cast("long"))).cast("int"))
+          .otherwise(lit(-1)))
+      d.withColumn("blob", VideoCodec.encodeSolidAviUdf(
+          col("nf"), col("w"), col("h"), col("fps"), col("cut"),
+          col("va"), col("va") + 40))
+        .withColumn("meta", VideoCodec.decodeMetaUdf(col("blob")))
+        .withColumn("means", VideoCodec.frameMeansUdf(col("blob")))
+        .withColumn("cuts", VideoCodec.sceneCutsUdf(20.0)(col("blob")))
+        .withColumn("small", VideoCodec.decimateUdf(2)(col("blob")))
+        .withColumn("smeta", VideoCodec.decodeMetaUdf(col("small")))
+        .select(
+          col("doc_id"),
+          col("meta._1").as("width"), col("meta._2").as("height"),
+          col("meta._3").as("n_frames"), col("meta._4").as("fps"),
+          col("meta._5").as("duration_ms"), col("meta._6").as("codec"),
+          get(col("means"), lit(0)).as("mean_first"),
+          get(col("means"), col("meta._3") - 1).as("mean_last"),
+          size(col("cuts")).as("n_cuts"),
+          coalesce(get(col("cuts"), lit(0)), lit(-1)).as("cut_idx"),
+          col("smeta._3").as("ds_frames"),
+          col("smeta._5").as("ds_duration_ms"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+              CAST(nf AS INTEGER) AS n_frames, CAST(fps AS INTEGER) AS fps,
+              CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
+              'mpng' AS codec,
+              CAST(va AS DOUBLE) AS mean_first,
+              CAST(CASE WHEN cut >= 0 THEN va + 40 ELSE va END AS DOUBLE)
+                AS mean_last,
+              CAST(CASE WHEN cut >= 0 THEN 1 ELSE 0 END AS INTEGER) AS n_cuts,
+              CAST(cut AS INTEGER) AS cut_idx,
+              CAST(ceil(nf / 2.0) AS INTEGER) AS ds_frames,
+              CAST(CAST(ceil(nf / 2.0) AS BIGINT) * 1000 // fps AS BIGINT)
+                AS ds_duration_ms
+            FROM (SELECT doc_id,
+                    3 + doc_id % 6 AS nf,
+                    8 + doc_id % 9 AS w,
+                    8 + (doc_id * 3) % 9 AS h,
+                    5 + doc_id % 10 AS fps,
+                    doc_id % 200 AS va,
+                    CASE WHEN doc_id % 2 = 0
+                         THEN 1 + doc_id % (2 + doc_id % 6)
+                         ELSE -1 END AS cut
+                  FROM documents)
+            ORDER BY doc_id""")
+  )
+
+  /** Video keyframe sampling through the container: decimate to every
+    * 2nd frame by re-encoding the AVI, then explode the sampled clip's
+    * per-frame means to rows — the 1-row-in → N-frame-rows-out shape a
+    * frame-level training pipeline consumes, with the container
+    * transcode (not byte slicing) doing the sampling. Sampled frame i
+    * is original frame 2i, so the oracle replays the fill schedule in
+    * plain SQL. */
+  private val q250 = GQ(
+    "q250_video_frame_sample",
+    (s, dir) => {
+      import Multimodal.VideoCodec
+      val d = Tables.t(s, dir, "documents").select("doc_id")
+        .withColumn("nf", (lit(4) + pmod(col("doc_id"), lit(5))).cast("int"))
+        .withColumn("va", pmod(col("doc_id") * 3, lit(200)).cast("int"))
+        .withColumn("cut", when(pmod(col("doc_id"), lit(2)) === 0,
+          (lit(1) + pmod(col("doc_id"), (col("nf") - 1).cast("long"))).cast("int"))
+          .otherwise(lit(-1)))
+      d.withColumn("blob", VideoCodec.encodeSolidAviUdf(
+          col("nf"), lit(8), lit(8), lit(10), col("cut"),
+          col("va"), col("va") + 40))
+        .withColumn("small", VideoCodec.decimateUdf(2)(col("blob")))
+        .withColumn("means", VideoCodec.frameMeansUdf(col("small")))
+        .select(col("doc_id"),
+          posexplode(col("means")).as(Seq("frame_idx", "mean_c0")))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+              CAST(CASE WHEN cut >= 0 AND 2 * i >= cut
+                   THEN va + 40 ELSE va END AS DOUBLE) AS mean_c0
+            FROM (SELECT doc_id,
+                    4 + doc_id % 5 AS nf,
+                    (doc_id * 3) % 200 AS va,
+                    CASE WHEN doc_id % 2 = 0
+                         THEN 1 + doc_id % (3 + doc_id % 5)
+                         ELSE -1 END AS cut
+                  FROM documents),
+                 UNNEST(range(CAST(ceil(nf / 2.0) AS INTEGER))) t(i)
+            ORDER BY doc_id, frame_idx""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -243,5 +354,6 @@ object MultimodalQueries extends QueryBatch {
             ) r(queryId, rows, status) ORDER BY queryId""")
   )
 
-  override def queries: Seq[GQ] = Seq(q130, q131, q132, q246, q247, q248)
+  override def queries: Seq[GQ] =
+    Seq(q130, q131, q132, q246, q247, q248, q249, q250)
 }

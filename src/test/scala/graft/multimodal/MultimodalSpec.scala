@@ -164,6 +164,76 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.toSeq === Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)))
   }
 
+  test("VideoCodec: AVI round-trip gives exact metadata and frame payloads") {
+    import Multimodal.{ImageCodec, VideoCodec}
+    val frames = (0 until 5).map(i => ImageCodec.encodePng(12, 9, i * 10, 0, 0))
+    val avi = VideoCodec.encodeAvi(frames, 12, 9, 10)
+    val m = VideoCodec.decodeMeta(avi)
+    assert((m.width, m.height, m.nFrames, m.fps, m.durationMs, m.codec) ===
+      (12, 9, 5, 10, 500L, "mpng"))
+    // container walk returns the payloads byte-identical — the movi
+    // chunks must not be disturbed by word-alignment padding
+    val back = VideoCodec.frames(avi)
+    assert(back.length === 5)
+    frames.zip(back).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    assert(VideoCodec.frameMeans(avi).toSeq ===
+      Seq(0.0, 10.0, 20.0, 30.0, 40.0))
+  }
+
+  test("VideoCodec: odd-size frame payloads survive chunk padding") {
+    import Multimodal.VideoCodec
+    // raw odd/even-length payloads straight through the container: the
+    // RIFF writer pads odd chunks, the walker must strip the pad byte
+    val raw = Seq(Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6))
+    val avi = VideoCodec.encodeAvi(raw, 1, 1, 1)
+    val back = VideoCodec.frames(avi)
+    assert(back.map(_.toSeq).toSeq === raw.map(_.toSeq))
+    // payloads that aren't PNG quarantine the pixel-level stats ...
+    assert(VideoCodec.frameMeans(avi) === null)
+    // ... but container-level metadata still reads
+    assert(VideoCodec.decodeMeta(avi).nFrames === 3)
+  }
+
+  test("VideoCodec: scene cuts at the fill jumps, none on a flat clip") {
+    import Multimodal.VideoCodec
+    val clip = VideoCodec.encodeSolidAvi(6, 8, 8, 10, cutIdx = 4, vA = 50, vB = 90)
+    assert(VideoCodec.sceneCuts(clip, 20.0).toSeq === Seq(4))
+    val flat = VideoCodec.encodeSolidAvi(6, 8, 8, 10, cutIdx = -1, vA = 50, vB = 90)
+    assert(VideoCodec.sceneCuts(flat, 20.0).toSeq === Seq.empty)
+  }
+
+  test("VideoCodec: decimation keeps every kth frame, bit-deterministic") {
+    import Multimodal.VideoCodec
+    val clip = VideoCodec.encodeSolidAvi(7, 8, 8, 12, cutIdx = 3, vA = 10, vB = 200)
+    val small = VideoCodec.decimate(clip, 3)
+    val m = VideoCodec.decodeMeta(small)
+    assert((m.nFrames, m.fps) === (3, 12)) // frames 0,3,6
+    assert(VideoCodec.frameMeans(small).toSeq === Seq(10.0, 200.0, 200.0))
+    assert(java.util.Arrays.equals(small, VideoCodec.decimate(clip, 3)))
+  }
+
+  test("VideoCodec: undecodable bytes yield null through the UDF path") {
+    import Multimodal.VideoCodec
+    val df = Seq(
+      (1L, "not a video".getBytes("UTF-8")),
+      (2L, VideoCodec.encodeSolidAvi(3, 8, 8, 5, -1, 7, 7)),
+      (3L, Array.empty[Byte]),
+      // truncated mid-chunk: magic intact, movi list cut short
+      (4L, VideoCodec.encodeSolidAvi(3, 8, 8, 5, -1, 7, 7).take(60))
+    ).toDF("id", "blob")
+      .withColumn("meta", VideoCodec.decodeMetaUdf(col("blob")))
+      .withColumn("means", VideoCodec.frameMeansUdf(col("blob")))
+      .orderBy("id")
+    val rows = df.select("id", "meta", "means").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(!rows(1).isNullAt(1) &&
+      rows(1).getAs[Seq[Double]](2) === Seq(7.0, 7.0, 7.0))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
+  }
+
   test("media metadata carries size and type") {
     val df = Seq((1L, "hello")).toDF("id", "text")
       .withColumn("blob", col("text").cast("binary"))
