@@ -596,7 +596,7 @@ object Multimodal {
             } else if (id == "strh" && size >= 36 &&
               fourcc(blob, pos + 8) == "vids") {
               scale = u32(blob, pos + 8 + 20); rate = u32(blob, pos + 8 + 24)
-            } else if (ctx == "movi" && id.length == 4 &&
+            } else if ((ctx == "movi" || ctx == "rec ") && id.length == 4 &&
               (id.endsWith("dc") || id.endsWith("db")))
               frames += java.util.Arrays.copyOfRange(blob, pos + 8, end.toInt)
             pos = (end + (size & 1)).toInt // word alignment

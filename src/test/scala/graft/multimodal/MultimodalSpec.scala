@@ -214,6 +214,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(small, VideoCodec.decimate(clip, 3)))
   }
 
+  test("VideoCodec: walker collects frames wrapped in AVI-1.0 'rec ' lists") {
+    import Multimodal.VideoCodec
+    // hand-built minimal AVI: our writer never emits interleave-grouping
+    // 'rec ' lists, but real AVI 1.0 files do — the walker must descend
+    def le(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def ck(id: String, d: Array[Byte]) =
+      cc(id) ++ le(d.length) ++ d ++ (if ((d.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    def li(t: String, b: Array[Byte]) = cc("LIST") ++ le(4 + b.length) ++ cc(t) ++ b
+    val avih = {
+      val d = new Array[Byte](56)
+      le(7).copyToArray(d, 32); le(5).copyToArray(d, 36) // width, height
+      ck("avih", d)
+    }
+    val strh = {
+      val d = new Array[Byte](56)
+      cc("vids").copyToArray(d, 0)
+      le(1).copyToArray(d, 20); le(10).copyToArray(d, 24) // scale, rate
+      ck("strh", d)
+    }
+    val payload = Array[Byte](9, 8, 7)
+    val movi = li("movi", li("rec ", ck("00dc", payload)))
+    val body = li("hdrl", avih ++ li("strl", strh)) ++ movi
+    val avi = cc("RIFF") ++ le(4 + body.length) ++ cc("AVI ") ++ body
+    val m = VideoCodec.decodeMeta(avi)
+    assert((m.width, m.height, m.nFrames, m.fps) === (7, 5, 1, 10))
+    assert(VideoCodec.frames(avi).map(_.toSeq).toSeq === Seq(payload.toSeq))
+  }
+
   test("VideoCodec: undecodable bytes yield null through the UDF path") {
     import Multimodal.VideoCodec
     val df = Seq(
