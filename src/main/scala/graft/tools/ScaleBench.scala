@@ -44,7 +44,15 @@ object ScaleBench {
     "prefix-sums" -> Seq("q205_pack_sequences", "q224_budget_mixture"),
     "text-rank" -> Seq("q207_vocab_coverage", "q233_bm25_topk",
       "q226_lm_surprisal"),
-    "corpus-release" -> Seq("q237_shuffle_shards", "q223_curation_pipeline"))
+    "corpus-release" -> Seq("q237_shuffle_shards", "q223_curation_pipeline"),
+    // media codecs are pure per-row scan projections (encode→decode→stats
+    // →transcode, no shuffle) — the claim to verify is exactly-linear.
+    // q248's hamming pair join is deliberately absent: its gate fixes the
+    // group count at 200 so output pairs grow quadratically BY
+    // CONSTRUCTION at large mult (the q81/ProfPairs artifact), and its
+    // join is the same DedupOps.fingerprintPairs already measured via q76
+    "media-codec" -> Seq("q246_image_decode", "q247_audio_decode",
+      "q249_video_decode"))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleBench <dirSmall> <dirLarge> [gates]")
