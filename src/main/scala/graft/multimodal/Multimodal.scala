@@ -505,6 +505,56 @@ object Multimodal {
       writeWav(pcm, sampleRate.toFloat, ch)
     }
 
+    /** Per-window mean of channel-0 samples over `windows` equal splits
+      * of the clip — the audio analogue of an image's cell lumas: the
+      * input to a 64-bit energy-hash perceptual fingerprint (window
+      * mean vs clip mean), computed Column-side so the comparison stays
+      * in codegen. Exact for per-window constant fills. Null for
+      * undecodable / non-PCM16 bytes or clips shorter than `windows`
+      * frames. */
+    def windowMeans(blob: Array[Byte], windows: Int): Array[Double] =
+      readPcm16(blob).flatMap { case (f, samples) =>
+        val ch = f.getChannels
+        val frames = samples.length / ch
+        if (frames < windows) None
+        else Some {
+          val out = new Array[Double](windows)
+          var w = 0
+          while (w < windows) {
+            val f0 = w.toLong * frames / windows
+            val f1 = math.max(f0 + 1, (w + 1).toLong * frames / windows)
+            var sum = 0L; var i = f0
+            while (i < f1) { sum += samples((i * ch).toInt); i += 1 }
+            out(w) = sum.toDouble / (f1 - f0)
+            w += 1
+          }
+          out
+        }
+      }.orNull
+
+    /** Pattern WAV fixture encoder (the audio analogue of
+      * [[ImageCodec]]'s pattern PNG): 64 equal windows of mono PCM16 at
+      * 8 kHz, window i filled with amplitude `hi` when bit i of
+      * `pattern` is set, else `lo` — so [[windowMeans]] recovers the
+      * pattern exactly and every fingerprint bit is SQL-predictable. */
+    def encodePatternWav(pattern: Long, samplesPerWindow: Int,
+        hi: Short, lo: Short): Array[Byte] = {
+      val pcm = new Array[Byte](64 * samplesPerWindow * 2)
+      var w = 0
+      while (w < 64) {
+        val v: Short = if (((pattern >>> w) & 1L) != 0L) hi else lo
+        var s = 0
+        while (s < samplesPerWindow) {
+          val o = (w * samplesPerWindow + s) * 2
+          pcm(o) = (v & 0xff).toByte
+          pcm(o + 1) = ((v >> 8) & 0xff).toByte
+          s += 1
+        }
+        w += 1
+      }
+      writeWav(pcm, 8000f, 1)
+    }
+
     // ---- Column wrappers (Scala UDFs over the byte functions) ----------
 
     import org.apache.spark.sql.functions.udf
@@ -519,6 +569,10 @@ object Multimodal {
     val encodeWavUdf = udf((frames: Int, rate: Int, v0: Int, v1: Int, ch: Int) =>
       encodeWav(frames, rate,
         if (ch >= 2) Array(v0.toShort, v1.toShort) else Array(v0.toShort)))
+    def windowMeansUdf(windows: Int) =
+      udf((b: Array[Byte]) => Option(windowMeans(b, windows)))
+    def encodePatternWavUdf(samplesPerWindow: Int) =
+      udf((p: Long) => encodePatternWav(p, samplesPerWindow, 20000, 1000))
   }
 
   /** REAL video container codec, pure JVM: RIFF/AVI (the public
@@ -731,6 +785,18 @@ object Multimodal {
         ImageCodec.encodePng(w, h, v, v, v)
       }, w, h, fps)
 
+    /** Pattern AVI fixture encoder (the temporal analogue of
+      * [[ImageCodec]]'s pattern PNG): 64 solid gray frames, frame i
+      * filled `hi` when bit i of `pattern` is set, else `lo` — so
+      * [[frameMeans]] recovers the pattern exactly and a temporal
+      * fingerprint (frame mean vs clip mean) is SQL-predictable. */
+    def encodePatternAvi(pattern: Long, w: Int, h: Int, fps: Int,
+        hi: Int, lo: Int): Array[Byte] =
+      encodeAvi((0 until 64).map { i =>
+        val v = if (((pattern >>> i) & 1L) != 0L) hi else lo
+        ImageCodec.encodePng(w, h, v, v, v)
+      }, w, h, fps)
+
     // ---- Column wrappers (Scala UDFs over the byte functions) ----------
 
     import org.apache.spark.sql.functions.udf
@@ -745,6 +811,9 @@ object Multimodal {
     val encodeSolidAviUdf =
       udf((nf: Int, w: Int, h: Int, fps: Int, cut: Int, vA: Int, vB: Int) =>
         encodeSolidAvi(nf, w, h, fps, cut, vA, vB))
+    val encodePatternAviUdf =
+      udf((p: Long, w: Int, h: Int, fps: Int) =>
+        encodePatternAvi(p, w, h, fps, 200, 40))
   }
 
   /** Deterministic byte-level stand-ins for generic opaque media

@@ -331,6 +331,108 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY doc_id, frame_idx""")
   )
 
+  /** 64-bit perceptual hash from a 64-slot means array: bit i set iff
+    * slot i's mean exceeds the whole-clip mean — aHash's comparator
+    * applied to any modality's per-slot means. Computed entirely in
+    * Column space (the only UDF in the pipeline is the decode that
+    * produced the means), and exact on the pattern fixtures: slot
+    * means are integers and the /64 is a power-of-two division, so
+    * the hash equals the encoded pattern whenever 0 < popcount < 64. */
+  private def meansHash(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("mu",
+      expr("aggregate(means, 0D, (a, x) -> a + x) / 64D"))
+    .withColumn("fp",
+      expr("""aggregate(sequence(0, 63), 0L, (acc, i) ->
+              acc | IF(element_at(means, i + 1) > mu,
+                       shiftleft(1L, i), 0L))"""))
+
+  /** Perceptual near-dup for AUDIO: every doc gets a 64-window pattern
+    * WAV (repetition-coded group pattern; ~1 doc in 3 with one window's
+    * amplitude flipped — a "re-mastered variant"), the REAL decoder
+    * recovers per-window energy means, a 64-bit energy hash is computed
+    * Column-side, and the same pigeonhole-banded hamming join the text
+    * and image sides use finds all pairs within radius 2. Group
+    * patterns differ by ≥ 8 bits (byte-repetition code), so exactly the
+    * same-group pairs — and their exact hamming distances — are
+    * SQL-predictable. Scalable shape: per-row decode UDF in the scan
+    * projection, codegen'd hash, bucketed (chunk, value) join — no
+    * quadratic candidate stage at any corpus size. */
+  private val q251 = GQ(
+    "q251_audio_near_dup",
+    (s, dir) => {
+      import Multimodal.AudioCodec
+      val d = Tables.t(s, dir, "documents").select("doc_id")
+        .withColumn("g", pmod(col("doc_id"), lit(180L)))
+        .withColumn("fb", when(pmod(col("doc_id"), lit(3)) === 1,
+          expr("(doc_id div 180) % 64")).otherwise(lit(-1L)))
+      val pBase = (0 until 8).map { j =>
+        when(shiftright(col("g"), j).bitwiseAND(lit(1L)) =!= 0,
+          lit(255L << (8 * j))).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      val p = when(col("fb") >= 0,
+        pBase.bitwiseXOR(expr("shiftleft(1L, cast(fb as int))")))
+        .otherwise(pBase)
+      val fps = meansHash(d
+        .withColumn("blob", AudioCodec.encodePatternWavUdf(25)(p))
+        .withColumn("means", AudioCodec.windowMeansUdf(64)(col("blob"))))
+      graft.text.DedupOps.fingerprintPairs(fps, "doc_id", "fp", maxHamming = 2)
+        .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 180 AS g,
+                CASE WHEN doc_id % 3 = 1 THEN (doc_id // 180) % 64
+                     ELSE -1 END AS fb
+              FROM documents)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(CASE WHEN a.fb = b.fb THEN 0
+                        WHEN a.fb = -1 OR b.fb = -1 THEN 1
+                        ELSE 2 END AS INTEGER) AS hamming
+            FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+            ORDER BY d1, d2""")
+  )
+
+  /** Perceptual near-dup for VIDEO: every doc gets a 64-frame pattern
+    * clip (repetition-coded fill schedule; ~1 doc in 4 with one frame's
+    * fill flipped — a "re-encoded variant"), the container walker +
+    * per-frame decode recover the mean-intensity sequence, and the same
+    * Column-side 64-bit temporal hash + banded hamming join find all
+    * pairs within radius 2 — completing the perceptual-dedup matrix
+    * (text/simhash, image/aHash, audio/energy-hash, video/temporal
+    * hash) over ONE shared pair-join operator. */
+  private val q252 = GQ(
+    "q252_video_near_dup",
+    (s, dir) => {
+      import Multimodal.VideoCodec
+      val d = Tables.t(s, dir, "documents").select("doc_id")
+        .withColumn("g", pmod(col("doc_id"), lit(150L)))
+        .withColumn("fb", when(pmod(col("doc_id"), lit(4)) === 0,
+          expr("(doc_id div 150) % 64")).otherwise(lit(-1L)))
+      val pBase = (0 until 8).map { j =>
+        when(shiftright(col("g"), j).bitwiseAND(lit(1L)) =!= 0,
+          lit(255L << (8 * j))).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      val p = when(col("fb") >= 0,
+        pBase.bitwiseXOR(expr("shiftleft(1L, cast(fb as int))")))
+        .otherwise(pBase)
+      val fps = meansHash(d
+        .withColumn("blob", VideoCodec.encodePatternAviUdf(p, lit(8), lit(8), lit(10)))
+        .withColumn("means", VideoCodec.frameMeansUdf(col("blob"))))
+      graft.text.DedupOps.fingerprintPairs(fps, "doc_id", "fp", maxHamming = 2)
+        .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 150 AS g,
+                CASE WHEN doc_id % 4 = 0 THEN (doc_id // 150) % 64
+                     ELSE -1 END AS fb
+              FROM documents)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(CASE WHEN a.fb = b.fb THEN 0
+                        WHEN a.fb = -1 OR b.fb = -1 THEN 1
+                        ELSE 2 END AS INTEGER) AS hamming
+            FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+            ORDER BY d1, d2""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -355,5 +457,5 @@ object MultimodalQueries extends QueryBatch {
   )
 
   override def queries: Seq[GQ] =
-    Seq(q130, q131, q132, q246, q247, q248, q249, q250)
+    Seq(q130, q131, q132, q246, q247, q248, q249, q250, q251, q252)
 }

@@ -272,4 +272,47 @@ class MultimodalSpec extends SparkTestBase {
       .head()
     assert((m.getString(0), m.getString(1), m.getLong(2)) === ("image", "png", 5L))
   }
+
+  test("AudioCodec: pattern WAV windowMeans recover the pattern exactly") {
+    import Multimodal.AudioCodec
+    val pattern = 0xA5C3000000000F01L
+    val blob = AudioCodec.encodePatternWav(pattern, 25, 20000, 1000)
+    val means = AudioCodec.windowMeans(blob, 64)
+    (0 until 64).foreach { i =>
+      val expected = if (((pattern >>> i) & 1L) != 0L) 20000.0 else 1000.0
+      assert(means(i) === expected, s"window $i")
+    }
+    // a clip shorter than the window count quarantines as null
+    assert(AudioCodec.windowMeans(
+      AudioCodec.encodeWav(10, 8000, Array(5.toShort)), 64) === null)
+  }
+
+  test("VideoCodec: pattern AVI frameMeans recover the pattern exactly") {
+    import Multimodal.VideoCodec
+    val pattern = 0x80000000000000FFL // includes the sign bit
+    val blob = VideoCodec.encodePatternAvi(pattern, 8, 8, 10, 200, 40)
+    val m = VideoCodec.decodeMeta(blob)
+    assert(m.nFrames === 64)
+    val means = VideoCodec.frameMeans(blob)
+    (0 until 64).foreach { i =>
+      val expected = if (((pattern >>> i) & 1L) != 0L) 200.0 else 40.0
+      assert(means(i) === expected, s"frame $i")
+    }
+  }
+
+  test("means hash equals the encoded pattern when 0 < popcount < 64") {
+    import Multimodal.AudioCodec
+    // the Column-side comparator used by q251/q252: bit i = mean_i > mu
+    val patterns = Seq(0x0101010101010101L, 1L, 0xFF00FF00FF00FF0L)
+    val df = patterns.zipWithIndex
+      .map { case (p, i) => (i.toLong, AudioCodec.encodePatternWav(p, 25, 20000, 1000)) }
+      .toDF("id", "blob")
+      .withColumn("means", AudioCodec.windowMeansUdf(64)(col("blob")))
+      .withColumn("mu", expr("aggregate(means, 0D, (a, x) -> a + x) / 64D"))
+      .withColumn("fp", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, i) ->
+           acc | IF(element_at(means, i + 1) > mu, shiftleft(1L, i), 0L))"""))
+      .orderBy("id")
+    assert(df.select("fp").collect().map(_.getLong(0)).toSeq === patterns)
+  }
 }
