@@ -96,11 +96,43 @@ object Multimodal {
         } finally iis.close()
       } catch { case _: Exception => None }
 
+    /** Header-only metadata read: one ImageInputStream, one reader —
+      * width/height/bands/format all come from the container header
+      * without decoding a single pixel, so a metadata-only scan over an
+      * image column costs header bytes per row, not a full raster
+      * decode. Falls back to the full decode for readers that cannot
+      * state a raw image type from the header alone. */
     def decodeMeta(blob: Array[Byte]): ImageMeta =
-      readImage(blob).map { img =>
-        ImageMeta(img.getWidth, img.getHeight,
-          img.getRaster.getNumBands, formatOf(blob).getOrElse("unknown"))
-      }.orNull
+      (if (blob == null || blob.isEmpty) None
+       else try {
+         val iis = javax.imageio.ImageIO.createImageInputStream(
+           new java.io.ByteArrayInputStream(blob))
+         try {
+           val rs = javax.imageio.ImageIO.getImageReaders(iis)
+           if (!rs.hasNext) None
+           else {
+             val r = rs.next()
+             try {
+               r.setInput(iis)
+               val bands = {
+                 val raw = r.getRawImageType(0)
+                 if (raw != null) raw.getNumBands
+                 else {
+                   val ts = r.getImageTypes(0)
+                   if (ts.hasNext) ts.next().getNumBands else -1
+                 }
+               }
+               if (bands < 0) None
+               else Some(ImageMeta(r.getWidth(0), r.getHeight(0), bands,
+                 r.getFormatName.toLowerCase))
+             } finally r.dispose()
+           }
+         } finally iis.close()
+       } catch { case _: Exception => None })
+        .orElse(readImage(blob).map { img =>
+          ImageMeta(img.getWidth, img.getHeight,
+            img.getRaster.getNumBands, formatOf(blob).getOrElse("unknown"))
+        }).orNull
 
     /** Per-channel pixel means as doubles (integer sums divided once —
       * exact for solid fills, deterministic always). Null for
@@ -222,79 +254,53 @@ object Multimodal {
         java.lang.Long.valueOf(hash)
       }.orNull
 
+    /** One fill-and-encode loop behind every fixture encoder: per-pixel
+      * RGB from `fill(x, y)`, encoded with the given ImageIO format. */
+    private def encodeFilled(w: Int, h: Int, format: String)(
+        fill: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = fill(x, y)
+          raster.setSample(x, y, 0, r)
+          raster.setSample(x, y, 1, g)
+          raster.setSample(x, y, 2, b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+
     /** 8×8-cell black/white pattern PNG (cell i white iff bit i of
       * `pattern`; `cell` pixels per cell edge) — the deterministic
       * fixture for perceptual-hash specs/gates: box-downscale recovers
       * each cell exactly, so `aHash(encodePatternPng(p)) == p` for any
       * p with at least one zero bit (all-ones has no cell above the
       * mean). */
-    def encodePatternPng(pattern: Long, cell: Int = 4): Array[Byte] = {
-      val side = 8 * cell
-      val img = new java.awt.image.BufferedImage(side, side,
-        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-      val raster = img.getRaster
-      var y = 0
-      while (y < side) {
-        var x = 0
-        while (x < side) {
-          val bit = (y / cell) * 8 + (x / cell)
-          val v = if (((pattern >>> bit) & 1L) == 1L) 255 else 0
-          raster.setSample(x, y, 0, v)
-          raster.setSample(x, y, 1, v)
-          raster.setSample(x, y, 2, v)
-          x += 1
-        }
-        y += 1
+    def encodePatternPng(pattern: Long, cell: Int = 4): Array[Byte] =
+      encodeFilled(8 * cell, 8 * cell, "png") { (x, y) =>
+        val bit = (y / cell) * 8 + (x / cell)
+        val v = if (((pattern >>> bit) & 1L) == 1L) 255 else 0
+        (v, v, v)
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
 
     /** Solid-fill PNG encoder — the deterministic fixture generator for
       * specs/gates (solid fills make every pixel statistic exactly
       * computable in the SQL oracle). */
-    def encodePng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-      val raster = img.getRaster
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          raster.setSample(x, y, 0, r)
-          raster.setSample(x, y, 1, g)
-          raster.setSample(x, y, 2, b)
-          x += 1
-        }
-        y += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
+    def encodePng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+      encodeFilled(w, h, "png")((_, _) => (r, g, b))
 
     /** JPEG encoder (default quality) — exercises the lossy decode path
       * in specs; pixel stats are approximate there by nature. */
-    def encodeJpeg(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-      val raster = img.getRaster
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          raster.setSample(x, y, 0, r)
-          raster.setSample(x, y, 1, g)
-          raster.setSample(x, y, 2, b)
-          x += 1
-        }
-        y += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
-    }
+    def encodeJpeg(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+      encodeFilled(w, h, "jpg")((_, _) => (r, g, b))
 
     // ---- Column wrappers (Scala UDFs over the byte functions) ----------
 
@@ -389,8 +395,11 @@ object Multimodal {
           val f = in.getFormat
           val frames = in.getFrameLength
           val rate = math.round(f.getSampleRate)
+          // frames can be NOT_SPECIFIED (-1) for streamed formats; a
+          // negative count must surface as the -1 duration sentinel,
+          // not as -1000/rate = "0 ms" masquerading as an empty clip
           AudioMeta(rate, f.getChannels, f.getSampleSizeInBits, frames,
-            if (rate > 0) frames * 1000L / rate else -1L,
+            if (rate > 0 && frames >= 0) frames * 1000L / rate else -1L,
             f.getEncoding.toString.toLowerCase)
         } finally in.close()
       }.orNull
@@ -700,8 +709,15 @@ object Multimodal {
       if (blob == null || blob.length < 24 ||
         fourcc(blob, 0) != "RIFF" || fourcc(blob, 8) != "AVI ") return None
       try {
-        var width, height, total = -1
+        var width, height = -1
         var scale, rate = 0L
+        // streams are numbered by strh order in hdrl; frame chunks carry
+        // the stream number as a 2-digit prefix ("00dc"). Pin the FIRST
+        // vids stream and collect only ITS chunks — a multi-stream AVI
+        // (second video, subtitle data chunks) must not merge foreign
+        // frames into the clip or inflate nFrames/duration.
+        var strhSeen = 0
+        var vidPrefix: String = null
         val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
         def walk(from: Int, to: Int, ctx: String): Unit = {
           var pos = from
@@ -715,12 +731,15 @@ object Multimodal {
             else if (id == "avih" && size >= 40) {
               width = u32(blob, pos + 8 + 32).toInt
               height = u32(blob, pos + 8 + 36).toInt
-              total = u32(blob, pos + 8 + 16).toInt
-            } else if (id == "strh" && size >= 36 &&
-              fourcc(blob, pos + 8) == "vids") {
-              scale = u32(blob, pos + 8 + 20); rate = u32(blob, pos + 8 + 24)
+            } else if (id == "strh" && size >= 36) {
+              if (fourcc(blob, pos + 8) == "vids" && vidPrefix == null) {
+                vidPrefix = f"$strhSeen%02d"
+                scale = u32(blob, pos + 8 + 20); rate = u32(blob, pos + 8 + 24)
+              }
+              strhSeen += 1
             } else if ((ctx == "movi" || ctx == "rec ") && id.length == 4 &&
-              (id.endsWith("dc") || id.endsWith("db")))
+              (id.endsWith("dc") || id.endsWith("db")) &&
+              vidPrefix != null && id.startsWith(vidPrefix))
               frames += java.util.Arrays.copyOfRange(blob, pos + 8, end.toInt)
             pos = (end + (size & 1)).toInt // word alignment
           }
@@ -730,9 +749,8 @@ object Multimodal {
         else {
           val fps = (rate / scale).toInt
           val n = frames.length
-          Some((VideoMeta(width, height, n, fps,
-            if (rate > 0) n * 1000L * scale / rate else -1L, "mpng"),
-            frames.toArray))
+          Some((VideoMeta(width, height, n, fps, n * 1000L * scale / rate,
+            "mpng"), frames.toArray))
         }
       } catch { case _: Exception => None }
     }

@@ -9,6 +9,18 @@ import graft.services.QueryReplay
 /** Multimodal-column plumbing + replay harness coverage. */
 object MultimodalQueries extends QueryBatch {
 
+  /** The id spine every media-codec gate encodes its fixture from.
+    * Repartitioned before the per-row codec UDFs: the driver testdata is
+    * ONE parquet split, and Spark will not subdivide a small file, so
+    * without this the whole encode→decode chain would inherit a single
+    * partition and run on one core — the q252 pattern clip (64 PNG
+    * frames per row) turns that into minutes. A real media corpus
+    * arrives as many splits and gets partition-parallel decode for
+    * free; the trivial id shuffle (a few KB) models exactly that shape.
+    */
+  private def mediaRows(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.t(s, dir, "documents").select("doc_id").repartition(col("doc_id"))
+
   /** Binary media pipeline: text→blob, typed metadata, deterministic
     * frame sampling, per-frame hash. The codec is stubbed (FakeCodec) but
     * the dataflow — binary column, metadata struct, 1→N frame explode with
@@ -72,7 +84,7 @@ object MultimodalQueries extends QueryBatch {
     "q246_image_decode",
     (s, dir) => {
       import Multimodal.ImageCodec
-      val docs = Tables.t(s, dir, "documents").select("doc_id")
+      val docs = mediaRows(s, dir)
         .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(25))).cast("int"))
         .withColumn("h", (lit(8) + pmod(col("doc_id") * 7, lit(25))).cast("int"))
         .withColumn("r", pmod(col("doc_id"), lit(256)).cast("int"))
@@ -130,7 +142,7 @@ object MultimodalQueries extends QueryBatch {
     "q247_audio_decode",
     (s, dir) => {
       import Multimodal.AudioCodec
-      val docs = Tables.t(s, dir, "documents").select("doc_id")
+      val docs = mediaRows(s, dir)
         .withColumn("frames", (lit(50) + pmod(col("doc_id"), lit(200))).cast("int"))
         .withColumn("ch", (lit(1) + pmod(col("doc_id"), lit(2))).cast("int"))
         .withColumn("v0", (pmod(col("doc_id") * 7, lit(60001)) - 30000).cast("int"))
@@ -190,7 +202,7 @@ object MultimodalQueries extends QueryBatch {
     "q248_image_near_dup",
     (s, dir) => {
       import Multimodal.ImageCodec
-      val d = Tables.t(s, dir, "documents").select("doc_id")
+      val d = mediaRows(s, dir)
         .withColumn("g", pmod(col("doc_id"), lit(200L)))
         .withColumn("fb", when(pmod(col("doc_id"), lit(3)) === 0,
           expr("(doc_id div 200) % 64")).otherwise(lit(-1L)))
@@ -235,7 +247,7 @@ object MultimodalQueries extends QueryBatch {
     "q249_video_decode",
     (s, dir) => {
       import Multimodal.VideoCodec
-      val d = Tables.t(s, dir, "documents").select("doc_id")
+      val d = mediaRows(s, dir)
         .withColumn("nf", (lit(3) + pmod(col("doc_id"), lit(6))).cast("int"))
         .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(9))).cast("int"))
         .withColumn("h", (lit(8) + pmod(col("doc_id") * 3, lit(9))).cast("int"))
@@ -249,7 +261,16 @@ object MultimodalQueries extends QueryBatch {
           col("va"), col("va") + 40))
         .withColumn("meta", VideoCodec.decodeMetaUdf(col("blob")))
         .withColumn("means", VideoCodec.frameMeansUdf(col("blob")))
-        .withColumn("cuts", VideoCodec.sceneCutsUdf(20.0)(col("blob")))
+        // intensity-delta cut detection Column-side over the means the
+        // row already decoded — NOT sceneCutsUdf(blob), which would
+        // re-parse the container and pixel-decode every frame a second
+        // time (that UDF is the one-shot API for callers without a
+        // means column)
+        .withColumn("cuts", expr(
+          """CASE WHEN size(means) >= 2 THEN
+               filter(sequence(1, size(means) - 1), i ->
+                 abs(element_at(means, i + 1) - element_at(means, i)) > 20.0D)
+             ELSE cast(array() AS array<int>) END"""))
         .withColumn("small", VideoCodec.decimateUdf(2)(col("blob")))
         .withColumn("smeta", VideoCodec.decodeMetaUdf(col("small")))
         .select(
@@ -302,7 +323,7 @@ object MultimodalQueries extends QueryBatch {
     "q250_video_frame_sample",
     (s, dir) => {
       import Multimodal.VideoCodec
-      val d = Tables.t(s, dir, "documents").select("doc_id")
+      val d = mediaRows(s, dir)
         .withColumn("nf", (lit(4) + pmod(col("doc_id"), lit(5))).cast("int"))
         .withColumn("va", pmod(col("doc_id") * 3, lit(200)).cast("int"))
         .withColumn("cut", when(pmod(col("doc_id"), lit(2)) === 0,
@@ -361,7 +382,7 @@ object MultimodalQueries extends QueryBatch {
     "q251_audio_near_dup",
     (s, dir) => {
       import Multimodal.AudioCodec
-      val d = Tables.t(s, dir, "documents").select("doc_id")
+      val d = mediaRows(s, dir)
         .withColumn("g", pmod(col("doc_id"), lit(180L)))
         .withColumn("fb", when(pmod(col("doc_id"), lit(3)) === 1,
           expr("(doc_id div 180) % 64")).otherwise(lit(-1L)))
@@ -403,7 +424,7 @@ object MultimodalQueries extends QueryBatch {
     "q252_video_near_dup",
     (s, dir) => {
       import Multimodal.VideoCodec
-      val d = Tables.t(s, dir, "documents").select("doc_id")
+      val d = mediaRows(s, dir)
         .withColumn("g", pmod(col("doc_id"), lit(150L)))
         .withColumn("fb", when(pmod(col("doc_id"), lit(4)) === 0,
           expr("(doc_id div 150) % 64")).otherwise(lit(-1L)))

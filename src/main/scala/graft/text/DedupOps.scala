@@ -495,8 +495,8 @@ object DedupOps {
     * enforces before falling back to prefix candidates). */
   def fingerprintPairs(df: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int): DataFrame = {
-    require(64 / (maxHamming + 1) >= 8,
-      s"maxHamming=$maxHamming too wide for 64-bit chunk blocking (max 7)")
+    require(maxHamming >= 0 && 64 / (maxHamming + 1) >= 8,
+      s"maxHamming=$maxHamming outside 64-bit chunk blocking range (0..7)")
     chunkBlockCandidates(
       df.select(col(idCol).as("doc_id"), col(fpCol).as("simhash")),
       maxHamming, keepHamming = true)
@@ -509,11 +509,15 @@ object DedupOps {
       keepHamming: Boolean = false): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
+    // radius 0 → ONE 64-bit chunk; (1L << 64) is a mod-64 no-op in both
+    // Scala and the JVM, so the naive mask would be 0 and every row
+    // would share one bucket — a full cross join. -1L is the true mask.
+    val chunkMask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until nChunks).map { c =>
         struct(lit(c).as("chunk"),
           shiftrightunsigned(col("simhash"), c * chunkBits)
-            .bitwiseAND(lit((1L << chunkBits) - 1)).as("val"))
+            .bitwiseAND(lit(chunkMask)).as("val"))
       }: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.val"))
     chunks.alias("x")

@@ -47,10 +47,11 @@ object ScaleBench {
     "corpus-release" -> Seq("q237_shuffle_shards", "q223_curation_pipeline"),
     // media codecs are pure per-row scan projections (encode→decode→stats
     // →transcode, no shuffle) — the claim to verify is exactly-linear.
-    // q248's hamming pair join is deliberately absent: its gate fixes the
-    // group count at 200 so output pairs grow quadratically BY
-    // CONSTRUCTION at large mult (the q81/ProfPairs artifact), and its
-    // join is the same DedupOps.fingerprintPairs already measured via q76
+    // the hamming pair-join gates (q248/q251/q252) are deliberately
+    // absent: each fixes its group count (200/180/150) so output pairs
+    // grow quadratically BY CONSTRUCTION at large mult (the
+    // q81/ProfPairs artifact), and the join is the same
+    // DedupOps.fingerprintPairs already measured via q76
     "media-codec" -> Seq("q246_image_decode", "q247_audio_decode",
       "q249_video_decode"))
 

@@ -164,6 +164,64 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.toSeq === Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)))
   }
 
+  test("fingerprintPairs radius 0 buckets on the full fingerprint") {
+    import graft.text.DedupOps
+    // radius 0 → one 64-bit chunk; the mask must be -1L, not
+    // (1L << 64) - 1 == 0 (which would put every row in one bucket —
+    // a full cross join). Exact-duplicate semantics: only identical
+    // fingerprints pair, including ones with the sign bit set.
+    val rows = Seq(
+      (1L, 0x8000000000000001L), (2L, 0x8000000000000001L),
+      (3L, 0x8000000000000000L), (4L, 1L))
+    val pairs = DedupOps.fingerprintPairs(
+      rows.toDF("doc_id", "fp"), "doc_id", "fp", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+    intercept[IllegalArgumentException] {
+      DedupOps.fingerprintPairs(rows.toDF("doc_id", "fp"), "doc_id", "fp", -1)
+    }
+  }
+
+  test("VideoCodec: walker pins the first vids stream, ignores others") {
+    import Multimodal.{ImageCodec, VideoCodec}
+    // hand-rolled two-stream AVI: stream 00 = 2 MPNG frames (fill 50),
+    // stream 01 = 1 foreign frame (fill 200). The walker must report
+    // ONLY stream 00's geometry/frames — not merge both streams.
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(t: String, body: Array[Byte]): Array[Byte] =
+      "LIST".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+        t.getBytes("US-ASCII") ++ body
+    def strh(scale: Int, rate: Int): Array[Byte] = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MPNG".getBytes("US-ASCII") ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(scale) ++ le32(rate) ++
+        le32(0) ++ le32(2) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+        le32(0) ++ le32(0))
+    val avih = chunk("avih", le32(100000) ++ le32(0) ++ le32(0) ++
+      le32(0x10) ++ le32(2) ++ le32(0) ++ le32(2) ++ le32(0) ++
+      le32(8) ++ le32(8) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val f00 = (0 until 2).map(_ => ImageCodec.encodePng(8, 8, 50, 50, 50))
+    val f01 = ImageCodec.encodePng(8, 8, 200, 200, 200)
+    val hdrl = list("hdrl", avih ++ list("strl", strh(1, 10)) ++
+      list("strl", strh(1, 99)))
+    val movi = list("movi",
+      chunk("00dc", f00(0)) ++ chunk("01dc", f01) ++ chunk("00dc", f00(1)))
+    val blob = "RIFF".getBytes("US-ASCII") ++
+      le32(4 + hdrl.length + movi.length) ++ "AVI ".getBytes("US-ASCII") ++
+      hdrl ++ movi
+    val m = VideoCodec.decodeMeta(blob)
+    assert(m !== null)
+    assert(m.nFrames === 2)   // stream 01's frame not merged in
+    assert(m.fps === 10)      // first vids strh wins, not the 99-fps one
+    val means = VideoCodec.frameMeans(blob)
+    assert(means.toSeq === Seq(50.0, 50.0))
+  }
+
   test("VideoCodec: AVI round-trip gives exact metadata and frame payloads") {
     import Multimodal.{ImageCodec, VideoCodec}
     val frames = (0 until 5).map(i => ImageCodec.encodePng(12, 9, i * 10, 0, 0))
