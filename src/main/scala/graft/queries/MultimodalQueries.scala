@@ -17,9 +17,18 @@ object MultimodalQueries extends QueryBatch {
     * frames per row) turns that into minutes. A real media corpus
     * arrives as many splits and gets partition-parallel decode for
     * free; the trivial id shuffle (a few KB) models exactly that shape.
+    *
+    * The partition count is EXPLICIT for a reason: the spine is a few
+    * KB, so a plain repartition(col) — a coalescable shuffle — gets
+    * collapsed back to ONE partition by AQE's size-based coalescing
+    * (post-shuffle bytes say nothing about the per-row codec cost that
+    * follows). repartition(n, col) is a by-num shuffle, which AQE
+    * leaves alone. Measured: without the explicit count, q252 ran its
+    * 64-frame encode on one core for minutes.
     */
   private def mediaRows(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.t(s, dir, "documents").select("doc_id").repartition(col("doc_id"))
+    Tables.t(s, dir, "documents").select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
   /** Binary media pipeline: text→blob, typed metadata, deterministic
     * frame sampling, per-frame hash. The codec is stubbed (FakeCodec) but
@@ -213,9 +222,17 @@ object MultimodalQueries extends QueryBatch {
       val p = when(col("fb") >= 0,
         pBase.bitwiseXOR(expr("shiftleft(1L, cast(fb as int))")))
         .otherwise(pBase)
+      // materialize (doc_id, fp) ONCE before the pair join: the join
+      // references its input twice (probe + broadcast build), and
+      // without a barrier each side re-runs the whole encode→decode
+      // chain — and AQE's local shuffle read around the broadcast join
+      // collapses the probe side back to per-mapper partitions (one,
+      // for single-split testdata). Fingerprint-once → join-from-
+      // signatures is also the honest 100 TB shape.
       val fps = d
         .withColumn("blob", ImageCodec.encodePatternPngUdf(p, lit(4)))
         .withColumn("fp", ImageCodec.aHashUdf(col("blob")))
+        .select("doc_id", "fp").localCheckpoint()
       graft.text.DedupOps.fingerprintPairs(fps, "doc_id", "fp", maxHamming = 2)
         .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
         .orderBy("d1", "d2")
@@ -393,9 +410,11 @@ object MultimodalQueries extends QueryBatch {
       val p = when(col("fb") >= 0,
         pBase.bitwiseXOR(expr("shiftleft(1L, cast(fb as int))")))
         .otherwise(pBase)
+      // materialized once pre-join — see q248's barrier note
       val fps = meansHash(d
         .withColumn("blob", AudioCodec.encodePatternWavUdf(25)(p))
         .withColumn("means", AudioCodec.windowMeansUdf(64)(col("blob"))))
+        .select("doc_id", "fp").localCheckpoint()
       graft.text.DedupOps.fingerprintPairs(fps, "doc_id", "fp", maxHamming = 2)
         .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
         .orderBy("d1", "d2")
@@ -435,9 +454,12 @@ object MultimodalQueries extends QueryBatch {
       val p = when(col("fb") >= 0,
         pBase.bitwiseXOR(expr("shiftleft(1L, cast(fb as int))")))
         .otherwise(pBase)
+      // materialized once pre-join — see q248's barrier note; for the
+      // 64-frame clips the unbarriered recompute is minutes, not noise
       val fps = meansHash(d
         .withColumn("blob", VideoCodec.encodePatternAviUdf(p, lit(8), lit(8), lit(10)))
         .withColumn("means", VideoCodec.frameMeansUdf(col("blob"))))
+        .select("doc_id", "fp").localCheckpoint()
       graft.text.DedupOps.fingerprintPairs(fps, "doc_id", "fp", maxHamming = 2)
         .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
         .orderBy("d1", "d2")

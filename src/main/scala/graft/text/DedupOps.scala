@@ -492,7 +492,15 @@ object DedupOps {
     * 100 TB. Output (d1, d2, hamming), exact within the radius.
     * Requires maxHamming ≤ 7 so chunks are ≥ 8 bits (smaller chunks
     * bucket too coarsely to prune — the same bound simhashPairs
-    * enforces before falling back to prefix candidates). */
+    * enforces before falling back to prefix candidates).
+    *
+    * The self-join references `df` TWICE (probe + build). If `fpCol`
+    * is computed by an expensive chain (a media decode, not a hash of
+    * a column already at rest), materialize (id, fp) first —
+    * `.localCheckpoint()` or persist — or each side re-runs the chain,
+    * and AQE's local shuffle read around a broadcast build can
+    * additionally collapse the probe side to per-mapper parallelism
+    * (see q248/q251/q252 for the idiom). */
   def fingerprintPairs(df: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && 64 / (maxHamming + 1) >= 8,
