@@ -72,9 +72,14 @@ object Multimodal {
     // UDF call loads the class, so the setting reaches every worker.
     javax.imageio.ImageIO.setUseCache(false)
 
-    /** Decoded metadata: (width, height, channels, format) or null for
-      * bytes no installed reader understands (callers filter/quarantine
-      * on NULL — corrupt blobs are data, not exceptions, at 100 TB). */
+    /** Decoded metadata: (width, height, channels, format) or null when
+      * no installed reader claims the bytes or the HEADER is unreadable
+      * (callers filter/quarantine on NULL — corrupt blobs are data, not
+      * exceptions, at 100 TB). Deliberately header-depth: a blob with a
+      * valid header but corrupt pixel data still reports its metadata
+      * here — pixel-level corruption surfaces as NULL from the stages
+      * that actually decode pixels (channelMeans/aHash/downscale),
+      * which is where a quarantine filter belongs. */
     final case class ImageMeta(width: Int, height: Int, channels: Int,
         format: String)
 
@@ -96,43 +101,51 @@ object Multimodal {
         } finally iis.close()
       } catch { case _: Exception => None }
 
+    /** Full-decode metadata — the fallback for readers that cannot
+      * state a raw image type from the header alone. */
+    private def fullDecodeMeta(blob: Array[Byte]): ImageMeta =
+      readImage(blob).map { img =>
+        ImageMeta(img.getWidth, img.getHeight,
+          img.getRaster.getNumBands, formatOf(blob).getOrElse("unknown"))
+      }.orNull
+
     /** Header-only metadata read: one ImageInputStream, one reader —
       * width/height/bands/format all come from the container header
       * without decoding a single pixel, so a metadata-only scan over an
       * image column costs header bytes per row, not a full raster
-      * decode. Falls back to the full decode for readers that cannot
-      * state a raw image type from the header alone. */
+      * decode. When NO reader claims the bytes the row is null
+      * immediately (a second full-decode pass against the same registry
+      * would be guaranteed-null work on exactly the corrupt rows a
+      * 100 TB scan quarantines in bulk); the full-decode fallback runs
+      * only for readers that cannot state an image type header-only. */
     def decodeMeta(blob: Array[Byte]): ImageMeta =
-      (if (blob == null || blob.isEmpty) None
-       else try {
-         val iis = javax.imageio.ImageIO.createImageInputStream(
-           new java.io.ByteArrayInputStream(blob))
-         try {
-           val rs = javax.imageio.ImageIO.getImageReaders(iis)
-           if (!rs.hasNext) None
-           else {
-             val r = rs.next()
-             try {
-               r.setInput(iis)
-               val bands = {
-                 val raw = r.getRawImageType(0)
-                 if (raw != null) raw.getNumBands
-                 else {
-                   val ts = r.getImageTypes(0)
-                   if (ts.hasNext) ts.next().getNumBands else -1
-                 }
-               }
-               if (bands < 0) None
-               else Some(ImageMeta(r.getWidth(0), r.getHeight(0), bands,
-                 r.getFormatName.toLowerCase))
-             } finally r.dispose()
-           }
-         } finally iis.close()
-       } catch { case _: Exception => None })
-        .orElse(readImage(blob).map { img =>
-          ImageMeta(img.getWidth, img.getHeight,
-            img.getRaster.getNumBands, formatOf(blob).getOrElse("unknown"))
-        }).orNull
+      if (blob == null || blob.isEmpty) null
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(blob))
+        try {
+          val rs = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!rs.hasNext) null // nothing claims the bytes: quarantine
+          else {
+            val r = rs.next()
+            try {
+              r.setInput(iis)
+              val bands = {
+                val raw = r.getRawImageType(0)
+                if (raw != null) raw.getNumBands
+                else {
+                  val ts = r.getImageTypes(0)
+                  if (ts.hasNext) ts.next().getNumBands else -1
+                }
+              }
+              if (bands >= 0)
+                ImageMeta(r.getWidth(0), r.getHeight(0), bands,
+                  r.getFormatName.toLowerCase)
+              else fullDecodeMeta(blob)
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => fullDecodeMeta(blob) }
 
     /** Per-channel pixel means as doubles (integer sums divided once —
       * exact for solid fills, deterministic always). Null for
@@ -255,9 +268,12 @@ object Multimodal {
       }.orNull
 
     /** One fill-and-encode loop behind every fixture encoder: per-pixel
-      * RGB from `fill(x, y)`, encoded with the given ImageIO format. */
+      * band value from `fill(x, y, band)` — an Int-returning closure,
+      * so the per-pixel calls stay allocation-free (these encoders run
+      * per ROW inside measured gate projections; a tuple-returning fill
+      * would box every pixel once the call site goes megamorphic). */
     private def encodeFilled(w: Int, h: Int, format: String)(
-        fill: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+        fill: (Int, Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
       val raster = img.getRaster
@@ -265,10 +281,9 @@ object Multimodal {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val (r, g, b) = fill(x, y)
-          raster.setSample(x, y, 0, r)
-          raster.setSample(x, y, 1, g)
-          raster.setSample(x, y, 2, b)
+          raster.setSample(x, y, 0, fill(x, y, 0))
+          raster.setSample(x, y, 1, fill(x, y, 1))
+          raster.setSample(x, y, 2, fill(x, y, 2))
           x += 1
         }
         y += 1
@@ -285,22 +300,23 @@ object Multimodal {
       * p with at least one zero bit (all-ones has no cell above the
       * mean). */
     def encodePatternPng(pattern: Long, cell: Int = 4): Array[Byte] =
-      encodeFilled(8 * cell, 8 * cell, "png") { (x, y) =>
+      encodeFilled(8 * cell, 8 * cell, "png") { (x, y, _) =>
         val bit = (y / cell) * 8 + (x / cell)
-        val v = if (((pattern >>> bit) & 1L) == 1L) 255 else 0
-        (v, v, v)
+        if (((pattern >>> bit) & 1L) == 1L) 255 else 0
       }
 
     /** Solid-fill PNG encoder — the deterministic fixture generator for
       * specs/gates (solid fills make every pixel statistic exactly
       * computable in the SQL oracle). */
     def encodePng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
-      encodeFilled(w, h, "png")((_, _) => (r, g, b))
+      encodeFilled(w, h, "png")((_, _, band) =>
+        if (band == 0) r else if (band == 1) g else b)
 
     /** JPEG encoder (default quality) — exercises the lossy decode path
       * in specs; pixel stats are approximate there by nature. */
     def encodeJpeg(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
-      encodeFilled(w, h, "jpg")((_, _) => (r, g, b))
+      encodeFilled(w, h, "jpg")((_, _, band) =>
+        if (band == 0) r else if (band == 1) g else b)
 
     // ---- Column wrappers (Scala UDFs over the byte functions) ----------
 
@@ -731,8 +747,12 @@ object Multimodal {
             else if (id == "avih" && size >= 40) {
               width = u32(blob, pos + 8 + 32).toInt
               height = u32(blob, pos + 8 + 36).toInt
-            } else if (id == "strh" && size >= 36) {
-              if (fourcc(blob, pos + 8) == "vids" && vidPrefix == null) {
+            } else if (id == "strh") {
+              // stream numbering is POSITIONAL over all strh chunks —
+              // count even truncated/foreign ones, or every stream
+              // after a nonstandard header gets the wrong prefix
+              if (size >= 36 && fourcc(blob, pos + 8) == "vids" &&
+                vidPrefix == null) {
                 vidPrefix = f"$strhSeen%02d"
                 scale = u32(blob, pos + 8 + 20); rate = u32(blob, pos + 8 + 24)
               }

@@ -282,9 +282,11 @@ object MultimodalQueries extends QueryBatch {
         // row already decoded — NOT sceneCutsUdf(blob), which would
         // re-parse the container and pixel-decode every frame a second
         // time (that UDF is the one-shot API for callers without a
-        // means column)
+        // means column). NULL means (quarantined clip) must stay NULL,
+        // not read as "no cuts detected".
         .withColumn("cuts", expr(
-          """CASE WHEN size(means) >= 2 THEN
+          """CASE WHEN means IS NULL THEN CAST(NULL AS array<int>)
+                  WHEN size(means) >= 2 THEN
                filter(sequence(1, size(means) - 1), i ->
                  abs(element_at(means, i + 1) - element_at(means, i)) > 20.0D)
              ELSE cast(array() AS array<int>) END"""))

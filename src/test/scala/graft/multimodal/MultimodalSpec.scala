@@ -331,6 +331,26 @@ class MultimodalSpec extends SparkTestBase {
     assert((m.getString(0), m.getString(1), m.getLong(2)) === ("image", "png", 5L))
   }
 
+  test("ImageCodec: header-depth metadata vs pixel-depth quarantine") {
+    import Multimodal.ImageCodec
+    // valid header, corrupt pixel data: metadata is readable (header
+    // depth, by contract), pixel stages quarantine with null. Corrupt
+    // by zeroing the IDAT payload — the zlib stream turns invalid
+    // while IHDR stays intact.
+    val full = ImageCodec.encodePng(20, 10, 1, 2, 3)
+    val idat = full.indexOfSlice("IDAT".getBytes("US-ASCII"))
+    assert(idat > 0)
+    val corrupt = full.clone()
+    (idat + 4 until math.min(full.length, idat + 24)).foreach(corrupt(_) = 0)
+    val m = ImageCodec.decodeMeta(corrupt)
+    assert(m !== null)
+    assert((m.width, m.height, m.format) === (20, 10, "png"))
+    assert(ImageCodec.channelMeans(corrupt) === null)
+    assert(ImageCodec.aHash(corrupt) === null)
+    // bytes nothing claims: null at every depth
+    assert(ImageCodec.decodeMeta("not an image".getBytes("UTF-8")) === null)
+  }
+
   test("AudioCodec: pattern WAV windowMeans recover the pattern exactly") {
     import Multimodal.AudioCodec
     val pattern = 0xA5C3000000000F01L
