@@ -83,11 +83,40 @@ object Multimodal {
     final case class ImageMeta(width: Int, height: Int, channels: Int,
         format: String)
 
+    /** Decompression-bomb budget: the largest raster a single decode
+      * may allocate. A crafted PNG header can declare 60000×60000
+      * (~10 GB of raster) while compressing to a few KB — decoding it
+      * throws OutOfMemoryError, an Error that ESCAPES the
+      * `case _: Exception` quarantine and can take the whole executor
+      * down. 64 Mpx (≈256 MB at 3 bands + filter slack) is far above
+      * any legitimate training-corpus image and far below executor
+      * headroom; blobs past it quarantine as NULL at header depth,
+      * before a single raster byte is allocated. */
+    private val maxDecodePixels = 1L << 26
+
+    /** Full pixel decode behind every pixel-level stage, with the
+      * raster allocation gated on header-declared dimensions (see
+      * [[maxDecodePixels]]): dims are read from the container header
+      * first, and only in-budget images reach `ImageReader.read`. */
     private def readImage(blob: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (blob == null || blob.isEmpty) None
-      else try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(blob)))
-      catch { case _: Exception => None }
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(blob))
+        try {
+          val rs = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!rs.hasNext) None
+          else {
+            val r = rs.next()
+            try {
+              r.setInput(iis)
+              val (w, h) = (r.getWidth(0), r.getHeight(0))
+              if (w <= 0 || h <= 0 || w.toLong * h > maxDecodePixels) None
+              else Option(r.read(0))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
 
     /** Container format sniffed from the reader registry ("png",
       * "jpeg"), lowercased; None when no reader claims the bytes. */
@@ -267,13 +296,23 @@ object Multimodal {
         java.lang.Long.valueOf(hash)
       }.orNull
 
+    /** Per-pixel fill contract for [[encodeFilled]]. An abstract class
+      * with a primitive-typed `apply`, NOT a `(Int,Int,Int) => Int`:
+      * Scala's FunctionN is not `@specialized` beyond arity 2, so a
+      * Function3 fill would box three Int arguments plus the result on
+      * every pixel call (values > 127 miss the Integer cache) — a
+      * per-pixel allocation in encoders that run per ROW inside
+      * measured gate projections. Call sites still pass a lambda (SAM
+      * conversion), but the generated `apply(III)I` stays unboxed. */
+    private[multimodal] abstract class PixelFill {
+      def apply(x: Int, y: Int, band: Int): Int
+    }
+
     /** One fill-and-encode loop behind every fixture encoder: per-pixel
-      * band value from `fill(x, y, band)` — an Int-returning closure,
-      * so the per-pixel calls stay allocation-free (these encoders run
-      * per ROW inside measured gate projections; a tuple-returning fill
-      * would box every pixel once the call site goes megamorphic). */
+      * band value from `fill(x, y, band)` — see [[PixelFill]] for why
+      * the closure type keeps the pixel loop allocation-free. */
     private def encodeFilled(w: Int, h: Int, format: String)(
-        fill: (Int, Int, Int) => Int): Array[Byte] = {
+        fill: PixelFill): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
       val raster = img.getRaster
@@ -735,7 +774,19 @@ object Multimodal {
         var strhSeen = 0
         var vidPrefix: String = null
         val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-        def walk(from: Int, to: Int, ctx: String): Unit = {
+        // depth cap: spec-shaped AVIs nest ≤ ~4 LIST levels (RIFF →
+        // hdrl → strl; movi → rec ), but the walker recurses per LIST
+        // header, and a corrupt/adversarial blob of back-to-back 12-byte
+        // LIST headers (~80k levels per MB) would StackOverflowError —
+        // an Error, which ESCAPES the `case _: Exception` quarantine
+        // below and fails the task. Past the cap the blob is declared
+        // malformed (IllegalArgumentException → None), keeping the
+        // "undecodable bytes become NULL, never exceptions" contract
+        // for dirty 100 TB corpora.
+        val maxDepth = 16
+        def walk(from: Int, to: Int, ctx: String, depth: Int): Unit = {
+          if (depth > maxDepth)
+            throw new IllegalArgumentException("LIST nesting too deep")
           var pos = from
           while (pos + 8 <= to) {
             val id = fourcc(blob, pos)
@@ -743,7 +794,7 @@ object Multimodal {
             val end = pos + 8 + size
             if (end > to) throw new IllegalArgumentException("truncated chunk")
             if (id == "LIST")
-              walk(pos + 12, end.toInt, fourcc(blob, pos + 8))
+              walk(pos + 12, end.toInt, fourcc(blob, pos + 8), depth + 1)
             else if (id == "avih" && size >= 40) {
               width = u32(blob, pos + 8 + 32).toInt
               height = u32(blob, pos + 8 + 36).toInt
@@ -764,7 +815,7 @@ object Multimodal {
             pos = (end + (size & 1)).toInt // word alignment
           }
         }
-        walk(12, blob.length, "AVI ")
+        walk(12, blob.length, "AVI ", 0)
         if (width < 0 || scale <= 0 || rate <= 0 || frames.isEmpty) None
         else {
           val fps = (rate / scale).toInt
@@ -817,11 +868,18 @@ object Multimodal {
       * = no cut). Every statistic is exactly computable in the SQL
       * oracle from the parameters. */
     def encodeSolidAvi(nFrames: Int, w: Int, h: Int, fps: Int,
-        cutIdx: Int, vA: Int, vB: Int): Array[Byte] =
+        cutIdx: Int, vA: Int, vB: Int): Array[Byte] = {
+      // a solid clip holds at most TWO distinct frames; encode each
+      // fill once and reuse the bytes (PNG encode is deterministic, so
+      // the container is byte-identical to the per-frame-encode form —
+      // but the fixture generator stops paying 64 ImageIO.write calls
+      // per row inside measured gate projections)
+      val pngA = ImageCodec.encodePng(w, h, vA, vA, vA)
+      lazy val pngB = ImageCodec.encodePng(w, h, vB, vB, vB)
       encodeAvi((0 until nFrames).map { i =>
-        val v = if (cutIdx >= 0 && i >= cutIdx) vB else vA
-        ImageCodec.encodePng(w, h, v, v, v)
+        if (cutIdx >= 0 && i >= cutIdx) pngB else pngA
       }, w, h, fps)
+    }
 
     /** Pattern AVI fixture encoder (the temporal analogue of
       * [[ImageCodec]]'s pattern PNG): 64 solid gray frames, frame i
@@ -829,11 +887,16 @@ object Multimodal {
       * [[frameMeans]] recovers the pattern exactly and a temporal
       * fingerprint (frame mean vs clip mean) is SQL-predictable. */
     def encodePatternAvi(pattern: Long, w: Int, h: Int, fps: Int,
-        hi: Int, lo: Int): Array[Byte] =
+        hi: Int, lo: Int): Array[Byte] = {
+      // two distinct fills → two PNG encodes, not 64 (see
+      // [[encodeSolidAvi]]; byte-identical output, 32× less
+      // fixture-encode work per row in the q252 projection)
+      val pngHi = ImageCodec.encodePng(w, h, hi, hi, hi)
+      val pngLo = ImageCodec.encodePng(w, h, lo, lo, lo)
       encodeAvi((0 until 64).map { i =>
-        val v = if (((pattern >>> i) & 1L) != 0L) hi else lo
-        ImageCodec.encodePng(w, h, v, v, v)
+        if (((pattern >>> i) & 1L) != 0L) pngHi else pngLo
       }, w, h, fps)
+    }
 
     // ---- Column wrappers (Scala UDFs over the byte functions) ----------
 
@@ -853,6 +916,30 @@ object Multimodal {
       udf((p: Long, w: Int, h: Int, fps: Int) =>
         encodePatternAvi(p, w, h, fps, 200, 40))
   }
+
+  /** 64-bit perceptual hash from a 64-slot means array: bit i set iff
+    * slot i's mean exceeds the whole-array mean — aHash's comparator
+    * applied to any modality's per-slot means (audio window energies,
+    * video frame intensities). Adds `mu` (the mean of means) and `fp`
+    * (the hash) columns; computed entirely in Column space, and exact
+    * on the pattern fixtures: slot means are integers and the /64 is a
+    * power-of-two division, so the hash equals the encoded pattern
+    * whenever 0 < popcount < 64.
+    *
+    * A NULL means array (a quarantined decode) yields a NULL `fp`, not
+    * 0: `element_at(NULL, i) > mu` is NULL and `IF(NULL, a, b)` takes
+    * the else branch, so without the guard every corrupt row would
+    * collapse to fp = 0 and hamming-pair with every other corrupt row
+    * (and with genuine all-zero fingerprints) at distance 0. NULL fp
+    * rows drop out of the downstream equi-join naturally. */
+  def meansHash(df: DataFrame, meansCol: String = "means"): DataFrame = df
+    .withColumn("mu",
+      expr(s"aggregate($meansCol, 0D, (a, x) -> a + x) / 64D"))
+    .withColumn("fp",
+      expr(s"""CASE WHEN $meansCol IS NULL THEN CAST(NULL AS BIGINT)
+               ELSE aggregate(sequence(0, 63), 0L, (acc, i) ->
+                 acc | IF(element_at($meansCol, i + 1) > mu,
+                          shiftleft(1L, i), 0L)) END"""))
 
   /** Deterministic byte-level stand-ins for generic opaque media
     * bytes — kept for the modality-agnostic plumbing gates (q130/q131:

@@ -371,20 +371,14 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY doc_id, frame_idx""")
   )
 
-  /** 64-bit perceptual hash from a 64-slot means array: bit i set iff
-    * slot i's mean exceeds the whole-clip mean — aHash's comparator
-    * applied to any modality's per-slot means. Computed entirely in
-    * Column space (the only UDF in the pipeline is the decode that
-    * produced the means), and exact on the pattern fixtures: slot
-    * means are integers and the /64 is a power-of-two division, so
-    * the hash equals the encoded pattern whenever 0 < popcount < 64. */
-  private def meansHash(df: org.apache.spark.sql.DataFrame) = df
-    .withColumn("mu",
-      expr("aggregate(means, 0D, (a, x) -> a + x) / 64D"))
-    .withColumn("fp",
-      expr("""aggregate(sequence(0, 63), 0L, (acc, i) ->
-              acc | IF(element_at(means, i + 1) > mu,
-                       shiftleft(1L, i), 0L))"""))
+  /** [[Multimodal.meansHash]]: the Column-side 64-bit perceptual hash
+    * over a 64-slot means array (the only UDF in the q251/q252
+    * pipelines is the decode that produced the means). NULL-guarded —
+    * a quarantined decode yields NULL fp and drops out of the pair
+    * join; it must not collapse to fp = 0 and hamming-pair with every
+    * other corrupt row. */
+  private def meansHash(df: org.apache.spark.sql.DataFrame) =
+    Multimodal.meansHash(df)
 
   /** Perceptual near-dup for AUDIO: every doc gets a 64-window pattern
     * WAV (repetition-coded group pattern; ~1 doc in 3 with one window's

@@ -386,11 +386,87 @@ class MultimodalSpec extends SparkTestBase {
       .map { case (p, i) => (i.toLong, AudioCodec.encodePatternWav(p, 25, 20000, 1000)) }
       .toDF("id", "blob")
       .withColumn("means", AudioCodec.windowMeansUdf(64)(col("blob")))
-      .withColumn("mu", expr("aggregate(means, 0D, (a, x) -> a + x) / 64D"))
-      .withColumn("fp", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, i) ->
-           acc | IF(element_at(means, i + 1) > mu, shiftleft(1L, i), 0L))"""))
-      .orderBy("id")
-    assert(df.select("fp").collect().map(_.getLong(0)).toSeq === patterns)
+    val out = Multimodal.meansHash(df).orderBy("id")
+    assert(out.select("fp").collect().map(_.getLong(0)).toSeq === patterns)
+  }
+
+  test("meansHash: NULL means yields NULL fp, not 0 (quarantine survives the hash)") {
+    import Multimodal.AudioCodec
+    // element_at(NULL, i) > mu is NULL and IF(NULL, a, b) takes the
+    // else branch, so an unguarded fold would hash every quarantined
+    // decode to fp = 0 — pairing all corrupt rows with each other (and
+    // with genuine all-zero fingerprints) at hamming 0 in the
+    // downstream join. The guard must surface NULL instead, which the
+    // equi-join then drops naturally.
+    val df = Seq(
+      (0L, AudioCodec.encodePatternWav(5L, 25, 20000, 1000)),
+      (1L, "not audio".getBytes("UTF-8")),
+      (2L, "also corrupt".getBytes("UTF-8")))
+      .toDF("id", "blob")
+      .withColumn("means", AudioCodec.windowMeansUdf(64)(col("blob")))
+    val out = Multimodal.meansHash(df).select("id", "fp").orderBy("id").collect()
+    assert(out(0).getLong(1) === 5L)
+    assert(out(1).isNullAt(1), "NULL means must hash to NULL, not 0")
+    assert(out(2).isNullAt(1))
+    // and through the pair join: the two corrupt rows must NOT pair
+    // with each other at hamming 0 (the fp = 0 collapse this guards)
+    val fps = Multimodal.meansHash(df).select("id", "fp")
+    val pairs = graft.text.DedupOps.fingerprintPairs(fps, "id", "fp", maxHamming = 2)
+    assert(pairs.count() === 0)
+  }
+
+  test("VideoCodec: adversarial deep-nested LIST blob quarantines, no StackOverflow") {
+    import Multimodal.VideoCodec
+    // ~60k back-to-back 12-byte LIST headers (~720 KB): a recursive
+    // walker overflows the stack — StackOverflowError is an Error,
+    // which ESCAPES a `case _: Exception` quarantine and fails the
+    // Spark task. The depth-capped walker must return null instead.
+    val n = 60000
+    val blob = new Array[Byte](12 + 12 * n)
+    def put(s: String, off: Int): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, blob, off, 4)
+    def putLe(v: Int, off: Int): Unit = {
+      blob(off) = (v & 0xff).toByte; blob(off + 1) = ((v >> 8) & 0xff).toByte
+      blob(off + 2) = ((v >> 16) & 0xff).toByte; blob(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    put("RIFF", 0); putLe(blob.length - 8, 4); put("AVI ", 8)
+    var i = 0
+    while (i < n) {
+      val p = 12 + 12 * i
+      put("LIST", p); putLe(blob.length - p - 8, p + 4); put("nest", p + 8)
+      i += 1
+    }
+    assert(VideoCodec.decodeMeta(blob) === null)
+    assert(VideoCodec.frameMeans(blob) === null)
+    // a legitimately-nested clip (movi → rec ) still decodes — the cap
+    // must sit far above spec-shaped nesting (≤ ~4 levels)
+    val ok = VideoCodec.encodeSolidAvi(3, 8, 8, 5, -1, 7, 7)
+    assert(VideoCodec.decodeMeta(ok).nFrames === 3)
+  }
+
+  test("ImageCodec: decompression-bomb header quarantines pixel stages, no OOM") {
+    import Multimodal.ImageCodec
+    // a PNG whose IHDR declares 50000×50000 (~10 GB raster) but carries
+    // 8×8 worth of pixel data: `ImageReader.read` allocates the raster
+    // from the HEADER dims before touching IDAT, so an unguarded decode
+    // throws OutOfMemoryError — an Error that escapes the quarantine
+    // catch. Patch the dims into a real PNG and recompute the IHDR CRC.
+    val bomb = ImageCodec.encodePng(8, 8, 1, 2, 3).clone()
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    be32(50000).copyToArray(bomb, 16) // IHDR width  (offset 16, big-endian)
+    be32(50000).copyToArray(bomb, 20) // IHDR height (offset 20)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // "IHDR" + 13 data bytes
+    be32(crc.getValue.toInt).copyToArray(bomb, 29)
+    // header-depth metadata still reads (a metadata scan can SEE the
+    // declared dims and filter on them) ...
+    val m = ImageCodec.decodeMeta(bomb)
+    assert(m !== null)
+    assert((m.width, m.height, m.format) === (50000, 50000, "png"))
+    // ... but every pixel-decoding stage quarantines before allocating
+    assert(ImageCodec.channelMeans(bomb) === null)
+    assert(ImageCodec.aHash(bomb) === null)
+    assert(ImageCodec.downscale(bomb, 16) === null)
   }
 }
