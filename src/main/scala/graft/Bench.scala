@@ -21,6 +21,11 @@ import org.apache.spark.sql.SparkSession
   * catalog's median MAD get an extra ISOLATED pass (state reset + forced
   * GC before every rep) recorded as `queries_isolated` — the record
   * number for those gates; `tools/BenchDiff` prefers it automatically.
+  * Gates known to amplify ambient host load (per-row CPU-dense media
+  * codecs, the OPTIMIZE gates) are PINNED to that pass every round via
+  * SPARK_GRAFT_ISOLATE_ALWAYS, and `value_quiet` reports the catalog
+  * total with isolated medians substituted — the engine-attributable
+  * total to compare round-over-round when the driver box is busy.
   * Tunables: SPARK_GRAFT_ISOLATE_MAD_K (default 10),
   * SPARK_GRAFT_ISOLATE_MAD_FLOOR (default 0.3 s).
   */
@@ -167,9 +172,18 @@ object Bench {
     // disk/cpu hogs — target/q58exp*). The MAD trigger only fires when
     // the interference hits the measured reps; pinning records the
     // quiet number EVERY round so BenchDiff never lacks it.
+    // The media-codec family and q245 joined the list after the r11
+    // driver sitting: per-row CPU-dense gates amplify ambient host
+    // load the most (q252 in-run 90.8 s / MAD 45.7 vs 3.87 s isolated,
+    // q245 16.7 vs 4.8, q250 8.4 vs 3.6 — same code measured 3.8/4.0/
+    // 3.6 s on a quiet box), so their in-run medians are the least
+    // trustworthy numbers in the file whenever the driver box is busy.
     val alwaysIsolate = sys.env.get("SPARK_GRAFT_ISOLATE_ALWAYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("q58_optimize_zorder"))
+      .getOrElse(Set("q58_optimize_zorder", "q245_optimizer_apply",
+        "q246_image_decode", "q247_audio_decode", "q248_image_near_dup",
+        "q249_video_decode", "q250_video_frame_sample",
+        "q251_audio_near_dup", "q252_video_near_dup"))
     val flagged = (ok.filter { case (_, _, _, mad) =>
       mad > madFloor && mad > madK * classMad }.map(_._1) ++
       alwaysIsolate.filter(n => ok.exists(_._1 == n))).distinct
@@ -314,6 +328,22 @@ object Bench {
     // delta should be compared against before anything is called a
     // regression
     val totalMad = ok.map(_._4).sum
+    // value_quiet: the catalog total with each pinned/flagged gate's
+    // isolated (quiet-box) median substituted for its in-run median —
+    // the total to compare ROUND-OVER-ROUND when the driver box is
+    // busy. The r11 sitting made the case: in-run total 339.7 s of
+    // which 86.9 s was ONE gate's ambient inflation (q252 90.8 in-run
+    // vs 3.87 isolated); `value` keeps the raw in-run sum for
+    // continuity, `value_quiet` is the engine-attributable number.
+    // (substitution is unconditional: a gate whose isolated median is
+    // HIGHER also moves the quiet total — anything else would be a
+    // take-the-min cherry-pick. Cross-round, compare value_quiet
+    // against value_quiet: with the pin list the same gates carry
+    // isolated numbers every round, which is also what lets BenchDiff's
+    // both-rounds-isolated preference engage for them.)
+    val isoMed = isolated.map(i => i._1 -> i._2).toMap
+    val totalQuiet = ok.map { case (n, med, _, _) =>
+      isoMed.getOrElse(n, med) }.sum
     // queries_isolated: quiet-box medians (and their MADs) for the gates
     // the MAD rule flagged — the record number for those gates; the
     // in-run median stays in `queries` for continuity
@@ -322,7 +352,7 @@ object Bench {
     val qsIsoMad = isolated.map { case (k, _, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val full =
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"queries_isolated":$qsIso,"queries_isolated_mad":$qsIsoMad,"sf":"$sfDir"}"""
+      f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"queries_isolated":$qsIso,"queries_isolated_mad":$qsIsoMad,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
@@ -333,7 +363,7 @@ object Bench {
     val slowestMad = slowestQ
       .map { case (k, _, _, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total_sec","value":$total%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$slowest,"queries_mad":$slowestMad,"queries_isolated":$qsIso,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
+      f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$slowest,"queries_mad":$slowestMad,"queries_isolated":$qsIso,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

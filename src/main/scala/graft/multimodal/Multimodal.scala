@@ -94,26 +94,57 @@ object Multimodal {
       * before a single raster byte is allocated. */
     private val maxDecodePixels = 1L << 26
 
+    // Per-thread PNG reader reuse for the frame-decode hot path.
+    // `ImageIO.getImageReaders` walks the SPI registry (each provider
+    // probing the stream's magic) and instantiates a fresh reader —
+    // plus its internal buffers — on EVERY call; for frame-sized
+    // images (a video's 8×8 Motion-PNG payloads, thumbnails) that
+    // fixed cost rivals the pixel work itself. An ImageReader is
+    // reusable across inputs (`setInput` resets its state) but NOT
+    // thread-safe, so cache exactly one per executor thread, keyed to
+    // the one format the hot path actually sees (PNG — what
+    // [[VideoCodec.frameMeans]] decodes 64× per row). Anything whose
+    // magic isn't PNG takes the registry path below, unchanged.
+    private val pngReaderTl: ThreadLocal[javax.imageio.ImageReader] =
+      ThreadLocal.withInitial { () =>
+        val rs = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+        if (rs.hasNext) rs.next() else null
+      }
+
+    private def isPng(blob: Array[Byte]): Boolean =
+      blob.length >= 8 && blob(0) == 0x89.toByte && blob(1) == 'P' &&
+        blob(2) == 'N' && blob(3) == 'G'
+
+    /** Header-gated decode through ONE reader: dims come from the
+      * header first, and only in-budget images reach
+      * `ImageReader.read` (see [[maxDecodePixels]]). */
+    private def readVia(r: javax.imageio.ImageReader,
+        iis: javax.imageio.stream.ImageInputStream): Option[java.awt.image.BufferedImage] = {
+      r.setInput(iis)
+      val (w, h) = (r.getWidth(0), r.getHeight(0))
+      if (w <= 0 || h <= 0 || w.toLong * h > maxDecodePixels) None
+      else Option(r.read(0))
+    }
+
     /** Full pixel decode behind every pixel-level stage, with the
       * raster allocation gated on header-declared dimensions (see
-      * [[maxDecodePixels]]): dims are read from the container header
-      * first, and only in-budget images reach `ImageReader.read`. */
+      * [[maxDecodePixels]]): PNG magic takes the cached per-thread
+      * reader, anything else the full registry scan. */
     private def readImage(blob: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (blob == null || blob.isEmpty) None
       else try {
+        val cached = if (isPng(blob)) pngReaderTl.get() else null
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(blob))
         try {
-          val rs = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!rs.hasNext) None
+          if (cached != null) readVia(cached, iis)
           else {
-            val r = rs.next()
-            try {
-              r.setInput(iis)
-              val (w, h) = (r.getWidth(0), r.getHeight(0))
-              if (w <= 0 || h <= 0 || w.toLong * h > maxDecodePixels) None
-              else Option(r.read(0))
-            } finally r.dispose()
+            val rs = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!rs.hasNext) None
+            else {
+              val r = rs.next()
+              try readVia(r, iis) finally r.dispose()
+            }
           }
         } finally iis.close()
       } catch { case _: Exception => None }
