@@ -244,7 +244,8 @@ object Multimodal {
       * Graphics2D's interpolation), re-encoded as PNG (lossless).
       * Identity-size images still round-trip through the filter so the
       * output is uniformly PNG. Null for undecodable bytes. */
-    def downscale(blob: Array[Byte], maxDim: Int): Array[Byte] =
+    def downscale(blob: Array[Byte], maxDim: Int): Array[Byte] = {
+      require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
       readImage(blob).map { img =>
         val (w, h) = (img.getWidth, img.getHeight)
         val (tw, th) = scaledDims(w, h, maxDim)
@@ -280,6 +281,7 @@ object Multimodal {
         javax.imageio.ImageIO.write(out, "png", bos)
         bos.toByteArray
       }.orNull
+    }
 
     /** 64-bit average-hash (aHash) perceptual fingerprint: decode →
       * integer box-downscale to 8×8 → per-cell luma (299/587/114
@@ -395,8 +397,10 @@ object Multimodal {
     val decodeMetaUdf = udf((b: Array[Byte]) => Option(decodeMeta(b))
       .map(m => (m.width, m.height, m.channels, m.format)))
     val channelMeansUdf = udf((b: Array[Byte]) => Option(channelMeans(b)))
-    def downscaleUdf(maxDim: Int) =
+    def downscaleUdf(maxDim: Int) = {
+      require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim") // at build
       udf((b: Array[Byte]) => Option(downscale(b, maxDim)))
+    }
     val encodePngUdf =
       udf((w: Int, h: Int, r: Int, g: Int, b: Int) => encodePng(w, h, r, g, b))
     val aHashUdf = udf((b: Array[Byte]) => Option(aHash(b)).map(_.longValue))
@@ -542,7 +546,12 @@ object Multimodal {
       * interpolation kernel would replace just this loop), re-encoded as
       * PCM16 WAV at sampleRate/factor via the JDK writer. Null for
       * undecodable / non-PCM16 bytes. */
-    def downsample(blob: Array[Byte], factor: Int): Array[Byte] =
+    def downsample(blob: Array[Byte], factor: Int): Array[Byte] = {
+      // parameter errors fail FAST and LOUD (they are caller bugs, not
+      // data): factor 0 would otherwise surface as a per-row
+      // ArithmeticException inside the UDF — a task failure dressed up
+      // as a data problem. Data errors still quarantine as null.
+      require(factor >= 1, s"factor must be >= 1, got $factor")
       readPcm16(blob).map { case (f, samples) =>
         val ch = f.getChannels
         val frames = samples.length / ch
@@ -561,6 +570,7 @@ object Multimodal {
         }
         writeWav(out, f.getSampleRate / factor, ch)
       }.orNull
+    }
 
     /** PCM16 WAV bytes via the JDK encoder (AudioSystem.write — the
       * same writer real pipelines use; deterministic for given PCM). */
@@ -584,6 +594,8 @@ object Multimodal {
       * for specs/gates (channel c holds `values(c)` in every frame, so
       * every statistic is exactly computable in the SQL oracle). */
     def encodeWav(frames: Int, sampleRate: Int, values: Array[Short]): Array[Byte] = {
+      require(values.nonEmpty, "values must carry at least one channel")
+      require(frames >= 0, s"frames must be >= 0, got $frames")
       val ch = values.length
       val pcm = new Array[Byte](frames * ch * 2)
       var fIdx = 0
@@ -607,7 +619,10 @@ object Multimodal {
       * in codegen. Exact for per-window constant fills. Null for
       * undecodable / non-PCM16 bytes or clips shorter than `windows`
       * frames. */
-    def windowMeans(blob: Array[Byte], windows: Int): Array[Double] =
+    def windowMeans(blob: Array[Byte], windows: Int): Array[Double] = {
+      // caller-bug guard (see downsample): windows < 0 would throw
+      // NegativeArraySizeException per row instead of failing at build
+      require(windows >= 1, s"windows must be >= 1, got $windows")
       readPcm16(blob).flatMap { case (f, samples) =>
         val ch = f.getChannels
         val frames = samples.length / ch
@@ -626,6 +641,7 @@ object Multimodal {
           out
         }
       }.orNull
+    }
 
     /** Pattern WAV fixture encoder (the audio analogue of
       * [[ImageCodec]]'s pattern PNG): 64 equal windows of mono PCM16 at
@@ -634,6 +650,8 @@ object Multimodal {
       * pattern exactly and every fingerprint bit is SQL-predictable. */
     def encodePatternWav(pattern: Long, samplesPerWindow: Int,
         hi: Short, lo: Short): Array[Byte] = {
+      require(samplesPerWindow >= 1,
+        s"samplesPerWindow must be >= 1, got $samplesPerWindow")
       val pcm = new Array[Byte](64 * samplesPerWindow * 2)
       var w = 0
       while (w < 64) {
@@ -659,15 +677,22 @@ object Multimodal {
         m.durationMs, m.format)))
     val channelMeansUdf = udf((b: Array[Byte]) => Option(channelMeans(b)))
     val peakUdf = udf((b: Array[Byte]) => Option(peak(b)).map(_.intValue))
-    def downsampleUdf(factor: Int) =
+    def downsampleUdf(factor: Int) = {
+      require(factor >= 1, s"factor must be >= 1, got $factor") // at build
       udf((b: Array[Byte]) => Option(downsample(b, factor)))
+    }
     val encodeWavUdf = udf((frames: Int, rate: Int, v0: Int, v1: Int, ch: Int) =>
       encodeWav(frames, rate,
         if (ch >= 2) Array(v0.toShort, v1.toShort) else Array(v0.toShort)))
-    def windowMeansUdf(windows: Int) =
+    def windowMeansUdf(windows: Int) = {
+      require(windows >= 1, s"windows must be >= 1, got $windows") // at build
       udf((b: Array[Byte]) => Option(windowMeans(b, windows)))
-    def encodePatternWavUdf(samplesPerWindow: Int) =
+    }
+    def encodePatternWavUdf(samplesPerWindow: Int) = {
+      require(samplesPerWindow >= 1,
+        s"samplesPerWindow must be >= 1, got $samplesPerWindow") // at build
       udf((p: Long) => encodePatternWav(p, samplesPerWindow, 20000, 1000))
+    }
   }
 
   /** REAL video container codec, pure JVM: RIFF/AVI (the public
@@ -888,11 +913,15 @@ object Multimodal {
       * and re-encode the container (fps unchanged — the sampled clip is
       * shorter, exactly ceil(n/stride) frames). The video analogue of
       * audio's decimation downsample. */
-    def decimate(blob: Array[Byte], stride: Int): Array[Byte] =
+    def decimate(blob: Array[Byte], stride: Int): Array[Byte] = {
+      // caller-bug guard (see AudioCodec.downsample): stride 0 would
+      // throw ArithmeticException per row instead of failing at build
+      require(stride >= 1, s"stride must be >= 1, got $stride")
       parse(blob).map { case (m, fs) =>
         encodeAvi(fs.zipWithIndex.collect { case (f, i) if i % stride == 0 => f },
           m.width, m.height, m.fps)
       }.orNull
+    }
 
     /** Solid-fill fixture: `nFrames` gray frames at `fps`; frames
       * before `cutIdx` fill `vA`, from `cutIdx` on fill `vB` (cutIdx<0
@@ -938,8 +967,10 @@ object Multimodal {
     val frameMeansUdf = udf((b: Array[Byte]) => Option(frameMeans(b)))
     def sceneCutsUdf(threshold: Double) =
       udf((b: Array[Byte]) => Option(sceneCuts(b, threshold)))
-    def decimateUdf(stride: Int) =
+    def decimateUdf(stride: Int) = {
+      require(stride >= 1, s"stride must be >= 1, got $stride") // at build
       udf((b: Array[Byte]) => Option(decimate(b, stride)))
+    }
     val encodeSolidAviUdf =
       udf((nf: Int, w: Int, h: Int, fps: Int, cut: Int, vA: Int, vB: Int) =>
         encodeSolidAvi(nf, w, h, fps, cut, vA, vB))
@@ -1008,6 +1039,11 @@ object Multimodal {
     * (one row in, N frame rows out, no shuffle). */
   def sampleFrames(df: DataFrame, blobCol: String, frameSize: Int,
       stride: Int): DataFrame = {
+    // caller-bug guards: stride 0 makes `i % stride` NULL in SQL, which
+    // the filter silently drops — every row would emit ZERO frames with
+    // no error at all (worse than a crash); frameSize 0 divides by zero
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val nFrames = ceil(length(col(blobCol)).cast("double") / frameSize).cast("int")
     df.withColumn("frame_idx",
         explode(filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),

@@ -469,4 +469,67 @@ class MultimodalSpec extends SparkTestBase {
     assert(ImageCodec.aHash(bomb) === null)
     assert(ImageCodec.downscale(bomb, 16) === null)
   }
+
+  test("codec fuzz: corrupt/truncated/bit-flipped blobs never throw through any UDF") {
+    import Multimodal.{AudioCodec, ImageCodec, VideoCodec}
+    // The quarantine contract, pinned across the WHOLE per-row surface
+    // at once: random bytes, truncations of valid blobs at several
+    // offsets, single-byte corruptions of valid blobs, empty, and NULL —
+    // through every codec UDF in one projection. Undecodable bytes are
+    // DATA at 100 TB; the job must complete (nulls in, nulls out), not
+    // fail a task. Deterministic seed so a failure reproduces.
+    val rnd = new scala.util.Random(42)
+    val valid: Seq[Array[Byte]] = Seq(
+      ImageCodec.encodePng(12, 7, 1, 2, 3),
+      ImageCodec.encodeJpeg(9, 9, 10, 20, 30),
+      AudioCodec.encodeWav(50, 8000, Array(123.toShort)),
+      VideoCodec.encodeSolidAvi(4, 8, 8, 5, 2, 10, 50))
+    val blobs: Seq[Array[Byte]] =
+      (1 to 40).map { _ =>
+        val b = new Array[Byte](rnd.nextInt(400)); rnd.nextBytes(b); b
+      } ++
+      valid.flatMap(v => Seq(1, v.length / 4, v.length / 2, v.length - 1)
+        .map(v.take)) ++
+      valid.map { v =>
+        val b = v.clone(); val i = rnd.nextInt(b.length)
+        b(i) = (b(i) ^ 0x5a).toByte; b
+      } ++
+      Seq(Array.empty[Byte], null)
+    val df = blobs.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "blob")
+      .withColumn("im", ImageCodec.decodeMetaUdf(col("blob")))
+      .withColumn("imm", ImageCodec.channelMeansUdf(col("blob")))
+      .withColumn("ims", ImageCodec.downscaleUdf(8)(col("blob")))
+      .withColumn("imh", ImageCodec.aHashUdf(col("blob")))
+      .withColumn("au", AudioCodec.decodeMetaUdf(col("blob")))
+      .withColumn("aum", AudioCodec.channelMeansUdf(col("blob")))
+      .withColumn("aup", AudioCodec.peakUdf(col("blob")))
+      .withColumn("aud", AudioCodec.downsampleUdf(2)(col("blob")))
+      .withColumn("auw", AudioCodec.windowMeansUdf(8)(col("blob")))
+      .withColumn("vi", VideoCodec.decodeMetaUdf(col("blob")))
+      .withColumn("vim", VideoCodec.frameMeansUdf(col("blob")))
+      .withColumn("vic", VideoCodec.sceneCutsUdf(10.0)(col("blob")))
+      .withColumn("vid", VideoCodec.decimateUdf(2)(col("blob")))
+    assert(df.collect().length === blobs.length) // completes, no task failure
+  }
+
+  test("invalid codec parameters fail fast at plan build, not per row") {
+    import Multimodal.{AudioCodec, ImageCodec, VideoCodec}
+    // parameter errors are CALLER bugs: they must surface as one loud
+    // build-time IllegalArgumentException, not as a per-row
+    // ArithmeticException / NegativeArraySizeException dressed up as a
+    // task failure — or worse, as sampleFrames' silent zero-frame
+    // output (i % 0 is NULL in SQL and the filter just drops it)
+    intercept[IllegalArgumentException](ImageCodec.downscaleUdf(0))
+    intercept[IllegalArgumentException](AudioCodec.downsampleUdf(0))
+    intercept[IllegalArgumentException](AudioCodec.windowMeansUdf(-1))
+    intercept[IllegalArgumentException](AudioCodec.encodePatternWavUdf(0))
+    intercept[IllegalArgumentException](VideoCodec.decimateUdf(0))
+    intercept[IllegalArgumentException](AudioCodec.encodeWav(10, 8000, Array.empty))
+    val df = Seq((1L, "x".getBytes)).toDF("id", "blob")
+    intercept[IllegalArgumentException](
+      Multimodal.sampleFrames(df, "blob", frameSize = 0, stride = 1))
+    intercept[IllegalArgumentException](
+      Multimodal.sampleFrames(df, "blob", frameSize = 4, stride = 0))
+  }
 }
