@@ -183,7 +183,8 @@ object Bench {
       .getOrElse(Set("q58_optimize_zorder", "q245_optimizer_apply",
         "q246_image_decode", "q247_audio_decode", "q248_image_near_dup",
         "q249_video_decode", "q250_video_frame_sample",
-        "q251_audio_near_dup", "q252_video_near_dup"))
+        "q251_audio_near_dup", "q252_video_near_dup",
+        "q253_media_quarantine"))
     val flagged = (ok.filter { case (_, _, _, mad) =>
       mad > madFloor && mad > madK * classMad }.map(_._1) ++
       alwaysIsolate.filter(n => ok.exists(_._1 == n))).distinct

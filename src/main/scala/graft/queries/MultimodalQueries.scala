@@ -472,6 +472,63 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY d1, d2""")
   )
 
+  /** Media quarantine-rate report: the FIRST scan a training pipeline
+    * runs over a new media drop — per (modality, corruption) counts of
+    * decodable vs quarantined blobs, derived entirely from the
+    * metadata-depth decode (no pixel/sample work). The fixture mixes
+    * all three modalities (doc_id % 3) and deterministically corrupts
+    * ~1 doc in 7 by truncating the blob to 20 bytes (inside every
+    * container's header), so the oracle predicts each row's quarantine
+    * fate from doc_id arithmetic alone — the NULL-quarantine contract
+    * the codecs promise, verified through the oracle gate rather than
+    * only specs. One narrow projection + one 6-group aggregate: at
+    * 100 TB this is a single scan, no shuffle beyond the tiny rollup. */
+  private val q253 = GQ(
+    "q253_media_quarantine",
+    (s, dir) => {
+      import Multimodal.{AudioCodec, ImageCodec, VideoCodec}
+      val d = mediaRows(s, dir)
+        .withColumn("modality", pmod(col("doc_id"), lit(3)).cast("int"))
+        .withColumn("corrupted",
+          (pmod(col("doc_id"), lit(7)) === 0).cast("int"))
+      // CASE branches evaluate lazily per row: each row pays exactly
+      // one modality's encode, mirroring a real mixed-media column
+      val blob = when(col("modality") === 0,
+          ImageCodec.encodePngUdf(lit(16), lit(16),
+            pmod(col("doc_id"), lit(256)).cast("int"), lit(0), lit(0)))
+        .when(col("modality") === 1,
+          AudioCodec.encodeWavUdf(lit(64), lit(8000),
+            pmod(col("doc_id"), lit(30000)).cast("int"), lit(0), lit(1)))
+        .otherwise(VideoCodec.encodeSolidAviUdf(lit(3), lit(8), lit(8),
+          lit(5), lit(-1), pmod(col("doc_id"), lit(200)).cast("int"), lit(0)))
+      d.withColumn("blob0", blob)
+        .withColumn("blob", when(col("corrupted") === 1,
+          expr("substring(blob0, 1, 20)")).otherwise(col("blob0")))
+        .withColumn("decoded",
+          when(col("modality") === 0,
+            ImageCodec.decodeMetaUdf(col("blob")).isNotNull)
+          .when(col("modality") === 1,
+            AudioCodec.decodeMetaUdf(col("blob")).isNotNull)
+          .otherwise(VideoCodec.decodeMetaUdf(col("blob")).isNotNull))
+        .groupBy("modality", "corrupted")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+          sum(when(!col("decoded"), 1L).otherwise(0L)).as("n_quarantined"))
+        .orderBy("modality", "corrupted")
+    },
+    Some("""SELECT CAST(doc_id % 3 AS INTEGER) AS modality,
+              CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INTEGER)
+                AS corrupted,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_decoded,
+              CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_quarantined
+            FROM documents
+            GROUP BY 1, 2
+            ORDER BY modality, corrupted""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -496,5 +553,5 @@ object MultimodalQueries extends QueryBatch {
   )
 
   override def queries: Seq[GQ] =
-    Seq(q130, q131, q132, q246, q247, q248, q249, q250, q251, q252)
+    Seq(q130, q131, q132, q246, q247, q248, q249, q250, q251, q252, q253)
 }
