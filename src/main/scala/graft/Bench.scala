@@ -178,13 +178,23 @@ object Bench {
     // q245 16.7 vs 4.8, q250 8.4 vs 3.6 — same code measured 3.8/4.0/
     // 3.6 s on a quiet box), so their in-run medians are the least
     // trustworthy numbers in the file whenever the driver box is busy.
+    // The heavy STREAMING loops are the other ambient-sensitive class
+    // — not CPU-dense but wall-clock-bound (awaitTermination over
+    // micro-batch triggers, so co-located load stretches every batch
+    // boundary): a round-12 sitting read q210 at 11.05 s in-run vs
+    // 3.75 s isolated. Pin the three heaviest so their quiet numbers
+    // are on record even when interference hits all reps equally
+    // (uniform inflation leaves MAD small and the trigger blind —
+    // the q58 lesson).
     val alwaysIsolate = sys.env.get("SPARK_GRAFT_ISOLATE_ALWAYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set("q58_optimize_zorder", "q245_optimizer_apply",
         "q246_image_decode", "q247_audio_decode", "q248_image_near_dup",
         "q249_video_decode", "q250_video_frame_sample",
         "q251_audio_near_dup", "q252_video_near_dup",
-        "q253_media_quarantine"))
+        "q253_media_quarantine",
+        "q210_stream_stream_join", "q218_stream_ingest_dedup",
+        "q242_stream_vector_ingest"))
     val flagged = (ok.filter { case (_, _, _, mad) =>
       mad > madFloor && mad > madK * classMad }.map(_._1) ++
       alwaysIsolate.filter(n => ok.exists(_._1 == n))).distinct
