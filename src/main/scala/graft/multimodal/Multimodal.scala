@@ -94,26 +94,41 @@ object Multimodal {
       * before a single raster byte is allocated. */
     private val maxDecodePixels = 1L << 26
 
-    // Per-thread PNG reader reuse for the frame-decode hot path.
+    // Per-thread reader reuse for the decode hot path.
     // `ImageIO.getImageReaders` walks the SPI registry (each provider
     // probing the stream's magic) and instantiates a fresh reader —
     // plus its internal buffers — on EVERY call; for frame-sized
     // images (a video's 8×8 Motion-PNG payloads, thumbnails) that
     // fixed cost rivals the pixel work itself. An ImageReader is
     // reusable across inputs (`setInput` resets its state) but NOT
-    // thread-safe, so cache exactly one per executor thread, keyed to
-    // the one format the hot path actually sees (PNG — what
-    // [[VideoCodec.frameMeans]] decodes 64× per row). Anything whose
-    // magic isn't PNG takes the registry path below, unchanged.
-    private val pngReaderTl: ThreadLocal[javax.imageio.ImageReader] =
-      ThreadLocal.withInitial { () =>
-        val rs = javax.imageio.ImageIO.getImageReadersByFormatName("png")
-        if (rs.hasNext) rs.next() else null
-      }
+    // thread-safe, so cache one per (executor thread, format), keyed
+    // by a magic-byte sniff for the two formats real training corpora
+    // are made of — PNG (what [[VideoCodec.frameMeans]] decodes 64×
+    // per row) and JPEG. Unrecognized magic takes the registry path
+    // below, unchanged.
+    private val readerTl: ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] =
+      ThreadLocal.withInitial(() =>
+        new java.util.HashMap[String, javax.imageio.ImageReader])
 
-    private def isPng(blob: Array[Byte]): Boolean =
-      blob.length >= 8 && blob(0) == 0x89.toByte && blob(1) == 'P' &&
-        blob(2) == 'N' && blob(3) == 'G'
+    /** "png" / "jpeg" from the leading magic bytes, else null. */
+    private def sniffFormat(blob: Array[Byte]): String =
+      if (blob.length < 8) null
+      else if (blob(0) == 0x89.toByte && blob(1) == 'P' &&
+        blob(2) == 'N' && blob(3) == 'G') "png"
+      else if (blob(0) == 0xff.toByte && blob(1) == 0xd8.toByte &&
+        blob(2) == 0xff.toByte) "jpeg"
+      else null
+
+    private def cachedReader(fmt: String): javax.imageio.ImageReader = {
+      val m = readerTl.get()
+      var r = m.get(fmt)
+      if (r == null && !m.containsKey(fmt)) {
+        val rs = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        r = if (rs.hasNext) rs.next() else null
+        m.put(fmt, r) // cache the miss too: absent SPI stays absent
+      }
+      r
+    }
 
     /** Header-gated decode through ONE reader: dims come from the
       * header first, and only in-budget images reach
@@ -128,12 +143,13 @@ object Multimodal {
 
     /** Full pixel decode behind every pixel-level stage, with the
       * raster allocation gated on header-declared dimensions (see
-      * [[maxDecodePixels]]): PNG magic takes the cached per-thread
-      * reader, anything else the full registry scan. */
+      * [[maxDecodePixels]]): PNG/JPEG magic takes the cached
+      * per-thread reader, anything else the full registry scan. */
     private def readImage(blob: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (blob == null || blob.isEmpty) None
       else try {
-        val cached = if (isPng(blob)) pngReaderTl.get() else null
+        val fmt = sniffFormat(blob)
+        val cached = if (fmt != null) cachedReader(fmt) else null
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(blob))
         try {

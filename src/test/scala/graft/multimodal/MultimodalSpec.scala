@@ -513,6 +513,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(df.collect().length === blobs.length) // completes, no task failure
   }
 
+  test("cached readers survive reuse across formats, corruption, and repeats") {
+    import Multimodal.ImageCodec
+    // the per-thread reader cache must behave identically to a fresh
+    // reader per call: alternate PNG and JPEG decodes on ONE thread,
+    // interleaved with corrupt blobs carrying valid magic (the cached
+    // reader throws internally and must reset cleanly via setInput on
+    // the next call)
+    val badPng = "PNGgarbage-after-magic".getBytes("ISO-8859-1")
+    val badJpg = Array(0xff, 0xd8, 0xff, 0xe0, 1, 2, 3, 4, 5).map(_.toByte)
+    (1 to 3).foreach { i =>
+      val png = ImageCodec.encodePng(10 + i, 7, i, 2 * i, 3 * i)
+      assert(ImageCodec.channelMeans(png).toSeq ===
+        Seq(i.toDouble, 2.0 * i, 3.0 * i), s"png round $i")
+      assert(ImageCodec.channelMeans(badPng) === null)
+      val jpg = ImageCodec.encodeJpeg(20, 20, 128, 128, 128)
+      val jm = ImageCodec.channelMeans(jpg)
+      assert(jm != null && math.abs(jm(0) - 128.0) < 12.0, s"jpeg round $i")
+      assert(ImageCodec.channelMeans(badJpg) === null)
+    }
+  }
+
   test("invalid codec parameters fail fast at plan build, not per row") {
     import Multimodal.{AudioCodec, ImageCodec, VideoCodec}
     // parameter errors are CALLER bugs: they must surface as one loud
