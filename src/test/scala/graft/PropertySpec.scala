@@ -379,4 +379,34 @@ class PropertySpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSeq
     assert(mmr == topk, "with no diversity term MMR must be pure relevance")
   }
+
+  test("fingerprintPairs matches a brute-force hamming reference on random fingerprints") {
+    import spark.implicits._
+    // the pigeonhole blocking (pairs within radius r share one of r+1
+    // chunks) claims EXACTNESS, not recall — pin it against the O(n²)
+    // reference across every supported radius on clustered random
+    // fingerprints (random bases + 0–4 planted bit flips, so the
+    // within-radius population is dense enough to catch a lost pair)
+    val rnd = new scala.util.Random(7)
+    for (radius <- 0 to 3) {
+      val base = Vector.fill(30)(rnd.nextLong())
+      val fps: Seq[(Long, Long)] = (0 until 150).map { i =>
+        val b = base(rnd.nextInt(base.size))
+        val flips = rnd.nextInt(5)
+        val fp = (0 until flips).foldLeft(b)((acc, _) =>
+          acc ^ (1L << rnd.nextInt(64)))
+        (i.toLong, fp)
+      }
+      val expect = (for {
+        (i, fi) <- fps; (j, fj) <- fps if i < j
+        h = java.lang.Long.bitCount(fi ^ fj) if h <= radius
+      } yield (i, j, h)).toSet
+      val got = graft.text.DedupOps
+        .fingerprintPairs(fps.toDF("doc_id", "fp"), "doc_id", "fp", radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === expect, s"radius $radius: blocked join must be exact")
+      assert(expect.nonEmpty || radius == 0,
+        s"radius $radius produced no reference pairs — fixture too sparse")
+    }
+  }
 }
