@@ -195,8 +195,19 @@ object Bench {
         "q253_media_quarantine",
         "q210_stream_stream_join", "q218_stream_ingest_dedup",
         "q242_stream_vector_ingest"))
-    val flagged = (ok.filter { case (_, _, _, mad) =>
-      mad > madFloor && mad > madK * classMad }.map(_._1) ++
+    // Second trigger, for CORRELATED window inflation: when ambient load
+    // hits every rep of a gate equally, MAD stays small (the reps agree
+    // with each other) while median/min stretches — the q58/q62
+    // signature that left the MAD rule blind (round 12: q62 3.97 s
+    // in-run, MAD 0.157, rep-min 1.88 — no isolated number on record).
+    // Any gate whose median exceeds divK× its own best rep by more than
+    // the absolute floor gets the isolated pass too, so the quiet number
+    // is always on record without growing the pin list one postmortem
+    // at a time.
+    val divK = envDouble("SPARK_GRAFT_ISOLATE_DIV_K", 1.8)
+    val flagged = (ok.filter { case (_, med, mn, mad) =>
+      (mad > madFloor && mad > madK * classMad) ||
+        (mn > 0 && med / mn > divK && med - mn > madFloor) }.map(_._1) ++
       alwaysIsolate.filter(n => ok.exists(_._1 == n))).distinct
     val isolated: Seq[(String, Double, Double)] = flagged.map { name =>
       val fn = SparkEntry.queries(name)
@@ -355,6 +366,15 @@ object Bench {
     val isoMed = isolated.map(i => i._1 -> i._2).toMap
     val totalQuiet = ok.map { case (n, med, _, _) =>
       isoMed.getOrElse(n, med) }.sum
+    // value_quiet_gates: the EXACT substitution set behind value_quiet
+    // (== queries_isolated's keys, but named explicitly so a cross-round
+    // value_quiet comparison can detect set drift mechanically — the
+    // MAD/divergence triggers vary round to round beyond the fixed pin
+    // list, and two totals built from different substitution sets are
+    // not the same statistic; BenchDiff warns on the symmetric
+    // difference)
+    val quietGates = isolated.map(_._1).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // queries_isolated: quiet-box medians (and their MADs) for the gates
     // the MAD rule flagged — the record number for those gates; the
     // in-run median stays in `queries` for continuity
@@ -363,7 +383,7 @@ object Bench {
     val qsIsoMad = isolated.map { case (k, _, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val full =
-      f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"queries_isolated":$qsIso,"queries_isolated_mad":$qsIsoMad,"sf":"$sfDir"}"""
+      f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"value_quiet_gates":$quietGates,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"queries_isolated":$qsIso,"queries_isolated_mad":$qsIsoMad,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))

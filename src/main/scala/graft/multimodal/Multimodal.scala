@@ -84,15 +84,21 @@ object Multimodal {
         format: String)
 
     /** Decompression-bomb budget: the largest raster a single decode
-      * may allocate. A crafted PNG header can declare 60000×60000
-      * (~10 GB of raster) while compressing to a few KB — decoding it
-      * throws OutOfMemoryError, an Error that ESCAPES the
+      * may allocate, in BYTES. A crafted PNG header can declare
+      * 60000×60000 (~10 GB of raster) while compressing to a few KB —
+      * decoding it throws OutOfMemoryError, an Error that ESCAPES the
       * `case _: Exception` quarantine and can take the whole executor
-      * down. 64 Mpx (≈256 MB at 3 bands + filter slack) is far above
-      * any legitimate training-corpus image and far below executor
-      * headroom; blobs past it quarantine as NULL at header depth,
-      * before a single raster byte is allocated. */
-    private val maxDecodePixels = 1L << 26
+      * down. The budget is byte-denominated, not pixel-denominated: a
+      * 16-bit RGBA header at 64 Mpx implies a ~512 MB raster — double
+      * what the same pixel count costs at 8-bit RGB — so the gate
+      * multiplies header-declared pixels by the header-declared
+      * bytes/pixel (band count × sample bytes from the reader's raw or
+      * first advertised image type; worst-case 8 B/px assumed when the
+      * header states no type). 256 MB is far above any legitimate
+      * training-corpus image and far below executor headroom; blobs
+      * past it quarantine as NULL at header depth, before a single
+      * raster byte is allocated. */
+    private val maxDecodeBytes = 1L << 28
 
     // Per-thread reader reuse for the decode hot path.
     // `ImageIO.getImageReaders` walks the SPI registry (each provider
@@ -130,16 +136,49 @@ object Multimodal {
       r
     }
 
+    /** Header-declared bytes per pixel: band count × bytes per sample
+      * from the reader's raw image type (exact) or first advertised
+      * type (what `read` would materialize); 8 B/px — the worst real
+      * layout, 16-bit RGBA — when the header states no type at all, so
+      * an unknown layout can only over-reserve, never under. */
+    private def headerBytesPerPixel(r: javax.imageio.ImageReader): Long = {
+      def bpp(t: javax.imageio.ImageTypeSpecifier): Long = {
+        val sm = t.getSampleModel
+        // ceil(bits/8) per band: a 1/2/4-bit gray band still costs a
+        // byte in the BufferedImage raster the decode materializes
+        (0 until sm.getNumBands).map(b => (sm.getSampleSize(b) + 7) / 8)
+          .map(_.toLong).sum
+      }
+      try {
+        val raw = r.getRawImageType(0)
+        if (raw != null) bpp(raw)
+        else {
+          val ts = r.getImageTypes(0)
+          if (ts.hasNext) bpp(ts.next()) else 8L
+        }
+      } catch { case _: Exception => 8L }
+    }
+
     /** Header-gated decode through ONE reader: dims come from the
       * header first, and only in-budget images reach
-      * `ImageReader.read` (see [[maxDecodePixels]]). */
+      * `ImageReader.read` (see [[maxDecodeBytes]]). The reader may be
+      * the long-lived per-thread cached one, so its input is cleared
+      * in a finally — otherwise the closed stream (and the decoded
+      * blob behind it) stays pinned per (thread, format) between rows. */
     private def readVia(r: javax.imageio.ImageReader,
-        iis: javax.imageio.stream.ImageInputStream): Option[java.awt.image.BufferedImage] = {
-      r.setInput(iis)
-      val (w, h) = (r.getWidth(0), r.getHeight(0))
-      if (w <= 0 || h <= 0 || w.toLong * h > maxDecodePixels) None
-      else Option(r.read(0))
-    }
+        iis: javax.imageio.stream.ImageInputStream): Option[java.awt.image.BufferedImage] =
+      try {
+        r.setInput(iis)
+        val (w, h) = (r.getWidth(0), r.getHeight(0))
+        val px = w.toLong * h
+        if (w <= 0 || h <= 0) None
+        // fast path: in budget even at the worst-case 8 B/px, so skip
+        // the type probe entirely — keeps the per-row cost of normal
+        // images (and the 64-per-row video frames) at two header reads
+        else if (px <= maxDecodeBytes / 8) Option(r.read(0))
+        else if (px > maxDecodeBytes / headerBytesPerPixel(r)) None
+        else Option(r.read(0))
+      } finally r.setInput(null)
 
     /** Full pixel decode behind every pixel-level stage, with the
       * raster allocation gated on header-declared dimensions (see

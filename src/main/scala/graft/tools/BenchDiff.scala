@@ -74,5 +74,18 @@ object BenchDiff {
     println(s"${flagged.size} queries outside their measured spread " +
       s"($regressed regressed, ${flagged.size - regressed} improved; " +
       s"k=$k, floor=${floor}s)")
+    // value_quiet totals are only the same statistic when both rounds
+    // substituted the SAME gate set (Bench's MAD/divergence triggers
+    // vary round to round beyond the fixed pin list); the substitution
+    // set is exactly queries_isolated's keys, so drift is mechanical to
+    // detect — warn instead of letting a total delta be read as an
+    // engine change when it is partly a set change
+    val (ga, gb) = (queriesOf(args(0), "queries_isolated").keySet,
+      queriesOf(args(1), "queries_isolated").keySet)
+    if (ga != gb)
+      println(s"WARNING: value_quiet substitution sets differ — " +
+        s"only-old=${(ga -- gb).toSeq.sorted.mkString(",")} " +
+        s"only-new=${(gb -- ga).toSeq.sorted.mkString(",")}; " +
+        "compare value_quiet across these rounds with caution")
   }
 }

@@ -520,7 +520,14 @@ class MultimodalSpec extends SparkTestBase {
     // interleaved with corrupt blobs carrying valid magic (the cached
     // reader throws internally and must reset cleanly via setInput on
     // the next call)
-    val badPng = "PNGgarbage-after-magic".getBytes("ISO-8859-1")
+    // the REAL 8-byte PNG signature followed by garbage, spelled as
+    // explicit bytes (an earlier form hid the leading 0x89 inside a
+    // string literal as an invisible U+0089 char - correct, but
+    // unreadable and one editor normalization away from silently
+    // degrading to the registry path instead of the cached PNG
+    // reader this test exists to exercise)
+    val badPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n',
+      0x1a, '\n') ++ "garbage-after-magic".getBytes("ISO-8859-1")
     val badJpg = Array(0xff, 0xd8, 0xff, 0xe0, 1, 2, 3, 4, 5).map(_.toByte)
     (1 to 3).foreach { i =>
       val png = ImageCodec.encodePng(10 + i, 7, i, 2 * i, 3 * i)
