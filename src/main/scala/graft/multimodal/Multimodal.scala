@@ -136,6 +136,49 @@ object Multimodal {
       r
     }
 
+    // Per-thread WRITER reuse, symmetric to the reader cache above:
+    // `ImageIO.write` walks the writer SPI registry and instantiates a
+    // fresh ImageWriter — plus its internal buffers — on EVERY call,
+    // the exact fixed cost the reader cache removed from the decode
+    // side, paid here by every transcode (downscale re-encode) and
+    // fixture encode. An ImageWriter is reusable across outputs
+    // (`setOutput` resets it) but NOT thread-safe, so cache one per
+    // (executor thread, format name as the caller spells it — "png"
+    // and "jpg" key separately, both resolving through the registry
+    // once).
+    private val writerTl: ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] =
+      ThreadLocal.withInitial(() =>
+        new java.util.HashMap[String, javax.imageio.ImageWriter])
+
+    private def cachedWriter(fmt: String): javax.imageio.ImageWriter = {
+      val m = writerTl.get()
+      var w = m.get(fmt)
+      if (w == null && !m.containsKey(fmt)) {
+        val ws = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+        w = if (ws.hasNext) ws.next() else null
+        m.put(fmt, w)
+      }
+      w
+    }
+
+    /** Encode through the per-thread cached writer (falling back to
+      * the registry path only when no writer claims the format). The
+      * writer's output is cleared in a finally — same hygiene as the
+      * reader cache: a long-lived writer must not pin the last row's
+      * closed stream between calls. */
+    private def encodeVia(img: java.awt.image.RenderedImage,
+        format: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = cachedWriter(format)
+      if (w == null) javax.imageio.ImageIO.write(img, format, bos)
+      else {
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try { w.setOutput(ios); w.write(img) }
+        finally { w.setOutput(null); ios.close() }
+      }
+      bos.toByteArray
+    }
+
     /** Header-declared bytes per pixel: band count × bytes per sample
       * from the reader's raw image type (exact) or first advertised
       * type (what `read` would materialize); 8 B/px — the worst real
@@ -332,9 +375,7 @@ object Multimodal {
           }
           ty += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        bos.toByteArray
+        encodeVia(out, "png")
       }.orNull
     }
 
@@ -415,9 +456,7 @@ object Multimodal {
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, format, bos)
-      bos.toByteArray
+      encodeVia(img, format)
     }
 
     /** 8×8-cell black/white pattern PNG (cell i white iff bit i of

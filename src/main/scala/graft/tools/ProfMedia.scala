@@ -1,0 +1,153 @@
+package graft.tools
+
+/** Attribution microbench for the image/video codec gates (q246/q249):
+  * times the gates' exact per-row chains — and their encode-only
+  * prefixes — at TWO total row counts, so SCALING.md's second-decade
+  * ratios (q246 6.43×, q249 8.71× per 10×) can be pinned to flat
+  * per-row marginal cost + shrinking fixed cost, by measurement rather
+  * than narrative (the q74/q81 counter-run standard). Pure JVM — no
+  * Spark — because the question is the per-row byte→value cost itself:
+  * if µs/row is flat between the m10-sized and m100-sized runs, the
+  * gate-level super-linearity is fixed-cost amortization plus the
+  * sitting's GC context, not a scaling defect in the codec chain.
+  *
+  * The encode-only stages double as the before/after probe for encoder
+  * fixed costs (the per-thread ImageWriter cache: `ImageIO.write`
+  * walks the writer SPI registry and instantiates a fresh writer per
+  * call — the same fixed cost the round-12 reader cache removed from
+  * the decode side).
+  *
+  * Usage: runMain graft.tools.ProfMedia [rowsSmall] [rowsLarge] [threads]
+  * Defaults 50000 / 500000 / 32 — the m10/m100 document counts.
+  */
+object ProfMedia {
+
+  def main(args: Array[String]): Unit = {
+    val rowsSmall = if (args.length > 0) args(0).toInt else 50000
+    val rowsLarge = if (args.length > 1) args(1).toInt else 500000
+    val threads = if (args.length > 2) args(2).toInt else 32
+    import graft.multimodal.Multimodal.{ImageCodec, VideoCodec}
+
+    // q246's exact fixture parameterization (MultimodalQueries.q246)
+    def imageFixture(id: Long): Array[Byte] =
+      ImageCodec.encodePng((8 + id % 25).toInt, (8 + (id * 7) % 25).toInt,
+        (id % 256).toInt, ((id * 3) % 256).toInt, ((id * 5) % 256).toInt)
+
+    // q246's exact per-row chain: encode → meta → means → downscale →
+    // re-decode meta/means
+    def imageRow(id: Long): Int = {
+      val blob = imageFixture(id)
+      val m = ImageCodec.decodeMeta(blob)
+      val means = ImageCodec.channelMeans(blob)
+      val small = ImageCodec.downscale(blob, 16)
+      val sm = ImageCodec.decodeMeta(small)
+      val smeans = ImageCodec.channelMeans(small)
+      m.channels + means.length + sm.channels + smeans.length
+    }
+
+    // q249's exact fixture parameterization
+    def videoFixture(id: Long): Array[Byte] = {
+      val nf = (3 + id % 6).toInt
+      val cut = if (id % 2 == 0) (1 + id % (nf - 1)).toInt else -1
+      val va = (id % 200).toInt
+      VideoCodec.encodeSolidAvi(nf, (8 + id % 9).toInt,
+        (8 + (id * 3) % 9).toInt, (5 + id % 10).toInt, cut, va, va + 40)
+    }
+
+    // q249's exact per-row chain: encode → container meta → per-frame
+    // means → decimate transcode → re-parse meta
+    def videoRow(id: Long): Int = {
+      val blob = videoFixture(id)
+      val m = VideoCodec.decodeMeta(blob)
+      val means = VideoCodec.frameMeans(blob)
+      val small = VideoCodec.decimate(blob, 2)
+      val sm = VideoCodec.decodeMeta(small)
+      m.nFrames + means.length + sm.nFrames
+    }
+
+    def benchOnce(totalRows: Int)(row: Long => Int): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val per = totalRows / threads
+      val t0 = System.nanoTime()
+      val futs = (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var i = 0L; var acc = 0L
+            while (i < per) { acc += row(t.toLong * per + i); i += 1 }
+            sink.addAndGet(acc)
+          }
+        })
+      }
+      futs.foreach(_.get())
+      pool.shutdown()
+      val sec = (System.nanoTime() - t0) / 1e9
+      sec * 1e6 / (per.toLong * threads)
+    }
+
+    // median of 3 reps per point, forced GC between reps so each rep
+    // starts from the same heap context — a single rep of the SMALL
+    // point runs ~1 s and a busy box moves it 2× run-to-run, which is
+    // exactly the noise this counter-experiment must not inherit
+    def bench(label: String, totalRows: Int)(row: Long => Int): Double = {
+      val reps = (1 to 3).map { _ =>
+        System.gc(); Thread.sleep(50)
+        benchOnce(totalRows)(row)
+      }.sorted
+      val med = reps(1)
+      println(f"[profmedia] $label%-36s $med%8.2f us/row median  " +
+        f"(reps ${reps.map(r => f"$r%.1f").mkString("/")}, x$threads threads, $totalRows rows)")
+      med
+    }
+
+    // warm-up: JIT + codec class init outside any timed window
+    bench("warmup image", math.min(rowsSmall, 20000))(imageRow)
+    bench("warmup video", math.min(rowsSmall, 20000))(videoRow)
+
+    // Mechanism A/B for the per-thread ImageWriter cache, alternating
+    // inside ONE JVM so ambient box load hits both arms equally (the
+    // gate-level before/after drifted 40% between sittings on a busy
+    // driver box — including on a gate that never touches ImageIO):
+    // encode the same 16×16 image via ImageIO.write (fresh SPI scan +
+    // writer per call — the pre-round-13 path) vs a thread-local
+    // cached writer (what ImageCodec.encodeVia does now).
+    locally {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val wtl = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+      def fresh(): Int = {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos); bos.size()
+      }
+      def cached(): Int = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val w = wtl.get()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try { w.setOutput(ios); w.write(img) }
+        finally { w.setOutput(null); ios.close() }
+        bos.size()
+      }
+      println("[profmedia] --- writer mechanism A/B (alternating, one JVM) ---")
+      bench("png write, fresh writer (warm)", rowsSmall)(_ => fresh())
+      val a1 = bench("png write, fresh writer", rowsSmall)(_ => fresh())
+      val b1 = bench("png write, cached writer", rowsSmall)(_ => cached())
+      val a2 = bench("png write, fresh writer (2)", rowsSmall)(_ => fresh())
+      val b2 = bench("png write, cached writer (2)", rowsSmall)(_ => cached())
+      println(f"[profmedia] writer cache speedup = ${(a1 + a2) / (b1 + b2)}%.2fx " +
+        f"(fresh ${(a1 + a2) / 2}%.2f vs cached ${(b1 + b2) / 2}%.2f us/row)")
+    }
+
+    println("[profmedia] --- encode-only (writer fixed cost) ---")
+    bench(s"image encode only, $rowsSmall", rowsSmall)(id => imageFixture(id).length)
+    bench(s"video encode only, $rowsSmall", rowsSmall)(id => videoFixture(id).length)
+
+    println("[profmedia] --- full chains, small vs large (marginal-cost flatness) ---")
+    val iS = bench(s"image chain, $rowsSmall rows", rowsSmall)(imageRow)
+    val iL = bench(s"image chain, $rowsLarge rows", rowsLarge)(imageRow)
+    val vS = bench(s"video chain, $rowsSmall rows", rowsSmall)(videoRow)
+    val vL = bench(s"video chain, $rowsLarge rows", rowsLarge)(videoRow)
+    println(f"[profmedia] image us/row large/small = ${iL / iS}%.2f  " +
+      f"video = ${vL / vS}%.2f  (flat marginal cost => ~1.0)")
+  }
+}
