@@ -156,6 +156,13 @@ object Multimodal {
       if (w == null && !m.containsKey(fmt)) {
         val ws = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
         w = if (ws.hasNext) ws.next() else null
+        // the null is cached too (containsKey distinguishes "negative"
+        // from "never asked"), so an absent SPI skips the registry walk
+        // on later calls — but encodeVia then falls through to the full
+        // ImageIO.write path every time for that format, which ALSO
+        // walks the registry. Acceptable: the engine only encodes
+        // png/jpg, both always installed; an unknown format here means
+        // a caller bug, not a hot path.
         m.put(fmt, w)
       }
       w
@@ -165,25 +172,45 @@ object Multimodal {
       * the registry path only when no writer claims the format). The
       * writer's output is cleared in a finally — same hygiene as the
       * reader cache: a long-lived writer must not pin the last row's
-      * closed stream between calls. */
-    private def encodeVia(img: java.awt.image.RenderedImage,
+      * closed stream between calls. A writer that THROWS mid-write is
+      * disposed and evicted instead of re-cached: some ImageWriter
+      * implementations are not cleanly reusable after an aborted
+      * write, and a poisoned cache entry would fail every subsequent
+      * encode on that thread — the next call re-resolves from the
+      * registry. Package-private so the eviction path is testable
+      * (mirroring the corrupt-blob reader-reset spec). */
+    private[multimodal] def encodeVia(img: java.awt.image.RenderedImage,
         format: String): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val w = cachedWriter(format)
       if (w == null) javax.imageio.ImageIO.write(img, format, bos)
       else {
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        var failed = false
         try { w.setOutput(ios); w.write(img) }
-        finally { w.setOutput(null); ios.close() }
+        catch { case e: Throwable => failed = true; throw e }
+        finally {
+          if (failed) {
+            writerTl.get().remove(format)
+            try w.dispose() catch { case _: Exception => () }
+          } else w.setOutput(null)
+          ios.close()
+        }
       }
       bos.toByteArray
     }
 
-    /** Header-declared bytes per pixel: band count × bytes per sample
-      * from the reader's raw image type (exact) or first advertised
-      * type (what `read` would materialize); 8 B/px — the worst real
-      * layout, 16-bit RGBA — when the header states no type at all, so
-      * an unknown layout can only over-reserve, never under. */
+    /** Header-declared bytes per pixel: band count × bytes per sample,
+      * taking the MAX of the raw image type and the first advertised
+      * type — `read(0)` materializes the first ADVERTISED type, which
+      * for some registry-path readers has more bands than raw (palette
+      * or tRNS expansion: a 1-band indexed raw can decode to 4-band
+      * RGBA), so gating on raw alone would under-reserve exactly when
+      * the destination is wider; 8 B/px — the worst real layout,
+      * 16-bit RGBA — when the header states no type at all, so an
+      * unknown layout can only over-reserve, never under. Never
+      * returns < 1: a pathological sample model reporting zero bands
+      * must not turn the budget division into ArithmeticException. */
     private def headerBytesPerPixel(r: javax.imageio.ImageReader): Long = {
       def bpp(t: javax.imageio.ImageTypeSpecifier): Long = {
         val sm = t.getSampleModel
@@ -192,14 +219,15 @@ object Multimodal {
         (0 until sm.getNumBands).map(b => (sm.getSampleSize(b) + 7) / 8)
           .map(_.toLong).sum
       }
-      try {
-        val raw = r.getRawImageType(0)
-        if (raw != null) bpp(raw)
-        else {
+      val declared = try {
+        val raw = Option(r.getRawImageType(0)).map(bpp).getOrElse(0L)
+        val adv = {
           val ts = r.getImageTypes(0)
-          if (ts.hasNext) bpp(ts.next()) else 8L
+          if (ts.hasNext) bpp(ts.next()) else 0L
         }
+        if (raw == 0L && adv == 0L) 8L else math.max(raw, adv)
       } catch { case _: Exception => 8L }
+      math.max(1L, declared)
     }
 
     /** Header-gated decode through ONE reader: dims come from the
@@ -225,7 +253,7 @@ object Multimodal {
 
     /** Full pixel decode behind every pixel-level stage, with the
       * raster allocation gated on header-declared dimensions (see
-      * [[maxDecodePixels]]): PNG/JPEG magic takes the cached
+      * [[maxDecodeBytes]]): PNG/JPEG magic takes the cached
       * per-thread reader, anything else the full registry scan. */
     private def readImage(blob: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (blob == null || blob.isEmpty) None

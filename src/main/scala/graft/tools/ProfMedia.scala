@@ -68,7 +68,11 @@ object ProfMedia {
     def benchOnce(totalRows: Int)(row: Long => Int): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
       val sink = new java.util.concurrent.atomic.AtomicLong()
-      val per = totalRows / threads
+      // floor at 1 row/thread: totalRows < threads would make per = 0,
+      // run zero work, and divide the us/row denominator by 0 (prints
+      // NaN). The denominator below uses per*threads, so the remainder
+      // rows integer division drops are never billed either way.
+      val per = math.max(1, totalRows / threads)
       val t0 = System.nanoTime()
       val futs = (0 until threads).map { t =>
         pool.submit(new Runnable {

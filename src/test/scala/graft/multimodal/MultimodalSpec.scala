@@ -560,4 +560,54 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Multimodal.sampleFrames(df, "blob", frameSize = 4, stride = 0))
   }
+
+  test("cached writer recovers after a mid-write failure (eviction, not poison)") {
+    import Multimodal.ImageCodec
+    // the per-thread WRITER cache mirror of the reader-reset test: an
+    // image whose pixel fetch throws mid-write must not poison the
+    // cached PNG writer for every later encode on this thread — the
+    // failed writer is disposed + evicted, and the next call
+    // re-resolves a fresh one from the registry
+    val real = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val poison: java.awt.image.RenderedImage = new java.awt.image.RenderedImage {
+      import java.awt.image.{Raster, WritableRaster}
+      def getSources = real.getSources
+      def getProperty(name: String) = real.getProperty(name)
+      def getPropertyNames = real.getPropertyNames
+      def getColorModel = real.getColorModel
+      def getSampleModel = real.getSampleModel
+      def getWidth = real.getWidth
+      def getHeight = real.getHeight
+      def getMinX = real.getMinX
+      def getMinY = real.getMinY
+      def getNumXTiles = real.getNumXTiles
+      def getNumYTiles = real.getNumYTiles
+      def getMinTileX = real.getMinTileX
+      def getMinTileY = real.getMinTileY
+      def getTileWidth = real.getTileWidth
+      def getTileHeight = real.getTileHeight
+      def getTileGridXOffset = real.getTileGridXOffset
+      def getTileGridYOffset = real.getTileGridYOffset
+      def getTile(x: Int, y: Int): Raster =
+        throw new RuntimeException("poisoned pixel fetch")
+      def getData: Raster =
+        throw new RuntimeException("poisoned pixel fetch")
+      def getData(rect: java.awt.Rectangle): Raster =
+        throw new RuntimeException("poisoned pixel fetch")
+      def copyData(r: WritableRaster): WritableRaster =
+        throw new RuntimeException("poisoned pixel fetch")
+    }
+    // warm the cache, then poison it, then prove recovery — 3 rounds so
+    // a recovered-but-fragile writer would still be caught
+    (1 to 3).foreach { i =>
+      val ok = ImageCodec.encodePng(6 + i, 5, i, i, i) // caches a writer
+      assert(ImageCodec.decodeMeta(ok) !== null, s"pre-poison round $i")
+      intercept[Exception](ImageCodec.encodeVia(poison, "png"))
+      val after = ImageCodec.encodeVia(real, "png")
+      val m = ImageCodec.decodeMeta(after)
+      assert(m != null && m.width == 8 && m.height == 8,
+        s"writer did not recover after mid-write failure, round $i")
+    }
+  }
 }
