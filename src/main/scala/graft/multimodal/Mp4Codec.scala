@@ -1,0 +1,563 @@
+package graft.multimodal
+
+/** REAL MP4 / ISO-BMFF container codec, pure JVM (public spec:
+  * ISO/IEC 14496-12 "ISO base media file format"). The dominant
+  * real-corpus video container: a box tree (`ftyp` + `moov` movie
+  * header + `mdat` sample payloads) where the `stbl` sample tables —
+  * `stsz` (sample sizes), `stsc` (samples-per-chunk runs), `stco`/
+  * `co64` (chunk offsets), `stts` (sample timing) — map every stored
+  * sample to an absolute byte range. The walker below parses any
+  * spec-shaped MP4's track geometry, duration, sample count, and
+  * codec fourcc, resolves the per-sample byte ranges through the
+  * three-table chunk walk, and feeds the stored samples through the
+  * same frameMeans → temporal-hash chain as [[Multimodal.VideoCodec]]
+  * (the RIFF/AVI walker this object mirrors).
+  *
+  * The fixture encoder writes Motion-PNG samples (fourcc `mpng`, one
+  * JDK-decodable PNG per sample) across MULTI-SAMPLE CHUNKS, so the
+  * stsc/stco resolution is genuinely exercised — a single-chunk
+  * layout would never catch a broken run walk. Both layers are real,
+  * parseable formats; what the JDK does not ship is an interframe
+  * codec (H.264 etc.) — swapping one in (JNI/javacv) replaces only
+  * the per-sample byte→pixels step, not the container walk or the
+  * dataflow.
+  *
+  * Same contract as every codec in [[Multimodal]]: per-row byte→value
+  * UDFs that run inside the scan projection, never shuffle, and
+  * parallelize per partition; undecodable bytes become NULL
+  * (quarantine is the caller's filter), never exceptions. The walk is
+  * depth-capped (a crafted tree of nested containers must not
+  * StackOverflowError past the Exception quarantine), every declared
+  * count/size is bounds-checked against the bytes actually present
+  * BEFORE allocation (a crafted stsz count of 2^31 must not OOM the
+  * executor), and every resolved sample range must lie inside the
+  * blob (a truncated mdat quarantines at sample depth while the moov
+  * metadata — which precedes it — still reads, mirroring the image
+  * codec's header-vs-raster stage split).
+  */
+object Mp4Codec {
+
+  // Sample payloads round-trip through javax.imageio (Motion-PNG);
+  // apply the memory-backed-stream setting (see [[Multimodal.ImageCodec]])
+  // even when an MP4 UDF is the first codec touched in the executor JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decoded container metadata, or null for bytes that are not a
+    * spec-shaped MP4. `durationMs` = mediaDuration * 1000 / timescale
+    * with integer division — the SQL-replayable formula (the fixture
+    * writes timescale = fps and one timescale-tick per sample, so
+    * durationMs = nSamples * 1000 / fps, the same arithmetic as the
+    * AVI fixture's scale=1/rate=fps). */
+  final case class Mp4Meta(width: Int, height: Int, nSamples: Int,
+      timescale: Int, durationMs: Long, codec: String)
+
+  // ---- Box plumbing (big-endian, unlike RIFF's little-endian) --------
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def u64(b: Array[Byte], off: Int): Long =
+    (u32(b, off) << 32) | u32(b, off + 4)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  private def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+    val bodyLen = parts.map(_.length).sum
+    val out = new java.io.ByteArrayOutputStream(8 + bodyLen)
+    out.write(be32(8L + bodyLen)); out.write(tpe.getBytes("US-ASCII"))
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** FullBox = box with a leading version byte + 24-bit flags. */
+  private def fullBox(tpe: String, version: Int, flags: Int,
+      parts: Array[Byte]*): Array[Byte] =
+    box(tpe, (Array(((version & 0xff)).toByte) ++
+      Array(((flags >> 16) & 0xff).toByte, ((flags >> 8) & 0xff).toByte,
+        (flags & 0xff).toByte)) +: parts: _*)
+
+  private val unityMatrix: Array[Byte] =
+    be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+
+  /** Samples per chunk the fixture encoder writes: > 1 so stsc/stco
+    * resolution walks real multi-sample chunks, small enough that the
+    * short fixture clips still produce a ragged last chunk (two stsc
+    * run entries) — the layout shape that catches a broken run walk. */
+  private val fixtureSamplesPerChunk = 3
+
+  /** Write an MP4 holding `samples` (each already-encoded PNG bytes)
+    * at `fps` (timescale = fps, one tick per sample), with full
+    * ftyp/moov sample tables and the payloads chunked
+    * [[fixtureSamplesPerChunk]] per `stco` chunk — readable by any
+    * ISO-BMFF-aware tool that knows the `mpng` sample-entry fourcc.
+    * Layout: ftyp, moov, mdat — moov-first ("fast start"), so
+    * metadata survives a truncated mdat, exactly the stage split the
+    * quarantine gates verify. */
+  def encodeMp4(samples: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] =
+    encodeMp4Variant(samples, w, h, fps, useCo64 = false, version1 = false)
+
+  /** Encoder variant knobs for the spec-legal shapes real corpora also
+    * carry — 64-bit `co64` chunk offsets and version-1 (64-bit-time)
+    * mvhd/tkhd/mdhd headers, both required for >4 GB / post-2040
+    * files — so the walker's v1/co64 branches are pinned by tests
+    * against bytes this encoder itself lays out. Package-private: the
+    * public fixture surface stays the common v0/stco shape. */
+  private[multimodal] def encodeMp4Variant(samples: Seq[Array[Byte]],
+      w: Int, h: Int, fps: Int, useCo64: Boolean,
+      version1: Boolean): Array[Byte] = {
+    require(fps > 0, "fps must be positive")
+    require(samples.nonEmpty, "an MP4 fixture needs at least one sample")
+    val n = samples.length
+    val spc = fixtureSamplesPerChunk
+    val nChunks = (n + spc - 1) / spc
+    val chunkSizes = (0 until nChunks).map { c =>
+      samples.slice(c * spc, math.min(n, (c + 1) * spc)).map(_.length.toLong).sum
+    }
+
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "mp41".getBytes("US-ASCII"))
+
+    // moov is built twice: once with zero stco offsets to learn its
+    // size (the sample-table shape — hence the size — depends only on
+    // counts, never on the offsets), then with the real absolute
+    // offsets computed from ftyp/moov/mdat-header lengths.
+    def buildMoov(chunkOffsets: Seq[Long]): Array[Byte] = {
+      val ver = if (version1) 1 else 0
+      def beTime(v: Long): Array[Byte] = // creation/mod/duration width
+        if (version1) be32(v >>> 32) ++ be32(v) else be32(v)
+      val mvhd = fullBox("mvhd", ver, 0,
+        beTime(0), beTime(0), // creation, modification
+        be32(fps.toLong), beTime(n.toLong), // timescale, duration
+        be32(0x00010000L), be16(0x0100), be16(0), // rate, volume, reserved
+        be32(0), be32(0), // reserved
+        unityMatrix,
+        Array.fill(24)(0.toByte), // pre_defined
+        be32(2)) // next_track_ID
+      val tkhd = fullBox("tkhd", ver, 3, // enabled | in_movie
+        beTime(0), beTime(0), be32(1), be32(0), // creation, mod, track_ID, reserved
+        beTime(n.toLong), // duration (movie timescale = media timescale here)
+        be32(0), be32(0), // reserved
+        be16(0), be16(0), be16(0), be16(0), // layer, altgroup, volume, reserved
+        unityMatrix,
+        be32(w.toLong << 16), be32(h.toLong << 16)) // 16.16 fixed
+      val mdhd = fullBox("mdhd", ver, 0,
+        beTime(0), beTime(0), be32(fps.toLong), beTime(n.toLong),
+        be16(0x55c4), be16(0)) // language "und", pre_defined
+      val hdlr = fullBox("hdlr", 0, 0,
+        be32(0), "vide".getBytes("US-ASCII"),
+        be32(0), be32(0), be32(0), // reserved
+        "GraftVideoHandler ".getBytes("US-ASCII"))
+      val stsd = {
+        // VisualSampleEntry, fourcc "mpng": 8 header + 6 reserved +
+        // 2 data_ref_idx + 16 pre_defined/reserved + 2 width +
+        // 2 height + 4+4 dpi + 4 reserved + 2 frame_count +
+        // 32 compressorname + 2 depth + 2 pre_defined = 86 bytes
+        val entry = box("mpng",
+          Array.fill(6)(0.toByte), be16(1), // reserved, data_reference_index
+          Array.fill(16)(0.toByte), // pre_defined + reserved
+          be16(w), be16(h),
+          be32(0x00480000L), be32(0x00480000L), // 72 dpi
+          be32(0), be16(1), // reserved, frame_count
+          Array.fill(32)(0.toByte), // compressorname (empty pascal string)
+          be16(24), be16(0xffff)) // depth, pre_defined
+        fullBox("stsd", 0, 0, be32(1), entry)
+      }
+      val stts = fullBox("stts", 0, 0, be32(1), be32(n.toLong), be32(1))
+      val stsc = {
+        // run-coded samples-per-chunk: one entry when every chunk is
+        // full, two when the last chunk is ragged
+        val rem = n % spc
+        val entries =
+          if (nChunks == 1) Seq((1L, n.toLong))
+          else if (rem == 0) Seq((1L, spc.toLong))
+          else Seq((1L, spc.toLong), (nChunks.toLong, rem.toLong))
+        fullBox("stsc", 0, 0,
+          (be32(entries.length.toLong) +:
+            entries.flatMap { case (fc, c) =>
+              Seq(be32(fc), be32(c), be32(1)) }): _*)
+      }
+      val stsz = fullBox("stsz", 0, 0, be32(0), be32(n.toLong),
+        samples.toArray.flatMap(s => be32(s.length.toLong)))
+      val stco =
+        if (useCo64) fullBox("co64", 0, 0, be32(nChunks.toLong),
+          chunkOffsets.toArray.flatMap(o => be32(o >>> 32) ++ be32(o)))
+        else fullBox("stco", 0, 0, be32(nChunks.toLong),
+          chunkOffsets.toArray.flatMap(be32))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val vmhd = fullBox("vmhd", 0, 1, be16(0), be16(0), be16(0), be16(0))
+      val dref = fullBox("dref", 0, 0, be32(1), fullBox("url ", 0, 1))
+      val minf = box("minf", vmhd, box("dinf", dref), stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      box("moov", mvhd, trak)
+    }
+
+    val moovLen = buildMoov(Seq.fill(nChunks)(0L)).length
+    val mdatPayloadStart = ftyp.length.toLong + moovLen + 8
+    val chunkOffsets = chunkSizes.scanLeft(mdatPayloadStart)(_ + _).init
+    val moov = buildMoov(chunkOffsets)
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    out.write(be32(8L + chunkSizes.sum))
+    out.write("mdat".getBytes("US-ASCII"))
+    samples.foreach(out.write)
+    out.toByteArray
+  }
+
+  // ---- Walker ---------------------------------------------------------
+
+  /** Per-track parse state, committed only for the FIRST `vide`
+    * handler track — a later audio/subtitle track (or second video)
+    * must not overwrite the pinned track's tables, mirroring the AVI
+    * walker's first-vids-stream pinning. */
+  private final class TrakState {
+    var handler: String = null
+    var timescale = -1L
+    var duration = -1L
+    var width = -1; var height = -1
+    var codec: String = null
+    var sttsTotal = -1L
+    var sizes: Array[Long] = null
+    var stscFirstChunk: Array[Long] = null
+    var stscSamplesPerChunk: Array[Long] = null
+    var chunkOffsets: Array[Long] = null
+  }
+
+  /** Caps on header-DECLARED counts, enforced before any allocation:
+    * a crafted stsz/stco count field costs 4 bytes to declare but
+    * `count * 8` heap bytes to believe — an OutOfMemoryError is an
+    * Error that escapes the Exception quarantine and can take the
+    * executor down. Non-uniform counts are additionally bounded by
+    * the bytes actually present in the declaring box; the cap is the
+    * only guard for the uniform-stsz shape, whose count costs nothing
+    * to declare but `count × 8` bytes to expand (4M caps that at
+    * 32 MB transient, well inside the image codec's 256 MB raster
+    * budget). */
+  private val maxDeclaredSamples = 1 << 22 // 4M samples ≈ a day of 50fps
+
+  private def malformed(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  /** Boxes the walker descends into or reads fields from: a truncated
+    * instance of one of THESE is malformed (the metadata cannot be
+    * trusted); a truncated box the walker merely skips — above all a
+    * tail-cut `mdat` — ends that level's walk gracefully instead, so
+    * moov-first files keep their metadata when the payload is cut
+    * (exactly how real players treat progressive downloads; the
+    * sample-range resolution still quarantines the PAYLOAD, which is
+    * the stage split the quarantine gates report). */
+  private val parsedBoxes = Set("moov", "trak", "mdia", "minf", "stbl",
+    "mvhd", "tkhd", "mdhd", "hdlr", "stsd", "stts", "stsz", "stsc",
+    "stco", "co64")
+
+  /** Walk the box tree: metadata from tkhd/mdhd/stsd plus the raw
+    * sample tables of the first `vide` track. None for anything that
+    * is not a spec-shaped MP4 (wrong/missing ftyp, truncated metadata
+    * boxes, inconsistent sample tables). Sample BYTE ranges are
+    * resolved separately by [[resolveSamples]] so a readable header
+    * over a truncated payload keeps its metadata. */
+  private def parseMeta(blob: Array[Byte]): Option[(Mp4Meta, TrakState)] = {
+    if (blob == null || blob.length < 16) return None
+    // the first box must be ftyp (every spec-conformant file leads
+    // with it) — the MP4 analogue of the RIFF/AVI magic check
+    if (u32(blob, 0) < 16 || fourcc(blob, 4) != "ftyp") return None
+    try {
+      // depth cap: spec-shaped files nest ≤ ~6 container levels
+      // (moov → trak → mdia → minf → stbl), but a corrupt/adversarial
+      // blob of back-to-back 8-byte container headers would
+      // StackOverflowError — an Error, which ESCAPES the Exception
+      // quarantine below. Past the cap the blob is declared malformed.
+      val maxDepth = 16
+      var committed: TrakState = null
+
+      def walk(from: Int, to: Int, depth: Int, trak: TrakState): Unit = {
+        if (depth > maxDepth) malformed("box nesting too deep")
+        var pos = from
+        while (pos + 8 <= to) {
+          val declared = u32(blob, pos)
+          val tpe = fourcc(blob, pos + 4)
+          // size==1 → 64-bit largesize follows; size==0 → to end of
+          // enclosing box (both spec-legal; real >4 GB corpora use them)
+          var bodyStart = pos + 8
+          val end: Long =
+            if (declared == 1L) {
+              if (pos + 16 > to) malformed("truncated largesize header")
+              bodyStart = pos + 16
+              val ls = u64(blob, pos + 8)
+              if (ls < 16) malformed("largesize below header size")
+              pos + ls
+            } else if (declared == 0L) to.toLong
+            else if (declared < 8) malformed("box size below header size")
+            else pos + declared
+          if (end > to) {
+            if (parsedBoxes(tpe)) malformed("truncated " + tpe)
+            return // tail-cut skipped box (e.g. mdat): metadata stands
+          }
+          val bodyEnd = end.toInt
+
+          tpe match {
+            case "moov" | "mdia" | "minf" | "stbl" =>
+              walk(bodyStart, bodyEnd, depth + 1, trak)
+            case "trak" =>
+              val st = new TrakState
+              walk(bodyStart, bodyEnd, depth + 1, st)
+              if (st.handler == "vide" && committed == null) committed = st
+            case "mdhd" if trak != null =>
+              if (bodyStart + 4 > bodyEnd) malformed("truncated mdhd")
+              val v = blob(bodyStart) & 0xff
+              // v0: creation(4) mod(4) timescale(4) duration(4)
+              // v1: creation(8) mod(8) timescale(4) duration(8)
+              if (v == 1) {
+                if (bodyStart + 32 > bodyEnd) malformed("truncated mdhd v1")
+                trak.timescale = u32(blob, bodyStart + 20)
+                trak.duration = u64(blob, bodyStart + 24)
+              } else {
+                if (bodyStart + 24 > bodyEnd) malformed("truncated mdhd v0")
+                trak.timescale = u32(blob, bodyStart + 12)
+                trak.duration = u32(blob, bodyStart + 16)
+              }
+            case "hdlr" if trak != null =>
+              if (bodyStart + 12 > bodyEnd) malformed("truncated hdlr")
+              trak.handler = fourcc(blob, bodyStart + 8)
+            case "tkhd" if trak != null =>
+              // geometry fallback (stsd's integer dims win when present):
+              // vf(4) creation mod track_ID reserved duration (4 bytes
+              // each at v0, times 8 bytes at v1) reserved(8) layer(2)
+              // alt(2) vol(2) res(2) matrix(36) → width at body+76 (v0)
+              // / +88 (v1), both 16.16 fixed
+              val v = blob(bodyStart) & 0xff
+              val wOff = bodyStart + (if (v == 1) 88 else 76)
+              if (wOff + 8 <= bodyEnd) {
+                trak.width = (u32(blob, wOff) >> 16).toInt
+                trak.height = (u32(blob, wOff + 4) >> 16).toInt
+              }
+            case "stsd" if trak != null =>
+              if (bodyStart + 8 > bodyEnd) malformed("truncated stsd")
+              if (u32(blob, bodyStart + 4) >= 1) {
+                val entry = bodyStart + 8
+                if (entry + 8 > bodyEnd) malformed("truncated sample entry")
+                trak.codec = fourcc(blob, entry + 4).trim.toLowerCase
+                // VisualSampleEntry dims (see encodeMp4's layout note)
+                if (entry + 36 <= bodyEnd) {
+                  trak.width = u16(blob, entry + 32)
+                  trak.height = u16(blob, entry + 34)
+                }
+              }
+            case "stts" if trak != null =>
+              if (bodyStart + 8 > bodyEnd) malformed("truncated stts")
+              val nEnt = u32(blob, bodyStart + 4)
+              if (bodyStart + 8 + nEnt * 8 > bodyEnd) malformed("stts entries past box")
+              var total = 0L; var i = 0L
+              while (i < nEnt) {
+                total += u32(blob, (bodyStart + 8 + i * 8).toInt)
+                i += 1
+              }
+              trak.sttsTotal = total
+            case "stsz" if trak != null =>
+              if (bodyStart + 12 > bodyEnd) malformed("truncated stsz")
+              val uniform = u32(blob, bodyStart + 4)
+              val count = u32(blob, bodyStart + 8)
+              if (count > maxDeclaredSamples) malformed("stsz count past cap")
+              if (uniform == 0L) {
+                // per-sample sizes: the declared count must fit the
+                // bytes actually present BEFORE the array allocation
+                if (bodyStart + 12 + count * 4 > bodyEnd)
+                  malformed("stsz sizes past box")
+                val sizes = new Array[Long](count.toInt)
+                var i = 0
+                while (i < sizes.length) {
+                  sizes(i) = u32(blob, bodyStart + 12 + i * 4); i += 1
+                }
+                trak.sizes = sizes
+              } else trak.sizes = Array.fill(count.toInt)(uniform)
+            case "stsc" if trak != null =>
+              if (bodyStart + 8 > bodyEnd) malformed("truncated stsc")
+              val nEnt = u32(blob, bodyStart + 4)
+              if (bodyStart + 8 + nEnt * 12 > bodyEnd) malformed("stsc entries past box")
+              val fc = new Array[Long](nEnt.toInt)
+              val sp = new Array[Long](nEnt.toInt)
+              var i = 0
+              while (i < fc.length) {
+                fc(i) = u32(blob, bodyStart + 8 + i * 12)
+                sp(i) = u32(blob, bodyStart + 12 + i * 12)
+                // first_chunk runs must start at 1 and strictly increase
+                if (fc(i) < 1 || (i > 0 && fc(i) <= fc(i - 1)) || sp(i) < 1)
+                  malformed("stsc run not increasing")
+                i += 1
+              }
+              if (fc.nonEmpty && fc(0) != 1L) malformed("stsc must start at chunk 1")
+              trak.stscFirstChunk = fc
+              trak.stscSamplesPerChunk = sp
+            case "stco" | "co64" if trak != null =>
+              if (bodyStart + 8 > bodyEnd) malformed("truncated " + tpe)
+              val nEnt = u32(blob, bodyStart + 4)
+              val entW = if (tpe == "stco") 4 else 8
+              if (bodyStart + 8 + nEnt * entW > bodyEnd)
+                malformed(tpe + " offsets past box")
+              val offs = new Array[Long](nEnt.toInt)
+              var i = 0
+              while (i < offs.length) {
+                offs(i) = if (entW == 4) u32(blob, bodyStart + 8 + i * 4)
+                  else u64(blob, bodyStart + 8 + i * 8)
+                i += 1
+              }
+              trak.chunkOffsets = offs
+            case _ => () // ftyp, mdat, free, udta, edts, … — skipped
+          }
+          if (end.toInt <= pos) malformed("non-advancing box")
+          pos = end.toInt
+        }
+      }
+
+      walk(0, blob.length, 0, null)
+      val t = committed
+      if (t == null || t.sizes == null || t.stscFirstChunk == null ||
+        t.chunkOffsets == null || t.timescale <= 0 || t.width < 0) return None
+      // stts is the sample count's second witness: when present it
+      // must agree with stsz (a spec-shaped file keeps them in sync;
+      // disagreement means a corrupt table and the samples can't be
+      // trusted)
+      if (t.sttsTotal >= 0 && t.sttsTotal != t.sizes.length) return None
+      val n = t.sizes.length
+      val meta = Mp4Meta(t.width, t.height, n, t.timescale.toInt,
+        if (t.duration >= 0) t.duration * 1000L / t.timescale else -1L,
+        if (t.codec != null) t.codec else "unknown")
+      Some((meta, t))
+    } catch { case _: Exception => None }
+  }
+
+  /** Resolve sample → byte range through the stsc run walk: run i
+    * covers chunks [firstChunk(i), firstChunk(i+1)), each holding
+    * samplesPerChunk(i) consecutive samples laid back-to-back at the
+    * chunk's stco/co64 offset. None when any resolved range falls
+    * outside the blob (truncated mdat, offset table past EOF) or the
+    * chunk table can't cover the declared sample count — SAMPLE-depth
+    * quarantine, reached only after the metadata already parsed. */
+  private def resolveSamples(blob: Array[Byte],
+      t: TrakState): Option[Array[Array[Byte]]] = {
+    val n = t.sizes.length
+    val samples = new Array[Array[Byte]](n)
+    var si = 0
+    var run = 0
+    var chunk = 0 // 0-based
+    while (si < n && chunk < t.chunkOffsets.length) {
+      while (run + 1 < t.stscFirstChunk.length &&
+        chunk + 1 >= t.stscFirstChunk(run + 1)) run += 1
+      val spc = t.stscSamplesPerChunk(run)
+      var off = t.chunkOffsets(chunk)
+      var k = 0L
+      while (k < spc && si < n) {
+        val size = t.sizes(si)
+        if (off < 0 || size < 0 || off + size > blob.length)
+          return None
+        samples(si) = java.util.Arrays.copyOfRange(
+          blob, off.toInt, (off + size).toInt)
+        off += size; si += 1; k += 1
+      }
+      chunk += 1
+    }
+    if (si != n) None else Some(samples)
+  }
+
+  private def parse(blob: Array[Byte]): Option[(Mp4Meta, Array[Array[Byte]])] =
+    parseMeta(blob).flatMap { case (m, t) =>
+      resolveSamples(blob, t).map(s => (m, s)) }
+
+  /** Container metadata from the moov walk alone — survives a
+    * truncated/absent payload (stage split: header vs sample depth). */
+  def decodeMeta(blob: Array[Byte]): Mp4Meta =
+    parseMeta(blob).map(_._1).orNull
+
+  /** Stored sample payloads (PNG bytes for the fixture clips),
+    * container-level only — no pixel decode. Null for non-MP4 bytes
+    * or sample ranges outside the blob. */
+  def samples(blob: Array[Byte]): Array[Array[Byte]] =
+    parse(blob).map(_._2).orNull
+
+  /** Per-sample mean of pixel channel 0 (exact for solid fills), via
+    * the same ImageIO decode as [[Multimodal.ImageCodec]]. Null if the
+    * container or ANY sample fails to decode — a partially-readable
+    * clip quarantines whole, like corrupt bytes (the
+    * [[Multimodal.VideoCodec.frameMeans]] contract). */
+  def frameMeans(blob: Array[Byte]): Array[Double] =
+    parse(blob).flatMap { case (_, fs) =>
+      val means = fs.map(f => Option(Multimodal.ImageCodec.channelMeans(f)))
+      if (means.exists(_.isEmpty)) None
+      else Some(means.map(_.get.head))
+    }.orNull
+
+  /** Deterministic keyframe decimation: keep every `stride`-th sample
+    * and re-encode the container (timescale unchanged — the sampled
+    * clip is shorter, exactly ceil(n/stride) samples), mirroring
+    * [[Multimodal.VideoCodec.decimate]]. */
+  def decimate(blob: Array[Byte], stride: Int): Array[Byte] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    parse(blob).map { case (m, fs) =>
+      encodeMp4(fs.zipWithIndex.collect { case (f, i) if i % stride == 0 => f },
+        m.width, m.height, m.timescale)
+    }.orNull
+  }
+
+  /** Solid-fill fixture: `nFrames` gray samples at `fps`; samples
+    * before `cutIdx` fill `vA`, from `cutIdx` on fill `vB` (cutIdx<0 =
+    * no cut). Every statistic is exactly computable in the SQL oracle
+    * from the parameters — the MP4 twin of
+    * [[Multimodal.VideoCodec.encodeSolidAvi]] (at most TWO distinct
+    * PNG encodes per clip, same reuse note). */
+  def encodeSolidMp4(nFrames: Int, w: Int, h: Int, fps: Int,
+      cutIdx: Int, vA: Int, vB: Int): Array[Byte] = {
+    val pngA = Multimodal.ImageCodec.encodePng(w, h, vA, vA, vA)
+    lazy val pngB = Multimodal.ImageCodec.encodePng(w, h, vB, vB, vB)
+    encodeMp4((0 until nFrames).map { i =>
+      if (cutIdx >= 0 && i >= cutIdx) pngB else pngA
+    }, w, h, fps)
+  }
+
+  /** Pattern MP4 fixture (the temporal analogue of the pattern PNG/WAV/
+    * AVI encoders): 64 solid gray samples, sample i filled `hi` when
+    * bit i of `pattern` is set, else `lo` — so [[frameMeans]] recovers
+    * the pattern exactly and the temporal fingerprint is
+    * SQL-predictable. */
+  def encodePatternMp4(pattern: Long, w: Int, h: Int, fps: Int,
+      hi: Int, lo: Int): Array[Byte] = {
+    val pngHi = Multimodal.ImageCodec.encodePng(w, h, hi, hi, hi)
+    val pngLo = Multimodal.ImageCodec.encodePng(w, h, lo, lo, lo)
+    encodeMp4((0 until 64).map { i =>
+      if (((pattern >>> i) & 1L) != 0L) pngHi else pngLo
+    }, w, h, fps)
+  }
+
+  // ---- Column wrappers (Scala UDFs over the byte functions) ----------
+
+  import org.apache.spark.sql.functions.udf
+
+  val decodeMetaUdf = udf((b: Array[Byte]) => Option(decodeMeta(b))
+    .map(m => (m.width, m.height, m.nSamples, m.timescale, m.durationMs,
+      m.codec)))
+  val frameMeansUdf = udf((b: Array[Byte]) => Option(frameMeans(b)))
+  def decimateUdf(stride: Int) = {
+    require(stride >= 1, s"stride must be >= 1, got $stride") // at build
+    udf((b: Array[Byte]) => Option(decimate(b, stride)))
+  }
+  val encodeSolidMp4Udf =
+    udf((nf: Int, w: Int, h: Int, fps: Int, cut: Int, vA: Int, vB: Int) =>
+      encodeSolidMp4(nf, w, h, fps, cut, vA, vB))
+  val encodePatternMp4Udf =
+    udf((p: Long, w: Int, h: Int, fps: Int) =>
+      encodePatternMp4(p, w, h, fps, 200, 40))
+}

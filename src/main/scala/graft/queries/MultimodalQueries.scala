@@ -529,6 +529,119 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY modality, corrupted""")
   )
 
+  /** REAL MP4/ISO-BMFF container decode (pure JVM, public ISO/IEC
+    * 14496-12 spec): per-doc solid-fill Motion-PNG clips are encoded
+    * executor-side into full ftyp/moov/mdat files — multi-sample
+    * chunks, real stsz/stsc/stco sample tables — then the box tree is
+    * re-walked for geometry/timescale/sample-count/duration metadata,
+    * the stsc→stco→stsz chunk walk resolves every sample's byte range,
+    * per-sample means drive intensity-delta cut detection, and a
+    * keyframe decimation re-encodes and re-parses the container.
+    * Deterministic fuzz rows pin the STAGE-ATTRIBUTED quarantine
+    * contract: ~1 doc in 7 is cut inside the ftyp header (container
+    * depth — every column NULL) and ~1 in 7 loses its mdat tail
+    * (sample depth — the moov-first metadata still reads, the sample
+    * ranges quarantine), so the oracle predicts each row's quarantine
+    * stage from doc_id arithmetic alone. Narrow per-row projections
+    * throughout: the decode never shuffles. */
+  private val q254 = GQ(
+    "q254_mp4_decode",
+    (s, dir) => {
+      import graft.multimodal.Mp4Codec
+      val d = mediaRows(s, dir)
+        .withColumn("nf", (lit(3) + pmod(col("doc_id"), lit(6))).cast("int"))
+        .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(9))).cast("int"))
+        .withColumn("h", (lit(8) + pmod(col("doc_id") * 3, lit(9))).cast("int"))
+        .withColumn("fps", (lit(5) + pmod(col("doc_id"), lit(10))).cast("int"))
+        .withColumn("va", pmod(col("doc_id"), lit(200)).cast("int"))
+        .withColumn("cut", when(pmod(col("doc_id"), lit(2)) === 0,
+          (lit(1) + pmod(col("doc_id"), (col("nf") - 1).cast("long"))).cast("int"))
+          .otherwise(lit(-1)))
+      d.withColumn("blob0", Mp4Codec.encodeSolidMp4Udf(
+          col("nf"), col("w"), col("h"), col("fps"), col("cut"),
+          col("va"), col("va") + 40))
+        // two corruption depths, Column-side: header cut (inside ftyp)
+        // vs payload cut (mdat tail) — the moov-first layout makes the
+        // second readable at metadata depth by construction
+        .withColumn("blob",
+          when(pmod(col("doc_id"), lit(7)) === 0, expr("substring(blob0, 1, 20)"))
+          .when(pmod(col("doc_id"), lit(7)) === 1,
+            expr("substring(blob0, 1, length(blob0) - 5)"))
+          .otherwise(col("blob0")))
+        .withColumn("meta", Mp4Codec.decodeMetaUdf(col("blob")))
+        .withColumn("means", Mp4Codec.frameMeansUdf(col("blob")))
+        // Column-side cut detection over the means the row already
+        // decoded (see q249); NULL means must stay NULL
+        .withColumn("cuts", expr(
+          """CASE WHEN means IS NULL THEN CAST(NULL AS array<int>)
+                  WHEN size(means) >= 2 THEN
+               filter(sequence(1, size(means) - 1), i ->
+                 abs(element_at(means, i + 1) - element_at(means, i)) > 20.0D)
+             ELSE cast(array() AS array<int>) END"""))
+        .withColumn("small", Mp4Codec.decimateUdf(2)(col("blob")))
+        .withColumn("smeta", Mp4Codec.decodeMetaUdf(col("small")))
+        .select(
+          col("doc_id"),
+          col("meta._1").as("width"), col("meta._2").as("height"),
+          col("meta._3").as("n_samples"), col("meta._4").as("timescale"),
+          col("meta._5").as("duration_ms"), col("meta._6").as("codec"),
+          get(col("means"), lit(0)).as("mean_first"),
+          get(col("means"), col("meta._3") - 1).as("mean_last"),
+          when(col("cuts").isNull, lit(null).cast("int"))
+            .otherwise(size(col("cuts"))).as("n_cuts"),
+          when(col("means").isNull, lit(null).cast("int"))
+            .otherwise(coalesce(get(col("cuts"), lit(0)), lit(-1))).as("cut_idx"),
+          col("smeta._3").as("ds_samples"),
+          col("smeta._5").as("ds_duration_ms"),
+          // the stage attribution a 100 TB first-scan reports: which
+          // decode depth quarantined the row
+          when(col("meta").isNull, lit("container"))
+            .when(col("means").isNull, lit("sample"))
+            .otherwise(lit("ok")).as("stage"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CASE WHEN kind = 'container' THEN NULL
+                   ELSE CAST(w AS INTEGER) END AS width,
+              CASE WHEN kind = 'container' THEN NULL
+                   ELSE CAST(h AS INTEGER) END AS height,
+              CASE WHEN kind = 'container' THEN NULL
+                   ELSE CAST(nf AS INTEGER) END AS n_samples,
+              CASE WHEN kind = 'container' THEN NULL
+                   ELSE CAST(fps AS INTEGER) END AS timescale,
+              CASE WHEN kind = 'container' THEN NULL
+                   ELSE CAST(nf * 1000 // fps AS BIGINT) END AS duration_ms,
+              CASE WHEN kind = 'container' THEN NULL ELSE 'mpng' END AS codec,
+              CASE WHEN kind = 'ok' THEN CAST(va AS DOUBLE) END AS mean_first,
+              CASE WHEN kind = 'ok' THEN
+                CAST(CASE WHEN cut >= 0 THEN va + 40 ELSE va END AS DOUBLE)
+                END AS mean_last,
+              CASE WHEN kind = 'ok' THEN
+                CAST(CASE WHEN cut >= 0 THEN 1 ELSE 0 END AS INTEGER)
+                END AS n_cuts,
+              CASE WHEN kind = 'ok' THEN CAST(cut AS INTEGER) END AS cut_idx,
+              CASE WHEN kind = 'ok'
+                   THEN CAST(ceil(nf / 2.0) AS INTEGER) END AS ds_samples,
+              CASE WHEN kind = 'ok'
+                   THEN CAST(CAST(ceil(nf / 2.0) AS BIGINT) * 1000 // fps AS BIGINT)
+                END AS ds_duration_ms,
+              kind AS stage
+            FROM (SELECT doc_id,
+                    3 + doc_id % 6 AS nf,
+                    8 + doc_id % 9 AS w,
+                    8 + (doc_id * 3) % 9 AS h,
+                    5 + doc_id % 10 AS fps,
+                    doc_id % 200 AS va,
+                    CASE WHEN doc_id % 2 = 0
+                         THEN 1 + doc_id % (2 + doc_id % 6)
+                         ELSE -1 END AS cut,
+                    CASE WHEN doc_id % 7 = 0 THEN 'container'
+                         WHEN doc_id % 7 = 1 THEN 'sample'
+                         ELSE 'ok' END AS kind
+                  FROM documents)
+            ORDER BY doc_id""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -553,5 +666,6 @@ object MultimodalQueries extends QueryBatch {
   )
 
   override def queries: Seq[GQ] =
-    Seq(q130, q131, q132, q246, q247, q248, q249, q250, q251, q252, q253)
+    Seq(q130, q131, q132, q246, q247, q248, q249, q250, q251, q252, q253,
+      q254)
 }

@@ -1,0 +1,218 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+
+class Mp4CodecSpec extends SparkTestBase {
+
+  test("solid MP4 round-trips: metadata, sample count, frame means, duration") {
+    // 7 samples at spc=3 → chunks of 3/3/1: the ragged tail forces TWO
+    // stsc run entries, so the chunk walk is exercised beyond the
+    // trivial single-run shape
+    val blob = Mp4Codec.encodeSolidMp4(7, 16, 12, 10, cutIdx = 3, vA = 50, vB = 90)
+    val m = Mp4Codec.decodeMeta(blob)
+    assert(m != null)
+    assert((m.width, m.height, m.nSamples, m.timescale, m.durationMs, m.codec)
+      === (16, 12, 7, 10, 700L, "mpng"))
+    val means = Mp4Codec.frameMeans(blob)
+    assert(means.toSeq === Seq(50.0, 50.0, 50.0, 90.0, 90.0, 90.0, 90.0))
+  }
+
+  test("every chunk-layout shape resolves all samples (1 chunk, full runs, ragged tail)") {
+    // n = 2 (one partial chunk), 3 (exactly one full chunk), 6 (two
+    // full), 7 (ragged) — each a distinct stsc run encoding
+    Seq(2, 3, 6, 7, 11).foreach { n =>
+      val blob = Mp4Codec.encodeSolidMp4(n, 8, 8, 5, cutIdx = -1, vA = 70, vB = 0)
+      val m = Mp4Codec.decodeMeta(blob)
+      assert(m != null && m.nSamples == n, s"n=$n")
+      val fs = Mp4Codec.samples(blob)
+      assert(fs.length == n, s"n=$n")
+      // every resolved byte range must be a decodable PNG of the right fill
+      val means = Mp4Codec.frameMeans(blob)
+      assert(means.toSeq === Seq.fill(n)(70.0), s"n=$n")
+    }
+  }
+
+  test("decimate keeps every stride-th sample and re-encodes a parseable container") {
+    val blob = Mp4Codec.encodeSolidMp4(7, 8, 8, 10, cutIdx = 2, vA = 30, vB = 80)
+    val small = Mp4Codec.decimate(blob, 2)
+    val m = Mp4Codec.decodeMeta(small)
+    assert(m != null && m.nSamples == 4 && m.durationMs == 400L)
+    // kept samples are original 0,2,4,6 → fills 30,80,80,80
+    assert(Mp4Codec.frameMeans(small).toSeq === Seq(30.0, 80.0, 80.0, 80.0))
+  }
+
+  test("pattern MP4 frameMeans recover the pattern exactly") {
+    val pattern = 0x5A5A00FF12345601L
+    val blob = Mp4Codec.encodePatternMp4(pattern, 8, 8, 10, hi = 200, lo = 40)
+    val means = Mp4Codec.frameMeans(blob)
+    assert(means.length == 64)
+    (0 until 64).foreach { i =>
+      val expected = if (((pattern >>> i) & 1L) != 0L) 200.0 else 40.0
+      assert(means(i) === expected, s"sample $i")
+    }
+  }
+
+  test("co64 offsets and version-1 headers parse identically to stco/v0") {
+    val frames = (0 until 5).map(i =>
+      Multimodal.ImageCodec.encodePng(8, 8, 10 * i, 10 * i, 10 * i))
+    val variants = Seq(
+      Mp4Codec.encodeMp4Variant(frames, 8, 8, 4, useCo64 = true, version1 = false),
+      Mp4Codec.encodeMp4Variant(frames, 8, 8, 4, useCo64 = false, version1 = true),
+      Mp4Codec.encodeMp4Variant(frames, 8, 8, 4, useCo64 = true, version1 = true))
+    variants.zipWithIndex.foreach { case (blob, vi) =>
+      val m = Mp4Codec.decodeMeta(blob)
+      assert(m != null, s"variant $vi")
+      assert((m.width, m.height, m.nSamples, m.timescale, m.durationMs)
+        === (8, 8, 5, 4, 1250L), s"variant $vi")
+      assert(Mp4Codec.frameMeans(blob).toSeq ===
+        Seq(0.0, 10.0, 20.0, 30.0, 40.0), s"variant $vi")
+    }
+  }
+
+  test("stage split: truncated mdat keeps moov metadata, quarantines samples") {
+    // moov precedes mdat in the fixture layout, so cutting the tail
+    // leaves the metadata readable while the resolved sample ranges
+    // fall outside the blob — the container analogue of the image
+    // codec's header-vs-raster split
+    val blob = Mp4Codec.encodeSolidMp4(5, 8, 8, 5, cutIdx = -1, vA = 60, vB = 0)
+    val cut = java.util.Arrays.copyOfRange(blob, 0, blob.length - 5)
+    val meta = Mp4Codec.decodeMeta(cut)
+    assert(meta != null && meta.nSamples == 5) // meta survives
+    assert(Mp4Codec.samples(cut) == null)
+    assert(Mp4Codec.frameMeans(cut) == null)
+  }
+
+  test("header-depth corruption quarantines everything as NULL, never throws") {
+    val blob = Mp4Codec.encodeSolidMp4(4, 8, 8, 5, cutIdx = -1, vA = 60, vB = 0)
+    val headerCut = java.util.Arrays.copyOfRange(blob, 0, 20) // inside ftyp
+    assert(Mp4Codec.decodeMeta(headerCut) == null)
+    assert(Mp4Codec.frameMeans(headerCut) == null)
+    assert(Mp4Codec.decodeMeta("not an mp4 at all".getBytes("UTF-8")) == null)
+    assert(Mp4Codec.decodeMeta(Array.empty[Byte]) == null)
+    assert(Mp4Codec.decodeMeta(null) == null)
+  }
+
+  test("adversarial shapes quarantine instead of OOM/SOE/looping") {
+    def boxBytes(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val len = 8 + body.length
+      Array(((len >> 24) & 0xff).toByte, ((len >> 16) & 0xff).toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++
+        tpe.getBytes("US-ASCII") ++ body
+    }
+    val ftyp = boxBytes("ftyp", "isom".getBytes ++ Array.fill(4)(0.toByte))
+    // (1) deep nesting: 1000 nested moov headers would StackOverflowError
+    // an uncapped recursive walker — SOE is an Error and escapes the
+    // Exception quarantine, so the depth cap must reject first
+    val deep = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(ftyp)
+      val levels = 1000
+      val innerLen = 8 * levels
+      (0 until levels).foreach { i =>
+        val len = innerLen - 8 * i
+        bos.write(Array(((len >> 24) & 0xff).toByte, ((len >> 16) & 0xff).toByte,
+          ((len >> 8) & 0xff).toByte, (len & 0xff).toByte))
+        bos.write("moov".getBytes("US-ASCII"))
+      }
+      bos.toByteArray
+    }
+    assert(Mp4Codec.decodeMeta(deep) == null)
+    // (2) crafted uniform stsz declaring 2^31 samples: believing the
+    // count would allocate gigabytes before any range check
+    val bomb = {
+      val stsz = boxBytes("stsz", Array.fill(4)(0.toByte) ++
+        Array(0, 0, 0, 1).map(_.toByte) ++ // uniform size 1
+        Array(0x7f, 0xff, 0xff, 0xff).map(_.toByte)) // count = 2^31-1
+      val stbl = boxBytes("stbl", stsz)
+      val minf = boxBytes("minf", stbl)
+      val hdlr = boxBytes("hdlr", Array.fill(8)(0.toByte) ++
+        "vide".getBytes ++ Array.fill(12)(0.toByte))
+      val mdia = boxBytes("mdia", hdlr ++ minf)
+      val trak = boxBytes("trak", mdia)
+      ftyp ++ boxBytes("moov", trak)
+    }
+    assert(Mp4Codec.decodeMeta(bomb) == null)
+    // (3) zero-size box loop: a size-below-header box must be rejected,
+    // not walked forever
+    val loop = ftyp ++ Array(0, 0, 0, 7).map(_.toByte) ++ "moov".getBytes
+    assert(Mp4Codec.decodeMeta(loop) == null)
+  }
+
+  test("single-byte fuzz across the whole container never throws") {
+    val blob = Mp4Codec.encodeSolidMp4(4, 8, 8, 5, cutIdx = 1, vA = 60, vB = 90)
+    // flip one byte at a stride across the file: every outcome is legal
+    // (decode, partial-meta, or NULL) as long as nothing throws
+    (0 until blob.length by 7).foreach { i =>
+      val fuzz = blob.clone()
+      fuzz(i) = (fuzz(i) ^ 0x5a).toByte
+      Mp4Codec.decodeMeta(fuzz)
+      Mp4Codec.frameMeans(fuzz)
+      Mp4Codec.samples(fuzz)
+    }
+    // truncate at every 13th length: same contract
+    (0 until blob.length by 13).foreach { n =>
+      val cut = java.util.Arrays.copyOfRange(blob, 0, n)
+      Mp4Codec.decodeMeta(cut)
+      Mp4Codec.frameMeans(cut)
+    }
+  }
+
+  test("UDF path: encode → meta/means/decimate through Spark columns") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, 4, 30), (2L, 7, 90), (3L, 5, 150)).toDF("id", "nf", "v")
+      .withColumn("blob", Mp4Codec.encodeSolidMp4Udf(
+        col("nf"), lit(8), lit(8), lit(10), lit(-1), col("v"), lit(0)))
+      .withColumn("meta", Mp4Codec.decodeMetaUdf(col("blob")))
+      .withColumn("means", Mp4Codec.frameMeansUdf(col("blob")))
+      .withColumn("small", Mp4Codec.decimateUdf(2)(col("blob")))
+      .withColumn("smeta", Mp4Codec.decodeMetaUdf(col("small")))
+      .select(col("id"), col("meta._3").as("n"), col("meta._4").as("ts"),
+        col("meta._5").as("dur"), element_at(col("means"), 1).as("m0"),
+        col("smeta._3").as("dn"))
+      .orderBy("id")
+    val rows = df.collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+      r.getLong(3), r.getDouble(4), r.getInt(5))).toSeq === Seq(
+      (1L, 4, 10, 400L, 30.0, 2),
+      (2L, 7, 10, 700L, 90.0, 4),
+      (3L, 5, 10, 500L, 150.0, 3)))
+    // parameter errors fail fast at build, not per row
+    intercept[IllegalArgumentException](Mp4Codec.decimateUdf(0))
+  }
+
+  test("first vide track is pinned; a foreign track does not overwrite it") {
+    // splice a second trak (handler "soun", no sample tables) AFTER the
+    // video trak inside moov: the walker must keep the first vide
+    // track's tables — mirroring the AVI walker's first-vids pinning
+    val blob = Mp4Codec.encodeSolidMp4(3, 8, 8, 5, cutIdx = -1, vA = 45, vB = 0)
+    def be(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val hdlrSoun = be(8 + 4 + 4 + 4 + 12) ++ "hdlr".getBytes ++
+      Array.fill(4)(0.toByte) ++ Array.fill(4)(0.toByte) ++
+      "soun".getBytes ++ Array.fill(12)(0.toByte)
+    val mdia2 = be(8 + hdlrSoun.length) ++ "mdia".getBytes ++ hdlrSoun
+    val trak2 = be(8 + mdia2.length) ++ "trak".getBytes ++ mdia2
+    // locate moov (second top-level box, right after ftyp)
+    val ftypLen = ((blob(0) & 0xff) << 24) | ((blob(1) & 0xff) << 16) |
+      ((blob(2) & 0xff) << 8) | (blob(3) & 0xff)
+    val moovStart = ftypLen
+    val moovLen = ((blob(moovStart) & 0xff) << 24) | ((blob(moovStart + 1) & 0xff) << 16) |
+      ((blob(moovStart + 2) & 0xff) << 8) | (blob(moovStart + 3) & 0xff)
+    val moovEnd = moovStart + moovLen
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(blob, 0, moovStart)
+    out.write(be(moovLen + trak2.length)); out.write("moov".getBytes)
+    out.write(blob, moovStart + 8, moovLen - 8)
+    out.write(trak2)
+    out.write(blob, moovEnd, blob.length - moovEnd)
+    // NOTE: stco offsets now point 8 + trak2.length bytes short — but
+    // the ranges still land inside the (unchanged-size) mdat region?
+    // No: the file GREW by trak2.length, so the old absolute offsets
+    // now point into the moov tail — range-valid but byte-shifted.
+    // That is fine for THIS test: we only assert the committed track
+    // is the vide one (meta), not sample content.
+    val m = Mp4Codec.decodeMeta(out.toByteArray)
+    assert(m != null && m.nSamples == 3 && m.codec == "mpng" && m.width == 8)
+  }
+}
