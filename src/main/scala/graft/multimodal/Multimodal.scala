@@ -506,6 +506,28 @@ object Multimodal {
       encodeFilled(w, h, "png")((_, _, band) =>
         if (band == 0) r else if (band == 1) g else b)
 
+    /** Solid PNG with the IDAT payload's leading bytes zeroed — the
+      * raster-depth quarantine probe: the chunk STRUCTURE stays intact
+      * (lengths, IEND, header chunks untouched), so header-depth
+      * metadata reads fine, but the zlib stream inside IDAT turns
+      * invalid (a zero CMF byte fails inflate immediately) and every
+      * pixel-level stage quarantines with NULL. Truncation cannot
+      * model this depth for PNG: the reader's type probing walks the
+      * chunk list to IEND, so a tail-cut file fails at HEADER depth
+      * too. Zeroing is bounded by the IDAT chunk's declared length so
+      * the corruption never bleeds into the CRC-following IEND. */
+    def encodeRasterCorruptPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val full = encodePng(w, h, r, g, b)
+      val idat = full.indexOfSlice("IDAT".getBytes("US-ASCII"))
+      require(idat >= 4, "encoded PNG lacks an IDAT chunk")
+      val declared = ((full(idat - 4) & 0xff) << 24) |
+        ((full(idat - 3) & 0xff) << 16) |
+        ((full(idat - 2) & 0xff) << 8) | (full(idat - 1) & 0xff)
+      val out = full.clone()
+      (idat + 4 until idat + 4 + math.min(declared, 20)).foreach(out(_) = 0)
+      out
+    }
+
     /** JPEG encoder (default quality) — exercises the lossy decode path
       * in specs; pixel stats are approximate there by nature. */
     def encodeJpeg(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
@@ -525,6 +547,9 @@ object Multimodal {
     }
     val encodePngUdf =
       udf((w: Int, h: Int, r: Int, g: Int, b: Int) => encodePng(w, h, r, g, b))
+    val encodeRasterCorruptPngUdf =
+      udf((w: Int, h: Int, r: Int, g: Int, b: Int) =>
+        encodeRasterCorruptPng(w, h, r, g, b))
     val aHashUdf = udf((b: Array[Byte]) => Option(aHash(b)).map(_.longValue))
     val encodePatternPngUdf =
       udf((p: Long, cell: Int) => encodePatternPng(p, cell))
@@ -765,6 +790,30 @@ object Multimodal {
       }.orNull
     }
 
+    /** 8-bit UNSIGNED mono WAV fixture — the PCM-depth quarantine
+      * probe: every installed reader decodes its header fine
+      * (decodeMeta reports rate/channels/bits=8), but [[readPcm16]]
+      * rejects the encoding, so the sample-level stages quarantine
+      * with NULL. Models the non-PCM16 content a real mixed-audio
+      * drop contains — corruption BELOW the header, which a
+      * stage-attributed quarantine report must distinguish from
+      * unreadable bytes. */
+    def encodeWav8(frames: Int, sampleRate: Int, value: Int): Array[Byte] = {
+      require(frames >= 0, s"frames must be >= 0, got $frames")
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+      val pcm = Array.fill(frames)((value & 0xff).toByte)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val w = fileWriters.find(_.isFileTypeSupported(t, in)).getOrElse(
+        throw new IllegalStateException("no WAVE AudioFileWriter installed"))
+      w.write(in, t, bos)
+      bos.toByteArray
+    }
+
     /** Pattern WAV fixture encoder (the audio analogue of
       * [[ImageCodec]]'s pattern PNG): 64 equal windows of mono PCM16 at
       * 8 kHz, window i filled with amplitude `hi` when bit i of
@@ -806,6 +855,8 @@ object Multimodal {
     val encodeWavUdf = udf((frames: Int, rate: Int, v0: Int, v1: Int, ch: Int) =>
       encodeWav(frames, rate,
         if (ch >= 2) Array(v0.toShort, v1.toShort) else Array(v0.toShort)))
+    val encodeWav8Udf = udf((frames: Int, rate: Int, v: Int) =>
+      encodeWav8(frames, rate, v))
     def windowMeansUdf(windows: Int) = {
       require(windows >= 1, s"windows must be >= 1, got $windows") // at build
       udf((b: Array[Byte]) => Option(windowMeans(b, windows)))
@@ -1063,6 +1114,27 @@ object Multimodal {
       }, w, h, fps)
     }
 
+    /** Solid AVI with ONE frame payload replaced by non-PNG garbage —
+      * the frame-depth quarantine probe: the container walks fine
+      * (decodeMeta reports geometry/fps/frame count from the intact
+      * headers and chunk layout), but [[frameMeans]] hits the
+      * undecodable payload and quarantines the whole clip with NULL.
+      * Models a clip whose interior frames are corrupt past the
+      * container — the depth a stage-attributed quarantine report must
+      * distinguish from a broken container walk. */
+    def encodeBadFrameAvi(nFrames: Int, w: Int, h: Int, fps: Int,
+        v: Int, badIdx: Int): Array[Byte] = {
+      require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+      val png = ImageCodec.encodePng(w, h, v, v, v)
+      // deterministic garbage that no ImageIO reader claims (and that
+      // is NOT a valid PNG prefix, so the cached-reader path also
+      // rejects it cleanly)
+      val bad = Array.tabulate(24)(i => ((i * 41 + 7) & 0xff).toByte)
+      encodeAvi((0 until nFrames).map(i =>
+        if (i == ((badIdx % nFrames + nFrames) % nFrames)) bad else png),
+        w, h, fps)
+    }
+
     /** Pattern AVI fixture encoder (the temporal analogue of
       * [[ImageCodec]]'s pattern PNG): 64 solid gray frames, frame i
       * filled `hi` when bit i of `pattern` is set, else `lo` — so
@@ -1096,6 +1168,9 @@ object Multimodal {
     val encodeSolidAviUdf =
       udf((nf: Int, w: Int, h: Int, fps: Int, cut: Int, vA: Int, vB: Int) =>
         encodeSolidAvi(nf, w, h, fps, cut, vA, vB))
+    val encodeBadFrameAviUdf =
+      udf((nf: Int, w: Int, h: Int, fps: Int, v: Int, badIdx: Int) =>
+        encodeBadFrameAvi(nf, w, h, fps, v, badIdx))
     val encodePatternAviUdf =
       udf((p: Long, w: Int, h: Int, fps: Int) =>
         encodePatternAvi(p, w, h, fps, 200, 40))

@@ -642,6 +642,101 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY doc_id""")
   )
 
+  /** STAGE-ATTRIBUTED media quarantine report: q253 counts WHETHER a
+    * blob quarantined; this gate reports WHERE — which decode stage
+    * rejected it — across all four modalities (image/audio/AVI/MP4,
+    * doc_id % 4). Two deterministic corruption depths per modality:
+    * a 20-byte header cut (header/container stage: nothing decodes)
+    * and a BELOW-header corruption that leaves metadata readable while
+    * the sample-level stage quarantines — zeroed IDAT payload (image →
+    * 'raster'), 8-bit non-PCM16 WAV (audio → 'pcm'), one garbage frame
+    * payload in a walkable AVI (video → 'frame'), truncated mdat under
+    * an intact moov (mp4 → 'sample'). The oracle predicts every row's
+    * stage from doc_id arithmetic alone, so the per-stage NULL
+    * contracts of all eight decode depths are oracle-gated, not just
+    * spec-pinned. One narrow projection + one small rollup: at 100 TB
+    * this is a single scan — the triage report that tells a pipeline
+    * owner whether a bad drop is unreadable files or corrupt payloads
+    * inside readable containers (very different upstream bugs). */
+  private val q255 = GQ(
+    "q255_media_quarantine_stages",
+    (s, dir) => {
+      import Multimodal.{AudioCodec, ImageCodec, VideoCodec}
+      import graft.multimodal.Mp4Codec
+      val d = mediaRows(s, dir)
+        .withColumn("modality", pmod(col("doc_id"), lit(4)).cast("int"))
+        .withColumn("kind",
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("header"))
+            .when(pmod(col("doc_id"), lit(7)) === 1, lit("deep"))
+            .otherwise(lit("ok")))
+        .withColumn("v", pmod(col("doc_id"), lit(200)).cast("int"))
+      // CASE branches evaluate lazily per row (the q253 pattern): each
+      // row pays exactly one modality's encode, deep rows paying their
+      // corrupted-fixture variant instead of surgery on a second blob
+      val blob0 = when(col("modality") === 0,
+          when(col("kind") === "deep", ImageCodec.encodeRasterCorruptPngUdf(
+            lit(16), lit(16), col("v"), lit(0), lit(0)))
+          .otherwise(ImageCodec.encodePngUdf(
+            lit(16), lit(16), col("v"), lit(0), lit(0))))
+        .when(col("modality") === 1,
+          when(col("kind") === "deep", AudioCodec.encodeWav8Udf(
+            lit(64), lit(8000), col("v")))
+          .otherwise(AudioCodec.encodeWavUdf(
+            lit(64), lit(8000), col("v"), lit(0), lit(1))))
+        .when(col("modality") === 2,
+          when(col("kind") === "deep", VideoCodec.encodeBadFrameAviUdf(
+            lit(3), lit(8), lit(8), lit(5), col("v"), lit(1)))
+          .otherwise(VideoCodec.encodeSolidAviUdf(lit(3), lit(8), lit(8),
+            lit(5), lit(-1), col("v"), lit(0))))
+        .otherwise(Mp4Codec.encodeSolidMp4Udf(lit(3), lit(8), lit(8),
+          lit(5), lit(-1), col("v"), lit(0)))
+      val d2 = d.withColumn("blob0", blob0)
+        .withColumn("blob",
+          when(col("kind") === "header", expr("substring(blob0, 1, 20)"))
+          // mp4's below-header depth is the payload cut, not a fixture
+          .when(col("kind") === "deep" && col("modality") === 3,
+            expr("substring(blob0, 1, length(blob0) - 5)"))
+          .otherwise(col("blob0")))
+        .withColumn("meta_ok",
+          when(col("modality") === 0, ImageCodec.decodeMetaUdf(col("blob")).isNotNull)
+          .when(col("modality") === 1, AudioCodec.decodeMetaUdf(col("blob")).isNotNull)
+          .when(col("modality") === 2, VideoCodec.decodeMetaUdf(col("blob")).isNotNull)
+          .otherwise(Mp4Codec.decodeMetaUdf(col("blob")).isNotNull))
+        .withColumn("deep_ok",
+          when(col("modality") === 0, ImageCodec.channelMeansUdf(col("blob")).isNotNull)
+          .when(col("modality") === 1, AudioCodec.channelMeansUdf(col("blob")).isNotNull)
+          .when(col("modality") === 2, VideoCodec.frameMeansUdf(col("blob")).isNotNull)
+          .otherwise(Mp4Codec.frameMeansUdf(col("blob")).isNotNull))
+        .withColumn("stage",
+          when(!col("meta_ok"),
+            when(col("modality").isin(0, 1), lit("header"))
+              .otherwise(lit("container")))
+          .when(!col("deep_ok"),
+            when(col("modality") === 0, lit("raster"))
+              .when(col("modality") === 1, lit("pcm"))
+              .when(col("modality") === 2, lit("frame"))
+              .otherwise(lit("sample")))
+          .otherwise(lit("ok")))
+      d2.groupBy("modality", "stage")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("modality", "stage")
+    },
+    Some("""SELECT CAST(m AS INTEGER) AS modality, stage,
+              CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT doc_id % 4 AS m,
+                    CASE WHEN doc_id % 7 = 0 THEN
+                           CASE WHEN doc_id % 4 IN (0, 1) THEN 'header'
+                                ELSE 'container' END
+                         WHEN doc_id % 7 = 1 THEN
+                           CASE doc_id % 4 WHEN 0 THEN 'raster'
+                                WHEN 1 THEN 'pcm' WHEN 2 THEN 'frame'
+                                ELSE 'sample' END
+                         ELSE 'ok' END AS stage
+                  FROM documents)
+            GROUP BY 1, 2
+            ORDER BY modality, stage""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -667,5 +762,5 @@ object MultimodalQueries extends QueryBatch {
 
   override def queries: Seq[GQ] =
     Seq(q130, q131, q132, q246, q247, q248, q249, q250, q251, q252, q253,
-      q254)
+      q254, q255)
 }

@@ -561,6 +561,35 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.sampleFrames(df, "blob", frameSize = 4, stride = 0))
   }
 
+  test("stage-depth fixtures: raster-cut PNG, 8-bit WAV, bad-frame AVI") {
+    import Multimodal.{AudioCodec, ImageCodec, VideoCodec}
+    // each fixture decodes at METADATA depth but quarantines at its
+    // modality's sample/pixel depth — the per-stage split the
+    // quarantine-report gate attributes (header vs raster vs pcm vs
+    // frame), pinned here byte-level before the oracle relies on it
+    // raster corruption: IDAT payload zeroed, chunk structure intact
+    // (truncation would fail HEADER depth too — the PNG reader's type
+    // probe walks the chunk list to IEND)
+    val cut = ImageCodec.encodeRasterCorruptPng(12, 9, 5, 6, 7)
+    val im = ImageCodec.decodeMeta(cut)
+    assert(im != null && im.width == 12 && im.height == 9 && im.format == "png")
+    assert(ImageCodec.channelMeans(cut) == null)
+    assert(ImageCodec.aHash(cut) == null)
+    // 8-bit unsigned WAV: header-valid, PCM16 stages reject
+    val w8 = AudioCodec.encodeWav8(100, 8000, 77)
+    val am = AudioCodec.decodeMeta(w8)
+    assert(am != null && am.bitsPerSample == 8 && am.frames == 100L &&
+      am.sampleRate == 8000)
+    assert(AudioCodec.channelMeans(w8) == null)
+    assert(AudioCodec.peak(w8) == null)
+    // bad-frame AVI: container walks, frame decode quarantines whole
+    val avi = VideoCodec.encodeBadFrameAvi(5, 8, 8, 10, 60, badIdx = 2)
+    val vm = VideoCodec.decodeMeta(avi)
+    assert(vm != null && vm.nFrames == 5 && vm.fps == 10)
+    assert(VideoCodec.frameMeans(avi) == null)
+    assert(VideoCodec.frames(avi) != null) // chunk payloads still listed
+  }
+
   test("cached writer recovers after a mid-write failure (eviction, not poison)") {
     import Multimodal.ImageCodec
     // the per-thread WRITER cache mirror of the reader-reset test: an
