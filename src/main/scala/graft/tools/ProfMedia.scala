@@ -26,6 +26,7 @@ object ProfMedia {
     val rowsSmall = if (args.length > 0) args(0).toInt else 50000
     val rowsLarge = if (args.length > 1) args(1).toInt else 500000
     val threads = if (args.length > 2) args(2).toInt else 32
+    import graft.multimodal.Mp4Codec
     import graft.multimodal.Multimodal.{ImageCodec, VideoCodec}
 
     // q246's exact fixture parameterization (MultimodalQueries.q246)
@@ -63,6 +64,27 @@ object ProfMedia {
       val small = VideoCodec.decimate(blob, 2)
       val sm = VideoCodec.decodeMeta(small)
       m.nFrames + means.length + sm.nFrames
+    }
+
+    // q254's exact fixture parameterization (same shape family as
+    // q249's, so the AVI-vs-MP4 µs/row delta is container cost alone)
+    def mp4Fixture(id: Long): Array[Byte] = {
+      val nf = (3 + id % 6).toInt
+      val cut = if (id % 2 == 0) (1 + id % (nf - 1)).toInt else -1
+      val va = (id % 200).toInt
+      Mp4Codec.encodeSolidMp4(nf, (8 + id % 9).toInt,
+        (8 + (id * 3) % 9).toInt, (5 + id % 10).toInt, cut, va, va + 40)
+    }
+
+    // q254's exact per-row chain: encode → box-tree meta → per-sample
+    // means → decimate transcode → re-parse meta
+    def mp4Row(id: Long): Int = {
+      val blob = mp4Fixture(id)
+      val m = Mp4Codec.decodeMeta(blob)
+      val means = Mp4Codec.frameMeans(blob)
+      val small = Mp4Codec.decimate(blob, 2)
+      val sm = Mp4Codec.decodeMeta(small)
+      m.nSamples + means.length + sm.nSamples
     }
 
     def benchOnce(totalRows: Int)(row: Long => Int): Double = {
@@ -107,6 +129,7 @@ object ProfMedia {
     // warm-up: JIT + codec class init outside any timed window
     bench("warmup image", math.min(rowsSmall, 20000))(imageRow)
     bench("warmup video", math.min(rowsSmall, 20000))(videoRow)
+    bench("warmup mp4", math.min(rowsSmall, 20000))(mp4Row)
 
     // Mechanism A/B for the per-thread ImageWriter cache, alternating
     // inside ONE JVM so ambient box load hits both arms equally (the
@@ -151,7 +174,12 @@ object ProfMedia {
     val iL = bench(s"image chain, $rowsLarge rows", rowsLarge)(imageRow)
     val vS = bench(s"video chain, $rowsSmall rows", rowsSmall)(videoRow)
     val vL = bench(s"video chain, $rowsLarge rows", rowsLarge)(videoRow)
+    val mS = bench(s"mp4 chain, $rowsSmall rows", rowsSmall)(mp4Row)
+    val mL = bench(s"mp4 chain, $rowsLarge rows", rowsLarge)(mp4Row)
     println(f"[profmedia] image us/row large/small = ${iL / iS}%.2f  " +
-      f"video = ${vL / vS}%.2f  (flat marginal cost => ~1.0)")
+      f"video = ${vL / vS}%.2f  mp4 = ${mL / mS}%.2f  " +
+      "(flat marginal cost => ~1.0)")
+    println(f"[profmedia] mp4/avi container overhead = ${(mS + mL) / (vS + vL)}%.2fx " +
+      "(same frame pixels, different container walk)")
   }
 }
