@@ -219,6 +219,112 @@ object Mp4Codec {
     out.toByteArray
   }
 
+  /** Write a FRAGMENTED MP4 (fMP4 — the DASH/HLS streaming layout):
+    * `moov` carries the track headers, an EMPTY `stbl` (zero-entry
+    * stts/stsc/stsz/stco — spec-shaped for a fragmented movie) and
+    * `mvex/trex` defaults (1 timescale-tick per sample, so duration
+    * falls out of the fragment walk); the samples arrive as
+    * `samplesPerFragment`-sized `moof`+`mdat` pairs whose `trun`
+    * data offsets anchor on default-base-is-moof. Exercises the
+    * fragment walk against bytes this encoder itself lays out —
+    * the metadata (geometry, sample count, duration) is identical to
+    * [[encodeMp4]]'s for the same inputs, which is what lets the q254
+    * oracle cover both layouts with one prediction. */
+  def encodeFragmentedMp4(samples: Seq[Array[Byte]], w: Int, h: Int,
+      fps: Int, samplesPerFragment: Int = 2): Array[Byte] = {
+    require(fps > 0, "fps must be positive")
+    require(samples.nonEmpty, "an fMP4 fixture needs at least one sample")
+    require(samplesPerFragment >= 1, "samplesPerFragment must be >= 1")
+    val n = samples.length
+
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "iso5".getBytes("US-ASCII"))
+
+    val moov = {
+      val mvhd = fullBox("mvhd", 0, 0,
+        be32(0), be32(0), be32(fps.toLong), be32(0), // duration 0: fragmented
+        be32(0x00010000L), be16(0x0100), be16(0),
+        be32(0), be32(0), unityMatrix,
+        Array.fill(24)(0.toByte), be32(2))
+      val tkhd = fullBox("tkhd", 0, 3,
+        be32(0), be32(0), be32(1), be32(0), be32(0),
+        be32(0), be32(0),
+        be16(0), be16(0), be16(0), be16(0), unityMatrix,
+        be32(w.toLong << 16), be32(h.toLong << 16))
+      val mdhd = fullBox("mdhd", 0, 0,
+        be32(0), be32(0), be32(fps.toLong), be32(0), be16(0x55c4), be16(0))
+      val hdlr = fullBox("hdlr", 0, 0,
+        be32(0), "vide".getBytes("US-ASCII"),
+        be32(0), be32(0), be32(0),
+        "GraftVideoHandler ".getBytes("US-ASCII"))
+      val stsd = {
+        val entry = box("mpng",
+          Array.fill(6)(0.toByte), be16(1),
+          Array.fill(16)(0.toByte),
+          be16(w), be16(h),
+          be32(0x00480000L), be32(0x00480000L),
+          be32(0), be16(1),
+          Array.fill(32)(0.toByte),
+          be16(24), be16(0xffff))
+        fullBox("stsd", 0, 0, be32(1), entry)
+      }
+      val stbl = box("stbl", stsd,
+        fullBox("stts", 0, 0, be32(0)),
+        fullBox("stsc", 0, 0, be32(0)),
+        fullBox("stsz", 0, 0, be32(0), be32(0)),
+        fullBox("stco", 0, 0, be32(0)))
+      val vmhd = fullBox("vmhd", 0, 1, be16(0), be16(0), be16(0), be16(0))
+      val dref = fullBox("dref", 0, 0, be32(1), fullBox("url ", 0, 1))
+      val minf = box("minf", vmhd, box("dinf", dref), stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      // trex: track 1, sample_description_index 1, default duration
+      // 1 tick (timescale = fps → one frame per tick), default size 0
+      // (every trun carries explicit sizes), default flags 0
+      val trex = fullBox("trex", 0, 0,
+        be32(1), be32(1), be32(1), be32(0), be32(0))
+      box("moov", mvhd, trak, box("mvex", trex))
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    var seq = 1
+    var idx = 0
+    while (idx < n) {
+      val frag = samples.slice(idx, math.min(n, idx + samplesPerFragment))
+      def buildMoof(dataOffset: Long): Array[Byte] = {
+        val mfhd = fullBox("mfhd", 0, 0, be32(seq.toLong))
+        val tfhd = fullBox("tfhd", 0, 0x020000, be32(1)) // default-base-is-moof
+        val tfdt = fullBox("tfdt", 0, 0, be32(idx.toLong))
+        val trun = fullBox("trun", 0, 0x201, // data-offset + sample-size
+          be32(frag.length.toLong), be32(dataOffset),
+          frag.toArray.flatMap(s => be32(s.length.toLong)))
+        box("moof", mfhd, box("traf", tfhd, tfdt, trun))
+      }
+      // two-pass: the trun's data_offset (moof start → mdat payload)
+      // depends only on the moof's own length, which the offset's
+      // fixed 4 bytes cannot change
+      val moofLen = buildMoof(0).length
+      out.write(buildMoof(moofLen + 8L))
+      out.write(be32(8L + frag.map(_.length).sum))
+      out.write("mdat".getBytes("US-ASCII"))
+      frag.foreach(out.write)
+      seq += 1; idx += frag.length
+    }
+    out.toByteArray
+  }
+
+  /** Fragmented twin of [[encodeSolidMp4]] — same SQL-predictable
+    * statistics from the same parameters, different container layout. */
+  def encodeSolidFragmentedMp4(nFrames: Int, w: Int, h: Int, fps: Int,
+      cutIdx: Int, vA: Int, vB: Int): Array[Byte] = {
+    val pngA = Multimodal.ImageCodec.encodePng(w, h, vA, vA, vA)
+    lazy val pngB = Multimodal.ImageCodec.encodePng(w, h, vB, vB, vB)
+    encodeFragmentedMp4((0 until nFrames).map { i =>
+      if (cutIdx >= 0 && i >= cutIdx) pngB else pngA
+    }, w, h, fps)
+  }
+
   // ---- Walker ---------------------------------------------------------
 
   /** Per-track parse state, committed only for the FIRST `vide`
@@ -227,6 +333,7 @@ object Mp4Codec {
     * walker's first-vids-stream pinning. */
   private final class TrakState {
     var handler: String = null
+    var trackId = -1L
     var timescale = -1L
     var duration = -1L
     var width = -1; var height = -1
@@ -236,6 +343,12 @@ object Mp4Codec {
     var stscFirstChunk: Array[Long] = null
     var stscSamplesPerChunk: Array[Long] = null
     var chunkOffsets: Array[Long] = null
+    // fragmented-MP4 state (moof/traf/trun): per-sample byte ranges
+    // resolved at fragment-walk time, plus the fragments' total
+    // duration in media-timescale ticks (an fMP4's mdhd duration is
+    // legitimately 0 — the movie grows by appending fragments)
+    val fragRanges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var fragDurationTicks = 0L
   }
 
   /** Caps on header-DECLARED counts, enforced before any allocation:
@@ -284,6 +397,110 @@ object Mp4Codec {
       // quarantine below. Past the cap the blob is declared malformed.
       val maxDepth = 16
       var committed: TrakState = null
+      // mvex/trex per-track defaults (fragmented files): track_ID →
+      // (default_sample_duration, default_sample_size). Populated
+      // while walking moov, consumed at moof time — spec order
+      // guarantees moov precedes every moof.
+      val trexDefaults = scala.collection.mutable.Map[Long, (Long, Long)]()
+
+      // ---- fragment walk (fMP4: moof → traf → tfhd/trun) ------------
+      // Resolves each trun's per-sample byte ranges against the
+      // default-base-is-moof / base-data-offset anchor and appends
+      // them to the committed video track. Prefix-valid by design:
+      // fragments are the append unit of the format, so a file cut
+      // AFTER a complete fragment still yields that prefix's samples
+      // (ranges pointing past the cut still quarantine in
+      // resolveSamples).
+      def parseTraf(moofPos: Long, from: Int, to: Int): Unit = {
+        val t = committed
+        if (t == null) return
+        var trafTrack = -1L
+        var baseOffset = moofPos // default-base-is-moof and the common default
+        var defSize = -1L
+        var defDur = -1L
+        var running = -1L // next trun's start when it omits data_offset
+        var pos = from
+        while (pos + 8 <= to) {
+          val size = u32(blob, pos)
+          if (size < 8 || pos + size > to) malformed("truncated traf child")
+          val tpe = fourcc(blob, pos + 4)
+          val body = pos + 8
+          val bodyEnd = (pos + size).toInt
+          tpe match {
+            case "tfhd" =>
+              if (body + 8 > bodyEnd) malformed("truncated tfhd")
+              val flags = (u32(blob, body) & 0xffffffL).toInt
+              trafTrack = u32(blob, body + 4)
+              var off = body + 8
+              if ((flags & 0x1) != 0) { // base-data-offset present
+                if (off + 8 > bodyEnd) malformed("truncated tfhd base offset")
+                baseOffset = u64(blob, off); off += 8
+              }
+              if ((flags & 0x2) != 0) off += 4 // sample_description_index
+              if ((flags & 0x8) != 0) { // default_sample_duration
+                if (off + 4 > bodyEnd) malformed("truncated tfhd duration")
+                defDur = u32(blob, off); off += 4
+              }
+              if ((flags & 0x10) != 0) { // default_sample_size
+                if (off + 4 > bodyEnd) malformed("truncated tfhd size")
+                defSize = u32(blob, off); off += 4
+              }
+              val trex = trexDefaults.get(trafTrack)
+              if (defDur < 0) defDur = trex.map(_._1).getOrElse(-1L)
+              if (defSize < 0) defSize = trex.map(_._2).getOrElse(-1L)
+            case "trun" if trafTrack == t.trackId =>
+              if (body + 8 > bodyEnd) malformed("truncated trun")
+              val flags = (u32(blob, body) & 0xffffffL).toInt
+              val count = u32(blob, body + 4)
+              if (count + t.fragRanges.length + t.sizes.length >
+                maxDeclaredSamples) malformed("trun count past cap")
+              var off = body + 8
+              var start =
+                if ((flags & 0x1) != 0) { // data_offset present (signed)
+                  if (off + 4 > bodyEnd) malformed("truncated trun offset")
+                  val d = u32(blob, off).toInt; off += 4 // sign via toInt
+                  baseOffset + d
+                } else if (running >= 0) running
+                else baseOffset
+              if ((flags & 0x4) != 0) off += 4 // first_sample_flags
+              // per-sample field widths from the flag nibble
+              val hasDur = (flags & 0x100) != 0
+              val hasSize = (flags & 0x200) != 0
+              val perSample = (if (hasDur) 4 else 0) + (if (hasSize) 4 else 0) +
+                (if ((flags & 0x400) != 0) 4 else 0) +
+                (if ((flags & 0x800) != 0) 4 else 0)
+              if (off + count * perSample > bodyEnd)
+                malformed("trun entries past box")
+              if (!hasSize && defSize <= 0) malformed("trun without any sample size")
+              var i = 0L
+              while (i < count) {
+                var dur = defDur
+                var sz = defSize
+                var f = off + (i * perSample).toInt
+                if (hasDur) { dur = u32(blob, f); f += 4 }
+                if (hasSize) { sz = u32(blob, f); f += 4 }
+                t.fragRanges += ((start, sz))
+                start += sz
+                if (dur > 0) t.fragDurationTicks += dur
+                i += 1
+              }
+              running = start
+            case _ => () // tfdt, sbgp, sdtp, … — not needed for ranges
+          }
+          pos = (pos + size).toInt
+        }
+      }
+
+      def parseMoof(moofPos: Int, from: Int, to: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val size = u32(blob, pos)
+          if (size < 8 || pos + size > to) malformed("truncated moof child")
+          if (fourcc(blob, pos + 4) == "traf")
+            parseTraf(moofPos.toLong, pos + 8, (pos + size).toInt)
+          pos = (pos + size).toInt
+        }
+      }
 
       def walk(from: Int, to: Int, depth: Int, trak: TrakState): Unit = {
         if (depth > maxDepth) malformed("box nesting too deep")
@@ -311,12 +528,20 @@ object Mp4Codec {
           val bodyEnd = end.toInt
 
           tpe match {
-            case "moov" | "mdia" | "minf" | "stbl" =>
+            case "moov" | "mdia" | "minf" | "stbl" | "mvex" =>
               walk(bodyStart, bodyEnd, depth + 1, trak)
             case "trak" =>
               val st = new TrakState
               walk(bodyStart, bodyEnd, depth + 1, st)
               if (st.handler == "vide" && committed == null) committed = st
+            case "trex" =>
+              // per-track fragment defaults: vf(4) track_ID(4)
+              // sample_description_index(4) duration(4) size(4) flags(4)
+              if (bodyStart + 20 > bodyEnd) malformed("truncated trex")
+              trexDefaults(u32(blob, bodyStart + 4)) =
+                (u32(blob, bodyStart + 12), u32(blob, bodyStart + 16))
+            case "moof" =>
+              parseMoof(pos, bodyStart, bodyEnd)
             case "mdhd" if trak != null =>
               if (bodyStart + 4 > bodyEnd) malformed("truncated mdhd")
               val v = blob(bodyStart) & 0xff
@@ -341,6 +566,8 @@ object Mp4Codec {
               // alt(2) vol(2) res(2) matrix(36) → width at body+76 (v0)
               // / +88 (v1), both 16.16 fixed
               val v = blob(bodyStart) & 0xff
+              val idOff = bodyStart + (if (v == 1) 20 else 12)
+              if (idOff + 4 <= bodyEnd) trak.trackId = u32(blob, idOff)
               val wOff = bodyStart + (if (v == 1) 88 else 76)
               if (wOff + 8 <= bodyEnd) {
                 trak.width = (u32(blob, wOff) >> 16).toInt
@@ -433,9 +660,16 @@ object Mp4Codec {
       // disagreement means a corrupt table and the samples can't be
       // trusted)
       if (t.sttsTotal >= 0 && t.sttsTotal != t.sizes.length) return None
-      val n = t.sizes.length
+      val n = t.sizes.length + t.fragRanges.length
+      // an fMP4's mdhd duration is legitimately 0 (the movie grows by
+      // appending fragments) — fall back to the fragments' summed
+      // sample durations in the same timescale
+      val effDuration =
+        if (t.duration > 0) t.duration
+        else if (t.fragDurationTicks > 0) t.fragDurationTicks
+        else t.duration
       val meta = Mp4Meta(t.width, t.height, n, t.timescale.toInt,
-        if (t.duration >= 0) t.duration * 1000L / t.timescale else -1L,
+        if (effDuration >= 0) effDuration * 1000L / t.timescale else -1L,
         if (t.codec != null) t.codec else "unknown")
       Some((meta, t))
     } catch { case _: Exception => None }
@@ -451,7 +685,7 @@ object Mp4Codec {
   private def resolveSamples(blob: Array[Byte],
       t: TrakState): Option[Array[Array[Byte]]] = {
     val n = t.sizes.length
-    val samples = new Array[Array[Byte]](n)
+    val samples = new Array[Array[Byte]](n + t.fragRanges.length)
     var si = 0
     var run = 0
     var chunk = 0 // 0-based
@@ -471,7 +705,18 @@ object Mp4Codec {
       }
       chunk += 1
     }
-    if (si != n) None else Some(samples)
+    if (si != n) return None // chunk table too short for the stbl samples
+    // fragment samples (moof/trun), in fragment order, after the
+    // moov-described ones — same in-blob bounds contract
+    var fi = 0
+    while (fi < t.fragRanges.length) {
+      val (off, size) = t.fragRanges(fi)
+      if (off < 0 || size < 0 || off + size > blob.length) return None
+      samples(n + fi) = java.util.Arrays.copyOfRange(
+        blob, off.toInt, (off + size).toInt)
+      fi += 1
+    }
+    Some(samples)
   }
 
   private def parse(blob: Array[Byte]): Option[(Mp4Meta, Array[Array[Byte]])] =
@@ -557,6 +802,9 @@ object Mp4Codec {
   val encodeSolidMp4Udf =
     udf((nf: Int, w: Int, h: Int, fps: Int, cut: Int, vA: Int, vB: Int) =>
       encodeSolidMp4(nf, w, h, fps, cut, vA, vB))
+  val encodeSolidFragmentedMp4Udf =
+    udf((nf: Int, w: Int, h: Int, fps: Int, cut: Int, vA: Int, vB: Int) =>
+      encodeSolidFragmentedMp4(nf, w, h, fps, cut, vA, vB))
   val encodePatternMp4Udf =
     udf((p: Long, w: Int, h: Int, fps: Int) =>
       encodePatternMp4(p, w, h, fps, 200, 40))

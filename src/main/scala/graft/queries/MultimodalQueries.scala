@@ -536,7 +536,10 @@ object MultimodalQueries extends QueryBatch {
     * re-walked for geometry/timescale/sample-count/duration metadata,
     * the stsc→stco→stsz chunk walk resolves every sample's byte range,
     * per-sample means drive intensity-delta cut detection, and a
-    * keyframe decimation re-encodes and re-parses the container.
+    * keyframe decimation re-encodes and re-parses the container. A
+    * third of the rows ship FRAGMENTED (moof/trun + mvex/trex, the
+    * DASH/HLS layout), exercising the fragment walk under the same
+    * layout-blind oracle.
     * Deterministic fuzz rows pin the STAGE-ATTRIBUTED quarantine
     * contract: ~1 doc in 7 is cut inside the ftyp header (container
     * depth — every column NULL) and ~1 in 7 loses its mdat tail
@@ -557,9 +560,20 @@ object MultimodalQueries extends QueryBatch {
         .withColumn("cut", when(pmod(col("doc_id"), lit(2)) === 0,
           (lit(1) + pmod(col("doc_id"), (col("nf") - 1).cast("long"))).cast("int"))
           .otherwise(lit(-1)))
-      d.withColumn("blob0", Mp4Codec.encodeSolidMp4Udf(
-          col("nf"), col("w"), col("h"), col("fps"), col("cut"),
-          col("va"), col("va") + 40))
+      // a third of the corpus ships as FRAGMENTED MP4 (moof/trun, the
+      // DASH/HLS layout; empty stbl + mvex/trex defaults) — the oracle
+      // is layout-blind because both encoders produce identical
+      // metadata/means from the same parameters, so one prediction
+      // covers both walker paths, including the fuzz rows (a cut mdat
+      // tail quarantines at sample depth in either layout)
+      d.withColumn("blob0",
+          when(pmod(col("doc_id"), lit(3)) === 2,
+            Mp4Codec.encodeSolidFragmentedMp4Udf(
+              col("nf"), col("w"), col("h"), col("fps"), col("cut"),
+              col("va"), col("va") + 40))
+          .otherwise(Mp4Codec.encodeSolidMp4Udf(
+            col("nf"), col("w"), col("h"), col("fps"), col("cut"),
+            col("va"), col("va") + 40)))
         // two corruption depths, Column-side: header cut (inside ftyp)
         // vs payload cut (mdat tail) — the moov-first layout makes the
         // second readable at metadata depth by construction
@@ -688,6 +702,12 @@ object MultimodalQueries extends QueryBatch {
             lit(3), lit(8), lit(8), lit(5), col("v"), lit(1)))
           .otherwise(VideoCodec.encodeSolidAviUdf(lit(3), lit(8), lit(8),
             lit(5), lit(-1), col("v"), lit(0))))
+        // half the mp4 rows ship fragmented (doc_id % 8 == 3 vs == 7 —
+        // modality-3 ids are all odd); both layouts share the same
+        // stage contract: moov-read metadata survives an mdat cut
+        .when(pmod(col("doc_id"), lit(8)) === 3,
+          Mp4Codec.encodeSolidFragmentedMp4Udf(lit(3), lit(8), lit(8),
+            lit(5), lit(-1), col("v"), lit(0)))
         .otherwise(Mp4Codec.encodeSolidMp4Udf(lit(3), lit(8), lit(8),
           lit(5), lit(-1), col("v"), lit(0)))
       val d2 = d.withColumn("blob0", blob0)

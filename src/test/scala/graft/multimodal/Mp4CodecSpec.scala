@@ -181,6 +181,91 @@ class Mp4CodecSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Mp4Codec.decimateUdf(0))
   }
 
+  test("fragmented MP4 (moof/trun) parses identically to the plain layout") {
+    // the DASH/HLS shape: empty stbl, mvex/trex defaults, samples in
+    // moof+mdat pairs with default-base-is-moof trun offsets — the
+    // walker must recover the same metadata, duration (from fragment
+    // sample durations: mdhd says 0), and sample payloads
+    Seq(1, 2, 3, 5, 7).foreach { n =>
+      val plain = Mp4Codec.encodeSolidMp4(n, 10, 8, 5, cutIdx = 1, vA = 30, vB = 70)
+      val frag = Mp4Codec.encodeSolidFragmentedMp4(n, 10, 8, 5, cutIdx = 1,
+        vA = 30, vB = 70)
+      val pm = Mp4Codec.decodeMeta(plain)
+      val fm = Mp4Codec.decodeMeta(frag)
+      assert(fm != null, s"n=$n")
+      assert((fm.width, fm.height, fm.nSamples, fm.timescale, fm.durationMs,
+        fm.codec) === (pm.width, pm.height, pm.nSamples, pm.timescale,
+        pm.durationMs, pm.codec), s"n=$n")
+      assert(Mp4Codec.frameMeans(frag).toSeq ===
+        Mp4Codec.frameMeans(plain).toSeq, s"n=$n")
+    }
+  }
+
+  test("fragmented MP4 is prefix-valid: cutting after a whole fragment keeps the prefix") {
+    // fragments are the format's append unit — a file cut at a
+    // fragment boundary is a VALID shorter movie (how real streaming
+    // tools treat partial downloads); a cut inside the last mdat
+    // keeps metadata for the fragments already walked but quarantines
+    // the sample payloads whose ranges point past the cut
+    val frames = (0 until 6).map(i =>
+      Multimodal.ImageCodec.encodePng(8, 8, 20 * i, 20 * i, 20 * i))
+    val blob = Mp4Codec.encodeFragmentedMp4(frames, 8, 8, 5, samplesPerFragment = 2)
+    // locate the last mdat: cut 5 bytes into its payload
+    val cut = java.util.Arrays.copyOfRange(blob, 0, blob.length - 5)
+    val m = Mp4Codec.decodeMeta(cut)
+    assert(m != null && m.nSamples == 6) // all trun entries walked
+    assert(Mp4Codec.samples(cut) == null) // last range past the cut
+    assert(Mp4Codec.frameMeans(cut) == null)
+    // cut at the exact end of fragment 2 (before fragment 3's moof):
+    // a valid 4-sample prefix movie
+    val lastMoof = {
+      var at = -1; var i = blob.length - 8
+      while (at < 0 && i >= 0) {
+        if (blob(i + 4) == 'm' && blob(i + 5) == 'o' && blob(i + 6) == 'o' &&
+          blob(i + 7) == 'f') at = i
+        i -= 1
+      }
+      at
+    }
+    assert(lastMoof > 0)
+    val prefix = java.util.Arrays.copyOfRange(blob, 0, lastMoof)
+    val pm = Mp4Codec.decodeMeta(prefix)
+    assert(pm != null && pm.nSamples == 4 && pm.durationMs == 800L)
+    assert(Mp4Codec.frameMeans(prefix).toSeq ===
+      Seq(0.0, 20.0, 40.0, 60.0))
+  }
+
+  test("fragmented fuzz: byte flips and truncations never throw") {
+    val blob = Mp4Codec.encodeSolidFragmentedMp4(5, 8, 8, 5, cutIdx = 2,
+      vA = 40, vB = 90)
+    (0 until blob.length by 7).foreach { i =>
+      val fuzz = blob.clone()
+      fuzz(i) = (fuzz(i) ^ 0x5a).toByte
+      Mp4Codec.decodeMeta(fuzz); Mp4Codec.frameMeans(fuzz)
+    }
+    (0 until blob.length by 13).foreach { nn =>
+      val cut = java.util.Arrays.copyOfRange(blob, 0, nn)
+      Mp4Codec.decodeMeta(cut); Mp4Codec.frameMeans(cut)
+    }
+    // crafted trun declaring 2^20+ samples with no sizes anywhere must
+    // quarantine at the cap/size checks, not allocate or loop
+    def be(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftypLen = ((blob(0) & 0xff) << 24) | ((blob(1) & 0xff) << 16) |
+      ((blob(2) & 0xff) << 8) | (blob(3) & 0xff)
+    val moovLen = ((blob(ftypLen) & 0xff) << 24) | ((blob(ftypLen + 1) & 0xff) << 16) |
+      ((blob(ftypLen + 2) & 0xff) << 8) | (blob(ftypLen + 3) & 0xff)
+    val head = java.util.Arrays.copyOfRange(blob, 0, ftypLen + moovLen)
+    val trunBomb = be(8 + 4 + 8) ++ "trun".getBytes ++
+      be(0) ++ be(0x7fffffff) // flags 0 (no sizes), count 2^31-1
+    val tfhd = be(8 + 4 + 4) ++ "tfhd".getBytes ++
+      Array(0.toByte, 2.toByte, 0.toByte, 0.toByte) ++ be(1) // base-is-moof
+    val traf = be(8 + tfhd.length + trunBomb.length) ++ "traf".getBytes ++
+      tfhd ++ trunBomb
+    val moof = be(8 + traf.length) ++ "moof".getBytes ++ traf
+    assert(Mp4Codec.decodeMeta(head ++ moof) == null)
+  }
+
   test("first vide track is pinned; a foreign track does not overwrite it") {
     // splice a second trak (handler "soun", no sample tables) AFTER the
     // video trak inside moov: the walker must keep the first vide
