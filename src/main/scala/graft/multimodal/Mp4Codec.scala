@@ -111,14 +111,16 @@ object Mp4Codec {
     encodeMp4Variant(samples, w, h, fps, useCo64 = false, version1 = false)
 
   /** Encoder variant knobs for the spec-legal shapes real corpora also
-    * carry — 64-bit `co64` chunk offsets and version-1 (64-bit-time)
-    * mvhd/tkhd/mdhd headers, both required for >4 GB / post-2040
-    * files — so the walker's v1/co64 branches are pinned by tests
+    * carry — 64-bit `co64` chunk offsets, version-1 (64-bit-time)
+    * mvhd/tkhd/mdhd headers (both required for >4 GB / post-2040
+    * files), and `mdatFirst` (the NON-faststart layout most capture
+    * tools write: mdat before moov, so the metadata sits at the END
+    * of the file) — so those walker branches are pinned by tests
     * against bytes this encoder itself lays out. Package-private: the
-    * public fixture surface stays the common v0/stco shape. */
+    * public fixture surface stays the common v0/stco/moov-first shape. */
   private[multimodal] def encodeMp4Variant(samples: Seq[Array[Byte]],
       w: Int, h: Int, fps: Int, useCo64: Boolean,
-      version1: Boolean): Array[Byte] = {
+      version1: Boolean, mdatFirst: Boolean = false): Array[Byte] = {
     require(fps > 0, "fps must be positive")
     require(samples.nonEmpty, "an MP4 fixture needs at least one sample")
     val n = samples.length
@@ -206,16 +208,24 @@ object Mp4Codec {
       box("moov", mvhd, trak)
     }
 
-    val moovLen = buildMoov(Seq.fill(nChunks)(0L)).length
-    val mdatPayloadStart = ftyp.length.toLong + moovLen + 8
+    // moov-first: mdat payload starts after ftyp + moov + mdat header
+    // (moov size learned from a zero-offset dry build). mdat-first:
+    // the payload position is known without a dry build — the
+    // non-faststart layout is also the layout whose absolute chunk
+    // offsets don't depend on moov's size at all.
+    val mdatPayloadStart =
+      if (mdatFirst) ftyp.length.toLong + 8
+      else ftyp.length.toLong + buildMoov(Seq.fill(nChunks)(0L)).length + 8
     val chunkOffsets = chunkSizes.scanLeft(mdatPayloadStart)(_ + _).init
     val moov = buildMoov(chunkOffsets)
 
     val out = new java.io.ByteArrayOutputStream()
-    out.write(ftyp); out.write(moov)
+    out.write(ftyp)
+    if (!mdatFirst) out.write(moov)
     out.write(be32(8L + chunkSizes.sum))
     out.write("mdat".getBytes("US-ASCII"))
     samples.foreach(out.write)
+    if (mdatFirst) out.write(moov)
     out.toByteArray
   }
 

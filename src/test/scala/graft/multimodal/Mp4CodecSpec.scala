@@ -181,6 +181,27 @@ class Mp4CodecSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Mp4Codec.decimateUdf(0))
   }
 
+  test("non-faststart layout (mdat before moov) parses identically") {
+    // most capture tools write mdat FIRST and append moov at the end;
+    // the walker must find the metadata wherever it sits, and the
+    // absolute chunk offsets resolve the same samples
+    val frames = (0 until 5).map(i =>
+      Multimodal.ImageCodec.encodePng(8, 8, 30 * i, 30 * i, 30 * i))
+    val late = Mp4Codec.encodeMp4Variant(frames, 8, 8, 4,
+      useCo64 = false, version1 = false, mdatFirst = true)
+    val m = Mp4Codec.decodeMeta(late)
+    assert(m != null)
+    assert((m.width, m.height, m.nSamples, m.timescale, m.durationMs)
+      === (8, 8, 5, 4, 1250L))
+    assert(Mp4Codec.frameMeans(late).toSeq ===
+      Seq(0.0, 30.0, 60.0, 90.0, 120.0))
+    // and the tail-cut failure mode INVERTS vs moov-first: cutting the
+    // file tail now removes the METADATA (moov is last), so the blob
+    // quarantines at container depth, not sample depth
+    val cut = java.util.Arrays.copyOfRange(late, 0, late.length - 5)
+    assert(Mp4Codec.decodeMeta(cut) == null)
+  }
+
   test("fragmented MP4 (moof/trun) parses identically to the plain layout") {
     // the DASH/HLS shape: empty stbl, mvex/trex defaults, samples in
     // moof+mdat pairs with default-base-is-moof trun offsets — the
