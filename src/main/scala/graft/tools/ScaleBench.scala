@@ -53,7 +53,8 @@ object ScaleBench {
     // q81/ProfPairs artifact), and the join is the same
     // DedupOps.fingerprintPairs already measured via q76
     "media-codec" -> Seq("q246_image_decode", "q247_audio_decode",
-      "q249_video_decode", "q253_media_quarantine", "q254_mp4_decode"))
+      "q249_video_decode", "q253_media_quarantine", "q254_mp4_decode",
+      "q255_media_quarantine_stages"))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleBench <dirSmall> <dirLarge> [gates]")

@@ -287,6 +287,52 @@ class Mp4CodecSpec extends SparkTestBase {
     assert(Mp4Codec.decodeMeta(head ++ moof) == null)
   }
 
+  test("property: every layout variant round-trips arbitrary clips identically") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic sampling (the PropertySpec idiom): arbitrary frame
+    // counts, geometry, fps and fill schedules through all five
+    // container layouts — plain, co64, version-1, non-faststart,
+    // fragmented at 1..4 samples per fragment — must agree on
+    // metadata, duration and every recovered frame mean
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      w <- Gen.choose(4, 20)
+      h <- Gen.choose(4, 20)
+      fps <- Gen.choose(1, 30)
+      fills <- Gen.listOfN(n, Gen.choose(0, 255))
+      spf <- Gen.choose(1, 4)
+    } yield (n, w, h, fps, fills, spf)
+    // deterministic seed walk — the PropertySpec samples() idiom
+    var seed = Seed(42L)
+    val cases = (1 to 25).flatMap { _ =>
+      val v = gen.apply(Gen.Parameters.default, seed)
+      seed = seed.next
+      v
+    }
+    assert(cases.size >= 12, "generator produced too few cases")
+    cases.zipWithIndex.foreach { case ((n, w, h, fps, fills, spf), i) =>
+      val frames = fills.map(v => Multimodal.ImageCodec.encodePng(w, h, v, v, v))
+      val layouts = Seq(
+        "plain" -> Mp4Codec.encodeMp4(frames, w, h, fps),
+        "co64" -> Mp4Codec.encodeMp4Variant(frames, w, h, fps,
+          useCo64 = true, version1 = false),
+        "v1" -> Mp4Codec.encodeMp4Variant(frames, w, h, fps,
+          useCo64 = false, version1 = true),
+        "mdatFirst" -> Mp4Codec.encodeMp4Variant(frames, w, h, fps,
+          useCo64 = false, version1 = false, mdatFirst = true),
+        "fragmented" -> Mp4Codec.encodeFragmentedMp4(frames, w, h, fps, spf))
+      layouts.foreach { case (name, blob) =>
+        val m = Mp4Codec.decodeMeta(blob)
+        assert(m != null, s"case $i $name")
+        assert((m.width, m.height, m.nSamples, m.timescale, m.durationMs) ===
+          (w, h, n, fps, n * 1000L / fps), s"case $i $name")
+        assert(Mp4Codec.frameMeans(blob).toSeq === fills.map(_.toDouble),
+          s"case $i $name")
+      }
+    }
+  }
+
   test("first vide track is pinned; a foreign track does not overwrite it") {
     // splice a second trak (handler "soun", no sample tables) AFTER the
     // video trak inside moov: the walker must keep the first vide
