@@ -84,6 +84,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(kept < total, s"probe must prune: $kept/$total files")
   }
 
+  test("media decode gates shuffle only at the spine repartition and the output sort") {
+    // the media family's 100 TB claim is "decode never shuffles": the
+    // whole encode→corrupt→walk→stats chain must live in scan-side
+    // projections between exactly two exchanges — the explicit by-num
+    // spine repartition (AQE-exempt; see mediaRows) and the
+    // deterministic output sort — with the parquet scan pruned to the
+    // one column the fixtures derive from. A refactor that slips a
+    // join or an extra shuffle into the chain (or widens the scan)
+    // would still return correct rows, so only this audit catches it.
+    val df = SparkEntry.queries("q254_mp4_decode")(spark, sf)
+    val full = finalPlan(df)
+    // AQE's toString appends the pre-execution "Initial Plan" — audit
+    // only the final one or every exchange double-counts
+    val p = full.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning.*REPARTITION_BY_NUM".r
+      .findAllIn(p).size == 1, s"expected exactly the spine repartition:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the output-sort exchange:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"no other shuffle may exist in a decode chain:\n$p")
+    assert(!p.contains("Join"), s"decode must not join:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"the scan must read only the fixture spine column:\n$p")
+  }
+
   test("exact near-dup verification never explodes pair×shingle") {
     // the candidate-verify join must be bounded by candidate pairs (per-doc
     // array_intersect), not a shingle-level join — a cartesian/position
