@@ -641,23 +641,28 @@ object Multimodal {
         } finally in.close()
       }.orNull
 
-    /** Fully read a PCM16 signed little-endian stream into per-frame
-      * channel samples; None for anything else (the fixture/coverage
-      * format; other encodings quarantine as null like corrupt bytes —
-      * a 100 TB pipeline filters, it doesn't throw). */
+    /** Fully read a 16-bit signed PCM stream into per-frame channel
+      * samples — BOTH byte orders, because the two containers the JDK
+      * decodes disagree: WAV is little-endian, AIFF big-endian, and a
+      * real mixed audio drop carries both. None for anything else
+      * (other encodings quarantine as null like corrupt bytes — a
+      * 100 TB pipeline filters, it doesn't throw). */
     private def readPcm16(blob: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Short])] =
       readStream(blob).flatMap { in =>
         try {
           val f = in.getFormat
-          val ok = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+          val ok = f.getSampleSizeInBits == 16 &&
             f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
           if (!ok) None
           else {
             val bytes = in.readAllBytes()
             val out = new Array[Short](bytes.length / 2)
+            val big = f.isBigEndian
             var i = 0
             while (i < out.length) {
-              out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+              out(i) =
+                if (big) (((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+                else ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
               i += 1
             }
             Some((f, out))
@@ -790,6 +795,40 @@ object Multimodal {
       }.orNull
     }
 
+    /** Constant-fill AIFF encoder — the big-endian container twin of
+      * [[encodeWav]] (same JDK SPI family: `AiffFileWriter`). An AIFF
+      * clip decodes through the identical reader walk and, with
+      * [[readPcm16]] byte-order-aware, yields the SAME sample values —
+      * which is what lets a mixed WAV/AIFF gate share one oracle. */
+    def encodeAiff(frames: Int, sampleRate: Int, values: Array[Short]): Array[Byte] = {
+      require(values.nonEmpty, "values must carry at least one channel")
+      require(frames >= 0, s"frames must be >= 0, got $frames")
+      val ch = values.length
+      val pcm = new Array[Byte](frames * ch * 2)
+      var fIdx = 0
+      while (fIdx < frames) {
+        var c = 0
+        while (c < ch) {
+          val s = values(c)
+          pcm((fIdx * ch + c) * 2) = ((s >> 8) & 0xff).toByte // big-endian
+          pcm((fIdx * ch + c) * 2 + 1) = (s & 0xff).toByte
+          c += 1
+        }
+        fIdx += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, ch, ch * 2, sampleRate.toFloat, true)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      val t = javax.sound.sampled.AudioFileFormat.Type.AIFF
+      val w = fileWriters.find(_.isFileTypeSupported(t, in)).getOrElse(
+        throw new IllegalStateException("no AIFF AudioFileWriter installed"))
+      w.write(in, t, bos)
+      bos.toByteArray
+    }
+
     /** 8-bit UNSIGNED mono WAV fixture — the PCM-depth quarantine
       * probe: every installed reader decodes its header fine
       * (decodeMeta reports rate/channels/bits=8), but [[readPcm16]]
@@ -857,6 +896,9 @@ object Multimodal {
         if (ch >= 2) Array(v0.toShort, v1.toShort) else Array(v0.toShort)))
     val encodeWav8Udf = udf((frames: Int, rate: Int, v: Int) =>
       encodeWav8(frames, rate, v))
+    val encodeAiffUdf = udf((frames: Int, rate: Int, v0: Int, v1: Int, ch: Int) =>
+      encodeAiff(frames, rate,
+        if (ch >= 2) Array(v0.toShort, v1.toShort) else Array(v0.toShort)))
     def windowMeansUdf(windows: Int) = {
       require(windows >= 1, s"windows must be >= 1, got $windows") // at build
       udf((b: Array[Byte]) => Option(windowMeans(b, windows)))

@@ -140,7 +140,9 @@ object MultimodalQueries extends QueryBatch {
   )
 
   /** REAL audio decode (javax.sound.sampled, in the JDK): per-doc
-    * constant-fill PCM16 WAVs are encoded executor-side, then decoded —
+    * constant-fill PCM16 clips — two thirds WAV (little-endian), one
+    * third AIFF (big-endian, the other container the JDK SPI family
+    * decodes) — are encoded executor-side, then decoded —
     * sample-rate/channels/bits/frames/duration metadata, exact
     * per-channel sample means, clip-scan peak, and an integer-decimation
     * downsample whose output WAV is decoded again. Constant fills make
@@ -157,8 +159,15 @@ object MultimodalQueries extends QueryBatch {
         .withColumn("v0", (pmod(col("doc_id") * 7, lit(60001)) - 30000).cast("int"))
         .withColumn("v1", (pmod(col("doc_id") * 11, lit(60001)) - 30000).cast("int"))
       docs
-        .withColumn("blob", AudioCodec.encodeWavUdf(
-          col("frames"), lit(8000), col("v0"), col("v1"), col("ch")))
+        // a third of the corpus ships as AIFF (big-endian PCM, the
+        // same JDK SPI family) — the oracle is container-blind
+        // because readPcm16 is byte-order-aware, so WAV and AIFF
+        // decode to identical values from the same parameters
+        .withColumn("blob",
+          when(pmod(col("doc_id"), lit(3)) === 1, AudioCodec.encodeAiffUdf(
+            col("frames"), lit(8000), col("v0"), col("v1"), col("ch")))
+          .otherwise(AudioCodec.encodeWavUdf(
+            col("frames"), lit(8000), col("v0"), col("v1"), col("ch"))))
         .withColumn("meta", AudioCodec.decodeMetaUdf(col("blob")))
         .withColumn("means", AudioCodec.channelMeansUdf(col("blob")))
         .withColumn("pk", AudioCodec.peakUdf(col("blob")))
@@ -695,6 +704,10 @@ object MultimodalQueries extends QueryBatch {
         .when(col("modality") === 1,
           when(col("kind") === "deep", AudioCodec.encodeWav8Udf(
             lit(64), lit(8000), col("v")))
+          // half the clean audio rows ship AIFF (modality-1 ids are
+          // ≡ 1 mod 4, so %8 splits them 1 vs 5) — same stage contract
+          .when(pmod(col("doc_id"), lit(8)) === 5, AudioCodec.encodeAiffUdf(
+            lit(64), lit(8000), col("v"), lit(0), lit(1)))
           .otherwise(AudioCodec.encodeWavUdf(
             lit(64), lit(8000), col("v"), lit(0), lit(1))))
         .when(col("modality") === 2,

@@ -590,6 +590,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(VideoCodec.frames(avi) != null) // chunk payloads still listed
   }
 
+  test("AIFF decodes identically to WAV: big-endian PCM through the same stages") {
+    import Multimodal.AudioCodec
+    // the byte-order twin: same frames/values, both containers, every
+    // stage must agree — meta, exact channel means, peak, and the
+    // decimation transcode (which re-emits WAV from either input)
+    val wav = AudioCodec.encodeWav(120, 8000, Array(1200.toShort, (-7000).toShort))
+    val aiff = AudioCodec.encodeAiff(120, 8000, Array(1200.toShort, (-7000).toShort))
+    val (wm, am) = (AudioCodec.decodeMeta(wav), AudioCodec.decodeMeta(aiff))
+    assert(am != null)
+    assert((am.sampleRate, am.channels, am.bitsPerSample, am.frames,
+      am.durationMs, am.format) === (wm.sampleRate, wm.channels,
+      wm.bitsPerSample, wm.frames, wm.durationMs, wm.format))
+    assert(AudioCodec.channelMeans(aiff).toSeq === Seq(1200.0, -7000.0))
+    assert(AudioCodec.peak(aiff).intValue === 7000)
+    val ds = AudioCodec.downsample(aiff, 4)
+    val dm = AudioCodec.decodeMeta(ds)
+    assert(dm != null && dm.sampleRate == 2000 && dm.frames == 30L)
+    assert(AudioCodec.channelMeans(ds).toSeq === Seq(1200.0, -7000.0))
+    // negative samples are where a byte-order bug hides: a BE short
+    // read LE flips sign/magnitude, so the -7000 assertions above are
+    // the actual guard; truncated AIFF quarantines like truncated WAV
+    assert(AudioCodec.decodeMeta(
+      java.util.Arrays.copyOfRange(aiff, 0, 20)) == null)
+  }
+
   test("cached writer recovers after a mid-write failure (eviction, not poison)") {
     import Multimodal.ImageCodec
     // the per-thread WRITER cache mirror of the reader-reset test: an
