@@ -162,7 +162,7 @@ object Mp4Codec {
       val hdlr = fullBox("hdlr", 0, 0,
         be32(0), "vide".getBytes("US-ASCII"),
         be32(0), be32(0), be32(0), // reserved
-        "GraftVideoHandler ".getBytes("US-ASCII"))
+        "GraftVideoHandler".getBytes("US-ASCII") :+ 0.toByte) // null-terminated name
       val stsd = {
         // VisualSampleEntry, fourcc "mpng": 8 header + 6 reserved +
         // 2 data_ref_idx + 16 pre_defined/reserved + 2 width +
@@ -266,7 +266,7 @@ object Mp4Codec {
       val hdlr = fullBox("hdlr", 0, 0,
         be32(0), "vide".getBytes("US-ASCII"),
         be32(0), be32(0), be32(0),
-        "GraftVideoHandler ".getBytes("US-ASCII"))
+        "GraftVideoHandler".getBytes("US-ASCII") :+ 0.toByte) // null-terminated name
       val stsd = {
         val entry = box("mpng",
           Array.fill(6)(0.toByte), be16(1),
