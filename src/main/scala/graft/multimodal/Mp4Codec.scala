@@ -392,7 +392,7 @@ object Mp4Codec {
     * sample tables of the first `vide` track. None for anything that
     * is not a spec-shaped MP4 (wrong/missing ftyp, truncated metadata
     * boxes, inconsistent sample tables). Sample BYTE ranges are
-    * resolved separately by [[resolveSamples]] so a readable header
+    * resolved separately by [[resolveRanges]] so a readable header
     * over a truncated payload keeps its metadata. */
   private def parseMeta(blob: Array[Byte]): Option[(Mp4Meta, TrakState)] = {
     if (blob == null || blob.length < 16) return None
@@ -420,12 +420,23 @@ object Mp4Codec {
       // fragments are the append unit of the format, so a file cut
       // AFTER a complete fragment still yields that prefix's samples
       // (ranges pointing past the cut still quarantine in
-      // resolveSamples).
-      def parseTraf(moofPos: Long, from: Int, to: Int): Unit = {
+      // resolveRanges).
+      //
+      // `prevTrafEnd` threads the spec's third base-offset anchor
+      // through the moof's trafs: when tfhd carries NEITHER
+      // base-data-offset NOR default-base-is-moof, the base defaults
+      // to the end of the PREVIOUS traf's data (moof start for the
+      // first traf) — ISO/IEC 14496-12 §8.8.7. Returns this traf's
+      // data end for the next traf's default: -1 = no data yet (base
+      // stays moof start), -2 = unknown (a foreign-track traf whose
+      // truns we skip — a later flags-less traf can't anchor on it and
+      // quarantines rather than silently resolving wrong ranges).
+      def parseTraf(moofPos: Long, from: Int, to: Int,
+          prevTrafEnd: Long): Long = {
         val t = committed
-        if (t == null) return
+        if (t == null) return prevTrafEnd
         var trafTrack = -1L
-        var baseOffset = moofPos // default-base-is-moof and the common default
+        var baseOffset = moofPos // default-base-is-moof and the first-traf default
         var defSize = -1L
         var defDur = -1L
         var running = -1L // next trun's start when it omits data_offset
@@ -445,6 +456,16 @@ object Mp4Codec {
               if ((flags & 0x1) != 0) { // base-data-offset present
                 if (off + 8 > bodyEnd) malformed("truncated tfhd base offset")
                 baseOffset = u64(blob, off); off += 8
+              } else if ((flags & 0x020000) == 0) {
+                // neither explicit base nor default-base-is-moof: the
+                // spec default is the previous traf's data end (moof
+                // start when this is the moof's first traf). A foreign
+                // traf in between (prevTrafEnd == -2) left that end
+                // unknown — quarantine instead of guessing.
+                if (prevTrafEnd >= 0) baseOffset = prevTrafEnd
+                else if (prevTrafEnd == -2L)
+                  malformed("flags-less traf after unparsed traf")
+                // prevTrafEnd == -1: first traf, moofPos default stands
               }
               if ((flags & 0x2) != 0) off += 4 // sample_description_index
               if ((flags & 0x8) != 0) { // default_sample_duration
@@ -499,15 +520,23 @@ object Mp4Codec {
           }
           pos = (pos + size).toInt
         }
+        // this traf's data end, for the next flags-less traf's base:
+        // ours with truns → running end; foreign (truns skipped, end
+        // unknowable) → -2; ours without truns → previous end stands
+        if (trafTrack >= 0 && trafTrack != t.trackId) -2L
+        else if (running >= 0) running
+        else prevTrafEnd
       }
 
       def parseMoof(moofPos: Int, from: Int, to: Int): Unit = {
         var pos = from
+        var prevTrafEnd = -1L // first traf anchors on the moof start
         while (pos + 8 <= to) {
           val size = u32(blob, pos)
           if (size < 8 || pos + size > to) malformed("truncated moof child")
           if (fourcc(blob, pos + 4) == "traf")
-            parseTraf(moofPos.toLong, pos + 8, (pos + size).toInt)
+            prevTrafEnd =
+              parseTraf(moofPos.toLong, pos + 8, (pos + size).toInt, prevTrafEnd)
           pos = (pos + size).toInt
         }
       }
@@ -670,16 +699,32 @@ object Mp4Codec {
       // disagreement means a corrupt table and the samples can't be
       // trusted)
       if (t.sttsTotal >= 0 && t.sttsTotal != t.sizes.length) return None
+      // a zero-entry stsc cannot place a nonzero stsz count in any
+      // chunk — inconsistent tables, same corrupt-metadata class as
+      // the stts/stsz disagreement above (and believing it would walk
+      // stscSamplesPerChunk(0) off the empty array at resolve time)
+      if (t.sizes.length > 0 && t.stscFirstChunk.isEmpty) return None
       val n = t.sizes.length + t.fragRanges.length
       // an fMP4's mdhd duration is legitimately 0 (the movie grows by
       // appending fragments) — fall back to the fragments' summed
-      // sample durations in the same timescale
+      // sample durations in the same timescale. When a purely-
+      // fragmented movie states BOTH (some muxers write the fragment
+      // sum into mdhd), the two count the same timescale ticks and
+      // must agree exactly — the duration's second witness, mirroring
+      // the stts/stsz rule above; disagreement is a corrupt table.
+      if (t.sizes.isEmpty && t.fragRanges.nonEmpty && t.duration > 0 &&
+        t.fragDurationTicks > 0 && t.duration != t.fragDurationTicks)
+        return None
       val effDuration =
         if (t.duration > 0) t.duration
         else if (t.fragDurationTicks > 0) t.fragDurationTicks
         else t.duration
+      // multiplyExact: mdhd duration is an unvalidated u64 — an
+      // adversarial value must quarantine (ArithmeticException → the
+      // Exception catch below), not wrap into a garbage durationMs
       val meta = Mp4Meta(t.width, t.height, n, t.timescale.toInt,
-        if (effDuration >= 0) effDuration * 1000L / t.timescale else -1L,
+        if (effDuration >= 0) Math.multiplyExact(effDuration, 1000L) / t.timescale
+        else -1L,
         if (t.codec != null) t.codec else "unknown")
       Some((meta, t))
     } catch { case _: Exception => None }
@@ -688,14 +733,29 @@ object Mp4Codec {
   /** Resolve sample → byte range through the stsc run walk: run i
     * covers chunks [firstChunk(i), firstChunk(i+1)), each holding
     * samplesPerChunk(i) consecutive samples laid back-to-back at the
-    * chunk's stco/co64 offset. None when any resolved range falls
-    * outside the blob (truncated mdat, offset table past EOF) or the
-    * chunk table can't cover the declared sample count — SAMPLE-depth
-    * quarantine, reached only after the metadata already parsed. */
-  private def resolveSamples(blob: Array[Byte],
-      t: TrakState): Option[Array[Array[Byte]]] = {
+    * chunk's stco/co64 offset. RANGES ONLY — no sample bytes are
+    * copied here: consumers stream per sample ([[frameMeans]] decodes
+    * sample i straight out of the blob and drops it before touching
+    * sample i+1, so peak live bytes per row are blob + one raster, not
+    * blob + every sample copy), or slice only what they keep
+    * ([[decimate]]). None when any resolved range falls outside the
+    * blob (truncated mdat, offset table past EOF — checked
+    * overflow-safely: a co64/tfhd offset near Long.MaxValue must fail
+    * the bounds test, not wrap past it) or the chunk table can't cover
+    * the declared sample count — SAMPLE-depth quarantine, reached only
+    * after the metadata already parsed. The whole walk is additionally
+    * Exception-quarantined: table shapes parseMeta's validation can't
+    * anticipate must yield None, never a task-killing throw. */
+  private def resolveRanges(blob: Array[Byte],
+      t: TrakState): Option[(Array[Long], Array[Int])] = try {
     val n = t.sizes.length
-    val samples = new Array[Array[Byte]](n + t.fragRanges.length)
+    // off ≤ blob.length && size ≤ blob.length - off: equivalent to
+    // off + size ≤ blob.length but immune to Long overflow
+    def inBlob(off: Long, size: Long): Boolean =
+      off >= 0 && size >= 0 && off <= blob.length &&
+        size <= blob.length - off
+    val offs = new Array[Long](n + t.fragRanges.length)
+    val lens = new Array[Int](n + t.fragRanges.length)
     var si = 0
     var run = 0
     var chunk = 0 // 0-based
@@ -707,10 +767,8 @@ object Mp4Codec {
       var k = 0L
       while (k < spc && si < n) {
         val size = t.sizes(si)
-        if (off < 0 || size < 0 || off + size > blob.length)
-          return None
-        samples(si) = java.util.Arrays.copyOfRange(
-          blob, off.toInt, (off + size).toInt)
+        if (!inBlob(off, size)) return None
+        offs(si) = off; lens(si) = size.toInt
         off += size; si += 1; k += 1
       }
       chunk += 1
@@ -721,17 +779,19 @@ object Mp4Codec {
     var fi = 0
     while (fi < t.fragRanges.length) {
       val (off, size) = t.fragRanges(fi)
-      if (off < 0 || size < 0 || off + size > blob.length) return None
-      samples(n + fi) = java.util.Arrays.copyOfRange(
-        blob, off.toInt, (off + size).toInt)
+      if (!inBlob(off, size)) return None
+      offs(n + fi) = off; lens(n + fi) = size.toInt
       fi += 1
     }
-    Some(samples)
-  }
+    Some((offs, lens))
+  } catch { case _: Exception => None }
 
-  private def parse(blob: Array[Byte]): Option[(Mp4Meta, Array[Array[Byte]])] =
+  private def parseRanges(blob: Array[Byte]): Option[(Mp4Meta, Array[Long], Array[Int])] =
     parseMeta(blob).flatMap { case (m, t) =>
-      resolveSamples(blob, t).map(s => (m, s)) }
+      resolveRanges(blob, t).map { case (offs, lens) => (m, offs, lens) } }
+
+  private def slice(blob: Array[Byte], off: Long, len: Int): Array[Byte] =
+    java.util.Arrays.copyOfRange(blob, off.toInt, off.toInt + len)
 
   /** Container metadata from the moov walk alone — survives a
     * truncated/absent payload (stage split: header vs sample depth). */
@@ -740,31 +800,52 @@ object Mp4Codec {
 
   /** Stored sample payloads (PNG bytes for the fixture clips),
     * container-level only — no pixel decode. Null for non-MP4 bytes
-    * or sample ranges outside the blob. */
+    * or sample ranges outside the blob. The one API that materializes
+    * every sample at once — by definition of its return type; the
+    * pixel paths below stream instead. */
   def samples(blob: Array[Byte]): Array[Array[Byte]] =
-    parse(blob).map(_._2).orNull
+    parseRanges(blob).map { case (_, offs, lens) =>
+      Array.tabulate(offs.length)(i => slice(blob, offs(i), lens(i)))
+    }.orNull
 
   /** Per-sample mean of pixel channel 0 (exact for solid fills), via
     * the same ImageIO decode as [[Multimodal.ImageCodec]]. Null if the
     * container or ANY sample fails to decode — a partially-readable
     * clip quarantines whole, like corrupt bytes (the
-    * [[Multimodal.VideoCodec.frameMeans]] contract). */
+    * [[Multimodal.VideoCodec.frameMeans]] contract). Streaming
+    * per-sample cursor: each sample decodes zero-copy from its blob
+    * range ([[Multimodal.ImageCodec.channelMeansAt]]) and nothing but
+    * the current raster is live, so a long clip costs blob + one
+    * frame of peak memory, not blob + all sample copies. */
   def frameMeans(blob: Array[Byte]): Array[Double] =
-    parse(blob).flatMap { case (_, fs) =>
-      val means = fs.map(f => Option(Multimodal.ImageCodec.channelMeans(f)))
-      if (means.exists(_.isEmpty)) None
-      else Some(means.map(_.get.head))
+    parseRanges(blob).flatMap { case (_, offs, lens) =>
+      val means = new Array[Double](offs.length)
+      var i = 0
+      var ok = true
+      while (ok && i < offs.length) {
+        val m = Multimodal.ImageCodec.channelMeansAt(
+          blob, offs(i).toInt, lens(i))
+        if (m == null) ok = false
+        else { means(i) = m(0); i += 1 }
+      }
+      if (ok) Some(means) else None
     }.orNull
 
   /** Deterministic keyframe decimation: keep every `stride`-th sample
     * and re-encode the container (timescale unchanged — the sampled
     * clip is shorter, exactly ceil(n/stride) samples), mirroring
-    * [[Multimodal.VideoCodec.decimate]]. */
+    * [[Multimodal.VideoCodec.decimate]]. Copies only the KEPT samples.
+    * Null (quarantine) for a zero-sample movie — e.g. a DASH init
+    * segment (moov with an empty stbl and no fragments), which parses
+    * as valid metadata but holds nothing to decimate; re-encoding it
+    * would throw per row instead of quarantining. */
   def decimate(blob: Array[Byte], stride: Int): Array[Byte] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    parse(blob).map { case (m, fs) =>
-      encodeMp4(fs.zipWithIndex.collect { case (f, i) if i % stride == 0 => f },
-        m.width, m.height, m.timescale)
+    parseRanges(blob).flatMap { case (m, offs, lens) =>
+      if (offs.isEmpty) None
+      else Some(encodeMp4(
+        (0 until offs.length by stride).map(i => slice(blob, offs(i), lens(i))),
+        m.width, m.height, m.timescale))
     }.orNull
   }
 
@@ -797,6 +878,19 @@ object Mp4Codec {
     }, w, h, fps)
   }
 
+  /** Fragmented twin of [[encodePatternMp4]] — same 64-frame pattern
+    * schedule, DASH/HLS moof/mdat layout, so a mixed-container corpus
+    * gate can carry the SAME perceptual content in three real layouts
+    * (AVI, plain MP4, fMP4) under one container-blind oracle. */
+  def encodePatternFragmentedMp4(pattern: Long, w: Int, h: Int, fps: Int,
+      hi: Int, lo: Int): Array[Byte] = {
+    val pngHi = Multimodal.ImageCodec.encodePng(w, h, hi, hi, hi)
+    val pngLo = Multimodal.ImageCodec.encodePng(w, h, lo, lo, lo)
+    encodeFragmentedMp4((0 until 64).map { i =>
+      if (((pattern >>> i) & 1L) != 0L) pngHi else pngLo
+    }, w, h, fps)
+  }
+
   // ---- Column wrappers (Scala UDFs over the byte functions) ----------
 
   import org.apache.spark.sql.functions.udf
@@ -818,4 +912,7 @@ object Mp4Codec {
   val encodePatternMp4Udf =
     udf((p: Long, w: Int, h: Int, fps: Int) =>
       encodePatternMp4(p, w, h, fps, 200, 40))
+  val encodePatternFragmentedMp4Udf =
+    udf((p: Long, w: Int, h: Int, fps: Int) =>
+      encodePatternFragmentedMp4(p, w, h, fps, 200, 40))
 }

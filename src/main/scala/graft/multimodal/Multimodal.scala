@@ -116,13 +116,13 @@ object Multimodal {
       ThreadLocal.withInitial(() =>
         new java.util.HashMap[String, javax.imageio.ImageReader])
 
-    /** "png" / "jpeg" from the leading magic bytes, else null. */
-    private def sniffFormat(blob: Array[Byte]): String =
-      if (blob.length < 8) null
-      else if (blob(0) == 0x89.toByte && blob(1) == 'P' &&
-        blob(2) == 'N' && blob(3) == 'G') "png"
-      else if (blob(0) == 0xff.toByte && blob(1) == 0xd8.toByte &&
-        blob(2) == 0xff.toByte) "jpeg"
+    /** "png" / "jpeg" from the magic bytes at `off`, else null. */
+    private def sniffFormat(blob: Array[Byte], off: Int, len: Int): String =
+      if (len < 8) null
+      else if (blob(off) == 0x89.toByte && blob(off + 1) == 'P' &&
+        blob(off + 2) == 'N' && blob(off + 3) == 'G') "png"
+      else if (blob(off) == 0xff.toByte && blob(off + 1) == 0xd8.toByte &&
+        blob(off + 2) == 0xff.toByte) "jpeg"
       else null
 
     private def cachedReader(fmt: String): javax.imageio.ImageReader = {
@@ -257,11 +257,24 @@ object Multimodal {
       * per-thread reader, anything else the full registry scan. */
     private def readImage(blob: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (blob == null || blob.isEmpty) None
+      else readImageAt(blob, 0, blob.length)
+
+    /** [[readImage]] over the slice [off, off+len) WITHOUT copying it
+      * out: ByteArrayInputStream's (buf, offset, length) form bounds
+      * the reader to the slice against the original array. This is the
+      * zero-copy per-sample decode path the container codecs stream
+      * through ([[Mp4Codec.frameMeans]], [[VideoCodec.frameMeans]]): a
+      * clip's frames decode one at a time straight out of the clip
+      * blob, with no per-frame copyOfRange and nothing live between
+      * frames but the current raster. */
+    private def readImageAt(blob: Array[Byte], off: Int,
+        len: Int): Option[java.awt.image.BufferedImage] =
+      if (blob == null || len <= 0 || off < 0 || off > blob.length - len) None
       else try {
-        val fmt = sniffFormat(blob)
+        val fmt = sniffFormat(blob, off, len)
         val cached = if (fmt != null) cachedReader(fmt) else null
         val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(blob))
+          new java.io.ByteArrayInputStream(blob, off, len))
         try {
           if (cached != null) readVia(cached, iis)
           else {
@@ -333,26 +346,35 @@ object Multimodal {
         } finally iis.close()
       } catch { case _: Exception => fullDecodeMeta(blob) }
 
+    private def meansOf(img: java.awt.image.BufferedImage): Array[Double] = {
+      val r = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
+      val sums = new Array[Long](bands)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) { sums(b) += r.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      sums.map(_.toDouble / (w.toLong * h))
+    }
+
     /** Per-channel pixel means as doubles (integer sums divided once —
       * exact for solid fills, deterministic always). Null for
       * undecodable bytes. */
     def channelMeans(blob: Array[Byte]): Array[Double] =
-      readImage(blob).map { img =>
-        val r = img.getRaster
-        val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
-        val sums = new Array[Long](bands)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var b = 0
-            while (b < bands) { sums(b) += r.getSample(x, y, b); b += 1 }
-            x += 1
-          }
-          y += 1
-        }
-        sums.map(_.toDouble / (w.toLong * h))
-      }.orNull
+      readImage(blob).map(meansOf).orNull
+
+    /** [[channelMeans]] over the slice [off, off+len) of `blob`,
+      * decoded zero-copy (see [[readImageAt]]) — the per-frame step of
+      * the container codecs' streaming decode cursors. */
+    private[multimodal] def channelMeansAt(blob: Array[Byte], off: Int,
+        len: Int): Array[Double] =
+      readImageAt(blob, off, len).map(meansOf).orNull
 
     /** Target size preserving aspect ratio: identity when the longest
       * edge already fits `maxDim`, else longest edge = maxDim (each edge
@@ -1028,10 +1050,15 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Walk the RIFF tree: metadata from avih/strh, frame payloads from
-      * the movi list's `##dc`/`##db` chunks. None for anything that is
-      * not a spec-shaped AVI (wrong magic, truncated chunks, no movi). */
-    private def parse(blob: Array[Byte]): Option[(VideoMeta, Array[Array[Byte]])] = {
+    /** Walk the RIFF tree: metadata from avih/strh, frame payload BYTE
+      * RANGES from the movi list's `##dc`/`##db` chunks — no frame
+      * bytes are copied here (the [[Mp4Codec.resolveRanges]] contract):
+      * consumers stream per frame ([[frameMeans]]) or slice only what
+      * they keep ([[decimate]]), so a long clip costs blob + one
+      * raster of peak memory, not blob + every frame copy. None for
+      * anything that is not a spec-shaped AVI (wrong magic, truncated
+      * chunks, no movi). */
+    private def parse(blob: Array[Byte]): Option[(VideoMeta, Array[(Int, Int)])] = {
       if (blob == null || blob.length < 24 ||
         fourcc(blob, 0) != "RIFF" || fourcc(blob, 8) != "AVI ") return None
       try {
@@ -1044,7 +1071,7 @@ object Multimodal {
         // frames into the clip or inflate nFrames/duration.
         var strhSeen = 0
         var vidPrefix: String = null
-        val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
         // depth cap: spec-shaped AVIs nest ≤ ~4 LIST levels (RIFF →
         // hdrl → strl; movi → rec ), but the walker recurses per LIST
         // header, and a corrupt/adversarial blob of back-to-back 12-byte
@@ -1082,7 +1109,7 @@ object Multimodal {
             } else if ((ctx == "movi" || ctx == "rec ") && id.length == 4 &&
               (id.endsWith("dc") || id.endsWith("db")) &&
               vidPrefix != null && id.startsWith(vidPrefix))
-              frames += java.util.Arrays.copyOfRange(blob, pos + 8, end.toInt)
+              frames += ((pos + 8, size.toInt)) // in-blob: end ≤ to checked above
             pos = (end + (size & 1)).toInt // word alignment
           }
         }
@@ -1100,20 +1127,32 @@ object Multimodal {
     def decodeMeta(blob: Array[Byte]): VideoMeta =
       parse(blob).map(_._1).orNull
 
+    private def slice(blob: Array[Byte], r: (Int, Int)): Array[Byte] =
+      java.util.Arrays.copyOfRange(blob, r._1, r._1 + r._2)
+
     /** Frame payloads (PNG bytes), container-level only — no pixel
-      * decode. Null for non-AVI bytes. */
+      * decode. Null for non-AVI bytes. The one API that materializes
+      * every frame at once — by definition of its return type. */
     def frames(blob: Array[Byte]): Array[Array[Byte]] =
-      parse(blob).map(_._2).orNull
+      parse(blob).map(_._2.map(slice(blob, _))).orNull
 
     /** Per-frame mean of pixel channel 0 (exact for solid fills), via
       * the same ImageIO decode as [[ImageCodec]]. Null if the container
       * or ANY frame fails to decode — a partially-readable video
-      * quarantines whole, like corrupt bytes. */
+      * quarantines whole, like corrupt bytes. Streaming per-frame
+      * cursor (see [[Mp4Codec.frameMeans]]): each frame decodes
+      * zero-copy from its blob range and drops before the next. */
     def frameMeans(blob: Array[Byte]): Array[Double] =
-      parse(blob).flatMap { case (_, fs) =>
-        val means = fs.map(f => Option(ImageCodec.channelMeans(f)))
-        if (means.exists(_.isEmpty)) None
-        else Some(means.map(_.get.head))
+      parse(blob).flatMap { case (_, rs) =>
+        val means = new Array[Double](rs.length)
+        var i = 0
+        var ok = true
+        while (ok && i < rs.length) {
+          val m = ImageCodec.channelMeansAt(blob, rs(i)._1, rs(i)._2)
+          if (m == null) ok = false
+          else { means(i) = m(0); i += 1 }
+        }
+        if (ok) Some(means) else None
       }.orNull
 
     /** Scene-cut indices: frames i ≥ 1 where the mean-luma jump from
@@ -1132,8 +1171,9 @@ object Multimodal {
       // caller-bug guard (see AudioCodec.downsample): stride 0 would
       // throw ArithmeticException per row instead of failing at build
       require(stride >= 1, s"stride must be >= 1, got $stride")
-      parse(blob).map { case (m, fs) =>
-        encodeAvi(fs.zipWithIndex.collect { case (f, i) if i % stride == 0 => f },
+      parse(blob).map { case (m, rs) =>
+        // copies only the KEPT frames (parse resolves ranges, not bytes)
+        encodeAvi((0 until rs.length by stride).map(i => slice(blob, rs(i))),
           m.width, m.height, m.fps)
       }.orNull
     }

@@ -770,6 +770,65 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY modality, stage""")
   )
 
+  /** MIXED-CONTAINER video near-dup: ONE binary column interleaving
+    * all three real layouts the engine walks — RIFF/AVI, plain MP4,
+    * fragmented MP4 (doc_id % 3) — decoded by per-row magic-byte
+    * dispatch ([[graft.multimodal.MediaSniff]]: RIFF vs ftyp, the way
+    * a real drop must be read because extensions lie), with the
+    * recovered 64-frame mean sequences feeding the SAME temporal hash
+    * + banded hamming pair join as q252. The oracle is container-
+    * blind: group membership and flip arithmetic predict every pair
+    * and its exact hamming distance regardless of which container
+    * each side shipped in — which is the point: near-dup detection
+    * must find an AVI re-encode of an MP4 original (and a DASH
+    * re-package of either), and pairs here routinely straddle
+    * containers because doc_id % 3 and the group id are independent.
+    * Scalable shape unchanged from q252: per-row sniff+decode in the
+    * scan projection, codegen'd hash, bucketed (chunk, value) join. */
+  private val q256 = GQ(
+    "q256_mixed_container_near_dup",
+    (s, dir) => {
+      import graft.multimodal.{MediaSniff, Mp4Codec}
+      import Multimodal.VideoCodec
+      val d = mediaRows(s, dir)
+        .withColumn("g", pmod(col("doc_id"), lit(170L)))
+        .withColumn("fb", when(pmod(col("doc_id"), lit(4)) === 1,
+          expr("(doc_id div 170) % 64")).otherwise(lit(-1L)))
+      val pBase = (0 until 8).map { j =>
+        when(shiftright(col("g"), j).bitwiseAND(lit(1L)) =!= 0,
+          lit(255L << (8 * j))).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      val p = when(col("fb") >= 0,
+        pBase.bitwiseXOR(expr("shiftleft(1L, cast(fb as int))")))
+        .otherwise(pBase)
+      // materialized once pre-join — see q248's barrier note; CASE
+      // branches evaluate lazily, so each row pays ONE encoder
+      val fps = meansHash(d
+        .withColumn("blob",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            VideoCodec.encodePatternAviUdf(p, lit(8), lit(8), lit(10)))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            Mp4Codec.encodePatternMp4Udf(p, lit(8), lit(8), lit(10)))
+          .otherwise(
+            Mp4Codec.encodePatternFragmentedMp4Udf(p, lit(8), lit(8), lit(10))))
+        .withColumn("means", MediaSniff.frameMeansUdf(col("blob"))))
+        .select("doc_id", "fp").localCheckpoint()
+      graft.text.DedupOps.fingerprintPairs(fps, "doc_id", "fp", maxHamming = 2)
+        .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 170 AS g,
+                CASE WHEN doc_id % 4 = 1 THEN (doc_id // 170) % 64
+                     ELSE -1 END AS fb
+              FROM documents)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(CASE WHEN a.fb = b.fb THEN 0
+                        WHEN a.fb = -1 OR b.fb = -1 THEN 1
+                        ELSE 2 END AS INTEGER) AS hamming
+            FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+            ORDER BY d1, d2""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -795,5 +854,5 @@ object MultimodalQueries extends QueryBatch {
 
   override def queries: Seq[GQ] =
     Seq(q130, q131, q132, q246, q247, q248, q249, q250, q251, q252, q253,
-      q254, q255)
+      q254, q255, q256)
 }

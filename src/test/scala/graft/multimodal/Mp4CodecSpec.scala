@@ -333,6 +333,180 @@ class Mp4CodecSpec extends SparkTestBase {
     }
   }
 
+  test("zero-entry stsc under a nonzero stsz quarantines at metadata depth, never throws") {
+    // a header-valid MP4 whose stsc declares ZERO runs while stsz
+    // declares samples and stco declares chunks is internally
+    // inconsistent: nothing places the samples. Believing it would
+    // walk stscSamplesPerChunk(0) off the empty array — the uncaught
+    // AIOOBE class the resolve-time quarantine must never leak.
+    val blob = Mp4Codec.encodeSolidMp4(4, 8, 8, 5, cutIdx = -1, vA = 60, vB = 0)
+    val at = indexOfFourcc(blob, "stsc")
+    assert(at > 0)
+    val bad = blob.clone()
+    // entry count sits after the 8-byte box header + 4-byte vf
+    bad(at + 12) = 0; bad(at + 13) = 0; bad(at + 14) = 0; bad(at + 15) = 0
+    assert(Mp4Codec.decodeMeta(bad) == null) // corrupt-table depth
+    assert(Mp4Codec.samples(bad) == null)
+    assert(Mp4Codec.frameMeans(bad) == null)
+    assert(Mp4Codec.decimate(bad, 2) == null)
+  }
+
+  test("co64 offset near Long.MaxValue fails the bounds check instead of overflowing past it") {
+    // off + size would wrap negative and sneak past a naive
+    // `off + size > blob.length` test into a throwing copyOfRange;
+    // the overflow-safe form (size > blob.length - off) must
+    // quarantine at sample depth with the metadata intact
+    val frames = (0 until 3).map(_ => Multimodal.ImageCodec.encodePng(8, 8, 50, 50, 50))
+    val blob = Mp4Codec.encodeMp4Variant(frames, 8, 8, 5, useCo64 = true,
+      version1 = false)
+    val at = indexOfFourcc(blob, "co64")
+    assert(at > 0)
+    val bad = blob.clone()
+    // first 64-bit offset sits after header(8) + vf(4) + count(4)
+    val huge = Array(0x7f, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xf0).map(_.toByte)
+    System.arraycopy(huge, 0, bad, at + 16, 8)
+    assert(Mp4Codec.decodeMeta(bad) != null) // moov still reads
+    assert(Mp4Codec.samples(bad) == null) // sample-depth quarantine
+    assert(Mp4Codec.frameMeans(bad) == null)
+    assert(Mp4Codec.decimate(bad, 2) == null)
+  }
+
+  test("fMP4 init segment (zero samples) reads as metadata but decimate quarantines") {
+    // a DASH init segment is ftyp + moov with an EMPTY stbl and no
+    // fragments: spec-valid metadata over zero samples. decimate has
+    // nothing to re-encode — it must return null per row, not throw
+    // encodeMp4's require out of the UDF
+    val full = Mp4Codec.encodeSolidFragmentedMp4(4, 8, 8, 5, cutIdx = -1,
+      vA = 60, vB = 0)
+    val moovAt = indexOfFourcc(full, "moov")
+    val moovLen = be32At(full, moovAt)
+    val init = java.util.Arrays.copyOfRange(full, 0, moovAt + moovLen)
+    val m = Mp4Codec.decodeMeta(init)
+    assert(m != null && m.nSamples == 0 && m.durationMs == 0L)
+    assert(Mp4Codec.samples(init).length == 0)
+    assert(Mp4Codec.frameMeans(init).length == 0)
+    assert(Mp4Codec.decimate(init, 2) == null)
+  }
+
+  test("fMP4 duration second witness: mdhd agreeing with the fragment sum reads, disagreeing quarantines") {
+    // some muxers write the final fragment-summed duration into mdhd
+    // (legal, must parse); a DIFFERENT nonzero value means one of the
+    // two duration tables is corrupt — prefer quarantine over trusting
+    // either, mirroring the stts/stsz sample-count rule
+    val n = 5
+    val blob = Mp4Codec.encodeSolidFragmentedMp4(n, 8, 8, 5, cutIdx = -1,
+      vA = 60, vB = 0)
+    val mdhdAt = indexOfFourcc(blob, "mdhd")
+    assert(mdhdAt > 0)
+    def withDuration(ticks: Int): Array[Byte] = {
+      val b = blob.clone()
+      // v0 mdhd: header(8) + vf(4) + creation(4) + mod(4) + timescale(4),
+      // duration at +24
+      b(mdhdAt + 24) = ((ticks >> 24) & 0xff).toByte
+      b(mdhdAt + 25) = ((ticks >> 16) & 0xff).toByte
+      b(mdhdAt + 26) = ((ticks >> 8) & 0xff).toByte
+      b(mdhdAt + 27) = (ticks & 0xff).toByte
+      b
+    }
+    val agreeing = Mp4Codec.decodeMeta(withDuration(n)) // = fragment sum
+    assert(agreeing != null && agreeing.durationMs == n * 1000L / 5)
+    assert(Mp4Codec.decodeMeta(withDuration(n + 3)) == null) // corrupt
+    assert(Mp4Codec.frameMeans(withDuration(n + 3)) == null)
+  }
+
+  test("adversarial 64-bit mdhd duration quarantines instead of overflowing durationMs") {
+    val frames = (0 until 3).map(_ => Multimodal.ImageCodec.encodePng(8, 8, 40, 40, 40))
+    val blob = Mp4Codec.encodeMp4Variant(frames, 8, 8, 5, useCo64 = false,
+      version1 = true)
+    val mdhdAt = indexOfFourcc(blob, "mdhd")
+    val bad = blob.clone()
+    // v1 mdhd: header(8) + vf(4) + creation(8) + mod(8) + timescale(4),
+    // 64-bit duration at +32; Long.MaxValue * 1000 would wrap garbage
+    val huge = Array(0x7f, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+    System.arraycopy(huge, 0, bad, mdhdAt + 32, 8)
+    assert(Mp4Codec.decodeMeta(bad) == null)
+    assert(Mp4Codec.frameMeans(bad) == null)
+  }
+
+  test("tfhd with neither base flag anchors on the previous traf's data end (ISO 14496-12 §8.8.7)") {
+    val s0 = Multimodal.ImageCodec.encodePng(8, 8, 30, 30, 30)
+    val s1 = Multimodal.ImageCodec.encodePng(8, 8, 90, 90, 90)
+    def be(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def boxB(tpe: String, body: Array[Byte]): Array[Byte] =
+      be(8 + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    def fullB(tpe: String, flags: Int, body: Array[Byte]): Array[Byte] =
+      boxB(tpe, Array(0.toByte, ((flags >> 16) & 0xff).toByte,
+        ((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++ body)
+    // ftyp + moov (empty stbl + mvex/trex track 1) from the encoder
+    val donor = Mp4Codec.encodeSolidFragmentedMp4(1, 8, 8, 5, cutIdx = -1,
+      vA = 30, vB = 0)
+    val moovAt = indexOfFourcc(donor, "moov")
+    val head = java.util.Arrays.copyOfRange(donor, 0,
+      moovAt + be32At(donor, moovAt))
+    // one moof, TWO trafs for track 1: traf1 anchors default-base-is-
+    // moof with an explicit trun data_offset; traf2 sets NEITHER base
+    // flag and its trun omits data_offset, so its sample can only be
+    // found through the spec's previous-traf-data-end default
+    val mfhd = fullB("mfhd", 0, be(1))
+    val tfhd1 = fullB("tfhd", 0x020000, be(1))
+    def traf1(dataOff: Int) = boxB("traf",
+      tfhd1 ++ fullB("trun", 0x201, be(1) ++ be(dataOff) ++ be(s0.length)))
+    val traf2 = boxB("traf",
+      fullB("tfhd", 0, be(1)) ++ fullB("trun", 0x200, be(1) ++ be(s1.length)))
+    val moofLen = boxB("moof", mfhd ++ traf1(0) ++ traf2).length
+    val moof = boxB("moof", mfhd ++ traf1(moofLen + 8) ++ traf2)
+    val blob = head ++ moof ++ boxB("mdat", s0 ++ s1)
+    val m = Mp4Codec.decodeMeta(blob)
+    assert(m != null && m.nSamples == 2)
+    assert(m.durationMs == 2 * 1000L / 5) // trex default 1 tick/sample
+    assert(Mp4Codec.frameMeans(blob).toSeq === Seq(30.0, 90.0))
+    // …and a flags-less traf AFTER a FOREIGN traf (whose truns the
+    // walker skips, so its data end is unknowable) must quarantine
+    // rather than guess an anchor and resolve wrong ranges
+    val foreignTraf = boxB("traf",
+      fullB("tfhd", 0x020000, be(2)) ++ // track 2: not the vide track
+        fullB("trun", 0x201, be(1) ++ be(moofLen + 8) ++ be(s0.length)))
+    val moofLen2 = boxB("moof", mfhd ++ foreignTraf ++ traf2).length
+    assert(moofLen2 == moofLen) // same fixed-width boxes, same size
+    val blob2 = head ++ boxB("moof", mfhd ++ foreignTraf ++ traf2) ++
+      boxB("mdat", s0 ++ s1)
+    assert(Mp4Codec.decodeMeta(blob2) == null)
+    assert(Mp4Codec.frameMeans(blob2) == null)
+  }
+
+  test("streaming cursor decode equals materialize-then-decode on every sample") {
+    // frameMeans streams each sample zero-copy out of the blob;
+    // samples() materializes copies — the two paths must agree
+    // exactly, pinning that the lazy refactor changed memory shape,
+    // not behavior (plain and fragmented layouts)
+    Seq(
+      Mp4Codec.encodeSolidMp4(7, 10, 8, 5, cutIdx = 3, vA = 30, vB = 70),
+      Mp4Codec.encodeSolidFragmentedMp4(7, 10, 8, 5, cutIdx = 3, vA = 30, vB = 70)
+    ).foreach { blob =>
+      val streamed = Mp4Codec.frameMeans(blob)
+      val materialized = Mp4Codec.samples(blob)
+        .map(f => Multimodal.ImageCodec.channelMeans(f).head)
+      assert(streamed.toSeq === materialized.toSeq)
+    }
+  }
+
+  private def indexOfFourcc(blob: Array[Byte], tpe: String): Int = {
+    val t = tpe.getBytes("US-ASCII")
+    var i = 4
+    var at = -1
+    while (at < 0 && i <= blob.length - 4) {
+      if (blob(i) == t(0) && blob(i + 1) == t(1) && blob(i + 2) == t(2) &&
+        blob(i + 3) == t(3)) at = i - 4 // box START (size precedes fourcc)
+      i += 1
+    }
+    at
+  }
+
+  private def be32At(blob: Array[Byte], at: Int): Int =
+    ((blob(at) & 0xff) << 24) | ((blob(at + 1) & 0xff) << 16) |
+      ((blob(at + 2) & 0xff) << 8) | (blob(at + 3) & 0xff)
+
   test("first vide track is pinned; a foreign track does not overwrite it") {
     // splice a second trak (handler "soun", no sample tables) AFTER the
     // video trak inside moov: the walker must keep the first vide

@@ -378,6 +378,19 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("VideoCodec: streaming cursor decode equals materialize-then-decode on every frame") {
+    // frameMeans streams each frame zero-copy from its blob range
+    // (channelMeansAt); frames() materializes copies — the two paths
+    // must agree exactly, pinning that the lazy AVI refactor changed
+    // memory shape, not behavior (the Mp4CodecSpec twin)
+    import Multimodal.{ImageCodec, VideoCodec}
+    val blob = VideoCodec.encodeSolidAvi(7, 10, 8, 5, cutIdx = 3, vA = 30, vB = 70)
+    val streamed = VideoCodec.frameMeans(blob)
+    val materialized = VideoCodec.frames(blob).map(f => ImageCodec.channelMeans(f).head)
+    assert(streamed.toSeq === materialized.toSeq)
+    assert(streamed.toSeq === Seq(30.0, 30.0, 30.0, 70.0, 70.0, 70.0, 70.0))
+  }
+
   test("means hash equals the encoded pattern when 0 < popcount < 64") {
     import Multimodal.AudioCodec
     // the Column-side comparator used by q251/q252: bit i = mean_i > mu

@@ -84,29 +84,44 @@ class PlanAuditSpec extends SparkTestBase {
     assert(kept < total, s"probe must prune: $kept/$total files")
   }
 
-  test("media decode gates shuffle only at the spine repartition and the output sort") {
+  test("media gates shuffle only at the spine repartition, rollup, and output sort") {
     // the media family's 100 TB claim is "decode never shuffles": the
     // whole encode→corrupt→walk→stats chain must live in scan-side
     // projections between exactly two exchanges — the explicit by-num
     // spine repartition (AQE-exempt; see mediaRows) and the
     // deterministic output sort — with the parquet scan pruned to the
-    // one column the fixtures derive from. A refactor that slips a
-    // join or an extra shuffle into the chain (or widens the scan)
-    // would still return correct rows, so only this audit catches it.
-    val df = SparkEntry.queries("q254_mp4_decode")(spark, sf)
-    val full = finalPlan(df)
-    // AQE's toString appends the pre-execution "Initial Plan" — audit
-    // only the final one or every exchange double-counts
-    val p = full.split("== Initial Plan ==")(0)
-    assert("Exchange hashpartitioning.*REPARTITION_BY_NUM".r
-      .findAllIn(p).size == 1, s"expected exactly the spine repartition:\n$p")
-    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
-      s"expected exactly the output-sort exchange:\n$p")
-    assert("Exchange".r.findAllIn(p).size == 2,
-      s"no other shuffle may exist in a decode chain:\n$p")
-    assert(!p.contains("Join"), s"decode must not join:\n$p")
-    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
-      s"the scan must read only the fixture spine column:\n$p")
+    // one column the fixtures derive from. The quarantine-report
+    // gates (q253/q255) legitimately add ONE keyed exchange for their
+    // small rollup, nothing else. A refactor that slips a join or an
+    // extra shuffle into any family member (or widens the scan) would
+    // still return correct rows, so only this audit catches it.
+    // (q248/q251/q252/q256 are excluded: their fingerprint stage is
+    // cut by a localCheckpoint barrier, so their visible plan is the
+    // pair join, audited by the near-dup tests below.)
+    val family = Seq(
+      "q246_image_decode" -> 0,
+      "q247_audio_decode" -> 0,
+      "q249_video_decode" -> 0,
+      "q250_video_frame_sample" -> 0,
+      "q254_mp4_decode" -> 0,
+      "q253_media_quarantine" -> 1, // + the rollup's group-key exchange
+      "q255_media_quarantine_stages" -> 1)
+    family.foreach { case (gate, rollupExchanges) =>
+      val df = SparkEntry.queries(gate)(spark, sf)
+      val full = finalPlan(df)
+      // AQE's toString appends the pre-execution "Initial Plan" — audit
+      // only the final one or every exchange double-counts
+      val p = full.split("== Initial Plan ==")(0)
+      assert("Exchange hashpartitioning.*REPARTITION_BY_NUM".r
+        .findAllIn(p).size == 1, s"[$gate] expected exactly the spine repartition:\n$p")
+      assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
+        s"[$gate] expected exactly the output-sort exchange:\n$p")
+      assert("Exchange".r.findAllIn(p).size == 2 + rollupExchanges,
+        s"[$gate] no other shuffle may exist in a decode chain:\n$p")
+      assert(!p.contains("Join"), s"[$gate] decode must not join:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+        s"[$gate] the scan must read only the fixture spine column:\n$p")
+    }
   }
 
   test("exact near-dup verification never explodes pair×shingle") {
