@@ -165,6 +165,86 @@ object ProfMedia {
         f"(fresh ${(a1 + a2) / 2}%.2f vs cached ${(b1 + b2) / 2}%.2f us/row)")
     }
 
+    // Mechanism A/B for the round-15 streaming decode cursor,
+    // alternating inside ONE JVM (the writer-A/B discipline): the
+    // EAGER arm materializes every frame copy first and then decodes
+    // each copy — the exact shape frameMeans had before the cursor,
+    // expressed through the SHIPPED samples()/frames() APIs, which
+    // still materialize by definition of their return type; the
+    // CURSOR arm is the shipped frameMeans (zero-copy per-frame slice
+    // decode). Same pixels, same decode count — the deltas are the
+    // per-frame copyOfRange traffic (visible as allocated bytes/row
+    // via ThreadMXBean) and the live set between frames (the peak
+    // claim itself, which allocation RATE can only witness indirectly:
+    // the copies that no longer exist can't be live). 64-frame pattern
+    // clips = the q252/q256 row shape, the family's biggest per-row
+    // payload.
+    locally {
+      val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+        .asInstanceOf[com.sun.management.ThreadMXBean]
+      val pat = 0x5a5a00ff12345601L
+      val clipMp4 = Mp4Codec.encodePatternMp4(pat, 8, 8, 10, 200, 40)
+      val clipAvi = VideoCodec.encodePatternAvi(pat, 8, 8, 10, 200, 40)
+      def eagerMp4(): Double = {
+        val fs = Mp4Codec.samples(clipMp4)
+        var s = 0.0; var i = 0
+        while (i < fs.length) { s += ImageCodec.channelMeans(fs(i))(0); i += 1 }
+        s
+      }
+      def cursorMp4(): Double = {
+        val m = Mp4Codec.frameMeans(clipMp4)
+        var s = 0.0; var i = 0
+        while (i < m.length) { s += m(i); i += 1 }
+        s
+      }
+      def eagerAvi(): Double = {
+        val fs = VideoCodec.frames(clipAvi)
+        var s = 0.0; var i = 0
+        while (i < fs.length) { s += ImageCodec.channelMeans(fs(i))(0); i += 1 }
+        s
+      }
+      def cursorAvi(): Double = {
+        val m = VideoCodec.frameMeans(clipAvi)
+        var s = 0.0; var i = 0
+        while (i < m.length) { s += m(i); i += 1 }
+        s
+      }
+      // single-threaded on purpose: getThreadAllocatedBytes is
+      // per-thread, and the cursor's effect is per-row, not contended
+      def measure(label: String, rows: Int)(f: () => Double): (Double, Double) = {
+        var acc = 0.0; var i = 0
+        while (i < 200) { acc += f(); i += 1 } // JIT + reader-cache warm
+        System.gc(); Thread.sleep(50)
+        val tid = Thread.currentThread.getId
+        val a0 = tmx.getThreadAllocatedBytes(tid)
+        val t0 = System.nanoTime()
+        i = 0
+        while (i < rows) { acc += f(); i += 1 }
+        val usRow = (System.nanoTime() - t0) / 1e3 / rows
+        val kibRow = (tmx.getThreadAllocatedBytes(tid) - a0) / 1024.0 / rows
+        println(f"[profmedia] $label%-36s $usRow%8.2f us/row  $kibRow%8.1f KiB-alloc/row" +
+          f"  (sink ${acc != 0.0}, $rows rows, 1 thread)")
+        (usRow, kibRow)
+      }
+      println("[profmedia] --- frameMeans cursor A/B (alternating, one JVM) ---")
+      val rows = 1500 // 64 ImageIO decodes per row
+      measure("mp4 eager (warm)", rows)(eagerMp4)
+      val (ea1, eb1) = measure("mp4 eager: samples + decode", rows)(eagerMp4)
+      val (ca1, cb1) = measure("mp4 cursor: frameMeans", rows)(cursorMp4)
+      val (ea2, eb2) = measure("mp4 eager: samples + decode (2)", rows)(eagerMp4)
+      val (ca2, cb2) = measure("mp4 cursor: frameMeans (2)", rows)(cursorMp4)
+      println(f"[profmedia] mp4 cursor: time ${(ea1 + ea2) / (ca1 + ca2)}%.2fx, " +
+        f"alloc ${(eb1 + eb2) / (cb1 + cb2)}%.2fx vs eager " +
+        f"(eager ${(eb1 + eb2) / 2}%.1f vs cursor ${(cb1 + cb2) / 2}%.1f KiB/row)")
+      val (va1, vb1) = measure("avi eager: frames + decode", rows)(eagerAvi)
+      val (wa1, wb1) = measure("avi cursor: frameMeans", rows)(cursorAvi)
+      val (va2, vb2) = measure("avi eager: frames + decode (2)", rows)(eagerAvi)
+      val (wa2, wb2) = measure("avi cursor: frameMeans (2)", rows)(cursorAvi)
+      println(f"[profmedia] avi cursor: time ${(va1 + va2) / (wa1 + wa2)}%.2fx, " +
+        f"alloc ${(vb1 + vb2) / (wb1 + wb2)}%.2fx vs eager " +
+        f"(eager ${(vb1 + vb2) / 2}%.1f vs cursor ${(wb1 + wb2) / 2}%.1f KiB/row)")
+    }
+
     println("[profmedia] --- encode-only (writer fixed cost) ---")
     bench(s"image encode only, $rowsSmall", rowsSmall)(id => imageFixture(id).length)
     bench(s"video encode only, $rowsSmall", rowsSmall)(id => videoFixture(id).length)
