@@ -193,7 +193,7 @@ object Bench {
         "q249_video_decode", "q250_video_frame_sample",
         "q251_audio_near_dup", "q252_video_near_dup",
         "q253_media_quarantine", "q254_mp4_decode",
-        "q255_media_quarantine_stages",
+        "q255_media_quarantine_stages", "q256_mixed_container_near_dup",
         "q210_stream_stream_join", "q218_stream_ingest_dedup",
         "q242_stream_vector_ingest"))
     // Second trigger, for CORRELATED window inflation: when ambient load

@@ -475,6 +475,38 @@ class Mp4CodecSpec extends SparkTestBase {
     assert(Mp4Codec.frameMeans(blob2) == null)
   }
 
+  test("a second trun without data_offset continues at the previous trun's data end") {
+    // one traf, two truns: the first anchors via an explicit
+    // data_offset, the second omits it and must start where the first
+    // trun's samples ended (the `running` chain) — the multi-trun
+    // shape real muxers emit for mixed sample-flag runs
+    val s0 = Multimodal.ImageCodec.encodePng(8, 8, 20, 20, 20)
+    val s1 = Multimodal.ImageCodec.encodePng(8, 8, 80, 80, 80)
+    def be(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def boxB(tpe: String, body: Array[Byte]): Array[Byte] =
+      be(8 + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    def fullB(tpe: String, flags: Int, body: Array[Byte]): Array[Byte] =
+      boxB(tpe, Array(0.toByte, ((flags >> 16) & 0xff).toByte,
+        ((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++ body)
+    val donor = Mp4Codec.encodeSolidFragmentedMp4(1, 8, 8, 5, cutIdx = -1,
+      vA = 20, vB = 0)
+    val moovAt = indexOfFourcc(donor, "moov")
+    val head = java.util.Arrays.copyOfRange(donor, 0,
+      moovAt + be32At(donor, moovAt))
+    val mfhd = fullB("mfhd", 0, be(1))
+    val tfhd = fullB("tfhd", 0x020000, be(1))
+    def traf(dataOff: Int) = boxB("traf",
+      tfhd ++ fullB("trun", 0x201, be(1) ++ be(dataOff) ++ be(s0.length)) ++
+        fullB("trun", 0x200, be(1) ++ be(s1.length))) // no offset: running
+    val moofLen = boxB("moof", mfhd ++ traf(0)).length
+    val blob = head ++ boxB("moof", mfhd ++ traf(moofLen + 8)) ++
+      boxB("mdat", s0 ++ s1)
+    val m = Mp4Codec.decodeMeta(blob)
+    assert(m != null && m.nSamples == 2)
+    assert(Mp4Codec.frameMeans(blob).toSeq === Seq(20.0, 80.0))
+  }
+
   test("streaming cursor decode equals materialize-then-decode on every sample") {
     // frameMeans streams each sample zero-copy out of the blob;
     // samples() materializes copies — the two paths must agree
