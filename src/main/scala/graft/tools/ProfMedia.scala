@@ -243,6 +243,54 @@ object ProfMedia {
       println(f"[profmedia] avi cursor: time ${(va1 + va2) / (wa1 + wa2)}%.2fx, " +
         f"alloc ${(vb1 + vb2) / (wb1 + wb2)}%.2fx vs eager " +
         f"(eager ${(vb1 + vb2) / 2}%.1f vs cursor ${(wb1 + wb2) / 2}%.1f KiB/row)")
+
+      // q256's marginal cost over q252: the container-blind dispatch
+      // (MediaSniff reads 12 magic bytes, then calls the same walker a
+      // direct caller would). Measured, not asserted: sniffed vs
+      // direct full chains, alternating. ~1.00× is the expected read.
+      import graft.multimodal.MediaSniff
+      def sniffAvi(): Double = {
+        val m = MediaSniff.frameMeans(clipAvi)
+        var s = 0.0; var i = 0
+        while (i < m.length) { s += m(i); i += 1 }
+        s
+      }
+      def sniffMp4(): Double = {
+        val m = MediaSniff.frameMeans(clipMp4)
+        var s = 0.0; var i = 0
+        while (i < m.length) { s += m(i); i += 1 }
+        s
+      }
+      val (da1, _) = measure("avi direct: frameMeans", rows)(cursorAvi)
+      val (sa1, _) = measure("avi sniffed: MediaSniff", rows)(sniffAvi)
+      val (dm1, _) = measure("mp4 direct: frameMeans", rows)(cursorMp4)
+      val (sm1, _) = measure("mp4 sniffed: MediaSniff", rows)(sniffMp4)
+      val (da2, _) = measure("avi direct: frameMeans (2)", rows)(cursorAvi)
+      val (sa2, _) = measure("avi sniffed: MediaSniff (2)", rows)(sniffAvi)
+      val (dm2, _) = measure("mp4 direct: frameMeans (2)", rows)(cursorMp4)
+      val (sm2, _) = measure("mp4 sniffed: MediaSniff (2)", rows)(sniffMp4)
+      println(f"[profmedia] sniff dispatch overhead: avi ${(sa1 + sa2) / (da1 + da2)}%.2fx, " +
+        f"mp4 ${(sm1 + sm2) / (dm1 + dm2)}%.2fx vs direct walker calls (q256 vs q252 chain tax)")
+      // the chain A/B above bounds the dispatch inside ambient noise
+      // (±15–20% on 1,500-row single-thread arms); the sniff ITSELF is
+      // deterministic and measured directly — 12 byte compares per call
+      locally {
+        var acc = 0; var i = 0
+        while (i < 1000000) { // warm
+          acc += (if (MediaSniff.container(clipAvi) == null) 0 else 1); i += 1
+        }
+        val t0 = System.nanoTime()
+        i = 0
+        val calls = 20000000
+        while (i < calls) {
+          acc += (if (MediaSniff.container(if ((i & 1) == 0) clipAvi else clipMp4) == null) 0 else 1)
+          i += 1
+        }
+        val nsCall = (System.nanoTime() - t0).toDouble / calls
+        // percent of chain: nsCall/1000 µs vs mean((dm1,dm2)) µs, ×100
+        println(f"[profmedia] sniff container() alone: $nsCall%.1f ns/call " +
+          f"(${nsCall / 5.0 / (dm1 + dm2)}%.6f%% of the 64-frame chain; sink ${acc > 0})")
+      }
     }
 
     println("[profmedia] --- encode-only (writer fixed cost) ---")
