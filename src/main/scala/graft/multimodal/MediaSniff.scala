@@ -58,6 +58,74 @@ object MediaSniff {
     case _ => null
   }
 
+  /** Frame 0's payload through whichever walker the bytes claim —
+    * the poster-frame extraction a thumbnail / cross-modal dedup scan
+    * runs: ONE frame slice per clip regardless of clip length (both
+    * walkers resolve ranges without materializing other frames), so
+    * poster dedup over a 100 TB video corpus costs 1/nFrames of a
+    * full decode. */
+  def posterFrame(blob: Array[Byte]): Array[Byte] = container(blob) match {
+    case "avi" => Multimodal.VideoCodec.firstFrame(blob)
+    case "mp4" => Mp4Codec.firstSample(blob)
+    case _ => null
+  }
+
+  /** 64-bit aHash of the poster frame — the cross-modal fingerprint:
+    * computed by the SAME [[Multimodal.ImageCodec.aHash]] an image
+    * column uses, so one banded hamming join finds image↔video
+    * near-dups (a video whose poster duplicates a corpus image —
+    * train/eval leakage through extracted keyframes). Null quarantine
+    * throughout. */
+  def posterHash(blob: Array[Byte]): java.lang.Long = {
+    val f = posterFrame(blob)
+    if (f == null) null else Multimodal.ImageCodec.aHash(f)
+  }
+
+  /** Normalize any walkable clip to the plain (moov-first, unfragmented)
+    * MP4 layout — the container-normalization pass a pipeline runs
+    * before handing a mixed drop (AVI, non-faststart MP4, DASH
+    * fragments) to downstream consumers that want ONE layout. Frame
+    * payloads are carried over byte-identical; geometry and frame rate
+    * come from the source metadata (the fixtures' scale=1 / one-tick
+    * timing makes duration preserved exactly). Null for anything
+    * unwalkable or frameless — corrupt inputs stay quarantined, they
+    * don't become empty outputs. */
+  def transcodeToMp4(blob: Array[Byte]): Array[Byte] = container(blob) match {
+    case "avi" =>
+      val m = Multimodal.VideoCodec.decodeMeta(blob)
+      val fs = Multimodal.VideoCodec.frames(blob)
+      if (m == null || fs == null || fs.isEmpty) null
+      else Mp4Codec.encodeMp4(fs.toSeq, m.width, m.height, m.fps)
+    case "mp4" =>
+      val m = Mp4Codec.decodeMeta(blob)
+      val fs = Mp4Codec.samples(blob)
+      if (m == null || fs == null || fs.isEmpty) null
+      else Mp4Codec.encodeMp4(fs.toSeq, m.width, m.height, m.timescale)
+    case _ => null
+  }
+
+  /** Poster-clip fixture: frame 0 is an 8×8-cell pattern PNG (the
+    * [[Multimodal.ImageCodec.encodePatternPng]] shape, so its aHash
+    * IS the pattern), frames 1..n-1 solid mid-gray — laid out in any
+    * of the three containers. The deterministic fixture behind the
+    * cross-modal poster-dedup gate: an image row and a video row
+    * built from the same pattern must land at hamming 0. */
+  def encodePosterClip(pattern: Long, nFrames: Int, fps: Int, cell: Int,
+      container: String): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val poster = Multimodal.ImageCodec.encodePatternPng(pattern, cell)
+    val side = 8 * cell
+    val filler = Multimodal.ImageCodec.encodePng(side, side, 128, 128, 128)
+    val frames = poster +: Seq.fill(nFrames - 1)(filler)
+    container match {
+      case "avi" => Multimodal.VideoCodec.encodeAvi(frames, side, side, fps)
+      case "mp4" => Mp4Codec.encodeMp4(frames, side, side, fps)
+      case "fmp4" => Mp4Codec.encodeFragmentedMp4(frames, side, side, fps)
+      case other => throw new IllegalArgumentException(
+        s"unknown container '$other' (avi|mp4|fmp4)")
+    }
+  }
+
   // ---- Column wrappers -------------------------------------------------
 
   import org.apache.spark.sql.functions.udf
@@ -67,4 +135,10 @@ object MediaSniff {
     .map(m => (m.width, m.height, m.nFrames, m.rate, m.durationMs,
       m.codec, m.container)))
   val frameMeansUdf = udf((b: Array[Byte]) => Option(frameMeans(b)))
+  val posterHashUdf =
+    udf((b: Array[Byte]) => Option(posterHash(b)).map(_.longValue))
+  val transcodeToMp4Udf = udf((b: Array[Byte]) => Option(transcodeToMp4(b)))
+  val encodePosterClipUdf =
+    udf((p: Long, nf: Int, fps: Int, cell: Int, c: String) =>
+      encodePosterClip(p, nf, fps, cell, c))
 }

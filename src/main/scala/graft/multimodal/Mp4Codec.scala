@@ -808,6 +808,16 @@ object Mp4Codec {
       Array.tabulate(offs.length)(i => slice(blob, offs(i), lens(i)))
     }.orNull
 
+  /** Sample 0's payload alone — the poster-frame path (see
+    * [[Multimodal.VideoCodec.firstFrame]]): one slice per clip, no
+    * other sample touched. Null for non-MP4 bytes, zero-sample movies
+    * (init segments), or clips whose ranges don't resolve — the
+    * family's quarantine-whole contract. */
+  def firstSample(blob: Array[Byte]): Array[Byte] =
+    parseRanges(blob).flatMap { case (_, offs, lens) =>
+      if (offs.isEmpty) None else Some(slice(blob, offs(0), lens(0)))
+    }.orNull
+
   /** Per-sample mean of pixel channel 0 (exact for solid fills), via
     * the same ImageIO decode as [[Multimodal.ImageCodec]]. Null if the
     * container or ANY sample fails to decode — a partially-readable

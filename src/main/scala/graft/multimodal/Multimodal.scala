@@ -1136,6 +1136,16 @@ object Multimodal {
     def frames(blob: Array[Byte]): Array[Array[Byte]] =
       parse(blob).map(_._2.map(slice(blob, _))).orNull
 
+    /** Frame 0's payload alone — the poster-frame path: a thumbnail /
+      * keyframe-dedup scan pays ONE frame slice per clip, not a
+      * 64-frame decode (at corpus scale that is the whole cost model
+      * of poster dedup). Quarantine contract matches the family: a
+      * clip whose RANGES don't resolve (truncated movi) is null as a
+      * whole, even if frame 0's own bytes survive — partially-readable
+      * clips quarantine whole, like corrupt bytes. */
+    def firstFrame(blob: Array[Byte]): Array[Byte] =
+      parse(blob).flatMap(_._2.headOption).map(slice(blob, _)).orNull
+
     /** Per-frame mean of pixel channel 0 (exact for solid fills), via
       * the same ImageIO decode as [[ImageCodec]]. Null if the container
       * or ANY frame fails to decode — a partially-readable video

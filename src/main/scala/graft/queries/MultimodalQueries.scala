@@ -829,6 +829,149 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY d1, d2""")
   )
 
+  /** CROSS-MODAL poster-frame dedup: the leakage scan a training
+    * pipeline runs between its IMAGE corpus and its VIDEO corpus — a
+    * video whose poster (frame 0) duplicates a corpus image means the
+    * same content sits in both modalities (e.g. eval images extracted
+    * from training videos). Even doc_ids are pattern-PNG images
+    * (aHash), odd doc_ids are poster clips in all three container
+    * layouts (AVI / MP4 / fMP4, sniff-dispatched) whose frame 0 is the
+    * SAME pattern shape — and the video side decodes ONLY frame 0
+    * (firstFrame/firstSample resolve one range; no other frame is
+    * touched), so at 100 TB poster dedup costs 1/nFrames of a full
+    * decode. Both modalities' 64-bit fingerprints come from the SAME
+    * ImageCodec.aHash and meet in the SAME banded hamming join; the
+    * oracle predicts every pair, its exact distance, and whether it
+    * straddles modalities, from doc_id arithmetic alone. */
+  private val q257 = GQ(
+    "q257_poster_frame_dedup",
+    (s, dir) => {
+      import Multimodal.ImageCodec
+      import graft.multimodal.MediaSniff
+      val d = mediaRows(s, dir)
+        .withColumn("g", pmod(col("doc_id"), lit(160L)))
+        .withColumn("fb", when(pmod(col("doc_id"), lit(5)) === 0,
+          expr("(doc_id div 160) % 64")).otherwise(lit(-1L)))
+      val pBase = (0 until 8).map { j =>
+        when(shiftright(col("g"), j).bitwiseAND(lit(1L)) =!= 0,
+          lit(255L << (8 * j))).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      val p = when(col("fb") >= 0,
+        pBase.bitwiseXOR(expr("shiftleft(1L, cast(fb as int))")))
+        .otherwise(pBase)
+      // lazily-evaluated CASE: each row pays one image encode OR one
+      // clip encode + ONE-frame decode; materialized once pre-join
+      // (the q248 barrier note)
+      val blob = when(pmod(col("doc_id"), lit(2)) === 0,
+          ImageCodec.encodePatternPngUdf(p, lit(4)))
+        .when(pmod(col("doc_id"), lit(4)) === 1, MediaSniff.encodePosterClipUdf(
+          p, lit(5), lit(10), lit(4), lit("avi")))
+        .when(pmod(col("doc_id"), lit(8)) === 3, MediaSniff.encodePosterClipUdf(
+          p, lit(5), lit(10), lit(4), lit("mp4")))
+        .otherwise(MediaSniff.encodePosterClipUdf(
+          p, lit(5), lit(10), lit(4), lit("fmp4")))
+      val fps = d.withColumn("blob", blob)
+        .withColumn("fp", when(pmod(col("doc_id"), lit(2)) === 0,
+          ImageCodec.aHashUdf(col("blob")))
+          .otherwise(MediaSniff.posterHashUdf(col("blob"))))
+        .select("doc_id", "fp").localCheckpoint()
+      graft.text.DedupOps.fingerprintPairs(fps, "doc_id", "fp", maxHamming = 2)
+        .select(col("d1"), col("d2"),
+          col("hamming").cast("int").as("hamming"),
+          (pmod(col("d1"), lit(2)) =!= pmod(col("d2"), lit(2)))
+            .cast("int").as("cross_modal"))
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 160 AS g,
+                CASE WHEN doc_id % 5 = 0 THEN (doc_id // 160) % 64
+                     ELSE -1 END AS fb
+              FROM documents)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(CASE WHEN a.fb = b.fb THEN 0
+                        WHEN a.fb = -1 OR b.fb = -1 THEN 1
+                        ELSE 2 END AS INTEGER) AS hamming,
+                   CAST(CASE WHEN a.doc_id % 2 <> b.doc_id % 2
+                        THEN 1 ELSE 0 END AS INTEGER) AS cross_modal
+            FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+            ORDER BY d1, d2""")
+  )
+
+  /** Container NORMALIZATION pass: transcode a mixed drop — AVI,
+    * plain MP4, fragmented MP4, interleaved in one column and
+    * sniff-dispatched per row — to ONE canonical layout (plain
+    * moov-first MP4), then decode the OUTPUT to prove the payload
+    * survived byte-identical: geometry, sample count, timing, and
+    * first/last frame pixels all re-read from the normalized blob.
+    * Corrupt inputs (1 doc in 7 header-cut) quarantine THROUGH the
+    * transcode as NULL — they must not become empty-but-valid outputs.
+    * This is the standardization stage a real pipeline runs before
+    * handing video to consumers that want one demuxer; per-row
+    * projection, no shuffle beyond the spine and output sort. */
+  private val q258 = GQ(
+    "q258_container_normalize",
+    (s, dir) => {
+      import Multimodal.VideoCodec
+      import graft.multimodal.{MediaSniff, Mp4Codec}
+      val d = mediaRows(s, dir)
+        .withColumn("nf", (lit(3) + pmod(col("doc_id"), lit(5))).cast("int"))
+        .withColumn("fps", (lit(5) + pmod(col("doc_id"), lit(8))).cast("int"))
+        .withColumn("va", pmod(col("doc_id") * 7, lit(200)).cast("int"))
+        .withColumn("cut", when(pmod(col("doc_id"), lit(2)) === 0,
+          (lit(1) + pmod(col("doc_id"), (col("nf") - 1).cast("long"))).cast("int"))
+          .otherwise(lit(-1)))
+      d.withColumn("blob0",
+          when(pmod(col("doc_id"), lit(3)) === 0, VideoCodec.encodeSolidAviUdf(
+            col("nf"), lit(8), lit(8), col("fps"), col("cut"),
+            col("va"), col("va") + 40))
+          .when(pmod(col("doc_id"), lit(3)) === 1, Mp4Codec.encodeSolidMp4Udf(
+            col("nf"), lit(8), lit(8), col("fps"), col("cut"),
+            col("va"), col("va") + 40))
+          .otherwise(Mp4Codec.encodeSolidFragmentedMp4Udf(
+            col("nf"), lit(8), lit(8), col("fps"), col("cut"),
+            col("va"), col("va") + 40)))
+        .withColumn("blob", when(pmod(col("doc_id"), lit(7)) === 0,
+          expr("substring(blob0, 1, 20)")).otherwise(col("blob0")))
+        .withColumn("norm", MediaSniff.transcodeToMp4Udf(col("blob")))
+        .withColumn("meta", Mp4Codec.decodeMetaUdf(col("norm")))
+        .withColumn("means", Mp4Codec.frameMeansUdf(col("norm")))
+        .select(
+          col("doc_id"),
+          col("meta._1").as("width"),
+          col("meta._3").as("n_samples"),
+          col("meta._4").as("timescale"),
+          col("meta._5").as("duration_ms"),
+          get(col("means"), lit(0)).as("mean_first"),
+          get(col("means"), col("meta._3") - 1).as("mean_last"),
+          MediaSniff.containerUdf(col("norm")).as("normalized"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(8 AS INTEGER) END AS width,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(nf AS INTEGER) END AS n_samples,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(fps AS INTEGER) END AS timescale,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(nf * 1000 // fps AS BIGINT) END AS duration_ms,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(va AS DOUBLE) END AS mean_first,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(CASE WHEN cut >= 0 THEN va + 40 ELSE va END
+                     AS DOUBLE) END AS mean_last,
+              CASE WHEN bad = 1 THEN NULL ELSE 'mp4' END AS normalized
+            FROM (SELECT doc_id,
+                    3 + doc_id % 5 AS nf,
+                    5 + doc_id % 8 AS fps,
+                    (doc_id * 7) % 200 AS va,
+                    CASE WHEN doc_id % 2 = 0
+                         THEN 1 + doc_id % (2 + doc_id % 5)
+                         ELSE -1 END AS cut,
+                    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS bad
+                  FROM documents)
+            ORDER BY doc_id""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -854,5 +997,5 @@ object MultimodalQueries extends QueryBatch {
 
   override def queries: Seq[GQ] =
     Seq(q130, q131, q132, q246, q247, q248, q249, q250, q251, q252, q253,
-      q254, q255, q256)
+      q254, q255, q256, q257, q258)
 }

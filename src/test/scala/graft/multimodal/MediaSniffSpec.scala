@@ -61,6 +61,79 @@ class MediaSniffSpec extends SparkTestBase {
     assert(MediaSniff.frameMeans(mp4Cut) == null)
   }
 
+  test("posterFrame extracts exactly frame 0 through either walker; posterHash equals the image aHash") {
+    val pattern = 0x5A5A00FF12345601L
+    Seq("avi", "mp4", "fmp4").foreach { c =>
+      val clip = MediaSniff.encodePosterClip(pattern, 5, 10, 4, c)
+      val poster = MediaSniff.posterFrame(clip)
+      assert(poster != null, c)
+      // frame 0 is carried byte-identical: it decodes as the pattern
+      // PNG itself, so the cross-modal fingerprint is the SAME aHash
+      // an image column computes
+      assert(Multimodal.ImageCodec.aHash(poster) == pattern, c)
+      assert(MediaSniff.posterHash(clip) == pattern, c)
+    }
+    // the image side of the cross-modal join: same pattern, same hash
+    val img = Multimodal.ImageCodec.encodePatternPng(pattern, 4)
+    assert(Multimodal.ImageCodec.aHash(img) == pattern)
+    // quarantine: null/garbage/truncated-payload clips are null whole
+    assert(MediaSniff.posterFrame(null) == null)
+    assert(MediaSniff.posterHash("junk".getBytes("UTF-8")) == null)
+    val clip = MediaSniff.encodePosterClip(pattern, 5, 10, 4, "mp4")
+    val cut = java.util.Arrays.copyOfRange(clip, 0, clip.length - 5)
+    assert(MediaSniff.posterFrame(cut) == null) // ranges quarantine whole
+    intercept[IllegalArgumentException](
+      MediaSniff.encodePosterClip(pattern, 5, 10, 4, "webm"))
+  }
+
+  test("transcodeToMp4 normalizes all three layouts to one byte-identical-payload plain MP4") {
+    val (nf, w, h, fs, cut, vA, vB) = (6, 10, 8, 5, 2, 30, 70)
+    val sources = Seq(
+      "avi" -> Multimodal.VideoCodec.encodeSolidAvi(nf, w, h, fs, cut, vA, vB),
+      "mp4" -> Mp4Codec.encodeSolidMp4(nf, w, h, fs, cut, vA, vB),
+      "fmp4" -> Mp4Codec.encodeSolidFragmentedMp4(nf, w, h, fs, cut, vA, vB),
+      "mdat-first" -> Mp4Codec.encodeMp4Variant(
+        (0 until nf).map { i =>
+          val v = if (i >= cut) vB else vA
+          Multimodal.ImageCodec.encodePng(w, h, v, v, v)
+        }, w, h, fs,
+        useCo64 = false, version1 = false, mdatFirst = true))
+    val norms = sources.map { case (name, src) =>
+      val norm = MediaSniff.transcodeToMp4(src)
+      assert(norm != null, name)
+      val m = Mp4Codec.decodeMeta(norm)
+      assert((m.width, m.height, m.nSamples, m.timescale, m.durationMs)
+        === (w, h, nf, fs, nf * 1000L / fs), name)
+      assert(MediaSniff.container(norm) == "mp4", name)
+      name -> norm
+    }
+    // frame payloads survive byte-identical, so all four sources —
+    // which carry the SAME gray PNG frames in four different container
+    // layouts — normalize to the SAME file, byte for byte
+    norms.tail.foreach { case (n, b) =>
+      assert(java.util.Arrays.equals(b, norms.head._2), n) }
+    // quarantine: corrupt inputs stay null through the transcode —
+    // never an empty-but-valid output
+    assert(MediaSniff.transcodeToMp4(null) == null)
+    assert(MediaSniff.transcodeToMp4(
+      java.util.Arrays.copyOfRange(sources.head._2, 0, 20)) == null)
+    // a frameless-but-valid movie (fMP4 init segment) also quarantines
+    val frag = Mp4Codec.encodeSolidFragmentedMp4(2, 8, 8, 5, -1, 40, 0)
+    val moovEnd = {
+      var i = 4; var at = -1
+      while (at < 0 && i <= frag.length - 4) {
+        if (frag(i) == 'm' && frag(i + 1) == 'o' && frag(i + 2) == 'o' &&
+          frag(i + 3) == 'v') at = i - 4
+        i += 1
+      }
+      val len = ((frag(at) & 0xff) << 24) | ((frag(at + 1) & 0xff) << 16) |
+        ((frag(at + 2) & 0xff) << 8) | (frag(at + 3) & 0xff)
+      at + len
+    }
+    assert(MediaSniff.transcodeToMp4(
+      java.util.Arrays.copyOfRange(frag, 0, moovEnd)) == null)
+  }
+
   test("UDF path dispatches per row over a mixed column") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

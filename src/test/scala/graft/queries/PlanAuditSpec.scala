@@ -95,15 +95,16 @@ class PlanAuditSpec extends SparkTestBase {
     // small rollup, nothing else. A refactor that slips a join or an
     // extra shuffle into any family member (or widens the scan) would
     // still return correct rows, so only this audit catches it.
-    // (q248/q251/q252/q256 are excluded: their fingerprint stage is
-    // cut by a localCheckpoint barrier, so their visible plan is the
-    // pair join, audited by the near-dup tests below.)
+    // (q248/q251/q252/q256/q257 are excluded: their fingerprint stage
+    // is cut by a localCheckpoint barrier, so their visible plan is
+    // the pair join, audited by the near-dup tests below.)
     val family = Seq(
       "q246_image_decode" -> 0,
       "q247_audio_decode" -> 0,
       "q249_video_decode" -> 0,
       "q250_video_frame_sample" -> 0,
       "q254_mp4_decode" -> 0,
+      "q258_container_normalize" -> 0,
       "q253_media_quarantine" -> 1, // + the rollup's group-key exchange
       "q255_media_quarantine_stages" -> 1)
     family.foreach { case (gate, rollupExchanges) =>
