@@ -196,7 +196,7 @@ object Bench {
         "q255_media_quarantine_stages", "q256_mixed_container_near_dup",
         "q257_poster_frame_dedup", "q258_container_normalize",
         "q210_stream_stream_join", "q218_stream_ingest_dedup",
-        "q242_stream_vector_ingest"))
+        "q242_stream_vector_ingest", "q259_stream_media_ingest"))
     // Second trigger, for CORRELATED window inflation: when ambient load
     // hits every rep of a gate equally, MAD stays small (the reps agree
     // with each other) while median/min stretches — the q58/q62

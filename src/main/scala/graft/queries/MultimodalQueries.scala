@@ -972,6 +972,106 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY doc_id""")
   )
 
+  /** The byte-repetition pattern code the perceptual gates share, as a
+    * reusable Column: bit j of `g` (g < 256) sets byte j of the 64-bit
+    * pattern, so two patterns from different g differ by ≥ 8 bits —
+    * the separation that makes hamming-2 dedup outcomes exactly
+    * predictable in SQL. */
+  private def repPattern(g: org.apache.spark.sql.Column) =
+    (0 until 8).map { j =>
+      when(shiftright(g, j).bitwiseAND(lit(1L)) =!= 0,
+        lit(255L << (8 * j))).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** The MEDIA twin of q218 (text) and q242 (vectors) — the streaming
+    * ingest-dedup loop run against a PERSISTED poster-fingerprint
+    * corpus: media blobs stream in (bytes at rest, as a real drop
+    * arrives), and each micro-batch sniff-decodes posters, drops
+    * quarantined blobs, probes the corpus table with the asymmetric
+    * banded hamming join ([[graft.text.DedupOps.fingerprintProbe]] —
+    * batch × corpus ONLY, never corpus × corpus), drops near-dup
+    * losers, and appends the survivors' fingerprints back — so the
+    * NEXT batch dedups against them. The batch re-ingests the whole
+    * corpus' content RE-PACKAGED IN A DIFFERENT CONTAINER (an fMP4
+    * re-package of an AVI original must die — the cross-container
+    * kill only a container-blind fingerprint can make), plus novel
+    * content that must survive, plus header-cut blobs that must
+    * quarantine (neither killed-as-dup nor appended). Maintenance is
+    * proven in-gate: a re-ingest of the novels under fresh ids must
+    * collide with their appended fingerprints. Output = final corpus
+    * membership, exactly replayable by the oracle. */
+  private val q259 = GQ(
+    "q259_stream_media_ingest",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.multimodal.MediaSniff
+      import graft.tables.GraftTable
+      import graft.text.DedupOps
+      val spine = mediaRows(s, dir)
+      def containerOf(shift: Int) = // avi / mp4 / fmp4 by id arithmetic
+        expr(s"element_at(array('avi','mp4','fmp4'), " +
+          s"cast((doc_id + $shift) % 3 as int) + 1)")
+      def clip(p: org.apache.spark.sql.Column, shift: Int) =
+        MediaSniff.encodePosterClipUdf(p, lit(2), lit(10), lit(4),
+          containerOf(shift))
+      // the persisted corpus: poster fingerprints of the initial drop
+      val corpusFps = spine
+        .withColumn("blob", clip(repPattern(pmod(col("doc_id"), lit(50L))), 0))
+        .select(col("doc_id"), MediaSniff.posterHashUdf(col("blob")).as("fp"))
+      val t = GraftTable.createFrom(s, Scratch.dir("medialoop"), corpusFps)
+      // the streamed drop: every corpus doc re-packaged in a DIFFERENT
+      // container (+100000, must die), novel patterns (+200000, g+100
+      // differs from every corpus g by ≥ 8 bits, must survive), and
+      // header-cut blobs (+300000, must quarantine)
+      val copies = spine.select((col("doc_id") + 100000).as("doc_id"),
+        clip(repPattern(pmod(col("doc_id"), lit(50L))), 1).as("blob"))
+      val novel = spine.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          clip(repPattern(pmod(col("doc_id"), lit(50L)) + 100), 2).as("blob"))
+      val corrupt = spine.filter(pmod(col("doc_id"), lit(10)) === 5)
+        .withColumn("blob0", clip(repPattern(pmod(col("doc_id"), lit(50L))), 0))
+        .select((col("doc_id") + 300000).as("doc_id"),
+          expr("substring(blob0, 1, 20)").as("blob"))
+      val in = Scratch.dir("medialoopsrc")
+      copies.unionByName(novel).unionByName(corrupt)
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      val nNovel = novel.count()
+      val stream = s.readStream.schema(copies.schema).parquet(in)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Scratch.dir("medialoopckpt"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // decode once per batch: the posterHash chain is referenced
+          // by both the probe and the anti-join (the q248 barrier note)
+          val fps = b.select(col("doc_id"),
+              MediaSniff.posterHashUdf(col("blob")).as("fp"))
+            .filter(col("fp").isNotNull) // quarantined blobs drop here
+            .localCheckpoint()
+          val losers = DedupOps.fingerprintProbe(fps, t.read(),
+            "doc_id", "fp", maxHamming = 2)
+            .select(col("batch_id").as("doc_id")).distinct()
+          t.append(fps.join(losers, Seq("doc_id"), "left_anti"))
+          ()
+        }.start()
+      stream.awaitTermination()
+      // maintenance proof: the appended novels must now be probe-able —
+      // fresh-id re-encodes of them collide with their indexed copies
+      val reprobe = DedupOps.fingerprintProbe(
+        novel.select((col("doc_id") + 300000).as("doc_id"),
+          MediaSniff.posterHashUdf(col("blob")).as("fp")),
+        t.read(), "doc_id", "fp", maxHamming = 2)
+        .select("batch_id").distinct()
+      require(reprobe.count() == nNovel,
+        "corpus append must make a re-ingest of the survivors collide")
+      t.read().select("doc_id").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id FROM documents
+            WHERE doc_id % 10 = 0
+            ORDER BY doc_id""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -997,5 +1097,5 @@ object MultimodalQueries extends QueryBatch {
 
   override def queries: Seq[GQ] =
     Seq(q130, q131, q132, q246, q247, q248, q249, q250, q251, q252, q253,
-      q254, q255, q256, q257, q258)
+      q254, q255, q256, q257, q258, q259)
 }

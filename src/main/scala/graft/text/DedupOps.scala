@@ -510,6 +510,40 @@ object DedupOps {
       maxHamming, keepHamming = true)
   }
 
+  /** Batch-vs-corpus variant of [[fingerprintPairs]]: which BATCH rows
+    * sit within hamming ≤ maxHamming of ANY corpus row. Same pigeonhole
+    * chunk blocking, asymmetric join — batch chunks × corpus chunks on
+    * (chunk, value), so per-ingest cost scales with the batch (times
+    * bucket collisions), never corpus × corpus and never batch × batch
+    * — the ingest-loop discipline [[graft.text.DedupIndex]] enforces
+    * for shingles, here for 64-bit perceptual fingerprints (q259's
+    * streaming media loop). Returns (batch_id, corpus_id, hamming);
+    * dedup callers typically keep `batch_id` distinct as the loser set. */
+  def fingerprintProbe(batch: DataFrame, corpus: DataFrame, idCol: String,
+      fpCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && 64 / (maxHamming + 1) >= 8,
+      s"maxHamming=$maxHamming outside 64-bit chunk blocking range (0..7)")
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    val chunkMask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    def chunksOf(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"), col(fpCol).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        explode(array((0 until nChunks).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned(col("fp"), c * chunkBits)
+              .bitwiseAND(lit(chunkMask)).as("val"))
+        }: _*)).as("cc"))
+      .select(col("doc_id"), col("fp"), col("cc.chunk"), col("cc.val"))
+    chunksOf(batch).alias("x")
+      .join(chunksOf(corpus).alias("y"),
+        col("x.chunk") === col("y.chunk") && col("x.val") === col("y.val"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct (see above)
+      .distinct()
+  }
+
   /** Chunk-blocked candidate pairs with hamming ≤ maxHamming: pairs within
     * the radius must share at least one of maxHamming+1 chunks
     * (pigeonhole), so only same-chunk-value buckets are joined. */

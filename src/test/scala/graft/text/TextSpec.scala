@@ -139,4 +139,23 @@ class TextSpec extends SparkTestBase {
       .select(TextOps.rejectRule(col("text"))).head().getString(0)
     assert(both == "too_short")
   }
+
+  test("fingerprintProbe is strictly batch-vs-corpus: no self pairs on either side") {
+    import spark.implicits._
+    // batch 1 (0b00) and 3 (0b11) are hamming 2 of EACH OTHER — a
+    // symmetric join would pair them; corpus 10 (0b00) and 12 (0b01)
+    // are hamming 1 of each other — a corpus self-join would pair
+    // those. Only cross pairs may come back.
+    val batch = Seq((1L, 0L), (2L, 0xFFL), (3L, 3L)).toDF("id", "h")
+    val corpus = Seq((10L, 0L), (11L, 0xFF00L), (12L, 1L)).toDF("id", "h")
+    val got = DedupOps.fingerprintProbe(batch, corpus, "id", "h", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    assert(got === Set((1L, 10L, 0L), (1L, 12L, 1L), (3L, 10L, 2L), (3L, 12L, 1L)))
+    // the dedup consumer's view: batch 2 has no corpus neighbor ≤ 2
+    val losers = got.map(_._1)
+    assert(!losers.contains(2L) && losers === Set(1L, 3L))
+    intercept[IllegalArgumentException](
+      DedupOps.fingerprintProbe(batch, corpus, "id", "h", maxHamming = 9))
+  }
 }
