@@ -52,9 +52,12 @@ object ScaleBench {
     // grow quadratically BY CONSTRUCTION at large mult (the
     // q81/ProfPairs artifact), and the join is the same
     // DedupOps.fingerprintPairs already measured via q76
+    // q256/q257 are pair gates (fixed group count → quadratic output
+    // by construction, like q248/q251/q252); q258 is a pure per-row
+    // transcode and joins the linear-claim family
     "media-codec" -> Seq("q246_image_decode", "q247_audio_decode",
       "q249_video_decode", "q253_media_quarantine", "q254_mp4_decode",
-      "q255_media_quarantine_stages"))
+      "q255_media_quarantine_stages", "q258_container_normalize"))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleBench <dirSmall> <dirLarge> [gates]")
