@@ -51,6 +51,15 @@ object Mp4Codec {
   final case class Mp4Meta(width: Int, height: Int, nSamples: Int,
       timescale: Int, durationMs: Long, codec: String)
 
+  /** Audio-track metadata from the first `soun` trak (MP4 files carry
+    * audio beside video; audio-only `.m4a` files carry nothing else):
+    * channels/bits from the AudioSampleEntry, sampleRate = the mdhd
+    * media timescale (authoritative for audio), nSamples = stsz count,
+    * durationMs with the same integer formula as the video side. Null
+    * for files without a walkable soun trak. */
+  final case class Mp4AudioMeta(channels: Int, bits: Int, sampleRate: Int,
+      nSamples: Int, durationMs: Long, codec: String)
+
   // ---- Box plumbing (big-endian, unlike RIFF's little-endian) --------
 
   private def be16(v: Int): Array[Byte] =
@@ -229,6 +238,176 @@ object Mp4Codec {
     out.toByteArray
   }
 
+  /** Write a TWO-TRACK MP4: the [[encodeMp4]] video trak plus a
+    * `soun` trak carrying raw PCM16 — sample entry `sowt`
+    * (little-endian) or `twos` (big-endian), the QuickTime PCM
+    * fourccs — one PCM frame per MP4 sample, all audio in one trailing
+    * mdat chunk after the video chunks. The fixture behind the
+    * audio-demux gate: [[extractAudioWav]] must recover exactly these
+    * PCM bytes (byte-swapped for `twos`) wrapped as a WAV. `pcm` is
+    * interleaved PCM16 in the BYTE ORDER the chosen fourcc declares. */
+  def encodeMp4WithAudio(samples: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+      pcm: Array[Byte], rate: Int, channels: Int,
+      audioBigEndian: Boolean = false): Array[Byte] = {
+    require(fps > 0 && rate > 0, "fps and rate must be positive")
+    // samples MAY be empty: no vide trak is written at all — the
+    // audio-only `.m4a` layout (podcast/music files), which the audio
+    // view must read while the video view correctly yields null
+    require(channels >= 1 && pcm.length % (channels * 2) == 0,
+      "pcm must hold whole PCM16 frames")
+    val n = samples.length
+    val spc = fixtureSamplesPerChunk
+    val nChunks = (n + spc - 1) / spc
+    val chunkSizes = (0 until nChunks).map { c =>
+      samples.slice(c * spc, math.min(n, (c + 1) * spc)).map(_.length.toLong).sum
+    }
+    val frameBytes = channels * 2
+    val nAudio = pcm.length / frameBytes
+
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "mp41".getBytes("US-ASCII"))
+
+    def buildMoov(chunkOffsets: Seq[Long], audioChunkOffset: Long): Array[Byte] = {
+      val mvhd = fullBox("mvhd", 0, 0,
+        be32(0), be32(0), be32(fps.toLong), be32(n.toLong),
+        be32(0x00010000L), be16(0x0100), be16(0),
+        be32(0), be32(0), unityMatrix,
+        Array.fill(24)(0.toByte), be32(3)) // next_track_ID: 3
+      // ---- video trak (the encodeMp4 shape, track 1) ----
+      def vTrak = {
+        val tkhd = fullBox("tkhd", 0, 3,
+          be32(0), be32(0), be32(1), be32(0), be32(n.toLong),
+          be32(0), be32(0),
+          be16(0), be16(0), be16(0), be16(0), unityMatrix,
+          be32(w.toLong << 16), be32(h.toLong << 16))
+        val mdhd = fullBox("mdhd", 0, 0,
+          be32(0), be32(0), be32(fps.toLong), be32(n.toLong),
+          be16(0x55c4), be16(0))
+        val hdlr = fullBox("hdlr", 0, 0,
+          be32(0), "vide".getBytes("US-ASCII"),
+          be32(0), be32(0), be32(0),
+          "GraftVideoHandler".getBytes("US-ASCII") :+ 0.toByte)
+        val stsd = {
+          val entry = box("mpng",
+            Array.fill(6)(0.toByte), be16(1),
+            Array.fill(16)(0.toByte),
+            be16(w), be16(h),
+            be32(0x00480000L), be32(0x00480000L),
+            be32(0), be16(1),
+            Array.fill(32)(0.toByte),
+            be16(24), be16(0xffff))
+          fullBox("stsd", 0, 0, be32(1), entry)
+        }
+        val stts = fullBox("stts", 0, 0, be32(1), be32(n.toLong), be32(1))
+        val stsc = {
+          val rem = n % spc
+          val entries =
+            if (nChunks == 1) Seq((1L, n.toLong))
+            else if (rem == 0) Seq((1L, spc.toLong))
+            else Seq((1L, spc.toLong), (nChunks.toLong, rem.toLong))
+          fullBox("stsc", 0, 0,
+            (be32(entries.length.toLong) +:
+              entries.flatMap { case (fc, c) =>
+                Seq(be32(fc), be32(c), be32(1)) }): _*)
+        }
+        val stsz = fullBox("stsz", 0, 0, be32(0), be32(n.toLong),
+          samples.toArray.flatMap(s => be32(s.length.toLong)))
+        val stco = fullBox("stco", 0, 0, be32(nChunks.toLong),
+          chunkOffsets.toArray.flatMap(be32))
+        val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+        val vmhd = fullBox("vmhd", 0, 1, be16(0), be16(0), be16(0), be16(0))
+        val dref = fullBox("dref", 0, 0, be32(1), fullBox("url ", 0, 1))
+        val minf = box("minf", vmhd, box("dinf", dref), stbl)
+        box("trak", tkhd, box("mdia", mdhd, hdlr, minf))
+      }
+      // ---- audio trak (track 2, one chunk holding every PCM frame) ----
+      val aTrak = {
+        val tkhd = fullBox("tkhd", 0, 3,
+          be32(0), be32(0), be32(2), be32(0),
+          be32(nAudio.toLong * fps / math.max(1, rate)), // movie-timescale duration
+          be32(0), be32(0),
+          be16(0), be16(0), be16(0x0100), be16(0), unityMatrix,
+          be32(0), be32(0)) // audio has no visual dims
+        val mdhd = fullBox("mdhd", 0, 0,
+          be32(0), be32(0), be32(rate.toLong), be32(nAudio.toLong),
+          be16(0x55c4), be16(0))
+        val hdlr = fullBox("hdlr", 0, 0,
+          be32(0), "soun".getBytes("US-ASCII"),
+          be32(0), be32(0), be32(0),
+          "GraftAudioHandler".getBytes("US-ASCII") :+ 0.toByte)
+        val stsd = {
+          // AudioSampleEntry: 6 reserved + 2 data_ref + version(2)
+          // revision(2) vendor(4) + channels(2) samplesize(2) +
+          // pre_defined(2) reserved(2) + samplerate (16.16)
+          val fourccA = if (audioBigEndian) "twos" else "sowt"
+          val entry = box(fourccA,
+            Array.fill(6)(0.toByte), be16(1),
+            be16(0), be16(0), be32(0),
+            be16(channels), be16(16),
+            be16(0), be16(0),
+            be32(rate.toLong << 16))
+          fullBox("stsd", 0, 0, be32(1), entry)
+        }
+        val stts = fullBox("stts", 0, 0, be32(1), be32(nAudio.toLong), be32(1))
+        val stsc = fullBox("stsc", 0, 0, be32(1),
+          be32(1), be32(nAudio.toLong), be32(1))
+        val stsz = fullBox("stsz", 0, 0,
+          be32(frameBytes.toLong), be32(nAudio.toLong)) // uniform sizes
+        val stco = fullBox("stco", 0, 0, be32(1), be32(audioChunkOffset))
+        val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+        val smhd = fullBox("smhd", 0, 0, be16(0), be16(0))
+        val dref = fullBox("dref", 0, 0, be32(1), fullBox("url ", 0, 1))
+        val minf = box("minf", smhd, box("dinf", dref), stbl)
+        box("trak", tkhd, box("mdia", mdhd, hdlr, minf))
+      }
+      if (n == 0) box("moov", mvhd, aTrak) // audio-only: no vide trak
+      else box("moov", mvhd, vTrak, aTrak)
+    }
+
+    // two-pass: moov size depends on counts only, never the offsets
+    val moovLen = buildMoov(Seq.fill(nChunks)(0L), 0L).length
+    val mdatPayloadStart = ftyp.length.toLong + moovLen + 8
+    val chunkOffsets = chunkSizes.scanLeft(mdatPayloadStart)(_ + _).init
+    val audioChunkOffset = mdatPayloadStart + chunkSizes.sum
+    val moov = buildMoov(chunkOffsets, audioChunkOffset)
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    out.write(be32(8L + chunkSizes.sum + pcm.length))
+    out.write("mdat".getBytes("US-ASCII"))
+    samples.foreach(out.write)
+    out.write(pcm)
+    out.toByteArray
+  }
+
+  /** Solid two-track fixture: [[encodeSolidMp4]]'s video plus a
+    * constant-fill PCM16 audio track (channel 0 = `v0`, channel 1 =
+    * `v1` when stereo) — every audio statistic exactly computable from
+    * the parameters, mirroring the WAV/AIFF fixtures. */
+  def encodeSolidMp4WithAudio(nFrames: Int, w: Int, h: Int, fps: Int,
+      va: Int, audioFrames: Int, rate: Int, channels: Int,
+      v0: Int, v1: Int, audioBigEndian: Boolean = false): Array[Byte] = {
+    val png = Multimodal.ImageCodec.encodePng(w, h, va, va, va)
+    val pcm = new Array[Byte](audioFrames * channels * 2)
+    var f = 0
+    while (f < audioFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = if (c == 0) v0 else v1
+        val at = (f * channels + c) * 2
+        if (audioBigEndian) {
+          pcm(at) = ((v >> 8) & 0xff).toByte; pcm(at + 1) = (v & 0xff).toByte
+        } else {
+          pcm(at) = (v & 0xff).toByte; pcm(at + 1) = ((v >> 8) & 0xff).toByte
+        }
+        c += 1
+      }
+      f += 1
+    }
+    encodeMp4WithAudio(Seq.fill(nFrames)(png), w, h, fps, pcm, rate,
+      channels, audioBigEndian)
+  }
+
   /** Write a FRAGMENTED MP4 (fMP4 — the DASH/HLS streaming layout):
     * `moov` carries the track headers, an EMPTY `stbl` (zero-entry
     * stts/stsc/stsz/stco — spec-shaped for a fragmented movie) and
@@ -347,6 +526,7 @@ object Mp4Codec {
     var timescale = -1L
     var duration = -1L
     var width = -1; var height = -1
+    var channels = -1; var bits = -1 // AudioSampleEntry fields (soun traks)
     var codec: String = null
     var sttsTotal = -1L
     var sizes: Array[Long] = null
@@ -394,19 +574,34 @@ object Mp4Codec {
     * boxes, inconsistent sample tables). Sample BYTE ranges are
     * resolved separately by [[resolveRanges]] so a readable header
     * over a truncated payload keeps its metadata. */
-  private def parseMeta(blob: Array[Byte]): Option[(Mp4Meta, TrakState)] = {
-    if (blob == null || blob.length < 16) return None
-    // the first box must be ftyp (every spec-conformant file leads
-    // with it) — the MP4 analogue of the RIFF/AVI magic check
-    if (u32(blob, 0) < 16 || fourcc(blob, 4) != "ftyp") return None
-    try {
+  /** First vide + first soun tracks of the box tree (either may be
+    * null — a video-only file has no soun, an audio-only `.m4a` no
+    * vide). Produced by ONE shared walk ([[walkTracks]]); the video
+    * view validates in [[parseMeta]], the audio view in
+    * [[parseAudio]]. */
+  private final class Tracks(val vide: TrakState, val soun: TrakState)
+
+  /** The ftyp gate both views share — the MP4 analogue of the
+    * RIFF/AVI magic check (every spec-conformant file leads with
+    * ftyp). */
+  private def isMp4(blob: Array[Byte]): Boolean =
+    blob != null && blob.length >= 16 &&
+      u32(blob, 0) >= 16 && fourcc(blob, 4) == "ftyp"
+
+  /** Walk the whole box tree once, collecting the first vide and
+    * first soun tracks' states. THROWS on malformed shapes (truncated
+    * parsed boxes, inconsistent tables, over-deep nesting) — the
+    * public views wrap it in their Exception quarantine. */
+  private def walkTracks(blob: Array[Byte]): Tracks = {
       // depth cap: spec-shaped files nest ≤ ~6 container levels
       // (moov → trak → mdia → minf → stbl), but a corrupt/adversarial
       // blob of back-to-back 8-byte container headers would
       // StackOverflowError — an Error, which ESCAPES the Exception
-      // quarantine below. Past the cap the blob is declared malformed.
+      // quarantine in the callers. Past the cap the blob is declared
+      // malformed.
       val maxDepth = 16
       var committed: TrakState = null
+      var soundTrak: TrakState = null
       // mvex/trex per-track defaults (fragmented files): track_ID →
       // (default_sample_duration, default_sample_size). Populated
       // while walking moov, consumed at moof time — spec order
@@ -573,6 +768,7 @@ object Mp4Codec {
               val st = new TrakState
               walk(bodyStart, bodyEnd, depth + 1, st)
               if (st.handler == "vide" && committed == null) committed = st
+              else if (st.handler == "soun" && soundTrak == null) soundTrak = st
             case "trex" =>
               // per-track fragment defaults: vf(4) track_ID(4)
               // sample_description_index(4) duration(4) size(4) flags(4)
@@ -618,8 +814,18 @@ object Mp4Codec {
                 val entry = bodyStart + 8
                 if (entry + 8 > bodyEnd) malformed("truncated sample entry")
                 trak.codec = fourcc(blob, entry + 4).trim.toLowerCase
-                // VisualSampleEntry dims (see encodeMp4's layout note)
-                if (entry + 36 <= bodyEnd) {
+                if (trak.handler == "soun") {
+                  // AudioSampleEntry v0: 8 header + 6 reserved +
+                  // 2 data_ref + version(2) revision(2) vendor(4) →
+                  // channels at +24, samplesize at +26 (hdlr precedes
+                  // minf/stbl in a spec-shaped mdia, so the handler is
+                  // known by the time stsd parses)
+                  if (entry + 28 <= bodyEnd) {
+                    trak.channels = u16(blob, entry + 24)
+                    trak.bits = u16(blob, entry + 26)
+                  }
+                } else if (entry + 36 <= bodyEnd) {
+                  // VisualSampleEntry dims (see encodeMp4's layout note)
                   trak.width = u16(blob, entry + 32)
                   trak.height = u16(blob, entry + 34)
                 }
@@ -691,7 +897,13 @@ object Mp4Codec {
       }
 
       walk(0, blob.length, 0, null)
-      val t = committed
+      new Tracks(committed, soundTrak)
+  }
+
+  private def parseMeta(blob: Array[Byte]): Option[(Mp4Meta, TrakState)] = {
+    if (!isMp4(blob)) return None
+    try {
+      val t = walkTracks(blob).vide
       if (t == null || t.sizes == null || t.stscFirstChunk == null ||
         t.chunkOffsets == null || t.timescale <= 0 || t.width < 0) return None
       // stts is the sample count's second witness: when present it
@@ -789,6 +1001,78 @@ object Mp4Codec {
   private def parseRanges(blob: Array[Byte]): Option[(Mp4Meta, Array[Long], Array[Int])] =
     parseMeta(blob).flatMap { case (m, t) =>
       resolveRanges(blob, t).map { case (offs, lens) => (m, offs, lens) } }
+
+  /** The audio view over the same walk: validate the first `soun`
+    * trak's tables with the video side's rules (stts second witness,
+    * zero-entry-stsc reject, multiplyExact duration). Fragmented audio
+    * is out of scope — the fragment walk ties to the video track, so
+    * an fMP4's audio samples don't resolve and the audio view
+    * quarantines (documented partial; plain and non-faststart layouts
+    * cover the overwhelmingly common demux case). */
+  private def parseAudio(blob: Array[Byte]): Option[(Mp4AudioMeta, TrakState)] = {
+    if (!isMp4(blob)) return None
+    try {
+      val t = walkTracks(blob).soun
+      if (t == null || t.sizes == null || t.stscFirstChunk == null ||
+        t.chunkOffsets == null || t.timescale <= 0 || t.channels < 1 ||
+        t.bits < 1) return None
+      if (t.sttsTotal >= 0 && t.sttsTotal != t.sizes.length) return None
+      if (t.sizes.length > 0 && t.stscFirstChunk.isEmpty) return None
+      val meta = Mp4AudioMeta(t.channels, t.bits, t.timescale.toInt,
+        t.sizes.length,
+        if (t.duration >= 0) Math.multiplyExact(t.duration, 1000L) / t.timescale
+        else -1L,
+        if (t.codec != null) t.codec else "unknown")
+      Some((meta, t))
+    } catch { case _: Exception => None }
+  }
+
+  /** Audio-track metadata alone — no payload bytes touched. */
+  def decodeAudioMeta(blob: Array[Byte]): Mp4AudioMeta =
+    parseAudio(blob).map(_._1).orNull
+
+  /** DEMUX the first `soun` track's PCM16 payload and re-wrap it as a
+    * WAV — the audio-from-video step an ASR/audio-quality pipeline
+    * runs over a video corpus, and the whole read path for audio-only
+    * `.m4a`-style files. Supports the two QuickTime PCM16 sample-entry
+    * fourccs: `sowt` (little-endian, WAV's order — bytes pass through
+    * untouched) and `twos` (big-endian — byte-swapped per 16-bit
+    * sample during the copy). Anything else (AAC etc.) quarantines as
+    * null: this engine extracts stored PCM, it does not decode
+    * perceptual codecs. The output decodes with [[Multimodal.AudioCodec]]
+    * like any other WAV, so every downstream audio stage (means, peak,
+    * windows, energy hash) composes. Sample payload bytes are copied
+    * exactly once, in chunk-walk order. */
+  def extractAudioWav(blob: Array[Byte]): Array[Byte] =
+    parseAudio(blob).flatMap { case (m, t) =>
+      val le = m.codec == "sowt"
+      if ((!le && m.codec != "twos") || m.bits != 16) None
+      else resolveRanges(blob, t).flatMap { case (offs, lens) =>
+        var total = 0L
+        var i = 0
+        while (i < lens.length) { total += lens(i); i += 1 }
+        // each range is in-blob, but a corrupt stco can OVERLAP ranges:
+        // the sum is not bounded by the blob, and believing it would
+        // wrap the allocation. Cap at the image codec's decode budget.
+        if (total > (1L << 28)) None
+        else {
+          val pcm = new Array[Byte](total.toInt)
+          var at = 0
+          i = 0
+          while (i < offs.length) {
+            System.arraycopy(blob, offs(i).toInt, pcm, at, lens(i))
+            at += lens(i); i += 1
+          }
+          if (!le) { // twos: swap each 16-bit sample to WAV's little-endian
+            var j = 0
+            while (j + 1 < pcm.length) {
+              val b = pcm(j); pcm(j) = pcm(j + 1); pcm(j + 1) = b; j += 2
+            }
+          }
+          Some(Multimodal.AudioCodec.writeWav(pcm, m.sampleRate.toFloat, m.channels))
+        }
+      }
+    }.orNull
 
   private def slice(blob: Array[Byte], off: Long, len: Int): Array[Byte] =
     java.util.Arrays.copyOfRange(blob, off.toInt, off.toInt + len)
@@ -925,4 +1209,17 @@ object Mp4Codec {
   val encodePatternFragmentedMp4Udf =
     udf((p: Long, w: Int, h: Int, fps: Int) =>
       encodePatternFragmentedMp4(p, w, h, fps, 200, 40))
+  val decodeAudioMetaUdf = udf((b: Array[Byte]) => Option(decodeAudioMeta(b))
+    .map(m => (m.channels, m.bits, m.sampleRate, m.nSamples, m.durationMs,
+      m.codec)))
+  val extractAudioWavUdf = udf((b: Array[Byte]) => Option(extractAudioWav(b)))
+  val encodeSolidMp4WithAudioUdf = // little-endian 'sowt' samples
+    udf((nf: Int, w: Int, h: Int, fps: Int, va: Int, af: Int, rate: Int,
+        ch: Int, v0: Int, v1: Int) =>
+      encodeSolidMp4WithAudio(nf, w, h, fps, va, af, rate, ch, v0, v1))
+  val encodeSolidMp4WithAudioBeUdf = // big-endian 'twos' samples
+    udf((nf: Int, w: Int, h: Int, fps: Int, va: Int, af: Int, rate: Int,
+        ch: Int, v0: Int, v1: Int) =>
+      encodeSolidMp4WithAudio(nf, w, h, fps, va, af, rate, ch, v0, v1,
+        audioBigEndian = true))
 }

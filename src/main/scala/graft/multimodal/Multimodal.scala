@@ -748,7 +748,9 @@ object Multimodal {
 
     /** PCM16 WAV bytes via the JDK encoder (AudioSystem.write — the
       * same writer real pipelines use; deterministic for given PCM). */
-    private def writeWav(pcm: Array[Byte], rate: Float, channels: Int): Array[Byte] = {
+    // package-private: [[Mp4Codec.extractAudioWav]] re-wraps a demuxed
+    // MP4 PCM track through the same writer
+    private[multimodal] def writeWav(pcm: Array[Byte], rate: Float, channels: Int): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(
         javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
         rate, 16, channels, channels * 2, rate, false)

@@ -1072,6 +1072,91 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY doc_id""")
   )
 
+  /** MP4 AUDIO DEMUX: real video files carry an audio track beside the
+    * video, and the audio-preprocessing half of a training pipeline
+    * (ASR, audio quality, energy hashing) starts by EXTRACTING it.
+    * Per-doc two-track MP4s — Motion-PNG video + constant-fill PCM16
+    * audio, a third of rows storing the big-endian `twos` sample
+    * entry instead of `sowt` — are demuxed per row: the audio view
+    * reads channels/bits/rate/samples/duration off the soun trak's
+    * tables, extractAudioWav re-wraps the PCM as WAV (byte-swapping
+    * `twos`), and the ordinary AudioCodec decodes THAT, proving the
+    * demux composes with every existing audio stage. The oracle is
+    * byte-order-blind for all numeric columns (the WAV/AIFF precedent,
+    * this time inside one container) and predicts the stored fourcc
+    * exactly; ~1 doc in 7 is header-cut and must quarantine through
+    * both views. Narrow per-row projections: the demux never shuffles. */
+  private val q260 = GQ(
+    "q260_mp4_audio_demux",
+    (s, dir) => {
+      import Multimodal.AudioCodec
+      import graft.multimodal.Mp4Codec
+      val d = mediaRows(s, dir)
+        .withColumn("nf", (lit(2) + pmod(col("doc_id"), lit(3))).cast("int"))
+        .withColumn("va", pmod(col("doc_id"), lit(200)).cast("int"))
+        .withColumn("frames", (lit(50) + pmod(col("doc_id"), lit(200))).cast("int"))
+        .withColumn("ch", (lit(1) + pmod(col("doc_id"), lit(2))).cast("int"))
+        .withColumn("v0", (pmod(col("doc_id") * 7, lit(60001)) - 30000).cast("int"))
+        .withColumn("v1", (pmod(col("doc_id") * 11, lit(60001)) - 30000).cast("int"))
+      d.withColumn("blob0",
+          when(pmod(col("doc_id"), lit(3)) === 1,
+            Mp4Codec.encodeSolidMp4WithAudioBeUdf(
+              col("nf"), lit(8), lit(8), lit(5), col("va"), col("frames"),
+              lit(8000), col("ch"), col("v0"), col("v1")))
+          .otherwise(Mp4Codec.encodeSolidMp4WithAudioUdf(
+            col("nf"), lit(8), lit(8), lit(5), col("va"), col("frames"),
+            lit(8000), col("ch"), col("v0"), col("v1"))))
+        .withColumn("blob", when(pmod(col("doc_id"), lit(7)) === 0,
+          expr("substring(blob0, 1, 20)")).otherwise(col("blob0")))
+        .withColumn("vmeta", Mp4Codec.decodeMetaUdf(col("blob")))
+        .withColumn("ameta", Mp4Codec.decodeAudioMetaUdf(col("blob")))
+        .withColumn("wav", Mp4Codec.extractAudioWavUdf(col("blob")))
+        .withColumn("wmeta", AudioCodec.decodeMetaUdf(col("wav")))
+        .withColumn("means", AudioCodec.channelMeansUdf(col("wav")))
+        .withColumn("pk", AudioCodec.peakUdf(col("wav")))
+        .select(col("doc_id"),
+          col("vmeta._3").as("v_samples"),
+          col("ameta._1").as("channels"), col("ameta._2").as("bits"),
+          col("ameta._3").as("sample_rate"), col("ameta._4").as("a_samples"),
+          col("ameta._5").as("a_duration_ms"), col("ameta._6").as("codec"),
+          col("wmeta._4").as("wav_frames"),
+          col("means")(0).as("mean_c0"), col("pk").as("peak"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(nf AS INTEGER) END AS v_samples,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(ch AS INTEGER) END AS channels,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(16 AS INTEGER) END AS bits,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(8000 AS INTEGER) END AS sample_rate,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(frames AS INTEGER) END AS a_samples,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(frames * 1000 // 8000 AS BIGINT) END AS a_duration_ms,
+              CASE WHEN bad = 1 THEN NULL
+                   WHEN doc_id % 3 = 1 THEN 'twos'
+                   ELSE 'sowt' END AS codec,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(frames AS BIGINT) END AS wav_frames,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(v0 AS DOUBLE) END AS mean_c0,
+              CASE WHEN bad = 1 THEN NULL ELSE
+                CAST(CASE WHEN ch = 2 THEN greatest(abs(v0), abs(v1))
+                     ELSE abs(v0) END AS INTEGER) END AS peak
+            FROM (SELECT doc_id,
+                    2 + doc_id % 3 AS nf,
+                    50 + doc_id % 200 AS frames,
+                    1 + doc_id % 2 AS ch,
+                    (doc_id * 7) % 60001 - 30000 AS v0,
+                    (doc_id * 11) % 60001 - 30000 AS v1,
+                    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS bad
+                  FROM documents)
+            ORDER BY doc_id""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -1097,5 +1182,5 @@ object MultimodalQueries extends QueryBatch {
 
   override def queries: Seq[GQ] =
     Seq(q130, q131, q132, q246, q247, q248, q249, q250, q251, q252, q253,
-      q254, q255, q256, q257, q258, q259)
+      q254, q255, q256, q257, q258, q259, q260)
 }

@@ -507,6 +507,76 @@ class Mp4CodecSpec extends SparkTestBase {
     assert(Mp4Codec.frameMeans(blob).toSeq === Seq(20.0, 80.0))
   }
 
+  test("audio demux: the soun track extracts as a WAV decoding to the source PCM") {
+    // both QuickTime PCM16 byte orders, mono and stereo: the demuxed
+    // WAV must decode (via the ordinary AudioCodec path) to exactly
+    // the constant fills the fixture wrote, while the VIDEO view of
+    // the same blob stays exactly what a single-track file gives
+    Seq((1, false), (2, false), (1, true), (2, true)).foreach { case (ch, be) =>
+      val blob = Mp4Codec.encodeSolidMp4WithAudio(4, 8, 8, 5, va = 90,
+        audioFrames = 160, rate = 8000, channels = ch, v0 = -1234, v1 = 777,
+        audioBigEndian = be)
+      val label = s"ch=$ch be=$be"
+      // video view: unchanged by the second trak
+      val vm = Mp4Codec.decodeMeta(blob)
+      assert(vm != null && vm.nSamples == 4 && vm.width == 8, label)
+      assert(Mp4Codec.frameMeans(blob).toSeq === Seq.fill(4)(90.0), label)
+      // audio view
+      val am = Mp4Codec.decodeAudioMeta(blob)
+      assert(am != null, label)
+      assert((am.channels, am.bits, am.sampleRate, am.nSamples, am.durationMs,
+        am.codec) === (ch, 16, 8000, 160, 20L, if (be) "twos" else "sowt"), label)
+      val wav = Mp4Codec.extractAudioWav(blob)
+      assert(wav != null, label)
+      val wm = Multimodal.AudioCodec.decodeMeta(wav)
+      assert((wm.sampleRate, wm.channels, wm.bitsPerSample, wm.frames)
+        === (8000, ch, 16, 160L), label)
+      val means = Multimodal.AudioCodec.channelMeans(wav)
+      assert(means(0) === -1234.0, label)
+      if (ch == 2) assert(means(1) === 777.0, label)
+    }
+  }
+
+  test("audio demux: audio-only (.m4a-style) files read on the audio view, null on the video view") {
+    val blob = Mp4Codec.encodeSolidMp4WithAudio(0, 8, 8, 5, va = 0,
+      audioFrames = 80, rate = 4000, channels = 1, v0 = 555, v1 = 0)
+    assert(Mp4Codec.decodeMeta(blob) == null) // no vide trak at all
+    val am = Mp4Codec.decodeAudioMeta(blob)
+    assert(am != null && am.nSamples == 80 && am.sampleRate == 4000 &&
+      am.durationMs == 20L)
+    val wav = Mp4Codec.extractAudioWav(blob)
+    assert(Multimodal.AudioCodec.channelMeans(wav)(0) === 555.0)
+  }
+
+  test("audio demux quarantines: tail cut kills samples not metadata; non-PCM codec is null") {
+    val blob = Mp4Codec.encodeSolidMp4WithAudio(3, 8, 8, 5, va = 50,
+      audioFrames = 100, rate = 8000, channels = 1, v0 = 1000, v1 = 0)
+    // the audio chunk is the mdat TAIL, so a 5-byte tail cut leaves
+    // video samples whole but the audio ranges out of blob
+    val cut = java.util.Arrays.copyOfRange(blob, 0, blob.length - 5)
+    assert(Mp4Codec.decodeAudioMeta(cut) != null) // moov metadata reads
+    assert(Mp4Codec.extractAudioWav(cut) == null) // sample-depth quarantine
+    assert(Mp4Codec.frameMeans(cut) != null)      // video payload intact
+    // a non-PCM sample entry (a real corpus's AAC) must be metadata-
+    // readable but extraction-null: patch the fourcc to 'mp4a'
+    val at = indexOfFourcc(blob, "sowt")
+    assert(at > 0)
+    val aac = blob.clone()
+    System.arraycopy("mp4a".getBytes("US-ASCII"), 0, aac, at + 4, 4)
+    val am = Mp4Codec.decodeAudioMeta(aac)
+    assert(am != null && am.codec == "mp4a")
+    assert(Mp4Codec.extractAudioWav(aac) == null)
+    // header-depth corruption: everything null, nothing thrown
+    val headerCut = java.util.Arrays.copyOfRange(blob, 0, 20)
+    assert(Mp4Codec.decodeAudioMeta(headerCut) == null)
+    assert(Mp4Codec.extractAudioWav(headerCut) == null)
+    // fuzz both views together
+    (0 until blob.length by 11).foreach { i =>
+      val fz = blob.clone(); fz(i) = (fz(i) ^ 0x5a).toByte
+      Mp4Codec.decodeAudioMeta(fz); Mp4Codec.extractAudioWav(fz)
+    }
+  }
+
   test("streaming cursor decode equals materialize-then-decode on every sample") {
     // frameMeans streams each sample zero-copy out of the blob;
     // samples() materializes copies — the two paths must agree
