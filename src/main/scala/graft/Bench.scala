@@ -195,7 +195,7 @@ object Bench {
         "q253_media_quarantine", "q254_mp4_decode",
         "q255_media_quarantine_stages", "q256_mixed_container_near_dup",
         "q257_poster_frame_dedup", "q258_container_normalize",
-        "q260_mp4_audio_demux",
+        "q260_mp4_audio_demux", "q261_mixed_audio_decode",
         "q210_stream_stream_join", "q218_stream_ingest_dedup",
         "q242_stream_vector_ingest", "q259_stream_media_ingest"))
     // Second trigger, for CORRELATED window inflation: when ambient load

@@ -104,6 +104,38 @@ object MediaSniff {
     case _ => null
   }
 
+  /** "wav" / "aiff" / "mp4" from the leading magic bytes of an AUDIO
+    * blob, null otherwise — the audio twin of [[container]]: real
+    * audio drops interleave RIFF/WAVE, FORM/AIFF, and ISO-BMFF `.m4a`
+    * files in one column, and extensions lie there too. */
+  def audioContainer(blob: Array[Byte]): String =
+    if (blob == null || blob.length < 12) null
+    else if (blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' &&
+      blob(3) == 'F' && blob(8) == 'W' && blob(9) == 'A' &&
+      blob(10) == 'V' && blob(11) == 'E') "wav"
+    else if (blob(0) == 'F' && blob(1) == 'O' && blob(2) == 'R' &&
+      blob(3) == 'M' && blob(8) == 'A' && blob(9) == 'I' &&
+      blob(10) == 'F' && blob(11) == 'F') "aiff"
+    else if (blob(4) == 'f' && blob(5) == 't' && blob(6) == 'y' &&
+      blob(7) == 'p') "mp4"
+    else null
+
+  /** Normalize any supported audio container to bytes the ordinary
+    * [[Multimodal.AudioCodec]] path decodes: WAV and AIFF pass through
+    * UNTOUCHED (the JDK SPI family reads both, either byte order), an
+    * ISO-BMFF file demuxes its soun track to WAV
+    * ([[Mp4Codec.extractAudioWav]]). The audio twin of
+    * [[transcodeToMp4]]: after this one per-row dispatch, every
+    * downstream audio stage — metadata, means, peak, window energy,
+    * the perceptual hash — runs container-blind. Null quarantine for
+    * unrecognized or corrupt bytes. */
+  def audioToDecodable(blob: Array[Byte]): Array[Byte] =
+    audioContainer(blob) match {
+      case "wav" | "aiff" => blob
+      case "mp4" => Mp4Codec.extractAudioWav(blob)
+      case _ => null
+    }
+
   /** Poster-clip fixture: frame 0 is an 8×8-cell pattern PNG (the
     * [[Multimodal.ImageCodec.encodePatternPng]] shape, so its aHash
     * IS the pattern), frames 1..n-1 solid mid-gray — laid out in any
@@ -137,6 +169,9 @@ object MediaSniff {
   val frameMeansUdf = udf((b: Array[Byte]) => Option(frameMeans(b)))
   val posterHashUdf =
     udf((b: Array[Byte]) => Option(posterHash(b)).map(_.longValue))
+  val audioContainerUdf = udf((b: Array[Byte]) => Option(audioContainer(b)))
+  val audioToDecodableUdf =
+    udf((b: Array[Byte]) => Option(audioToDecodable(b)))
   val transcodeToMp4Udf = udf((b: Array[Byte]) => Option(transcodeToMp4(b)))
   val encodePosterClipUdf =
     udf((p: Long, nf: Int, fps: Int, cell: Int, c: String) =>

@@ -1157,6 +1157,78 @@ object MultimodalQueries extends QueryBatch {
             ORDER BY doc_id""")
   )
 
+  /** MIXED-CONTAINER audio decode: ONE binary column interleaving the
+    * three audio containers a real drop carries — RIFF/WAVE, FORM/AIFF,
+    * and audio-only `.m4a` (ISO-BMFF, no video track) — normalized by
+    * ONE per-row magic-byte dispatch ([[graft.multimodal.MediaSniff
+    * .audioToDecodable]]: WAV/AIFF pass through untouched, m4a demuxes
+    * its soun track to WAV) and then decoded by the ordinary
+    * AudioCodec stages. The audio twin of q256/q258: after the
+    * dispatch, metadata/means/peak run container-blind, so the oracle
+    * predicts every numeric column identically across all three
+    * layouts; the container column reports the sniff itself (readable
+    * even on the corrupt rows — 20-byte cuts keep the magic — while
+    * every decode stage correctly quarantines them). */
+  private val q261 = GQ(
+    "q261_mixed_audio_decode",
+    (s, dir) => {
+      import Multimodal.AudioCodec
+      import graft.multimodal.{MediaSniff, Mp4Codec}
+      val d = mediaRows(s, dir)
+        .withColumn("frames", (lit(50) + pmod(col("doc_id"), lit(200))).cast("int"))
+        .withColumn("ch", (lit(1) + pmod(col("doc_id"), lit(2))).cast("int"))
+        .withColumn("v0", (pmod(col("doc_id") * 7, lit(60001)) - 30000).cast("int"))
+        .withColumn("v1", (pmod(col("doc_id") * 11, lit(60001)) - 30000).cast("int"))
+      d.withColumn("blob0",
+          when(pmod(col("doc_id"), lit(3)) === 0, AudioCodec.encodeWavUdf(
+            col("frames"), lit(8000), col("v0"), col("v1"), col("ch")))
+          .when(pmod(col("doc_id"), lit(3)) === 1, AudioCodec.encodeAiffUdf(
+            col("frames"), lit(8000), col("v0"), col("v1"), col("ch")))
+          .otherwise(Mp4Codec.encodeSolidMp4WithAudioUdf( // audio-only m4a
+            lit(0), lit(8), lit(8), lit(5), lit(0), col("frames"),
+            lit(8000), col("ch"), col("v0"), col("v1"))))
+        .withColumn("blob", when(pmod(col("doc_id"), lit(7)) === 0,
+          expr("substring(blob0, 1, 20)")).otherwise(col("blob0")))
+        .withColumn("container", MediaSniff.audioContainerUdf(col("blob")))
+        .withColumn("norm", MediaSniff.audioToDecodableUdf(col("blob")))
+        .withColumn("meta", AudioCodec.decodeMetaUdf(col("norm")))
+        .withColumn("means", AudioCodec.channelMeansUdf(col("norm")))
+        .withColumn("pk", AudioCodec.peakUdf(col("norm")))
+        .select(col("doc_id"), col("container"),
+          col("meta._1").as("sample_rate"), col("meta._2").as("channels"),
+          col("meta._3").as("bits"), col("meta._4").as("n_frames"),
+          col("meta._5").as("duration_ms"),
+          col("means")(0).as("mean_c0"), col("pk").as("peak"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'wav'
+                   WHEN 1 THEN 'aiff' ELSE 'mp4' END AS container,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(8000 AS INTEGER) END AS sample_rate,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(ch AS INTEGER) END AS channels,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(16 AS INTEGER) END AS bits,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(frames AS BIGINT) END AS n_frames,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(frames * 1000 // 8000 AS BIGINT) END AS duration_ms,
+              CASE WHEN bad = 1 THEN NULL
+                   ELSE CAST(v0 AS DOUBLE) END AS mean_c0,
+              CASE WHEN bad = 1 THEN NULL ELSE
+                CAST(CASE WHEN ch = 2 THEN greatest(abs(v0), abs(v1))
+                     ELSE abs(v0) END AS INTEGER) END AS peak
+            FROM (SELECT doc_id,
+                    50 + doc_id % 200 AS frames,
+                    1 + doc_id % 2 AS ch,
+                    (doc_id * 7) % 60001 - 30000 AS v0,
+                    (doc_id * 11) % 60001 - 30000 AS v1,
+                    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS bad
+                  FROM documents)
+            ORDER BY doc_id""")
+  )
+
   /** Query replay: recorded workload re-issued at original offsets,
     * results joined back (`REPLAY/00-Functions.py:391-438`). Output is the
     * deterministic projection (id, rows, status). */
@@ -1182,5 +1254,5 @@ object MultimodalQueries extends QueryBatch {
 
   override def queries: Seq[GQ] =
     Seq(q130, q131, q132, q246, q247, q248, q249, q250, q251, q252, q253,
-      q254, q255, q256, q257, q258, q259, q260)
+      q254, q255, q256, q257, q258, q259, q260, q261)
 }

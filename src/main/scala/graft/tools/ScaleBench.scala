@@ -57,7 +57,8 @@ object ScaleBench {
     // transcode and joins the linear-claim family
     "media-codec" -> Seq("q246_image_decode", "q247_audio_decode",
       "q249_video_decode", "q253_media_quarantine", "q254_mp4_decode",
-      "q255_media_quarantine_stages", "q258_container_normalize"))
+      "q255_media_quarantine_stages", "q258_container_normalize",
+      "q260_mp4_audio_demux"))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleBench <dirSmall> <dirLarge> [gates]")

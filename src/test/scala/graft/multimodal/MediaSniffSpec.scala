@@ -134,6 +134,38 @@ class MediaSniffSpec extends SparkTestBase {
       java.util.Arrays.copyOfRange(frag, 0, moovEnd)) == null)
   }
 
+  test("audio sniff + normalize: WAV/AIFF pass through, m4a demuxes, all decode identically") {
+    val (frames, rate, ch, v0, v1) = (120, 8000, 2, -900, 450)
+    val wav = Multimodal.AudioCodec.encodeWav(frames, rate,
+      Array(v0.toShort, v1.toShort))
+    val aiff = Multimodal.AudioCodec.encodeAiff(frames, rate,
+      Array(v0.toShort, v1.toShort))
+    val m4a = Mp4Codec.encodeSolidMp4WithAudio(0, 8, 8, 5, va = 0,
+      audioFrames = frames, rate = rate, channels = ch, v0 = v0, v1 = v1)
+    assert(MediaSniff.audioContainer(wav) == "wav")
+    assert(MediaSniff.audioContainer(aiff) == "aiff")
+    assert(MediaSniff.audioContainer(m4a) == "mp4")
+    assert(MediaSniff.audioContainer("garbage bytes here".getBytes("UTF-8")) == null)
+    // a VIDEO mp4 also normalizes if it carries a soun track; a
+    // video-only mp4 correctly yields null at the demux stage
+    assert(MediaSniff.audioToDecodable(
+      Mp4Codec.encodeSolidMp4(3, 8, 8, 5, -1, 40, 0)) == null)
+    Seq("wav" -> wav, "aiff" -> aiff, "m4a" -> m4a).foreach { case (name, blob) =>
+      val norm = MediaSniff.audioToDecodable(blob)
+      assert(norm != null, name)
+      // pass-through is IDENTITY for the SPI-readable containers
+      if (name != "m4a") assert(norm eq blob, name)
+      val m = Multimodal.AudioCodec.decodeMeta(norm)
+      assert((m.sampleRate, m.channels, m.bitsPerSample, m.frames)
+        === (rate, ch, 16, frames.toLong), name)
+      val means = Multimodal.AudioCodec.channelMeans(norm)
+      assert((means(0), means(1)) === (v0.toDouble, v1.toDouble), name)
+    }
+    assert(MediaSniff.audioToDecodable(null) == null)
+    assert(MediaSniff.audioToDecodable(
+      java.util.Arrays.copyOfRange(m4a, 0, 20)) == null)
+  }
+
   test("UDF path dispatches per row over a mixed column") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

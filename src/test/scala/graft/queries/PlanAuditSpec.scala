@@ -106,6 +106,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q254_mp4_decode" -> 0,
       "q258_container_normalize" -> 0,
       "q260_mp4_audio_demux" -> 0,
+      "q261_mixed_audio_decode" -> 0,
       "q253_media_quarantine" -> 1, // + the rollup's group-key exchange
       "q255_media_quarantine_stages" -> 1)
     family.foreach { case (gate, rollupExchanges) =>
