@@ -669,7 +669,46 @@ object ExtAnalyticsQueries extends QueryBatch {
             ORDER BY lang, cum_tokens, doc_id""")
   )
 
+  /** Corpus statistical-health report (`CorpusOps.corpusHealth`): the
+    * per-domain release dashboard — token/type counts, type-token ratio,
+    * the Zipf slope (OLS of ln(freq) on ln(rank) over the top-100
+    * words; template spam collapses it toward 0, degenerate vocabulary
+    * dives past −2), and exact interpolated p50/p95 document lengths.
+    * One token scan feeds everything; the word-count shuffle is
+    * vocabulary-bounded; percentiles use the q37 rank-window straddle
+    * (spillable) instead of Spark's buffering percentile aggregate. The
+    * oracle recomputes counts, ranks, the regression, and quantile_cont
+    * in SQL. */
+  private val q264 = GQ(
+    "q264_corpus_health",
+    (s, dir) => graft.text.CorpusOps.corpusHealth(
+        Tables.t(s, dir, "documents")).orderBy("lang"),
+    Some("""WITH docs AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ws
+                          FROM documents),
+            tok AS (SELECT lang, doc_id, ws[CAST(t.i AS INT) + 1] AS word
+                    FROM docs, UNNEST(range(len(ws))) AS t(i)
+                    WHERE len(ws[CAST(t.i AS INT) + 1]) > 0),
+            c AS (SELECT lang, word, count(*) AS n FROM tok GROUP BY 1, 2),
+            r AS (SELECT lang, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rank
+                  FROM c),
+            z AS (SELECT lang, regr_slope(ln(n), ln(rank)) AS slope
+                  FROM r WHERE rank <= 100 GROUP BY 1),
+            s AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+                         CAST(count(*) AS BIGINT) AS n_types
+                  FROM c GROUP BY 1),
+            dl AS (SELECT lang, doc_id, count(*) AS dn FROM tok GROUP BY 1, 2),
+            q AS (SELECT lang, quantile_cont(dn, 0.5) AS p50, quantile_cont(dn, 0.95) AS p95
+                  FROM dl GROUP BY 1)
+            SELECT s.lang, s.n_tokens, s.n_types,
+                   round(CAST(s.n_types AS DOUBLE) / s.n_tokens + 1e-9, 6) AS ttr,
+                   round(z.slope + 1e-9, 4) AS zipf_slope,
+                   round(q.p50 + 1e-9, 4) AS p50_len,
+                   round(q.p95 + 1e-9, 4) AS p95_len
+            FROM s JOIN z ON z.lang = s.lang JOIN q ON q.lang = s.lang
+            ORDER BY s.lang""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q190, q191, q192, q193, q194, q195, q197, q198, q199, q200, q201,
-      q205, q206, q207, q219, q224, q228, q229)
+      q205, q206, q207, q219, q224, q228, q229, q264)
 }

@@ -127,5 +127,44 @@ object RankQueries extends QueryBatch {
             ORDER BY weight DESC, doc_id LIMIT 100""")
   )
 
-  override def queries: Seq[GQ] = Seq(q233, q234, q235)
+  /** Positional-index exact phrase scan (`PhraseIndex.phraseScan`): the
+    * targeted contamination probe — "which documents contain THIS exact
+    * 3-word benchmark phrase, and how often". Phrases are drawn
+    * deterministically from the corpus itself (words 4–6 of every doc_id
+    * ≡ 3 mod 100, the eval-set stand-in), the positional posting list is
+    * pruned to the phrase vocabulary BEFORE any positional join
+    * (broadcast semi-join), and adjacency runs as (doc, pos+k) equi-hash
+    * joins. The oracle replays tokenize-with-position, phrase
+    * extraction, and the three-way positional join in SQL, so a dropped
+    * occurrence, a off-by-one position, or a cross-doc false match
+    * hash-mismatches. */
+  private val q263 = GQ(
+    "q263_phrase_scan",
+    (s, dir) => {
+      val d = docs(s, dir)
+      graft.text.PhraseIndex.phraseScan(
+          d, graft.text.PhraseIndex.phrasesFromDocs(d))
+        .orderBy("phrase_doc")
+    },
+    Some("""WITH docs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+                          FROM documents),
+            p AS (SELECT doc_id, CAST(t.i AS INT) AS pos, ws[CAST(t.i AS INT) + 1] AS tok
+                  FROM docs, UNNEST(range(len(ws))) AS t(i)
+                  WHERE len(ws[CAST(t.i AS INT) + 1]) > 0),
+            ph AS (SELECT doc_id AS phrase_doc, ws[4] AS w1, ws[5] AS w2, ws[6] AS w3,
+                          ws[4] || ' ' || ws[5] || ' ' || ws[6] AS phrase
+                   FROM docs WHERE doc_id % 100 = 3),
+            hits AS (SELECT ph.phrase_doc, ph.phrase, p1.doc_id, p1.pos
+                     FROM ph
+                     JOIN p p1 ON p1.tok = ph.w1
+                     JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1 AND p2.tok = ph.w2
+                     JOIN p p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2 AND p3.tok = ph.w3)
+            SELECT phrase_doc, phrase,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_hits,
+                   min(doc_id) AS first_doc
+            FROM hits GROUP BY 1, 2 ORDER BY phrase_doc""")
+  )
+
+  override def queries: Seq[GQ] = Seq(q233, q234, q235, q263)
 }

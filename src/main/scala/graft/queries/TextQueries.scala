@@ -621,7 +621,62 @@ object TextQueries extends QueryBatch {
             ORDER BY b_id, c_id""")
   )
 
+  /** Corpus-derived subword tokenization (`Subword.tokenizeStats`): build
+    * the top-40 character-n-gram vocabulary (lengths 2–4, count-desc /
+    * gram-asc tie-break) in one vocabulary-bounded shuffle, then greedy
+    * longest-match tokenize every word map-side against the broadcast
+    * vocab (WordPiece apply, Wu et al. '16). The oracle replays the WHOLE
+    * chain in SQL: n-gram counting, the top-K cut, per-position match
+    * lengths via per-length vocab joins, the greedy walk as a recursive
+    * boundary-reachability CTE (pos 0 is a boundary; pos p+ml(p) is
+    * reachable from boundary p), token re-slicing, and the md5 of the
+    * space-joined subtoken stream — so a drifted vocab entry, a walk
+    * off-by-one, or a broken tie-break hash-mismatches per document. */
+  private val q262 = GQ(
+    "q262_subword_tokenize",
+    (s, dir) => graft.text.Subword.tokenizeStats(docs(s, dir), topK = 40)
+      .orderBy("doc_id"),
+    Some("""WITH RECURSIVE
+            docs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+                     FROM documents),
+            w AS (SELECT doc_id, CAST(t.i AS INT) AS widx, ws[CAST(t.i AS INT) + 1] AS word
+                  FROM docs, UNNEST(range(len(ws))) AS t(i)
+                  WHERE len(ws[CAST(t.i AS INT) + 1]) > 0),
+            g AS (SELECT substr(w.word, CAST(p.i AS INT) + 1, CAST(l.L AS INT)) AS gram
+                  FROM w,
+                       UNNEST([2, 3, 4]) AS l(L),
+                       UNNEST(range(greatest(len(w.word) - CAST(l.L AS INT) + 1, 0))) AS p(i)),
+            v AS (SELECT gram, count(*) AS n FROM g GROUP BY 1),
+            topk AS (SELECT gram, len(gram) AS gl FROM v ORDER BY n DESC, gram LIMIT 40),
+            dw AS (SELECT DISTINCT word FROM w),
+            dwp AS (SELECT dw.word, CAST(p.i AS INT) AS pos
+                    FROM dw, UNNEST(range(len(dw.word))) AS p(i)),
+            mp AS (SELECT dwp.word, dwp.pos,
+                          greatest(CASE WHEN t4.gram IS NOT NULL THEN 4 ELSE 1 END,
+                                   CASE WHEN t3.gram IS NOT NULL THEN 3 ELSE 1 END,
+                                   CASE WHEN t2.gram IS NOT NULL THEN 2 ELSE 1 END) AS ml
+                   FROM dwp
+                   LEFT JOIN topk t4 ON t4.gl = 4 AND t4.gram = substr(dwp.word, dwp.pos + 1, 4)
+                   LEFT JOIN topk t3 ON t3.gl = 3 AND t3.gram = substr(dwp.word, dwp.pos + 1, 3)
+                   LEFT JOIN topk t2 ON t2.gl = 2 AND t2.gram = substr(dwp.word, dwp.pos + 1, 2)),
+            walk AS (SELECT word, 0 AS pos FROM dw
+                     UNION ALL
+                     SELECT wk.word, wk.pos + mp.ml
+                     FROM walk wk JOIN mp ON mp.word = wk.word AND mp.pos = wk.pos
+                     WHERE wk.pos + mp.ml <= len(wk.word)),
+            wt AS (SELECT walk.word, walk.pos, substr(walk.word, walk.pos + 1, mp.ml) AS tok
+                   FROM walk JOIN mp ON mp.word = walk.word AND mp.pos = walk.pos),
+            wj AS (SELECT word, count(*) AS n_tok, string_agg(tok, ' ' ORDER BY pos) AS toks
+                   FROM wt GROUP BY 1)
+            SELECT w.doc_id, count(*) AS n_words,
+                   CAST(sum(wj.n_tok) AS BIGINT) AS n_subtok,
+                   round(CAST(sum(wj.n_tok) AS DOUBLE) / count(*) + 1e-9, 6) AS fertility,
+                   md5(string_agg(wj.toks, ' ' ORDER BY w.widx)) AS subtok_hash
+            FROM w JOIN wj ON wj.word = w.word
+            GROUP BY 1 ORDER BY 1""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
-      q212, q216, q221, q223, q225, q226, q227)
+      q212, q216, q221, q223, q225, q226, q227, q262)
 }

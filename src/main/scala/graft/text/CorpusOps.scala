@@ -414,4 +414,72 @@ object CorpusOps {
         round(col("p_hi") + lit(1e-9), 2).as("p_hi"),
         col("n_below"), col("n_above"), col("mean_raw"), col("mean_winsorized"))
   }
+
+  /** Per-domain corpus statistical-health report — the dashboard row a
+    * curation run publishes per release: token/type counts, type-token
+    * ratio, the Zipf slope (OLS fit of ln(freq) on ln(rank) over the
+    * top-`zipfTopK` words — a healthy natural-language corpus sits near
+    * −1; a slope collapsing toward 0 flags template spam, one diving
+    * past −2 flags a degenerate vocabulary), and exact interpolated
+    * p50/p95 document lengths in tokens.
+    *
+    * Scale shape: every branch derives from the same two-column
+    * (domain, text) projection — three columnar scans of pruned width,
+    * no branch reading more. The (domain, word) count shuffle is
+    * map-side combined and vocabulary-bounded; the per-domain rank
+    * window runs over that vocabulary-scale table, never documents (and
+    * the rank ≤ topK filter plans as WindowGroupLimit, cutting each
+    * partition to its local top-K before the exchange). Doc lengths
+    * shuffle as a (domain, doc) count, and their percentiles use the
+    * q37 rank-window straddle
+    * interpolation (spillable external sort) rather than Spark's
+    * buffering `percentile` aggregate, so a billion-doc domain degrades
+    * to disk instead of OOM. Output: domainCol, n_tokens, n_types,
+    * ttr (6-dp), zipf_slope (4-dp), p50_len, p95_len (4-dp). */
+  def corpusHealth(docs: DataFrame, domainCol: String = "lang",
+      textCol: String = "text", idCol: String = "doc_id",
+      zipfTopK: Int = 100): DataFrame = {
+    val tok = docs.select(col(domainCol), col(idCol),
+        explode(TextOps.words(col(textCol))).as("__word"))
+      .filter(length(col("__word")) > 0)
+    val counts = tok.groupBy(col(domainCol), col("__word"))
+      .agg(count(lit(1)).as("__n"))
+    val ranked = counts.withColumn("__rank",
+      row_number().over(Window.partitionBy(domainCol)
+        .orderBy(col("__n").desc, col("__word"))))
+    val zipf = ranked.filter(col("__rank") <= zipfTopK)
+      .groupBy(domainCol)
+      .agg(regr_slope(log(col("__n")), log(col("__rank"))).as("__slope"))
+    val totals = counts.groupBy(domainCol)
+      .agg(sum("__n").as("n_tokens"), count(lit(1)).as("n_types"))
+    // exact interpolated per-domain doc-length percentiles via the q37
+    // rank-window straddle (matches DuckDB quantile_cont)
+    val dl = tok.groupBy(col(domainCol), col(idCol))
+      .agg(count(lit(1)).cast("double").as("__dn"))
+    val wN = Window.partitionBy(domainCol)
+    val wR = wN.orderBy("__dn")
+    val rankedLen = dl
+      .withColumn("__cnt", count(lit(1)).over(wN))
+      .withColumn("__r", row_number().over(wR))
+    def quant(p: Double): Column = {
+      val pos = lit(1.0) + lit(p) * (col("__cnt") - 1)
+      val lo = floor(pos)
+      val xlo = max(when(col("__r") === lo, col("__dn")))
+      val xhi = coalesce(max(when(col("__r") === lo + 1, col("__dn"))),
+        max(when(col("__r") === lo, col("__dn"))))
+      xlo + max(pos - lo) * (xhi - xlo)
+    }
+    val lens = rankedLen.groupBy(domainCol)
+      .agg(
+        round(quant(0.5) + lit(1e-9), 4).as("p50_len"),
+        round(quant(0.95) + lit(1e-9), 4).as("p95_len"))
+    totals
+      .join(zipf, Seq(domainCol))
+      .join(lens, Seq(domainCol))
+      .select(col(domainCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens") + lit(1e-9), 6)
+          .as("ttr"),
+        round(col("__slope") + lit(1e-9), 4).as("zipf_slope"),
+        col("p50_len"), col("p95_len"))
+  }
 }

@@ -216,4 +216,37 @@ class CorpusOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](CorpusOps.chunkTokens(df, 10, 11))
     intercept[IllegalArgumentException](CorpusOps.chunkTokens(df, 10, 0))
   }
+
+  test("corpusHealth: hand-computed counts, slope, and percentiles") {
+    // en: counts a:5 b:3 c:1 -> ranks 1,2,3; OLS of ln(n) on ln(rank)
+    // over [(0, ln5), (ln2, ln3), (ln3, 0)] = -1.3866 (4-dp).
+    // doc lengths [7, 2]: quantile_cont p50 = 2 + 0.5*(7-2) = 4.5,
+    // p95 = 2 + 0.95*5 = 6.75.
+    val docs = Seq(
+      (1L, "en", "a a a a b b c"),
+      (2L, "en", "a b")).toDF("doc_id", "lang", "text")
+    val got = CorpusOps.corpusHealth(docs)
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(("en", 9L, 3L, 0.333333, -1.3866, 4.5, 6.75)))
+  }
+
+  test("corpusHealth: domains are independent and rank ties break word-asc") {
+    // fr: 'x' and 'y' tie at 2 -> ranks by word asc (x=1, y=2); the
+    // slope over equal counts is exactly 0 regardless of rank order
+    val docs = Seq(
+      (1L, "fr", "x y x y"),
+      (2L, "de", "z")).toDF("doc_id", "lang", "text")
+    val got = CorpusOps.corpusHealth(docs).orderBy("lang").collect()
+    // de: a single rank point -> regr_slope is NULL (var_pop(x) = 0) on
+    // both engines; assert fr exactly, de's non-slope fields
+    assert(got.map(_.getString(0)).toSeq == Seq("de", "fr"))
+    val fr = got(1)
+    assert((fr.getLong(1), fr.getLong(2), fr.getDouble(3), fr.getDouble(4),
+      fr.getDouble(5), fr.getDouble(6)) == ((4L, 2L, 0.5, 0.0, 4.0, 4.0)))
+    val de = got(0)
+    assert(de.isNullAt(4), "single-rank slope must be NULL")
+    assert((de.getLong(1), de.getLong(2), de.getDouble(3), de.getDouble(5),
+      de.getDouble(6)) == ((1L, 1L, 1.0, 1.0, 1.0)))
+  }
 }
