@@ -676,7 +676,90 @@ object TextQueries extends QueryBatch {
             GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Shared BPE-training oracle CTE chain: word-frequency dict, char
+    * segmentation, then `n` unrolled merge iterations — each = pair
+    * counts as a positional self-join, the (count desc, pair asc)
+    * argmax, and the left-to-right skip-2 merge pass as a recursive
+    * walk whose step advances 2 on a match and 1 otherwise. seg`n` is
+    * the final segmentation; m0..m`n-1` the learned merges. */
+  private def bpeCtes(n: Int): String = {
+    val step = (k: Int) => s"""
+      pc$k AS (SELECT a.tok AS l, b.tok AS r, CAST(sum(wf.f) AS BIGINT) AS c
+               FROM seg$k a JOIN seg$k b ON b.word = a.word AND b.pos = a.pos + 1
+               JOIN wf ON wf.word = a.word GROUP BY 1, 2),
+      m$k AS (SELECT l, r, c FROM pc$k ORDER BY c DESC, l, r LIMIT 1),
+      wk$k AS (SELECT word, 0 AS p FROM dw
+               UNION ALL
+               SELECT w.word,
+                      w.p + CASE WHEN a.tok = m.l AND b.tok IS NOT DISTINCT FROM m.r
+                                 THEN 2 ELSE 1 END
+               FROM wk$k w
+               JOIN seg$k a ON a.word = w.word AND a.pos = w.p
+               LEFT JOIN seg$k b ON b.word = w.word AND b.pos = w.p + 1
+               CROSS JOIN m$k m),
+      seg${k + 1} AS (SELECT w.word,
+                      CAST(row_number() OVER (PARTITION BY w.word ORDER BY w.p) AS INT) - 1 AS pos,
+                      CASE WHEN a.tok = m.l AND b.tok IS NOT DISTINCT FROM m.r
+                           THEN m.l || m.r ELSE a.tok END AS tok
+               FROM wk$k w
+               JOIN seg$k a ON a.word = w.word AND a.pos = w.p
+               LEFT JOIN seg$k b ON b.word = w.word AND b.pos = w.p + 1
+               CROSS JOIN m$k m)"""
+    s"""WITH RECURSIVE
+        docs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+                 FROM documents),
+        w AS (SELECT doc_id, CAST(t.i AS INT) AS widx, ws[CAST(t.i AS INT) + 1] AS word
+              FROM docs, UNNEST(range(len(ws))) AS t(i)
+              WHERE len(ws[CAST(t.i AS INT) + 1]) > 0),
+        wf AS (SELECT word, count(*) AS f FROM w GROUP BY 1),
+        dw AS (SELECT word FROM wf),
+        seg0 AS (SELECT dw.word, CAST(p.i AS INT) AS pos,
+                        substr(dw.word, CAST(p.i AS INT) + 1, 1) AS tok
+                 FROM dw, UNNEST(range(len(dw.word))) AS p(i)),
+        ${(0 until n).map(step).mkString(",")}"""
+  }
+
+  /** BPE merge-rule learning (`Bpe.train`): the trainer itself is
+    * oracle-gated — the oracle re-learns all three merges in SQL
+    * (frequency-weighted adjacent-pair counts, the deterministic
+    * argmax, the skip-2 merge pass as a recursive walk), so a drifted
+    * count weight, a broken tie-break, or an overlap-handling bug in
+    * the merge pass changes a learned rule and hash-mismatches. */
+  private val q265 = GQ(
+    "q265_bpe_train",
+    (s, dir) => graft.text.Bpe.mergeTable(
+      s, graft.text.Bpe.train(docs(s, dir), nMerges = 3)).orderBy("rank"),
+    Some(s"""${bpeCtes(3)}
+            SELECT 1 AS rank, l AS lhs, r AS rhs, c AS pair_count FROM m0
+            UNION ALL SELECT 2, l, r, c FROM m1
+            UNION ALL SELECT 3, l, r, c FROM m2
+            ORDER BY rank""")
+  )
+
+  /** BPE encode at scale (`Bpe.tokenStats`): per-doc token counts,
+    * fertility, and the md5 of the subtoken stream under the 3-rule
+    * table q265 learns — a shuffle-free broadcast-ranks projection. The
+    * oracle replays training AND derives the final segmentation from
+    * the walk chain, so the gate pins encode == training segmentation
+    * end-to-end (BpeSpec covers the rank-order encode separately). */
+  private val q266 = GQ(
+    "q266_bpe_tokenize",
+    (s, dir) => graft.text.Bpe.tokenStats(
+        docs(s, dir), graft.text.Bpe.train(docs(s, dir), nMerges = 3))
+      .orderBy("doc_id"),
+    Some(s"""${bpeCtes(3)},
+            wj AS (SELECT word, count(*) AS n_tok,
+                          string_agg(tok, ' ' ORDER BY pos) AS toks
+                   FROM seg3 GROUP BY 1)
+            SELECT w.doc_id, count(*) AS n_words,
+                   CAST(sum(wj.n_tok) AS BIGINT) AS n_subtok,
+                   round(CAST(sum(wj.n_tok) AS DOUBLE) / count(*) + 1e-9, 6) AS fertility,
+                   md5(string_agg(wj.toks, ' ' ORDER BY w.widx)) AS subtok_hash
+            FROM w JOIN wj ON wj.word = w.word
+            GROUP BY 1 ORDER BY 1""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
-      q212, q216, q221, q223, q225, q226, q227, q262)
+      q212, q216, q221, q223, q225, q226, q227, q262, q265, q266)
 }
