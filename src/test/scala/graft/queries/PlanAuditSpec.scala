@@ -378,4 +378,48 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"),
       s"candidate selection must take, not globally sort:\n$p")
   }
+
+  test("tokenizer encode stages are shuffle-free broadcast projections") {
+    // both tokenizers train eagerly (bounded collect), then tokenize as
+    // a pure projection — a shuffle appearing here would mean the encode
+    // stage stopped scaling with input splits alone
+    val docs = Tables.t(spark, sf, "documents")
+    val subword = graft.text.Subword.tokenizeStats(docs, topK = 10)
+    val pS = finalPlan(subword)
+    assert(!pS.contains("Exchange"),
+      s"subword encode must not shuffle:\n$pS")
+    val merges = graft.text.Bpe.train(docs, nMerges = 3)
+    val pB = finalPlan(graft.text.Bpe.tokenStats(docs, merges))
+    assert(!pB.contains("Exchange"), s"BPE encode must not shuffle:\n$pB")
+    assert(pS.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"subword scan must prune to (doc_id, text):\n$pS")
+  }
+
+  test("phrase scan prunes postings with a semi-join before any positional join") {
+    import graft.text.PhraseIndex
+    val docs = Tables.t(spark, sf, "documents")
+    val df = PhraseIndex.phraseScan(docs,
+      PhraseIndex.phrasesFromDocs(docs, every = 10, residue = 3))
+    val p = finalPlan(df)
+    assert(p.contains("LeftSemi"),
+      s"postings must be pruned to the phrase vocabulary first:\n$p")
+    // the phrase side must broadcast — a shuffled phrases side would mean
+    // the metadata-scale table drives a corpus-scale exchange
+    assert(p.contains("BroadcastHashJoin"),
+      s"positional joins must hash-join with the broadcast side:\n$p")
+  }
+
+  test("corpus health: zipf rank filter plans as WindowGroupLimit, no single-partition window") {
+    val df = graft.text.CorpusOps.corpusHealth(
+      Tables.t(spark, sf, "documents"))
+    val p = finalPlan(df)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank <= topK must push a per-partition group limit:\n$p")
+    // every window is per-domain — a global (empty-partition) window
+    // would serialize the corpus through one task
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      s"no global window allowed:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"word counts must map-side combine:\n$p")
+  }
 }
