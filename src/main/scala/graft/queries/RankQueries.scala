@@ -131,7 +131,9 @@ object RankQueries extends QueryBatch {
     * targeted contamination probe — "which documents contain THIS exact
     * 3-word benchmark phrase, and how often". Phrases are drawn
     * deterministically from the corpus itself (words 4–6 of every doc_id
-    * ≡ 3 mod 100, the eval-set stand-in), the positional posting list is
+    * ≡ 3 mod 100, id < 1000 — an eval set is fixed-size by nature, and
+    * the bound is what keeps the probe linear in the corpus), the
+    * positional posting list is
     * pruned to the phrase vocabulary BEFORE any positional join
     * (broadcast semi-join), and adjacency runs as (doc, pos+k) equi-hash
     * joins. The oracle replays tokenize-with-position, phrase
@@ -153,7 +155,7 @@ object RankQueries extends QueryBatch {
                   WHERE len(ws[CAST(t.i AS INT) + 1]) > 0),
             ph AS (SELECT doc_id AS phrase_doc, ws[4] AS w1, ws[5] AS w2, ws[6] AS w3,
                           ws[4] || ' ' || ws[5] || ' ' || ws[6] AS phrase
-                   FROM docs WHERE doc_id % 100 = 3),
+                   FROM docs WHERE doc_id % 100 = 3 AND doc_id < 1000),
             hits AS (SELECT ph.phrase_doc, ph.phrase, p1.doc_id, p1.pos
                      FROM ph
                      JOIN p p1 ON p1.tok = ph.w1

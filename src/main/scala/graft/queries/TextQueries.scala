@@ -742,12 +742,7 @@ object TextQueries extends QueryBatch {
     * oracle replays training AND derives the final segmentation from
     * the walk chain, so the gate pins encode == training segmentation
     * end-to-end (BpeSpec covers the rank-order encode separately). */
-  private val q266 = GQ(
-    "q266_bpe_tokenize",
-    (s, dir) => graft.text.Bpe.tokenStats(
-        docs(s, dir), graft.text.Bpe.train(docs(s, dir), nMerges = 3))
-      .orderBy("doc_id"),
-    Some(s"""${bpeCtes(3)},
+  private val bpeStatsOracle = s"""${bpeCtes(3)},
             wj AS (SELECT word, count(*) AS n_tok,
                           string_agg(tok, ' ' ORDER BY pos) AS toks
                    FROM seg3 GROUP BY 1)
@@ -756,10 +751,37 @@ object TextQueries extends QueryBatch {
                    round(CAST(sum(wj.n_tok) AS DOUBLE) / count(*) + 1e-9, 6) AS fertility,
                    md5(string_agg(wj.toks, ' ' ORDER BY w.widx)) AS subtok_hash
             FROM w JOIN wj ON wj.word = w.word
-            GROUP BY 1 ORDER BY 1""")
+            GROUP BY 1 ORDER BY 1"""
+
+  private val q266 = GQ(
+    "q266_bpe_tokenize",
+    (s, dir) => graft.text.Bpe.tokenStats(
+        docs(s, dir), graft.text.Bpe.train(docs(s, dir), nMerges = 3))
+      .orderBy("doc_id"),
+    Some(bpeStatsOracle)
+  )
+
+  /** Tokenizer-artifact lifecycle (`Bpe.saveMerges`/`loadMerges`): the
+    * q214-style persisted-index contract for the tokenizer — train once,
+    * persist the merge table as a GraftTable (merge count in
+    * TBLPROPERTIES), reopen COLD, and encode the corpus from the loaded
+    * ranks without retraining or corpus re-access. Oracle identical to
+    * q266: a drifted rank order, a lost row, or a deserialization bug in
+    * the reopened table changes a token boundary and hash-mismatches. */
+  private val q267 = GQ(
+    "q267_bpe_table_encode",
+    (s, dir) => {
+      val path = Scratch.dir("bpetable")
+      val merges = graft.text.Bpe.train(docs(s, dir), nMerges = 3)
+      graft.text.Bpe.saveMerges(s, path, merges)
+      val loaded = graft.text.Bpe.loadMerges(
+        graft.tables.GraftTable.load(s, path))
+      graft.text.Bpe.tokenStats(docs(s, dir), loaded).orderBy("doc_id")
+    },
+    Some(bpeStatsOracle)
   )
 
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
-      q212, q216, q221, q223, q225, q226, q227, q262, q265, q266)
+      q212, q216, q221, q223, q225, q226, q227, q262, q265, q266, q267)
 }

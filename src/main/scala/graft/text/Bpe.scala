@@ -138,6 +138,28 @@ object Bpe {
       .toDF("rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Persist a learned merge table as a GraftTable — train once, encode
+    * everywhere (the tokenizer artifact every pipeline ships alongside
+    * its corpus). Rows are (rank, lhs, rhs, pair_count); the merge count
+    * rides TBLPROPERTIES so a reopened table is self-describing. */
+  def saveMerges(spark: SparkSession, path: String,
+      merges: Seq[Merge]): graft.tables.GraftTable =
+    graft.tables.GraftTable.createFrom(spark, path, mergeTable(spark, merges),
+      Map("graft.bpe.nMerges" -> merges.size.toString))
+
+  /** Reopen a persisted merge table COLD and reconstruct the ranked
+    * merges in training order — no retraining, no corpus access. The
+    * collect is bounded by the merge count (a tokenizer artifact is
+    * thousands of rows at most). */
+  def loadMerges(t: graft.tables.GraftTable): Seq[Merge] = {
+    val n = t.properties.getOrElse("graft.bpe.nMerges", "-1").toInt
+    val rows = t.read().orderBy("rank").collect()
+      .map(r => Merge(r.getString(1), r.getString(2), r.getLong(3)))
+    require(n < 0 || rows.length == n,
+      s"merge table declares $n merges but holds ${rows.length}")
+    rows.toSeq
+  }
+
   /** Per-document token statistics under a learned merge table — the
     * q262-shaped report (n_words, n_subtok, fertility, md5 of the
     * space-joined subtoken stream), tokenizing with the rank-order

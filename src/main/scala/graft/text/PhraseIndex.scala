@@ -75,13 +75,20 @@ object PhraseIndex {
   }
 
   /** Phrase table drawn deterministically from the corpus itself: words
-    * 4..6 (1-based) of every doc whose id ≡ `residue` (mod `every`) —
-    * the eval-set stand-in the q263 gate probes with. */
+    * 4..6 (1-based) of every doc whose id ≡ `residue` (mod `every`) with
+    * id < every·maxPhrases — the eval-set stand-in the q263 gate probes
+    * with. An eval set is FIXED-SIZE by nature, so the bound is part of
+    * the semantics: without it the phrase count grows with the corpus
+    * and the probe's work becomes phrases × corpus — quadratic in
+    * corpus size (measured: the unbounded form ran 4.5× per 10× at
+    * m1→m10 and fell over at m100). */
   def phrasesFromDocs(docs: DataFrame, every: Int = 100, residue: Int = 3,
+      maxPhrases: Int = 10,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val ws = filter(split(lower(trim(col(textCol))), "\\s+"),
       w => length(w) > 0)
-    docs.filter(col(idCol) % every === residue)
+    docs.filter(col(idCol) % every === residue &&
+        col(idCol) < every.toLong * maxPhrases)
       .select(col(idCol).as("phrase_doc"), ws.as("__ws"))
       .select(col("phrase_doc"),
         element_at(col("__ws"), 4).as("w1"),

@@ -43,7 +43,13 @@ object ScaleBench {
       "q215_ivfpq_index_table", "q217_ann_batch_probe"),
     "prefix-sums" -> Seq("q205_pack_sequences", "q224_budget_mixture"),
     "text-rank" -> Seq("q207_vocab_coverage", "q233_bm25_topk",
-      "q226_lm_surprisal"),
+      "q226_lm_surprisal", "q263_phrase_scan", "q264_corpus_health"),
+    // tokenizers: vocab/merge training is vocabulary-bounded (collect
+    // of a dict, not corpus rows); encode is a shuffle-free broadcast
+    // projection — the claim to verify is exactly-linear encode cost
+    // with flat training cost across decades
+    "tokenizer" -> Seq("q262_subword_tokenize", "q265_bpe_train",
+      "q266_bpe_tokenize"),
     "corpus-release" -> Seq("q237_shuffle_shards", "q223_curation_pipeline"),
     // media codecs are pure per-row scan projections (encode→decode→stats
     // →transcode, no shuffle) — the claim to verify is exactly-linear.

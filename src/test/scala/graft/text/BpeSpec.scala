@@ -75,6 +75,20 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("saveMerges/loadMerges round-trips ranks, pairs, and counts cold") {
+    val merges = Seq(Merge("a", "b", 5L), Merge("ab", "c", 3L),
+      Merge("x", "y", 2L))
+    val path = scratch("bpe_rt")
+    Bpe.saveMerges(spark, path, merges)
+    // reopen through a FRESH handle — nothing cached from the save
+    val loaded = Bpe.loadMerges(graft.tables.GraftTable.load(spark, path))
+    assert(loaded == merges)
+    // a table whose declared merge count disagrees with its rows fails
+    val t2 = graft.tables.GraftTable.createFrom(spark, scratch("bpe_bad"),
+      Bpe.mergeTable(spark, merges), Map("graft.bpe.nMerges" -> "7"))
+    intercept[IllegalArgumentException](Bpe.loadMerges(t2))
+  }
+
   test("tokenStats: counts and hash under a fixed merge table") {
     val merges = Seq(Merge("a", "b", 99L))
     val got = Bpe.tokenStats(Seq((1L, "abab ab x")).toDF("doc_id", "text"),
