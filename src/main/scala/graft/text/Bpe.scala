@@ -185,13 +185,17 @@ object Bpe {
     }
     docs
       .select(col("doc_id"),
-        tok(filter(split(lower(trim(col(textCol))), "\\s+"),
-          w => length(w) > 0)).as("t"))
+        // coalesce: a NULL text is zero words, not a null array NPEing
+        // inside the UDF
+        tok(filter(split(lower(trim(coalesce(col(textCol), lit("")))),
+          "\\s+"), w => length(w) > 0)).as("t"))
       .select(
         col("doc_id"),
         col("t._1").cast("long").as("n_words"),
         col("t._2").cast("long").as("n_subtok"),
-        round(col("t._2").cast("double") / col("t._1") + lit(1e-9), 6)
+        // ANSI mode: 0/0 throws, so a zero-word doc reports NULL fertility
+        when(col("t._1") > 0,
+          round(col("t._2").cast("double") / col("t._1") + lit(1e-9), 6))
           .as("fertility"),
         md5(col("t._3")).as("subtok_hash"))
   }

@@ -41,8 +41,11 @@ object Subword {
     * probe count per character position. */
   val MaxGramLen = 4
 
+  // coalesce: a NULL text must tokenize as zero words (the UDF would
+  // otherwise receive a null array and throw out of the projection)
   private def words(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+    filter(split(lower(trim(coalesce(text, lit("")))), "\\s+"),
+      w => length(w) > 0)
 
   /** Top-`topK` character n-grams (lengths 2..[[MaxGramLen]]) by corpus
     * occurrence count, ties broken gram-ascending. Returned sorted; at
@@ -118,7 +121,9 @@ object Subword {
         col("doc_id"),
         col("t._1").cast("long").as("n_words"),
         col("t._2").cast("long").as("n_subtok"),
-        round(col("t._2").cast("double") / col("t._1") + lit(1e-9), 6)
+        // ANSI mode: 0/0 throws, so a zero-word doc reports NULL fertility
+        when(col("t._1") > 0,
+          round(col("t._2").cast("double") / col("t._1") + lit(1e-9), 6))
           .as("fertility"),
         md5(col("t._3")).as("subtok_hash"))
   }

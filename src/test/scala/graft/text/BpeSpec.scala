@@ -75,6 +75,16 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("tokenStats: NULL or blank text degrades to zero words, never throws") {
+    val got = Bpe.tokenStats(
+        Seq((1L, null), (2L, " ")).toDF("doc_id", "text"),
+        Seq(Merge("a", "b", 1L)))
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_subtok").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 0L, 0L)))
+  }
+
   test("saveMerges/loadMerges round-trips ranks, pairs, and counts cold") {
     val merges = Seq(Merge("a", "b", 5L), Merge("ab", "c", 3L),
       Merge("x", "y", 2L))

@@ -54,6 +54,15 @@ class SubwordSpec extends SparkTestBase {
     assert(got == Seq((7L, 2L, 3L, 1.5, expHash)))
   }
 
+  test("tokenizeStats: NULL or empty text degrades to zero words, never throws") {
+    val docs = Seq((1L, "ab"), (2L, null), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = Subword.tokenizeStats(docs, topK = 1).orderBy("doc_id")
+      .select("doc_id", "n_words", "n_subtok").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 0L, 0L)))
+  }
+
   test("tokenizeStats is whitespace-robust (multi-space, leading/trailing)") {
     val a = Subword.tokenizeStats(
       Seq((1L, "  ab   cd ")).toDF("doc_id", "text"), topK = 2)
