@@ -160,25 +160,58 @@ object Bpe {
     rows.toSeq
   }
 
+  /** Build the word → (joined tokens, token count) segmentation cache
+    * for `dict`'s words under `ranks` — the fastBPE word-cache: encode
+    * each DISTINCT word once, look the rest up. Bounded by vocabulary,
+    * like the dict itself. */
+  def segmentationCache(dict: Seq[String],
+      ranks: Map[(String, String), Int]): Map[String, (String, Int)] =
+    dict.iterator.map { w =>
+      val toks = applyToWord(w, ranks)
+      w -> (toks.mkString(" "), toks.length)
+    }.toMap
+
   /** Per-document token statistics under a learned merge table — the
     * q262-shaped report (n_words, n_subtok, fertility, md5 of the
     * space-joined subtoken stream), tokenizing with the rank-order
-    * encode against broadcast ranks. Shuffle-free projection. */
+    * encode against broadcast ranks. Shuffle-free projection.
+    *
+    * `cacheWords = true` pre-encodes the corpus's DISTINCT words once
+    * (one extra vocabulary-bounded word-count scan + a driver-side
+    * encode of the dict) and broadcasts the segmentation map beside the
+    * ranks; per-row work collapses to a hash lookup with the greedy
+    * encode as the out-of-dict fallback — the fastBPE word-cache shape.
+    * Same output either way (spec-pinned); the A/B cost curve is
+    * recorded in SCALING.md. */
   def tokenStats(docs: DataFrame, merges: Seq[Merge],
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", cacheWords: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.map { case (m, i) => (m.left, m.right) -> i }.toMap
     val bc = spark.sparkContext.broadcast(ranks)
+    val cache: Map[String, (String, Int)] =
+      if (!cacheWords) Map.empty
+      else segmentationCache(
+        wordFreq(docs, textCol).select("word").collect()
+          .map(_.getString(0)).toSeq, ranks)
+    val bcCache = spark.sparkContext.broadcast(cache)
     val tok = udf { (ws: Seq[String]) =>
       val rk = bc.value
+      val lut = bcCache.value
       val sb = new StringBuilder
       var nTok = 0
       ws.foreach { w =>
-        applyToWord(w, rk).foreach { t =>
-          if (sb.nonEmpty) sb.append(' ')
-          sb.append(t)
-          nTok += 1
+        lut.get(w) match {
+          case Some((joined, n)) =>
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(joined)
+            nTok += n
+          case None =>
+            applyToWord(w, rk).foreach { t =>
+              if (sb.nonEmpty) sb.append(' ')
+              sb.append(t)
+              nTok += 1
+            }
         }
       }
       (ws.size, nTok, sb.toString)

@@ -99,6 +99,26 @@ class BpeSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Bpe.loadMerges(t2))
   }
 
+  test("word-cache encode path is output-identical to the direct path") {
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val merges = Bpe.train(docs, nMerges = 5)
+    val direct = Bpe.tokenStats(docs, merges).orderBy("doc_id").collect()
+    val cached = Bpe.tokenStats(docs, merges, cacheWords = true)
+      .orderBy("doc_id").collect()
+    assert(direct.toSeq == cached.toSeq)
+  }
+
+  test("segmentationCache entries agree with the greedy encode per word") {
+    val ranks = Map(("a", "b") -> 0, ("ab", "c") -> 1)
+    val cache = Bpe.segmentationCache(Seq("abc", "abab", "x"), ranks)
+    assert(cache("abc") == (("abc", 1)))
+    assert(cache("abab") == (("ab ab", 2)))
+    assert(cache("x") == (("x", 1)))
+    // an out-of-cache word takes the same encode the cache was built
+    // with — the UDF's fallback branch is this exact call
+    assert(Bpe.applyToWord("abcc", ranks) == Vector("abc", "c"))
+  }
+
   test("tokenStats: counts and hash under a fixed merge table") {
     val merges = Seq(Merge("a", "b", 99L))
     val got = Bpe.tokenStats(Seq((1L, "abab ab x")).toDF("doc_id", "text"),
