@@ -781,7 +781,31 @@ object TextQueries extends QueryBatch {
     Some(bpeStatsOracle)
   )
 
+  /** Blocklist phrase scan (`Blocklist.scan`): broadcast Aho–Corasick
+    * automaton over the corpus — one left-to-right pass matches EVERY
+    * blocklist phrase, O(|text| + matches) per doc regardless of list
+    * size. The list deliberately nests `que` ⊂ `query` ⊂ `slow query`
+    * so the automaton's output links (containment at one position) and
+    * failure transitions are what the oracle's brute-force position
+    * enumeration checks, not just the happy path. */
+  private val q268 = GQ(
+    "q268_blocklist_scan",
+    (s, dir) => graft.text.Blocklist.scan(docs(s, dir),
+        Seq("merge batch", "spark", "customer", "slow query", "query", "que"))
+      .orderBy("doc_id", "phrase"),
+    Some("""WITH ph AS (SELECT * FROM (VALUES ('merge batch'), ('spark'),
+                          ('customer'), ('slow query'), ('query'), ('que'))
+                        AS t(phrase)),
+            d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+            hits AS (SELECT doc_id, phrase, count(*) AS n_hits
+                     FROM d, ph, UNNEST(range(len(t))) AS p(i)
+                     WHERE substr(t, CAST(p.i AS INT) + 1, len(phrase)) = phrase
+                     GROUP BY 1, 2)
+            SELECT doc_id, phrase, n_hits
+            FROM hits ORDER BY doc_id, phrase""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
-      q212, q216, q221, q223, q225, q226, q227, q262, q265, q266, q267)
+      q212, q216, q221, q223, q225, q226, q227, q262, q265, q266, q267, q268)
 }

@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocklist / contaminant phrase scan via a broadcast Aho–Corasick
+  * automaton (Aho & Corasick, CACM '75) — the filter stage every
+  * crawl-curation pipeline runs against word/phrase blocklists, and the
+  * brute-force cousin q263's positional join can't serve once the list
+  * grows: a positional probe does one join leg per phrase WORD, while
+  * the automaton matches EVERY phrase in one left-to-right pass, O(|text|
+  * + matches) per document REGARDLESS of blocklist size.
+  *
+  * Semantics: case-insensitive substring matching over the trimmed
+  * lowercased text; ALL occurrences count, including overlapping ones
+  * and phrases contained in longer phrases (the automaton's output
+  * links) — exactly the position-enumeration the q268 oracle replays in
+  * SQL, so the fail/output-link construction itself is oracle-gated.
+  *
+  * Scale shape: the automaton is built driver-side from the blocklist
+  * (bounded by total phrase characters — a blocklist is metadata, never
+  * corpus-scale) and broadcast; the scan is a shuffle-free projection.
+  */
+object Blocklist {
+
+  /** Immutable matching automaton. Node 0 is the root; `next` holds the
+    * goto function as per-node char maps, `fail` the failure links,
+    * `out` the phrase indices recognized at each node (own + inherited
+    * through failure links, pre-flattened at build time so matching
+    * never walks the fail chain). */
+  final class Automaton private[Blocklist] (
+      val phrases: Array[String],
+      next: Array[Map[Char, Int]],
+      fail: Array[Int],
+      out: Array[Array[Int]]) extends Serializable {
+
+    /** All-occurrence counts per phrase index over `text` (lowercased by
+      * the caller contract). Null-safe: null counts as empty. */
+    def countMatches(text: String): Array[Long] = {
+      val counts = new Array[Long](phrases.length)
+      if (text == null) return counts
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        // follow failure links until a goto exists (root loops to itself)
+        while (s != 0 && !next(s).contains(c)) s = fail(s)
+        s = next(s).getOrElse(c, 0)
+        val o = out(s)
+        var j = 0
+        while (j < o.length) { counts(o(j)) += 1L; j += 1 }
+        i += 1
+      }
+      counts
+    }
+  }
+
+  /** Build the automaton from `phrases` (lowercased, distinct, order
+    * preserved; empties rejected — an empty needle matches everywhere
+    * and means a broken blocklist). */
+  def build(phrases: Seq[String]): Automaton = {
+    val ps = phrases.map(_.toLowerCase).toArray
+    require(ps.nonEmpty, "blocklist must be non-empty")
+    require(ps.forall(_.nonEmpty), "blocklist phrases must be non-empty")
+    require(ps.distinct.length == ps.length, "blocklist phrases must be distinct")
+    val next = scala.collection.mutable.ArrayBuffer(Map.empty[Char, Int])
+    val ownOut = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    // trie
+    ps.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { c =>
+        next(s).get(c) match {
+          case Some(t) => s = t
+          case None =>
+            next += Map.empty[Char, Int]
+            ownOut += Nil
+            next(s) = next(s) + (c -> (next.length - 1))
+            s = next.length - 1
+        }
+      }
+      ownOut(s) = pi :: ownOut(s)
+    }
+    // failure links by BFS; output links flattened as we go (a node's
+    // full output = own + fail target's full output, and BFS order
+    // guarantees the fail target is already flattened)
+    val n = next.length
+    val fail = new Array[Int](n)
+    val out = new Array[Array[Int]](n)
+    out(0) = ownOut(0).toArray
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    next(0).values.foreach { s => fail(s) = 0; queue += s }
+    val visited = scala.collection.mutable.Set(0) ++ next(0).values
+    queue.foreach(s => out(s) = (ownOut(s) ++ out(fail(s))).toArray)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      if (out(u) == null) out(u) = (ownOut(u) ++ out(fail(u))).toArray
+      next(u).foreach { case (c, v) =>
+        if (!visited.contains(v)) {
+          var f = fail(u)
+          while (f != 0 && !next(f).contains(c)) f = fail(f)
+          fail(v) = next(f).getOrElse(c, 0) match {
+            case t if t == v => 0 // self via root goto: fail to root
+            case t => t
+          }
+          out(v) = (ownOut(v) ++ out(fail(v))).toArray
+          visited += v
+          queue += v
+        }
+      }
+    }
+    new Automaton(ps, next.toArray, fail, out)
+  }
+
+  /** Per-(doc, phrase) all-occurrence hit counts over the corpus; rows
+    * only for phrases that hit. Output: idCol, phrase, n_hits. One
+    * shuffle-free scan projection + explode. */
+  def scan(docs: DataFrame, phrases: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(build(phrases))
+    val hits = udf { (text: String) =>
+      val a = bc.value
+      val counts = a.countMatches(text)
+      counts.iterator.zipWithIndex.collect {
+        case (c, i) if c > 0 => (a.phrases(i), c)
+      }.toSeq
+    }
+    docs
+      .select(col(idCol),
+        explode(hits(lower(trim(coalesce(col(textCol), lit("")))))).as("h"))
+      .select(col(idCol), col("h._1").as("phrase"), col("h._2").as("n_hits"))
+  }
+}

@@ -43,7 +43,8 @@ object ScaleBench {
       "q215_ivfpq_index_table", "q217_ann_batch_probe"),
     "prefix-sums" -> Seq("q205_pack_sequences", "q224_budget_mixture"),
     "text-rank" -> Seq("q207_vocab_coverage", "q233_bm25_topk",
-      "q226_lm_surprisal", "q263_phrase_scan", "q264_corpus_health"),
+      "q226_lm_surprisal", "q263_phrase_scan", "q264_corpus_health",
+      "q268_blocklist_scan"),
     // tokenizers: vocab/merge training is vocabulary-bounded (collect
     // of a dict, not corpus rows); encode is a shuffle-free broadcast
     // projection — the claim to verify is exactly-linear encode cost
