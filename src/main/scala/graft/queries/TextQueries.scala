@@ -805,7 +805,59 @@ object TextQueries extends QueryBatch {
             FROM hits ORDER BY doc_id, phrase""")
   )
 
+  /** Canonical text cleaning (`TextOps.cleanText`): strip markup → NFC
+    * compose → control-chars-to-spaces → whitespace collapse → trim,
+    * the WET-extraction stage before any downstream signal. The gate
+    * plants all three dirt classes deterministically (markup wrap on
+    * id≡0 mod 3, a decomposed `e`+COMBINING ACUTE on id≡0 mod 5, a tab
+    * + space run on id≡0 mod 7 — ids hit every subset incl. all three)
+    * and the oracle replays the mutation AND the cleaning rule chain
+    * step-for-step, pinning rule ORDER and the NFC composition tables
+    * (JDK Normalizer vs DuckDB nfc_normalize) via the md5 of the
+    * cleaned text. */
+  private val q269 = GQ(
+    "q269_text_normalize",
+    (s, dir) => {
+      val raw = docs(s, dir)
+        .withColumn("raw",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<p id=\"x\">"), col("text"), lit("</p>")))
+            .otherwise(col("text")))
+        .withColumn("raw",
+          when(col("doc_id") % 5 === 0,
+            // DECOMPOSED accent (e + U+0301) — NFC must compose it
+            concat(col("raw"), lit(" café"))).otherwise(col("raw")))
+        .withColumn("raw",
+          when(col("doc_id") % 7 === 0,
+            concat(col("raw"), lit("\tx  y"))).otherwise(col("raw")))
+      raw.select(col("doc_id"), length(col("raw")).as("n_chars_raw"),
+          graft.text.TextOps.cleanText(col("raw")).as("clean"))
+        .select(col("doc_id"), col("n_chars_raw"),
+          length(col("clean")).as("n_chars_clean"),
+          md5(col("clean")).as("clean_hash"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH r1 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN '<p id="x">' || text || '</p>'
+                        ELSE text END AS r FROM documents),
+            r2 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN r || ' cafe' || chr(769)
+                        ELSE r END AS r FROM r1),
+            r3 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN r || chr(9) || 'x  y'
+                        ELSE r END AS raw FROM r2),
+            c AS (SELECT doc_id, len(raw) AS n_chars_raw,
+                   trim(regexp_replace(regexp_replace(
+                     nfc_normalize(regexp_replace(raw, '<[^>]*>', '', 'g')),
+                     '[\x00-\x1f]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+                  FROM r3)
+            SELECT doc_id, n_chars_raw, len(clean) AS n_chars_clean,
+                   md5(clean) AS clean_hash
+            FROM c ORDER BY doc_id""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
-      q212, q216, q221, q223, q225, q226, q227, q262, q265, q266, q267, q268)
+      q212, q216, q221, q223, q225, q226, q227, q262, q265, q266, q267, q268,
+      q269)
 }

@@ -116,4 +116,33 @@ object TextOps {
       .when(stopwordScore(text, "en") === 0, "no_stopwords")
       .otherwise("kept")
   }
+
+  /** Unicode NFC normalization as a column op (java.text.Normalizer —
+    * the JDK's ICU-equivalent composition tables; DuckDB's
+    * `nfc_normalize` agrees, which is what lets q269 oracle it).
+    * Null-safe: null stays null. */
+  def nfc(text: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC)
+    }
+    f(text)
+  }
+
+  /** Canonical text cleaning — the WET-extraction stage every crawl
+    * pipeline runs before any downstream signal: strip markup tags,
+    * compose to Unicode NFC (so a decomposed e + COMBINING ACUTE and a
+    * precomposed é fingerprint identically downstream), replace control
+    * characters with spaces, collapse whitespace runs, trim. Rule ORDER
+    * is part of the contract (tags before NFC before control-strip
+    * before collapse) and is replayed step-for-step by the q269 oracle.
+    * Pure scan projection (the NFC hop is the one UDF — composition
+    * tables aren't expressible as a regex); zero shuffle. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        nfc(regexp_replace(text, "<[^>]*>", "")),
+        "[\\x00-\\x1F]", " "),
+      "\\s+", " "))
 }

@@ -158,4 +158,22 @@ class TextSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       DedupOps.fingerprintProbe(batch, corpus, "id", "h", maxHamming = 9))
   }
+
+  test("cleanText: tag strip, NFC compose, control chars, collapse, trim") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "<p id=\"x\">a b</p>"),          // tags out
+      (2L, "cafe\u0301"),                    // decomposed -> precomposed
+      (3L, "a\tb\u0001c"),                  // controls become spaces
+      (4L, "  a   b  "),                      // collapse + trim
+      (5L, null)                              // null stays null
+    ).toDF("id", "t")
+    val got = rows.select(col("id"), TextOps.cleanText(col("t")).as("c"))
+      .orderBy("id").collect().map(r => if (r.isNullAt(1)) null else r.getString(1))
+    assert(got(0) == "a b")
+    assert(got(1) == "caf\u00e9" && got(1).length == 4)
+    assert(got(2) == "a b c")
+    assert(got(3) == "a b")
+    assert(got(4) == null)
+  }
 }
