@@ -584,7 +584,92 @@ object StreamQueries extends QueryBatch {
             ORDER BY doc_id""")
   )
 
+  /** Streaming corpus-health maintenance: the monitoring twin of the
+    * q218/q242/q259 ingest loops — documents stream in across ≥2
+    * micro-batches and each batch MERGEs its (lang, word) count deltas
+    * into a persisted stats table (`target.n + source.n` accumulation),
+    * so the corpus never needs re-scanning to refresh the q264 health
+    * dashboard. The final report is computed FROM THE MAINTAINED TABLE
+    * ONLY, and the oracle recomputes it from the raw corpus — the gate
+    * is exactly the incremental == batch proof (a lost batch, a
+    * double-applied delta, or a broken accumulation expression shifts a
+    * count and hash-mismatches). Scale shape: each delta is a
+    * vocabulary-bounded map-side-combined aggregate; the MERGE is keyed
+    * (lang, word) over a vocabulary-scale table, never corpus rows. */
+  private val q270 = GQ(
+    "q270_stream_corpus_health",
+    (s, dir) => {
+      import graft.tables.MergeOps
+      val d = Tables.t(s, dir, "documents").select("lang", "doc_id", "text")
+      val in = scratch("healthsrc")
+      // two files → two micro-batches under maxFilesPerTrigger=1
+      d.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(in)
+      d.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(in)
+      val counts = GraftTable.create(s, scratch("healthtbl"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("word",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n", LongType))))
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratch("healthckpt"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val delta = b.select(col("lang"),
+              explode(graft.text.TextOps.words(col("text"))).as("word"))
+            .filter(length(col("word")) > 0)
+            .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+          MergeOps.mergeInto(counts, delta,
+            "target.lang = source.lang AND target.word = source.word",
+            matched = Seq(MergeOps.WhenMatched(None,
+              MergeOps.UpdateSet(Map("n" -> "target.n + source.n")))),
+            notMatched = Seq(MergeOps.WhenNotMatched(None, MergeOps.InsertAll)))
+          ()
+        }.start()
+      stream.awaitTermination()
+      // the incremental claim needs ≥ 2 applied batches: CREATE + 2 MERGEs
+      require(counts.commits.length >= 3,
+        s"expected >=2 micro-batch merges, saw ${counts.commits.length - 1}")
+      val c = counts.read()
+      val ranked = c.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("n").desc, col("word"))))
+      val zipf = ranked.filter(col("rank") <= 100).groupBy("lang")
+        .agg(regr_slope(log(col("n")), log(col("rank"))).as("slope"))
+      c.groupBy("lang")
+        .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_types"))
+        .join(zipf, Seq("lang"))
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens") + lit(1e-9), 6)
+            .as("ttr"),
+          round(col("slope") + lit(1e-9), 4).as("zipf_slope"))
+        .orderBy("lang")
+    },
+    Some("""WITH docs AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ws
+                          FROM documents),
+            tok AS (SELECT lang, ws[CAST(t.i AS INT) + 1] AS word
+                    FROM docs, UNNEST(range(len(ws))) AS t(i)
+                    WHERE len(ws[CAST(t.i AS INT) + 1]) > 0),
+            c AS (SELECT lang, word, count(*) AS n FROM tok GROUP BY 1, 2),
+            r AS (SELECT lang, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rank
+                  FROM c),
+            z AS (SELECT lang, regr_slope(ln(n), ln(rank)) AS slope
+                  FROM r WHERE rank <= 100 GROUP BY 1),
+            s AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+                         CAST(count(*) AS BIGINT) AS n_types
+                  FROM c GROUP BY 1)
+            SELECT s.lang, s.n_tokens, s.n_types,
+                   round(CAST(s.n_types AS DOUBLE) / s.n_tokens + 1e-9, 6) AS ttr,
+                   round(z.slope + 1e-9, 4) AS zipf_slope
+            FROM s JOIN z ON z.lang = s.lang
+            ORDER BY s.lang""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q151, q196, q203,
-      q210, q218)
+      q210, q218, q270)
 }
