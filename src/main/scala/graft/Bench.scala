@@ -197,7 +197,8 @@ object Bench {
         "q257_poster_frame_dedup", "q258_container_normalize",
         "q260_mp4_audio_demux", "q261_mixed_audio_decode",
         "q210_stream_stream_join", "q218_stream_ingest_dedup",
-        "q242_stream_vector_ingest", "q259_stream_media_ingest"))
+        "q242_stream_vector_ingest", "q259_stream_media_ingest",
+        "q270_stream_corpus_health"))
     // Second trigger, for CORRELATED window inflation: when ambient load
     // hits every rep of a gate equally, MAD stays small (the reps agree
     // with each other) while median/min stretches — the q58/q62
