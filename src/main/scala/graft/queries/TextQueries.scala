@@ -856,8 +856,89 @@ object TextQueries extends QueryBatch {
             FROM c ORDER BY doc_id""")
   )
 
+  /** Charset / entropy quality stats (`TextOps.charEntropy`): Shannon
+    * bits-per-char (the gibberish / encoded-blob / template-spam
+    * signal) plus character-class counts, all as one zero-shuffle scan
+    * projection — a per-(doc, char) shuffle would move every character
+    * of the corpus; the histogram lives inside the row. The oracle
+    * rebuilds each doc's histogram relationally and recomputes the
+    * same -Σ p·log2 p, pinning the definition (natural-log ratio, not
+    * DuckDB's entropy() aggregate, whose base/normalization is its
+    * own). */
+  private val q271 = GQ(
+    "q271_charset_entropy",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        round(TextOps.charEntropy(col("text")) + lit(1e-9), 4)
+          .as("char_entropy"),
+        (length(col("text")) -
+          length(regexp_replace(lower(col("text")), "[a-z]", "")))
+          .as("n_letters"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "\\s", "")))
+          .as("n_spaces"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_letters") - col("n_spaces"))
+      .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, text FROM documents),
+            ch AS (SELECT doc_id, substr(text, CAST(t.i AS INT) + 1, 1) AS c
+                   FROM d, UNNEST(range(len(text))) AS t(i)),
+            hist AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+            tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM hist GROUP BY 1),
+            e AS (SELECT hist.doc_id,
+                         -sum((n / t) * ln(n / t)) / ln(2) AS ent
+                  FROM hist JOIN tot ON tot.doc_id = hist.doc_id
+                  GROUP BY 1)
+            SELECT d.doc_id, len(d.text) AS n_chars,
+                   round(e.ent + 1e-9, 4) AS char_entropy,
+                   len(d.text) - len(regexp_replace(lower(d.text), '[a-z]', '', 'g')) AS n_letters,
+                   len(d.text) - len(regexp_replace(d.text, '\s', '', 'g')) AS n_spaces,
+                   len(regexp_replace(lower(d.text), '[a-z]', '', 'g'))
+                     - (len(d.text) - len(regexp_replace(d.text, '\s', '', 'g'))) AS n_other
+            FROM d JOIN e ON e.doc_id = d.doc_id
+            ORDER BY d.doc_id""")
+  )
+
+  /** Bag-of-words fingerprint dedup (`TextOps.bagFingerprint`): the
+    * order-insensitive axis of the exact-dedup matrix — word-PERMUTED
+    * copies (scrambled re-posts, templated reorderings) share a sorted-
+    * multiset fingerprint while every position-sensitive fingerprint
+    * and most shingles differ. The gate plants reversed-word copies of
+    * every 10th doc and the oracle replays sort-join-hash-group,
+    * proving each permuted copy collapses onto its source (min-id
+    * survivor, n_copies = 2). One keyed shuffle on the fingerprint. */
+  private val q272 = GQ(
+    "q272_bag_dedup",
+    (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat_ws(" ", reverse(split(lower(trim(col("text"))), "\\s+")))
+              .as("text")))
+      corpus
+        .select(col("doc_id"), TextOps.bagFingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 500000,
+                     array_to_string(list_reverse(string_split_regex(lower(trim(text)), '\s+')), ' ')
+              FROM documents WHERE doc_id % 10 = 0),
+            fp AS (SELECT doc_id,
+                          md5(array_to_string(list_sort(string_split_regex(lower(trim(text)), '\s+')), ' ')) AS f
+                   FROM corpus)
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM fp GROUP BY f ORDER BY doc_id""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
       q212, q216, q221, q223, q225, q226, q227, q262, q265, q266, q267, q268,
-      q269)
+      q269, q271, q272)
 }

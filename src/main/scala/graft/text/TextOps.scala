@@ -130,6 +130,39 @@ object TextOps {
     f(text)
   }
 
+  /** Shannon character entropy (bits/char) of a string — the classic
+    * gibberish/encoded-blob signal: natural language sits ~3.5–4.5
+    * bits, base64/hex/random dumps push toward log2(alphabet), repeated
+    * template spam collapses toward 0. Per-row UDF over a local
+    * histogram (a per-(doc, char) SHUFFLE at corpus scale would move
+    * every character — the projection shape moves none). Null → null. */
+  def charEntropy(text: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.isEmpty) Option.empty[Double]
+      else {
+        val hist = new scala.collection.mutable.HashMap[Char, Long]()
+        s.foreach(c => hist.update(c, hist.getOrElse(c, 0L) + 1L))
+        val n = s.length.toDouble
+        // deterministic accumulation order (sorted keys) so the 4-dp
+        // rounded value can't flake against the oracle's grouped sum
+        Some(-hist.toSeq.sortBy(_._1).map { case (_, cnt) =>
+          val p = cnt / n
+          p * math.log(p)
+        }.sum / math.log(2.0))
+      }
+    }
+    f(text)
+  }
+
+  /** Order-insensitive exact-dup fingerprint: md5 of the sorted word
+    * MULTISET (duplicates kept). Catches word-permuted copies —
+    * scrambled re-posts, shuffled CSV rows re-joined, templated
+    * reorderings — that position-sensitive fingerprints (q73/q77/q78)
+    * and even shingle Jaccard (order-destroying shuffles kill most
+    * shingles) miss. Pure codegen'd projection. */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(words(text))))
+
   /** Canonical text cleaning — the WET-extraction stage every crawl
     * pipeline runs before any downstream signal: strip markup tags,
     * compose to Unicode NFC (so a decomposed e + COMBINING ACUTE and a

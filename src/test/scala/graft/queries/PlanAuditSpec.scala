@@ -409,6 +409,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"positional joins must hash-join with the broadcast side:\n$p")
   }
 
+  test("blocklist scan, text cleaning, and charset stats are shuffle-free projections") {
+    val docs = Tables.t(spark, sf, "documents")
+    Seq(
+      "blocklist" -> graft.text.Blocklist.scan(docs, Seq("spark", "merge batch")),
+      "cleanText" -> docs.select(graft.text.TextOps.cleanText(col("text"))),
+      "charStats" -> docs.select(graft.text.TextOps.charEntropy(col("text")),
+        graft.text.TextOps.bagFingerprint(col("text")))
+    ).foreach { case (name, df) =>
+      val p = finalPlan(df)
+      assert(!p.contains("Exchange"), s"[$name] must not shuffle:\n$p")
+    }
+  }
+
   test("corpus health: zipf rank filter plans as WindowGroupLimit, no single-partition window") {
     val df = graft.text.CorpusOps.corpusHealth(
       Tables.t(spark, sf, "documents"))

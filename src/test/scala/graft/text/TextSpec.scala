@@ -176,4 +176,26 @@ class TextSpec extends SparkTestBase {
     assert(got(3) == "a b")
     assert(got(4) == null)
   }
+
+  test("charEntropy: hand-computed bits, degenerate and null inputs") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa"),
+      (4L, null), (5L, "")).toDF("id", "t")
+    val got = rows.select(col("id"), TextOps.charEntropy(col("t")).as("e"))
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(math.round(r.getDouble(1) * 1e9) / 1e9))
+    assert(got(0).contains(1.0) && got(1).contains(2.0) && got(2).contains(0.0))
+    assert(got(3).isEmpty && got(4).isEmpty)
+  }
+
+  test("bagFingerprint: permutation-invariant, multiset-sensitive, space-robust") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((1L, "x y z"), (2L, "z  x y "), (3L, "x x y"),
+      (4L, "x y y")).toDF("id", "t")
+    val fp = rows.select(col("id"), TextOps.bagFingerprint(col("t")).as("f"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(fp(0) == fp(1), "permutation + whitespace must not change the bag")
+    assert(fp(2) != fp(3), "duplicate words are part of the multiset")
+    assert(fp(0) != fp(2))
+  }
 }
