@@ -937,8 +937,77 @@ object TextQueries extends QueryBatch {
             FROM fp GROUP BY f ORDER BY doc_id""")
   )
 
+  /** Curation pipeline v2 — the round-15 stages composed as ONE
+    * declarative plan: canonical cleaning (q269's rule chain) →
+    * Aho–Corasick blocklist gate (q268's automaton as a scalar filter)
+    * → order-insensitive bag dedup (q272's multiset fingerprint, min-id
+    * survivor via min_by so no join-back) → per-domain funnel report
+    * (raw / blocked / kept / surviving tokens). Two keyed shuffles
+    * total (the fingerprint group and the domain rollup; the funnel and
+    * kept branches meet in a domain-keyed join over domain-cardinality
+    * rows). The oracle replays every stage — cleaning chain, brute-force
+    * blocklist position counts, sort→hash→min survivor, the left-join
+    * funnel — so a drifted rule ANYWHERE in the composition shifts a
+    * count and hash-mismatches. */
+  private val q273 = GQ(
+    "q273_curation_v2",
+    (s, dir) => {
+      val phrases = Seq("spark", "slow query")
+      val base = docs(s, dir).select(col("doc_id"), col("lang"),
+          graft.text.TextOps.cleanText(col("text")).as("clean"))
+        .withColumn("hits",
+          graft.text.Blocklist.hitCount(col("clean"), phrases, s))
+      val funnel = base.groupBy("lang").agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_blocked"))
+      val surv = base.filter(col("hits") === 0)
+        .select(col("doc_id"), col("lang"),
+          graft.text.TextOps.bagFingerprint(col("clean")).as("fp"),
+          graft.text.TextOps.tokenCountWs(col("clean")).cast("long").as("ntok"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("ntok"), col("doc_id")).as("ntok"))
+      val kept = surv.groupBy("lang").agg(
+        count(lit(1)).as("n_kept"), sum("ntok").as("n_tokens"))
+      funnel.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_raw"), col("n_blocked"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        .orderBy("lang")
+    },
+    Some("""WITH base AS (SELECT doc_id, lang,
+                   trim(regexp_replace(regexp_replace(
+                     nfc_normalize(regexp_replace(text, '<[^>]*>', '', 'g')),
+                     '[\x00-\x1f]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+                 FROM documents),
+            ph AS (SELECT * FROM (VALUES ('spark'), ('slow query')) AS t(p)),
+            hits AS (SELECT b.doc_id, count(*) AS n
+                     FROM base b, ph, UNNEST(range(len(b.clean))) AS t(i)
+                     WHERE substr(b.clean, CAST(t.i AS INT) + 1, len(ph.p)) = ph.p
+                     GROUP BY 1),
+            hb AS (SELECT base.*, coalesce(hits.n, 0) AS nh
+                   FROM base LEFT JOIN hits ON hits.doc_id = base.doc_id),
+            funnel AS (SELECT lang, count(*) AS n_raw,
+                              CAST(sum(CASE WHEN nh > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+                       FROM hb GROUP BY 1),
+            fp AS (SELECT doc_id, lang,
+                          md5(array_to_string(list_sort(string_split_regex(lower(trim(clean)), '\s+')), ' ')) AS f,
+                          len(string_split_regex(lower(trim(clean)), '\s+')) AS ntok
+                   FROM hb WHERE nh = 0),
+            surv AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+            sv AS (SELECT fp.lang, fp.ntok FROM fp JOIN surv ON surv.doc_id = fp.doc_id),
+            kept AS (SELECT lang, count(*) AS n_kept, CAST(sum(ntok) AS BIGINT) AS n_tokens
+                     FROM sv GROUP BY 1)
+            SELECT f.lang, f.n_raw, f.n_blocked,
+                   coalesce(k.n_kept, 0) AS n_kept,
+                   coalesce(k.n_tokens, 0) AS n_tokens
+            FROM funnel f LEFT JOIN kept k ON k.lang = f.lang
+            ORDER BY f.lang""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
       q212, q216, q221, q223, q225, q226, q227, q262, q265, q266, q267, q268,
-      q269, q271, q272)
+      q269, q271, q272, q273)
 }

@@ -111,6 +111,19 @@ object Blocklist {
     new Automaton(ps, next.toArray, fail, out)
   }
 
+  /** Total blocklist hits per row as a scalar column — the filter-stage
+    * form (`hitCount(...) === 0` keeps a doc). Same automaton, same
+    * all-occurrence semantics, zero shuffle. Caller passes text already
+    * lowercased (or not — matching is on the automaton's lowercased
+    * phrases against the string as given). */
+  def hitCount(text: org.apache.spark.sql.Column,
+      phrases: Seq[String],
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Column = {
+    val bc = spark.sparkContext.broadcast(build(phrases))
+    val f = udf { (s: String) => bc.value.countMatches(s).sum }
+    f(text)
+  }
+
   /** Per-(doc, phrase) all-occurrence hit counts over the corpus; rows
     * only for phrases that hit. Output: idCol, phrase, n_hits. One
     * shuffle-free scan projection + explode. */
