@@ -51,6 +51,11 @@ object ScaleBench {
     // with flat training cost across decades
     "tokenizer" -> Seq("q262_subword_tokenize", "q265_bpe_train",
       "q266_bpe_tokenize"),
+    // cleaning/stat projections + the bag-dedup shuffle + the v2
+    // composition — the claim is linear (projection) / single-keyed-
+    // shuffle (dedup, report)
+    "curation" -> Seq("q269_text_normalize", "q271_charset_entropy",
+      "q272_bag_dedup", "q273_curation_v2"),
     "corpus-release" -> Seq("q237_shuffle_shards", "q223_curation_pipeline"),
     // media codecs are pure per-row scan projections (encode→decode→stats
     // →transcode, no shuffle) — the claim to verify is exactly-linear.
