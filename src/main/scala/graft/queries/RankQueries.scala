@@ -155,7 +155,8 @@ object RankQueries extends QueryBatch {
                   WHERE len(ws[CAST(t.i AS INT) + 1]) > 0),
             ph AS (SELECT doc_id AS phrase_doc, ws[4] AS w1, ws[5] AS w2, ws[6] AS w3,
                           ws[4] || ' ' || ws[5] || ' ' || ws[6] AS phrase
-                   FROM docs WHERE doc_id % 100 = 3 AND doc_id < 1000),
+                   FROM docs WHERE doc_id % 100 = 3 AND doc_id < 1000
+                     AND len(ws) >= 6),
             hits AS (SELECT ph.phrase_doc, ph.phrase, p1.doc_id, p1.pos
                      FROM ph
                      JOIN p p1 ON p1.tok = ph.w1

@@ -914,7 +914,10 @@ object TextQueries extends QueryBatch {
       val d = docs(s, dir).select("doc_id", "text")
       val corpus = d.unionAll(
         d.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 500000).as("doc_id"),
+          // offset far above any generated scale (ScaleGen emits 5000·m
+          // ids; m1000 = 5M — a 500k offset would collide planted ids
+          // with real docs and pollute the min-id survivor semantics)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
             concat_ws(" ", reverse(split(lower(trim(col("text"))), "\\s+")))
               .as("text")))
       corpus
@@ -927,7 +930,7 @@ object TextQueries extends QueryBatch {
     Some("""WITH corpus AS (
               SELECT doc_id, text FROM documents
               UNION ALL
-              SELECT doc_id + 500000,
+              SELECT doc_id + 1000000000,
                      array_to_string(list_reverse(string_split_regex(lower(trim(text)), '\s+')), ' ')
               FROM documents WHERE doc_id % 10 = 0),
             fp AS (SELECT doc_id,
@@ -984,7 +987,7 @@ object TextQueries extends QueryBatch {
             ph AS (SELECT * FROM (VALUES ('spark'), ('slow query')) AS t(p)),
             hits AS (SELECT b.doc_id, count(*) AS n
                      FROM base b, ph, UNNEST(range(len(b.clean))) AS t(i)
-                     WHERE substr(b.clean, CAST(t.i AS INT) + 1, len(ph.p)) = ph.p
+                     WHERE substr(lower(trim(b.clean)), CAST(t.i AS INT) + 1, len(ph.p)) = ph.p
                      GROUP BY 1),
             hb AS (SELECT base.*, coalesce(hits.n, 0) AS nh
                    FROM base LEFT JOIN hits ON hits.doc_id = base.doc_id),

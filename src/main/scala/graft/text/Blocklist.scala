@@ -113,15 +113,15 @@ object Blocklist {
 
   /** Total blocklist hits per row as a scalar column — the filter-stage
     * form (`hitCount(...) === 0` keeps a doc). Same automaton, same
-    * all-occurrence semantics, zero shuffle. Caller passes text already
-    * lowercased (or not — matching is on the automaton's lowercased
-    * phrases against the string as given). */
+    * all-occurrence, case-insensitive semantics as [[scan]]: the input
+    * is lowercased/trimmed here so a capitalized occurrence can't slip
+    * past the lowercased automaton. Zero shuffle. */
   def hitCount(text: org.apache.spark.sql.Column,
       phrases: Seq[String],
       spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Column = {
     val bc = spark.sparkContext.broadcast(build(phrases))
     val f = udf { (s: String) => bc.value.countMatches(s).sum }
-    f(text)
+    f(lower(trim(coalesce(text, lit("")))))
   }
 
   /** Per-(doc, phrase) all-occurrence hit counts over the corpus; rows

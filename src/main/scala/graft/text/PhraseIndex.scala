@@ -90,6 +90,10 @@ object PhraseIndex {
     docs.filter(col(idCol) % every === residue &&
         col(idCol) < every.toLong * maxPhrases)
       .select(col(idCol).as("phrase_doc"), ws.as("__ws"))
+      // a selected doc with < 6 words can't yield a 3-word phrase at
+      // offset 4 — skip it (under ANSI mode element_at would THROW on
+      // the out-of-range index, not return null)
+      .filter(size(col("__ws")) >= 6)
       .select(col("phrase_doc"),
         element_at(col("__ws"), 4).as("w1"),
         element_at(col("__ws"), 5).as("w2"),

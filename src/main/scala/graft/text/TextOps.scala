@@ -140,9 +140,13 @@ object TextOps {
     val f = udf { (s: String) =>
       if (s == null || s.isEmpty) Option.empty[Double]
       else {
-        val hist = new scala.collection.mutable.HashMap[Char, Long]()
-        s.foreach(c => hist.update(c, hist.getOrElse(c, 0L) + 1L))
-        val n = s.length.toDouble
+        // histogram over CODEPOINTS — Spark length() and the oracle's
+        // len() both count codepoints, so surrogate-pair characters
+        // (emoji, supplementary CJK) must be one histogram entry, not two
+        val cps = s.codePoints().toArray
+        val hist = new scala.collection.mutable.HashMap[Int, Long]()
+        cps.foreach(c => hist.update(c, hist.getOrElse(c, 0L) + 1L))
+        val n = cps.length.toDouble
         // deterministic accumulation order (sorted keys) so the 4-dp
         // rounded value can't flake against the oracle's grouped sum
         Some(-hist.toSeq.sortBy(_._1).map { case (_, cnt) =>
