@@ -585,35 +585,41 @@ object StreamQueries extends QueryBatch {
   )
 
   /** Streaming corpus-health maintenance: the monitoring twin of the
-    * q218/q242/q259 ingest loops — documents stream in across ≥2
-    * micro-batches and each batch MERGEs its (lang, word) count deltas
-    * into a persisted stats table (`target.n + source.n` accumulation),
-    * so the corpus never needs re-scanning to refresh the q264 health
-    * dashboard. The final report is computed FROM THE MAINTAINED TABLE
-    * ONLY, and the oracle recomputes it from the raw corpus — the gate
-    * is exactly the incremental == batch proof (a lost batch, a
-    * double-applied delta, or a broken accumulation expression shifts a
-    * count and hash-mismatches). Scale shape: each delta is a
-    * vocabulary-bounded map-side-combined aggregate; the MERGE is keyed
-    * (lang, word) over a vocabulary-scale table, never corpus rows. */
+    * q218/q242/q259 ingest loops — documents stream in across ≥3
+    * micro-batches and each batch APPENDS its (lang, word) count delta
+    * to a [[graft.tables.LogAgg]] table, with compaction on a cadence
+    * (every 2 deltas here, so the gate exercises append → compact →
+    * append and the final read folds compacted rows + a pending delta).
+    * A per-batch MERGE is the wrong shape for a uniform vocabulary key
+    * space — every batch's key range covers every file of the stats
+    * table, so the merge rewrites essentially the whole table per batch
+    * (ProfLogAgg measures the amplification); the append-log costs
+    * O(delta) per batch and pays the rewrite once per cadence. The
+    * final report is computed FROM THE MAINTAINED TABLE ONLY, and the
+    * oracle recomputes it from the raw corpus — the gate is exactly the
+    * incremental == batch proof (a lost batch, a double-applied delta,
+    * or a broken fold shifts a count and hash-mismatches). */
   private val q270 = GQ(
     "q270_stream_corpus_health",
     (s, dir) => {
-      import graft.tables.MergeOps
+      import graft.tables.LogAgg
       val d = Tables.t(s, dir, "documents").select("lang", "doc_id", "text")
       val in = scratch("healthsrc")
-      // two files → two micro-batches under maxFilesPerTrigger=1
-      d.filter(col("doc_id") % 2 === 0).coalesce(1)
+      // three files → three micro-batches under maxFilesPerTrigger=1
+      d.filter(col("doc_id") % 3 === 0).coalesce(1)
         .write.mode("overwrite").parquet(in)
-      d.filter(col("doc_id") % 2 === 1).coalesce(1)
+      d.filter(col("doc_id") % 3 === 1).coalesce(1)
         .write.mode("append").parquet(in)
-      val counts = GraftTable.create(s, scratch("healthtbl"),
+      d.filter(col("doc_id") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(in)
+      val counts = LogAgg.create(s, scratch("healthtbl"),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("lang",
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("word",
             org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n", LongType))))
+          org.apache.spark.sql.types.StructField("n", LongType))),
+        keys = Seq("lang", "word"), counters = Seq("n"))
       val stream = s.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
         .writeStream.trigger(Trigger.AvailableNow())
@@ -623,18 +629,22 @@ object StreamQueries extends QueryBatch {
               explode(graft.text.TextOps.words(col("text"))).as("word"))
             .filter(length(col("word")) > 0)
             .groupBy("lang", "word").agg(count(lit(1)).as("n"))
-          MergeOps.mergeInto(counts, delta,
-            "target.lang = source.lang AND target.word = source.word",
-            matched = Seq(MergeOps.WhenMatched(None,
-              MergeOps.UpdateSet(Map("n" -> "target.n + source.n")))),
-            notMatched = Seq(MergeOps.WhenNotMatched(None, MergeOps.InsertAll)))
+          LogAgg.append(counts, delta)
+          LogAgg.compactIfDue(counts, every = 2)
           ()
         }.start()
       stream.awaitTermination()
-      // the incremental claim needs ≥ 2 applied batches: CREATE + 2 MERGEs
-      require(counts.commits.length >= 3,
-        s"expected >=2 micro-batch merges, saw ${counts.commits.length - 1}")
-      val c = counts.read()
+      // the incremental claim needs ≥ 3 applied batches AND a compaction
+      // mid-stream (create + 3 deltas + 1 compact after the 2nd)
+      require(counts.commits.count(_.operation == "LOGAGG DELTA") == 3,
+        s"expected 3 micro-batch deltas, saw ${counts.commits.map(_.operation)}")
+      require(counts.commits.exists(_.operation == "LOGAGG COMPACT"),
+        "expected a mid-stream compaction")
+      // delta appends must never rewrite the stats table — that's the
+      // whole point of the shape
+      require(counts.commits.filter(_.operation == "LOGAGG DELTA")
+        .forall(_.removedFiles.isEmpty), "delta append rewrote files")
+      val c = LogAgg.read(counts)
       val ranked = c.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("lang")
           .orderBy(col("n").desc, col("word"))))

@@ -23,16 +23,38 @@ import org.apache.spark.sql.functions._
   */
 object Blocklist {
 
-  /** Immutable matching automaton. Node 0 is the root; `next` holds the
-    * goto function as per-node char maps, `fail` the failure links,
-    * `out` the phrase indices recognized at each node (own + inherited
-    * through failure links, pre-flattened at build time so matching
-    * never walks the fail chain). */
+  /** Immutable matching automaton. Node 0 is the root; the goto
+    * function is per-node SORTED parallel arrays (`gotoKeys` chars /
+    * `gotoTo` targets, binary-searched) — primitive array probes on the
+    * per-character hot path, where a boxed `Map[Char, Int]` lookup was
+    * a measured few-× constant-factor tax (ProfAc, m1000 corpus).
+    * `fail` holds the failure links, `out` the phrase indices
+    * recognized at each node (own + inherited through failure links,
+    * pre-flattened at build time so matching never walks the fail
+    * chain). */
   final class Automaton private[Blocklist] (
       val phrases: Array[String],
-      next: Array[Map[Char, Int]],
+      gotoKeys: Array[Array[Char]],
+      gotoTo: Array[Array[Int]],
       fail: Array[Int],
       out: Array[Array[Int]]) extends Serializable {
+
+    /** goto(s, c): binary search the node's sorted key array; -1 = no
+      * edge. Branching per node is alphabet-bounded and typically tiny,
+      * so the search is 1–6 primitive compares, no boxing. */
+    private def goTo(s: Int, c: Char): Int = {
+      val ks = gotoKeys(s)
+      var lo = 0
+      var hi = ks.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val k = ks(mid)
+        if (k == c) return gotoTo(s)(mid)
+        else if (k < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
 
     /** All-occurrence counts per phrase index over `text` (lowercased by
       * the caller contract). Null-safe: null counts as empty. */
@@ -44,8 +66,9 @@ object Blocklist {
       while (i < text.length) {
         val c = text.charAt(i)
         // follow failure links until a goto exists (root loops to itself)
-        while (s != 0 && !next(s).contains(c)) s = fail(s)
-        s = next(s).getOrElse(c, 0)
+        var t = goTo(s, c)
+        while (s != 0 && t < 0) { s = fail(s); t = goTo(s, c) }
+        s = if (t < 0) 0 else t
         val o = out(s)
         var j = 0
         while (j < o.length) { counts(o(j)) += 1L; j += 1 }
@@ -108,7 +131,13 @@ object Blocklist {
         }
       }
     }
-    new Automaton(ps, next.toArray, fail, out)
+    // freeze the build-time char maps into sorted parallel arrays (the
+    // match-time representation; the trie/BFS above stays map-based for
+    // clarity — build cost is blocklist-metadata-scale, match cost is
+    // corpus-scale)
+    val gotoKeys = next.map(_.keysIterator.toArray.sorted).toArray
+    val gotoTo = Array.tabulate(n)(s => gotoKeys(s).map(next(s)))
+    new Automaton(ps, gotoKeys, gotoTo, fail, out)
   }
 
   /** Total blocklist hits per row as a scalar column — the filter-stage

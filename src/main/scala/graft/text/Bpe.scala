@@ -47,8 +47,75 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("f"))
 
   /** The merge loop over a collected dict. Pure function — the spec
-    * surface. Stops early when no adjacent pair remains. */
+    * surface. Stops early when no adjacent pair remains.
+    *
+    * Incremental (fastBPE-shape) pair maintenance: pair counts and a
+    * pair → words-containing-it index are built ONCE; each merge then
+    * touches only the words that actually contain the merged pair —
+    * subtract their old adjacencies, rewrite, add the new ones. Per
+    * merge that's O(Σ|affected words|), not O(Σ|all words|): at a
+    * production vocab (30 k merges over a 10⁷-entry dict) the full
+    * recount is hours, the delta form minutes. Identity with the
+    * recount-every-iteration reference ([[trainFromDictRecount]]) is
+    * spec-pinned, and the q265/q266 oracles gate the trainer itself. */
   def trainFromDict(dict: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val words = dict.map(_._1).toArray
+    val freqs = dict.map(_._2).toArray
+    val segs: Array[Vector[String]] =
+      words.map(_.map(_.toString).toVector)
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    // walk word wi's current adjacencies: add (or remove) its
+    // frequency-weighted counts and index membership
+    def account(wi: Int, add: Boolean): Unit = {
+      val s = segs(wi)
+      val f = if (add) freqs(wi) else -freqs(wi)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        val nv = pc.getOrElse(p, 0L) + f
+        if (nv == 0L) pc.remove(p) else pc.update(p, nv)
+        if (add)
+          where.getOrElseUpdate(p,
+            scala.collection.mutable.Set.empty[Int]) += wi
+        else where.get(p).foreach { ws =>
+          ws -= wi
+          if (ws.isEmpty) where.remove(p)
+        }
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < words.length) { account(wi, add = true); wi += 1 }
+    val out = Seq.newBuilder[Merge]
+    var k = 0
+    while (k < nMerges && pc.nonEmpty) {
+      // highest count, ties (left, right) ascending — the ordering the
+      // oracle's ORDER BY c DESC, l, r LIMIT 1 replays; the key is a
+      // total order over distinct pairs so the argmin is unique and
+      // map-iteration order can't matter
+      val ((l, r), c) = pc.minBy { case ((pl, pr), pn) => (-pn, pl, pr) }
+      out += Merge(l, r, c)
+      val affected = where.get((l, r)).map(_.toArray.sorted)
+        .getOrElse(Array.empty[Int])
+      affected.foreach { ai =>
+        account(ai, add = false)
+        segs(ai) = mergePass(segs(ai), l, r)
+        account(ai, add = true)
+      }
+      k += 1
+    }
+    out.result()
+  }
+
+  /** Reference merge loop: full pair recount every iteration — the
+    * transliteration of the textbook algorithm, kept as the identity
+    * oracle for the incremental [[trainFromDict]] (the spec asserts
+    * they emit the same merges on the same dict). O(nMerges × Σ|word|);
+    * use [[trainFromDict]] everywhere else. */
+  def trainFromDictRecount(dict: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
     require(nMerges >= 1, "nMerges must be >= 1")
     val freq = dict.toMap
     val segs = scala.collection.mutable.LinkedHashMap(
@@ -69,8 +136,6 @@ object Bpe {
       }
       if (pc.isEmpty) exhausted = true
       else {
-        // highest count, ties (left, right) ascending — the ordering the
-        // oracle's ORDER BY c DESC, l, r LIMIT 1 replays
         val ((l, r), c) = pc.minBy { case ((pl, pr), pn) => (-pn, pl, pr) }
         out += Merge(l, r, c)
         segs.mapValuesInPlace { (_, s) => mergePass(s, l, r) }
@@ -176,15 +241,19 @@ object Bpe {
     * space-joined subtoken stream), tokenizing with the rank-order
     * encode against broadcast ranks. Shuffle-free projection.
     *
-    * `cacheWords = true` pre-encodes the corpus's DISTINCT words once
-    * (one extra vocabulary-bounded word-count scan + a driver-side
-    * encode of the dict) and broadcasts the segmentation map beside the
-    * ranks; per-row work collapses to a hash lookup with the greedy
-    * encode as the out-of-dict fallback — the fastBPE word-cache shape.
-    * Same output either way (spec-pinned); the A/B cost curve is
-    * recorded in SCALING.md. */
+    * `cacheWords = true` pre-encodes the corpus's `cacheTopK` most
+    * FREQUENT distinct words once (one TakeOrdered over the word-count
+    * scan + a driver-side encode of that slice) and broadcasts the
+    * segmentation map beside the ranks; per-row work collapses to a
+    * hash lookup with the greedy encode as the out-of-dict fallback —
+    * the fastBPE word-cache shape. The cap matters at web scale: an
+    * UNCAPPED Heap's-law vocabulary broadcast is GBs, while Zipf says
+    * the top-K carries nearly all occurrence mass, so misses stay rare
+    * and cheap. Same output for any K (spec-pinned); the A/B cost
+    * curve and the knob are recorded in SCALING.md. */
   def tokenStats(docs: DataFrame, merges: Seq[Merge],
-      textCol: String = "text", cacheWords: Boolean = false): DataFrame = {
+      textCol: String = "text", cacheWords: Boolean = false,
+      cacheTopK: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
     val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.map { case (m, i) => (m.left, m.right) -> i }.toMap
@@ -192,7 +261,10 @@ object Bpe {
     val cache: Map[String, (String, Int)] =
       if (!cacheWords) Map.empty
       else segmentationCache(
-        wordFreq(docs, textCol).select("word").collect()
+        // ties broken by word so the cached SET is deterministic (the
+        // OUTPUT is identical for any set — fallback encodes misses)
+        wordFreq(docs, textCol).orderBy(desc("f"), asc("word"))
+          .limit(cacheTopK).select("word").collect()
           .map(_.getString(0)).toSeq, ranks)
     val bcCache = spark.sparkContext.broadcast(cache)
     val tok = udf { (ws: Seq[String]) =>

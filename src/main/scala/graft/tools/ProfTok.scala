@@ -49,6 +49,26 @@ object ProfTok {
     val merges = Bpe.train(docs, nMerges)
     val dictSize = Bpe.wordFreq(docs).count()
 
+    // trainer A/B on the SAME collected dict: incremental delta-update
+    // pair maintenance vs the full-recount reference, alternating —
+    // the asymptotic claim is recount O(nMerges × Σ|word|) vs
+    // incremental O(Σ|affected|) per merge
+    val dict = Bpe.wordFreq(docs).orderBy("word").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    def tmPure(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val trainPairs = (1 to reps).map { _ =>
+      (tmPure(Bpe.trainFromDictRecount(dict, nMerges)),
+        tmPure(Bpe.trainFromDict(dict, nMerges)))
+    }
+    val tRecount = Harness.median(trainPairs.map(_._1))
+    val tIncr = Harness.median(trainPairs.map(_._2))
+    println(f"[proftok] trainer A/B nMerges=$nMerges dict=${dict.size}: " +
+      f"recount=$tRecount%.2f s incremental=$tIncr%.2f s " +
+      f"ratio=${tRecount / tIncr}%.2f " +
+      f"(reps: ${trainPairs.map(p => f"${p._1}%.2f/${p._2}%.2f").mkString(" ")})")
+
     def runArm(cache: Boolean): Unit =
       Bpe.tokenStats(docs, merges, cacheWords = cache)
         .write.format("noop").mode("overwrite").save()

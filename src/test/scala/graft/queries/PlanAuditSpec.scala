@@ -422,6 +422,34 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("curation v2 composes in two keyed corpus-scale shuffles, dims broadcast") {
+    // the q273 contract: clean → blocklist → bag-dedup → funnel as ONE
+    // plan whose corpus-scale exchanges are exactly the fingerprint
+    // group and the domain rollup family (partial-agged lang rollups
+    // move domain-cardinality rows); the funnel⋈kept meet must
+    // broadcast, never sort-merge, and the only range exchange is the
+    // deterministic output sort. A composition refactor that slips in a
+    // third corpus-scale shuffle or un-broadcasts the domain join would
+    // still return correct rows — only this audit catches it.
+    val df = SparkEntry.queries("q273_curation_v2")(spark, sf)
+    val full = finalPlan(df)
+    val p = full.split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(hashEx <= 3,
+      s"budget: fp group + funnel/kept lang rollups = at most 3 keyed exchanges, found $hashEx:\n$p")
+    assert(rangeEx == 1, s"only the output sort may range-partition:\n$p")
+    val bcastEx = "BroadcastExchange".r.findAllIn(p).size
+    assert(bcastEx == 1,
+      s"exactly the kept-side domain broadcast, found $bcastEx:\n$p")
+    assert("Exchange".r.findAllIn(p).size == hashEx + rangeEx + bcastEx,
+      s"no other exchange kind may appear:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the domain-keyed funnel join must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the funnel/kept broadcast join:\n$p")
+  }
+
   test("corpus health: zipf rank filter plans as WindowGroupLimit, no single-partition window") {
     val df = graft.text.CorpusOps.corpusHealth(
       Tables.t(spark, sf, "documents"))

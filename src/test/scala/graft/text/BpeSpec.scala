@@ -42,6 +42,26 @@ class BpeSpec extends SparkTestBase {
     assert(trainFromDict(Seq("a" -> 5L), 3).isEmpty)
   }
 
+  test("incremental trainer is merge-for-merge identical to the full recount") {
+    // hand cases covering overlap, ties, exhaustion, shared subwords
+    val dicts = Seq(
+      Seq("ab" -> 5L, "cd" -> 3L),
+      Seq("aaa" -> 1L),
+      Seq("ba" -> 2L, "ab" -> 2L),
+      Seq("abab" -> 4L, "abc" -> 2L, "bca" -> 7L, "a" -> 1L),
+      Seq("xxyxx" -> 3L, "xyx" -> 5L, "yy" -> 2L))
+    dicts.foreach { d =>
+      assert(trainFromDict(d, 10) == trainFromDictRecount(d, 10),
+        s"divergence on $d")
+    }
+    // plus the real sf0.001 dict, deep merge table (past exhaustion
+    // of the easy pairs, where stale-count bugs surface)
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val dict = Bpe.wordFreq(docs).orderBy("word").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(trainFromDict(dict, 60) == trainFromDictRecount(dict, 60))
+  }
+
   test("mergePass: skip-2 on 'aaaa' leaves no stranded pair") {
     assert(mergePass(Vector("a", "a", "a", "a"), "a", "a")
       == Vector("aa", "aa"))
@@ -106,6 +126,13 @@ class BpeSpec extends SparkTestBase {
     val cached = Bpe.tokenStats(docs, merges, cacheWords = true)
       .orderBy("doc_id").collect()
     assert(direct.toSeq == cached.toSeq)
+    // a cap SMALLER than the vocabulary must not change the output —
+    // out-of-cache words take the fallback encode (cap = 50 on a
+    // ~1k-word dict forces plenty of misses)
+    val capped = Bpe.tokenStats(docs, merges, cacheWords = true,
+        cacheTopK = 50)
+      .orderBy("doc_id").collect()
+    assert(direct.toSeq == capped.toSeq)
   }
 
   test("segmentationCache entries agree with the greedy encode per word") {
