@@ -708,7 +708,78 @@ object ExtAnalyticsQueries extends QueryBatch {
             ORDER BY s.lang""")
   )
 
+  /** Weighted sampling without replacement (`CorpusOps.weightedSample`,
+    * Efraimidis–Spirakis exponential race): docs drawn proportional to
+    * `n_chars`. The uniform derives from md5 of the id — engine-portable
+    * — so the oracle recomputes the EXACT race keys and the same top-50
+    * must fall out of both engines: a biased key, a dropped
+    * zero-weight guard, or a broken hex→uniform mapping changes the
+    * selected set and hash-mismatches. Plans as TakeOrderedAndProject
+    * (plan-audited), never a global sort. */
+  private val q274 = GQ(
+    "q274_weighted_sample",
+    (s, dir) => graft.text.CorpusOps.weightedSample(
+        Tables.t(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", 50)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("sample_key") + lit(1e-9), 6).as("sample_key"))
+      .orderBy(desc("sample_key"), col("doc_id")),
+    Some("""WITH keyed AS (
+              SELECT doc_id, n_chars,
+                     ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+                        / 4294967296.0) / n_chars AS k
+              FROM documents WHERE n_chars > 0)
+            SELECT doc_id, n_chars, round(k + 1e-9, 6) AS sample_key
+            FROM keyed ORDER BY k DESC, doc_id LIMIT 50""")
+  )
+
+  /** Quality-threshold calibration against a token budget
+    * (`CorpusOps.qualityCutoff`): the highest quality cutoff whose kept
+    * documents carry ≥ 10,000 tokens — deriving the filter constant
+    * FROM the budget instead of hand-tuning it. The oracle replays
+    * score quantization (q71's expression), the per-score rollup, the
+    * descending cumulative sums, and the crossing-point pick; a
+    * fencepost anywhere (≥ vs >, cumsum alignment, budget > total
+    * clamping) shifts the one output row. */
+  private val q276 = GQ(
+    "q276_quality_budget_cutoff",
+    (s, dir) => graft.text.CorpusOps.qualityCutoff(
+      Tables.t(s, dir, "documents").select(
+        graft.text.TextOps.qualityScore(col("text")).as("q"),
+        graft.text.TextOps.tokenCountWs(col("text")).cast("long").as("ntok")),
+      "q", "ntok", budget = 10000L),
+    Some("""WITH d AS (SELECT
+              round(
+                least(len(string_split_regex(lower(trim(text)), '\s+')) / 50.0, 1.0) * 0.4
+              + (1.0 - least(((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                              / greatest(length(text)::DOUBLE, 1.0)) * 10.0, 1.0)) * 0.3
+              + ((CASE WHEN ' '||lower(text)||' ' LIKE '% the %' THEN 1 ELSE 0 END
+                + CASE WHEN ' '||lower(text)||' ' LIKE '% and %' THEN 1 ELSE 0 END
+                + CASE WHEN ' '||lower(text)||' ' LIKE '% of %' THEN 1 ELSE 0 END
+                + CASE WHEN ' '||lower(text)||' ' LIKE '% to %' THEN 1 ELSE 0 END
+                + CASE WHEN ' '||lower(text)||' ' LIKE '% in %' THEN 1 ELSE 0 END) / 5.0) * 0.3
+              + 1e-9, 4) AS q,
+              len(string_split_regex(lower(trim(text)), '\s+')) AS ntok
+            FROM documents),
+            b AS (SELECT q AS score, count(*) AS n_docs, sum(ntok) AS n_tokens
+                  FROM d GROUP BY 1),
+            c AS (SELECT score,
+                         sum(n_docs) OVER w AS cum_docs,
+                         sum(n_tokens) OVER w AS cum_tokens
+                  FROM b
+                  WINDOW w AS (ORDER BY score DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            t AS (SELECT max(cum_tokens) AS total FROM c)
+            SELECT c.score AS cutoff,
+                   CAST(c.cum_docs AS BIGINT) AS kept_docs,
+                   CAST(c.cum_tokens AS BIGINT) AS kept_tokens,
+                   CAST(t.total AS BIGINT) AS total_tokens
+            FROM c, t
+            WHERE c.cum_tokens >= least(10000, t.total)
+            ORDER BY c.score DESC LIMIT 1""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q190, q191, q192, q193, q194, q195, q197, q198, q199, q200, q201,
-      q205, q206, q207, q219, q224, q228, q229, q264)
+      q205, q206, q207, q219, q224, q228, q229, q264, q274, q276)
 }

@@ -1009,8 +1009,69 @@ object TextQueries extends QueryBatch {
             ORDER BY f.lang""")
   )
 
+  /** Content-defined chunk dedup (`CdcChunk`): the shifted-content axis
+    * of the dedup matrix — a planted near-copy PREPENDS one token to
+    * every 20th doc, which misaligns every fixed window but only
+    * perturbs CDC chunks up to the first hash boundary; the gate
+    * reports, per planted pair, how many distinct chunks survive the
+    * shift. The oracle replays the whole pipeline relationally —
+    * per-token polynomial hash (q78's list_reduce recurrence), the
+    * mod-8 boundary rule, cumulative chunk assignment, ordered
+    * string_agg re-join, md5, and the pair join — so a cut-rule drift,
+    * an off-by-one span, or a lost trailing chunk shifts a count and
+    * hash-mismatches. Chunking is a pure scan projection; the one
+    * corpus-scale shuffle is the chunk-hash group. */
+  private val q275 = GQ(
+    "q275_cdc_dedup",
+    (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(
+        d.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat(lit("zzshifted "), col("text")).as("text")))
+      val ch = graft.text.CdcChunk.chunks(corpus)
+      graft.text.CdcChunk.sharedChunks(ch, minShared = 1)
+        .filter(col("d2") === col("d1") + 1000000000L)
+        .select(col("d1").as("doc_id"), col("n_shared"),
+          col("n_chunks_1"), col("n_chunks_2"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+                            UNION ALL
+                            SELECT doc_id + 1000000000, 'zzshifted ' || text
+                            FROM documents WHERE doc_id % 20 = 0),
+            d AS (SELECT doc_id,
+                         [w FOR w IN string_split_regex(lower(trim(text)), '\s+') IF len(w) > 0] AS ws
+                  FROM corpus),
+            tok AS (SELECT doc_id, CAST(t.i AS INT) AS pos, ws[CAST(t.i AS INT) + 1] AS tok
+                    FROM d, UNNEST(range(len(ws))) AS t(i)),
+            flg AS (SELECT doc_id, pos, tok,
+                           CASE WHEN list_reduce(
+                               list_prepend(CAST(0 AS BIGINT), [ascii(c) FOR c IN string_split(tok, '')]),
+                               (acc, c) -> (acc * 31 + c) % 72057594037927936) % 8 = 3
+                             THEN 1 ELSE 0 END AS b
+                    FROM tok),
+            asg AS (SELECT doc_id, pos, tok,
+                           coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+                    FROM flg),
+            ch AS (SELECT doc_id, cid, md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+                   FROM asg GROUP BY 1, 2),
+            cd AS (SELECT DISTINCT doc_id, h FROM ch),
+            tot AS (SELECT doc_id, count(*) AS n FROM cd GROUP BY 1),
+            pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+                      FROM cd a JOIN cd b ON a.h = b.h AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT p.d1 AS doc_id, p.n_shared, t1.n AS n_chunks_1, t2.n AS n_chunks_2
+            FROM pairs p
+            JOIN tot t1 ON t1.doc_id = p.d1
+            JOIN tot t2 ON t2.doc_id = p.d2
+            WHERE p.d2 = p.d1 + 1000000000 AND p.n_shared >= 1
+            ORDER BY p.d1""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q202, q204, q209,
       q212, q216, q221, q223, q225, q226, q227, q262, q265, q266, q267, q268,
-      q269, q271, q272, q273)
+      q269, q271, q272, q273, q275)
 }

@@ -106,6 +106,75 @@ object CorpusOps {
       .drop("__h")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis, IPL '06): each row races with key ln(u)/w — u a uniform
+    * in (0,1), w its positive weight — and the k LARGEST keys are the
+    * sample; equivalent to successive draws proportional to weight, in
+    * one pass. The quality-weighted corpus draw every curation mixture
+    * needs ("sample docs proportional to quality/length/domain
+    * weight"), complementing [[stratifiedSample]] (per-stratum uniform)
+    * and [[sampleToBudget]] (quota fill).
+    *
+    * u derives from md5 of the stable id — not RNG — so the sample is
+    * reproducible across runs/engines AND replayable in ANSI SQL (the
+    * q274 oracle recomputes the exact keys; xxhash64 wouldn't be):
+    * u = (first-8-hex-digits(md5(id)) + 0.5) / 2^32, strictly inside
+    * (0,1). Rows with NULL or non-positive weight are excluded (they
+    * can never win a proportional draw).
+    *
+    * Scale shape: pure projection + global top-k by key — plans as
+    * TakeOrderedAndProject (per-partition top-k, driver merge of k·P
+    * rows), never a global sort. Output: input columns + sample_key.
+    */
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "sample size must be >= 1")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    docs.filter(col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0)
+      .withColumn("sample_key", log(u) / col(weightCol).cast("double"))
+      // ties impossible for continuous keys; id second for determinism
+      .orderBy(desc("sample_key"), col(idCol))
+      .limit(k)
+  }
+
+  /** Quality-threshold calibration against a token budget: the highest
+    * score cutoff whose kept documents (score ≥ cutoff) carry at least
+    * `budget` tokens — "keep the best N-billion tokens", the filter-
+    * tuning step production curation runs before committing a threshold
+    * (a mis-set constant silently deleting half the crawl is the
+    * canonical accident; this derives the constant FROM the budget).
+    *
+    * Scale shape: scores arrive quantized (qualityScore rounds to 4 dp
+    * → ≤ 10⁴ distinct values), so the corpus-scale work is ONE
+    * map-side-combined (score → docs, tokens) aggregate; the descending
+    * cumulative sum then runs over score-cardinality rows (metadata
+    * next to the corpus — same bounded-collect class as vocabCoverage's
+    * top-K). Returns one row: cutoff, kept_docs, kept_tokens,
+    * total_tokens. If even the full corpus misses the budget, cutoff is
+    * the minimum score (keep everything). */
+  def qualityCutoff(docs: DataFrame, scoreCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "token budget must be >= 1")
+    val byScore = docs.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
+    // score-cardinality rows: the partition-less window is over the
+    // quantized-score aggregate, never corpus rows
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byScore
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val total = cum.agg(max(col("cum_tokens"))).head().getLong(0)
+    val hit = cum.filter(col("cum_tokens") >= math.min(budget, total))
+      .orderBy(col("score").desc).limit(1)
+    hit.select(col("score").as("cutoff"),
+      col("cum_docs").as("kept_docs"),
+      col("cum_tokens").as("kept_tokens"),
+      lit(total).as("total_tokens"))
+  }
+
   /** Vocabulary coverage: global word frequencies with rank and cumulative
     * share of all tokens — the standard tokenizer-design / heavy-hitter
     * report ("how many types cover 90% of tokens").

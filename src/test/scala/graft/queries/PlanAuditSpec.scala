@@ -450,6 +450,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected the funnel/kept broadcast join:\n$p")
   }
 
+  test("weighted sample plans as TakeOrderedAndProject, not a global sort") {
+    // the Efraimidis-Spirakis draw is top-k by race key: per-partition
+    // top-k + driver merge, never a rangepartitioned global sort of the
+    // corpus
+    val df = graft.text.CorpusOps.weightedSample(
+      Tables.t(spark, sf, "documents").select("doc_id", "n_chars"),
+      "n_chars", 50)
+    val p = finalPlan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample must top-k, not sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort exchange in a sample draw:\n$p")
+  }
+
   test("corpus health: zipf rank filter plans as WindowGroupLimit, no single-partition window") {
     val df = graft.text.CorpusOps.corpusHealth(
       Tables.t(spark, sf, "documents"))

@@ -231,6 +231,51 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got == Seq(("en", 9L, 3L, 0.333333, -1.3866, 4.5, 6.75)))
   }
 
+  test("weightedSample: local replay of the race keys picks the same set") {
+    val docs = (1L to 200L).map(i => (i, (i % 13 + 1).toInt))
+      .toDF("doc_id", "w")
+    val got = CorpusOps.weightedSample(docs, "w", 20)
+      .select("doc_id").as[Long].collect().toSet
+    // reference: exact same md5-derived u and key in local Scala
+    def key(id: Long, w: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      math.log(u) / w
+    }
+    val want = (1L to 200L).map(i => i -> key(i, (i % 13 + 1).toInt))
+      .sortBy { case (id, k) => (-k, id) }.take(20).map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("weightedSample: zero/negative/null weights are excluded; heavier wins more often") {
+    val docs = Seq((1L, 0.0), (2L, -3.0), (4L, 1.0)).toDF("doc_id", "w")
+      .unionByName(Seq((3L, Option.empty[Double])).toDF("doc_id", "w"))
+    val got = CorpusOps.weightedSample(docs, "w", 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(4L), "only the positive-weight row may be drawn")
+    // proportionality smoke: weight 1000 vs 1 over many ids — the heavy
+    // class must dominate a k=100 sample
+    val mixed = (1L to 1000L).map(i =>
+      (i, if (i <= 500) 1000.0 else 1.0)).toDF("doc_id", "w")
+    val heavy = CorpusOps.weightedSample(mixed, "w", 100)
+      .filter(col("doc_id") <= 500).count()
+    assert(heavy >= 90, s"expected the 1000x class to dominate, got $heavy/100")
+  }
+
+  test("qualityCutoff: crossing point, budget-over-total clamp, and exact-boundary fencepost") {
+    // buckets: score 0.9 (2 docs, 40 tok), 0.5 (1 doc, 50 tok), 0.1 (1 doc, 10 tok)
+    val docs = Seq((0.9, 25L), (0.9, 15L), (0.5, 50L), (0.1, 10L))
+      .toDF("q", "ntok")
+    def cut(budget: Long) = CorpusOps.qualityCutoff(docs, "q", "ntok", budget)
+      .as[(Double, Long, Long, Long)].head()
+    assert(cut(30) == ((0.9, 2L, 40L, 100L)), "inside the top bucket")
+    assert(cut(40) == ((0.9, 2L, 40L, 100L)), "exact boundary keeps the higher cutoff")
+    assert(cut(41) == ((0.5, 3L, 90L, 100L)), "one past the boundary descends")
+    assert(cut(500) == ((0.1, 4L, 100L, 100L)), "budget over total keeps everything")
+  }
+
   test("corpusHealth: domains are independent and rank ties break word-asc") {
     // fr: 'x' and 'y' tie at 2 -> ranks by word asc (x=1, y=2); the
     // slope over equal counts is exactly 0 regardless of rank order
