@@ -672,7 +672,52 @@ object VectorQueries extends QueryBatch {
          GROUP BY co.vec_id, qs.qid""")}""")
   )
 
+  /** Scalar-quantized (SQ8) persisted index (`Sq`): per-dim [min, max]
+    * bounds train in ONE dim-keyed aggregate (no codebook loop), every
+    * vector encodes to d bytes, the table reopens COLD from bounds in
+    * TBLPROPERTIES, and search scores reconstruction cosine over the
+    * codes. The oracle replays the ENTIRE chain — exact per-dim
+    * min/max, the explicit half-up byte code, reconstruction, cosine,
+    * top-20 — so biased bounds, a round-tripping error through table
+    * properties, a drifted code formula, or a degenerate-dim mishandle
+    * all hash-mismatch. Encode/search are zero-shuffle projections
+    * (SqSpec plan pin); top-k is TakeOrderedAndProject. */
+  private val q277 = GQ(
+    "q277_sq8_search",
+    (s, dir) => {
+      val path = Scratch.dir("sq8idx")
+      graft.vector.Sq.build(emb(s, dir), path)
+      val reopened = graft.tables.GraftTable.load(s, path)
+      graft.vector.Sq.topK(reopened, queryVec(s, dir), 20)
+    },
+    Some("""WITH v AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            b AS (SELECT CAST(t.i AS INT) AS dim,
+                         min(e[CAST(t.i AS INT) + 1]) AS mn,
+                         max(e[CAST(t.i AS INT) + 1]) AS mx
+                  FROM v, UNNEST(range(64)) AS t(i) GROUP BY 1),
+            r AS (SELECT v.vec_id, b.dim,
+                         CASE WHEN b.mx > b.mn
+                           THEN b.mn + floor((e[b.dim + 1] - b.mn) / (b.mx - b.mn) * 255.0 + 0.5)
+                                / 255.0 * (b.mx - b.mn)
+                           ELSE b.mn END AS xr
+                  FROM v, b),
+            q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                  FROM embeddings WHERE vec_id = 0),
+            s AS (SELECT r.vec_id,
+                         sum(r.xr * q.qe[r.dim + 1]) AS dot,
+                         sum(r.xr * r.xr) AS n2
+                  FROM r, q GROUP BY 1),
+            qn AS (SELECT sqrt(list_sum(list_transform(qe, x -> x * x))) AS qn FROM q)
+            SELECT s.vec_id,
+                   round(CASE WHEN s.n2 > 0 THEN s.dot / (qn.qn * sqrt(s.n2))
+                         ELSE -1.0 END + 1e-9, 4) AS sim
+            FROM s, qn
+            ORDER BY sim DESC, vec_id LIMIT 20""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q80, q81, q82, q83, q84, q208, q211, q213, q214, q215, q217, q220,
-      q222, q231, q232)
+      q222, q231, q232, q277)
 }
