@@ -57,6 +57,15 @@ object ScaleBench {
     "curation" -> Seq("q269_text_normalize", "q271_charset_entropy",
       "q272_bag_dedup", "q273_curation_v2"),
     "corpus-release" -> Seq("q237_shuffle_shards", "q223_curation_pipeline"),
+    // round-16 additions: weighted draw is a TakeOrdered projection
+    // (claim: linear scan cost, constant driver merge); budget cutoff is
+    // one score-keyed rollup + score-cardinality cumsum (claim: linear);
+    // CDC dedup is projection chunking + one chunk-hash-keyed pair join
+    // (claim: near-linear while planted-pair output stays proportional);
+    // SQ8 is train-aggregate + projection encode/search + TakeOrdered
+    // (claim: linear)
+    "round16" -> Seq("q274_weighted_sample", "q275_cdc_dedup",
+      "q276_quality_budget_cutoff", "q277_sq8_search"),
     // media codecs are pure per-row scan projections (encode→decode→stats
     // →transcode, no shuffle) — the claim to verify is exactly-linear.
     // the hamming pair-join gates (q248/q251/q252) are deliberately
