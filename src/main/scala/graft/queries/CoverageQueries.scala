@@ -264,9 +264,53 @@ object CoverageQueries extends QueryBatch {
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** Automatic MV rewrite (`plans/MvRewrite`, a Catalyst
+    * `Rule[LogicalPlan]` on `experimental.extraOptimizations`): a
+    * grouped count/sum/avg over the SOURCE table is transparently
+    * rewritten to re-aggregate the key-cardinality IncrementalMv view —
+    * the query author never names the view. The gate REQUIRES the
+    * mechanism in-plan (the executed plan must scan the view's files
+    * and not the source's) and the oracle checks the semantics against
+    * the raw data, so a rewrite that fires with wrong rollup math
+    * hash-mismatches and one that silently stops firing fails the
+    * require. Grouping by a SUBSET of the view keys exercises the
+    * rollup re-aggregation path; staleness/refresh toggling is pinned
+    * in MvRewriteSpec. */
+  private val q278 = GQ(
+    "q278_mv_rewrite",
+    (s, dir) => {
+      import graft.plans.MvRewrite
+      import graft.tables.IncrementalMv
+      val o = Tables.t(s, dir, "orders")
+      val src = GraftTable.createFrom(s, scratch("mvrw-src"), o)
+      val view = IncrementalMv.create(s, scratch("mvrw-view"), src,
+        Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+      MvRewrite.enable(s)
+      MvRewrite.register(src, view,
+        Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+      try {
+        val q = src.read().groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum("o_totalprice").as("st"),
+            avg("o_totalprice").as("at"))
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("mvrw-view") && !plan.contains("mvrw-src"),
+          s"the aggregate must scan the VIEW, not the source:\n$plan")
+        q.select(col("o_orderstatus"), col("cnt"),
+            round(col("st") + lit(1e-9), 2).as("sum_total"),
+            round(col("at") + lit(1e-9), 4).as("avg_total"))
+          .orderBy("o_orderstatus")
+      } finally MvRewrite.clear()
+    },
+    Some("""SELECT o_orderstatus, count(*) AS cnt,
+            round(sum(o_totalprice) + 1e-9, 2) AS sum_total,
+            round(avg(o_totalprice) + 1e-9, 4) AS avg_total
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   override def queries: Seq[GQ] =
     Seq(q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-      q230)
+      q230, q278)
 
   /** COPY INTO from ORC (`Ingest.copyInto` generic-format branch + the
     * SQL front-end's FILEFORMAT = ORC): the third columnar wire format a

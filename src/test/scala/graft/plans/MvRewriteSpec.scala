@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.tables.{GraftTable, IncrementalMv}
+
+/** MV-rewrite mechanism pins: the rewrite fires exactly when the view
+  * is fresh and the aggregate is structurally rewritable, never
+  * changes results, and scans the view's files instead of the source's. */
+class MvRewriteSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterEach {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** source over orders-like rows + fresh registered view. */
+  private def fixture(tag: String): (GraftTable, GraftTable) = {
+    val o = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    val src = GraftTable.createFrom(spark, scratch(s"$tag-src"), o)
+    val view = IncrementalMv.create(spark, scratch(s"$tag-view"), src,
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+    MvRewrite.enable(spark)
+    MvRewrite.register(src, view,
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+    (src, view)
+  }
+
+  override def afterEach(): Unit = { MvRewrite.clear(); super.afterEach() }
+
+  test("fresh view: count/sum/avg rewrites to a view scan, results identical") {
+    val (src, _) = fixture("mv1")
+    val q = src.read().groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"),
+        avg("o_totalprice").as("a"))
+    val p = planOf(q)
+    assert(p.contains("mv1-view") && !p.contains("mv1-src"),
+      s"must scan the view:\n$p")
+    MvRewrite.clear()
+    val direct = src.read().groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"),
+        avg("o_totalprice").as("a"))
+      .orderBy("o_orderstatus", "o_orderpriority").collect().toSeq
+    assert(q.orderBy("o_orderstatus", "o_orderpriority").collect().toSeq
+      == direct)
+  }
+
+  test("subset grouping rolls the view up; superset/other grouping does not rewrite") {
+    val (src, _) = fixture("mv2")
+    val sub = src.read().groupBy("o_orderstatus")
+      .agg(sum("o_totalprice").as("s"))
+    assert(planOf(sub).contains("mv2-view"), "subset keys must rewrite")
+    // grouping by a non-key column cannot be served by the view
+    val other = src.read().groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("s"))
+    assert(!planOf(other).contains("mv2-view"), "non-key grouping must not rewrite")
+  }
+
+  test("staleness disables the rewrite; refresh re-enables it") {
+    val (src, view) = fixture("mv3")
+    def q = src.read().groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(planOf(q).contains("mv3-view"))
+    // a commit the view has not applied makes the rewrite WRONG — it
+    // must silently turn off, and results must track the new data
+    src.append(graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .limit(10))
+    val stale = q
+    assert(!planOf(stale).contains("mv3-view"), "stale view must not serve")
+    val nAfter = stale.agg(sum("n")).head().getLong(0)
+    assert(nAfter == src.read().count(), "stale path must read fresh source")
+    IncrementalMv.refresh(src, view,
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+    assert(planOf(q).contains("mv3-view"), "refresh must re-enable")
+    assert(q.agg(sum("n")).head().getLong(0) == nAfter)
+  }
+
+  test("non-rewritable shapes stay untouched: distinct, max, filtered scans, other tables") {
+    val (src, _) = fixture("mv4")
+    val d = src.read().groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("n"))
+    assert(!planOf(d).contains("mv4-view"), "DISTINCT must not rewrite")
+    val m = src.read().groupBy("o_orderstatus")
+      .agg(max("o_totalprice").as("m"))
+    assert(!planOf(m).contains("mv4-view"), "max must not rewrite")
+    val f = src.read().filter(col("o_totalprice") > 1000)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(!planOf(f).contains("mv4-view"), "a filtered scan must not rewrite")
+    val unrelated = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(!planOf(unrelated).contains("mv4-view"),
+      "a different scan (raw testdata) must not rewrite")
+  }
+}
