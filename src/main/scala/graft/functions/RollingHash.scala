@@ -67,9 +67,29 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 object GraftFunctions {
 
   /** Register engine-native functions for SQL use. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_entropy", exprs => CharEntropy(exprs.head), "scala_udf")
+  }
+
+  /** Column API for the native text kernels (function-registry route —
+    * Spark 4 columns wrap ColumnNodes, the expression-backed Column
+    * constructor is private to Spark). Registration rides the ACTIVE
+    * session: these are driver-side column builders, where an active
+    * session always exists. */
+  def graft_nfc(c: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_nfc", c)
+  }
+
+  def graft_char_entropy(c: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_char_entropy", c)
+  }
 
   /** Column API for rolling_hash: goes through the function registry
     * (`call_function`) — Spark 4 columns wrap ColumnNodes and the

@@ -120,43 +120,23 @@ object TextOps {
   /** Unicode NFC normalization as a column op (java.text.Normalizer —
     * the JDK's ICU-equivalent composition tables; DuckDB's
     * `nfc_normalize` agrees, which is what lets q269 oracle it).
-    * Null-safe: null stays null. */
-  def nfc(text: Column): Column = {
-    val f = udf { (s: String) =>
-      if (s == null) null
-      else java.text.Normalizer.normalize(s,
-        java.text.Normalizer.Form.NFC)
-    }
-    f(text)
-  }
+    * Null-safe: null stays null. Native codegen'd expression
+    * ([[graft.functions.NfcNormalize]]) — no UDF boundary on the
+    * cleaning hot path (ProfTextKernel A/B in SCALING.md). */
+  def nfc(text: Column): Column =
+    graft.functions.GraftFunctions.graft_nfc(text)
 
   /** Shannon character entropy (bits/char) of a string — the classic
     * gibberish/encoded-blob signal: natural language sits ~3.5–4.5
     * bits, base64/hex/random dumps push toward log2(alphabet), repeated
-    * template spam collapses toward 0. Per-row UDF over a local
-    * histogram (a per-(doc, char) SHUFFLE at corpus scale would move
-    * every character — the projection shape moves none). Null → null. */
-  def charEntropy(text: Column): Column = {
-    val f = udf { (s: String) =>
-      if (s == null || s.isEmpty) Option.empty[Double]
-      else {
-        // histogram over CODEPOINTS — Spark length() and the oracle's
-        // len() both count codepoints, so surrogate-pair characters
-        // (emoji, supplementary CJK) must be one histogram entry, not two
-        val cps = s.codePoints().toArray
-        val hist = new scala.collection.mutable.HashMap[Int, Long]()
-        cps.foreach(c => hist.update(c, hist.getOrElse(c, 0L) + 1L))
-        val n = cps.length.toDouble
-        // deterministic accumulation order (sorted keys) so the 4-dp
-        // rounded value can't flake against the oracle's grouped sum
-        Some(-hist.toSeq.sortBy(_._1).map { case (_, cnt) =>
-          val p = cnt / n
-          p * math.log(p)
-        }.sum / math.log(2.0))
-      }
-    }
-    f(text)
-  }
+    * template spam collapses toward 0. Per-row CODEPOINT histogram (a
+    * per-(doc, char) SHUFFLE at corpus scale would move every character
+    * — the projection shape moves none), as a native codegen'd
+    * expression ([[graft.functions.CharEntropy]]; deterministic sorted
+    * accumulation, so the 4-dp rounded value can't flake against the
+    * oracle's grouped sum). Null/empty → null. */
+  def charEntropy(text: Column): Column =
+    graft.functions.GraftFunctions.graft_char_entropy(text)
 
   /** Order-insensitive exact-dup fingerprint: md5 of the sorted word
     * MULTISET (duplicates kept). Catches word-permuted copies —
