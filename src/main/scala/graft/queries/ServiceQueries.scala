@@ -198,5 +198,106 @@ object ServiceQueries extends QueryBatch {
             ORDER BY "table" """)
   )
 
-  override def queries: Seq[GQ] = Seq(q110, q111, q112, q113, q114, q243)
+  /** PSI distribution-drift report (`services/Drift`): the release-gate
+    * check between two snapshot versions of a numeric column —
+    * equi-width bins over the REFERENCE range (current values outside
+    * clamp into the edge bins, where range drift shows), Laplace-
+    * smoothed shares, per-bin PSI terms. Ref = orders before 1997,
+    * cur = orders from 1997 on (the generator's totalprice is
+    * date-independent, so shares are near-equal and PSI small — which
+    * the oracle pins exactly, smoothing and all; a drifted clamp rule
+    * or an off-by-one bin index shifts a share and hash-mismatches). */
+  private val q279 = GQ(
+    "q279_drift_psi",
+    (s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      val ref = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cur = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      graft.services.Drift.psi(ref, cur, "o_totalprice", bins = 10)
+        .orderBy("bin")
+    },
+    Some("""WITH ref AS (SELECT o_totalprice AS v FROM orders
+                         WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+            cur AS (SELECT o_totalprice AS v FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+            mm AS (SELECT min(v) AS mn,
+                          (max(v) - min(v)) / 10.0 AS w FROM ref),
+            rb AS (SELECT least(greatest(CAST(floor((v - mn) / w) AS INT), 0), 9) AS bin
+                   FROM ref, mm WHERE v IS NOT NULL),
+            cb AS (SELECT least(greatest(CAST(floor((v - mn) / w) AS INT), 0), 9) AS bin
+                   FROM cur, mm WHERE v IS NOT NULL),
+            bins AS (SELECT CAST(t.i AS INT) AS bin FROM UNNEST(range(10)) AS t(i)),
+            rn AS (SELECT b.bin, count(rb.bin) AS n
+                   FROM bins b LEFT JOIN rb ON rb.bin = b.bin GROUP BY 1),
+            cn AS (SELECT b.bin, count(cb.bin) AS n
+                   FROM bins b LEFT JOIN cb ON cb.bin = b.bin GROUP BY 1),
+            sh AS (SELECT rn.bin, rn.n AS ref_n, cn.n AS cur_n,
+                          (rn.n + 0.5) / ((SELECT sum(n) FROM rn) + 5.0) AS rs,
+                          (cn.n + 0.5) / ((SELECT sum(n) FROM cn) + 5.0) AS cs
+                   FROM rn JOIN cn ON cn.bin = rn.bin)
+            SELECT bin, ref_n, cur_n,
+                   round(rs + 1e-9, 6) AS ref_share,
+                   round(cs + 1e-9, 6) AS cur_share,
+                   round((cs - rs) * ln(cs / rs) + 1e-9, 6) AS psi_term
+            FROM sh ORDER BY bin""")
+  )
+
+  /** Declarative constraint-suite verification (`services/TableCheck`):
+    * the Deequ-shaped table audit — completeness, uniqueness, range
+    * conformance (over non-null values), referential containment —
+    * one row per check with metric and pass verdict. The suite mixes
+    * passing and FAILING checks (o_orderkey is unique, o_custkey is
+    * not; a synthetic range bound fails) so both verdict polarities
+    * are oracle-pinned, and containment runs against the customer
+    * dimension. */
+  private val q280 = GQ(
+    "q280_constraint_suite",
+    (s, dir) => {
+      import graft.services.TableCheck._
+      val o = Tables.t(s, dir, "orders")
+      val c = Tables.t(s, dir, "customer")
+      report(o, Seq(
+        Completeness("o_orderkey"),
+        Uniqueness("o_orderkey"),
+        Uniqueness("o_custkey", 0.9),
+        Completeness("o_totalprice"),
+        InRange("o_totalprice", 0.0, 1000.0, 0.5),
+        Containment("o_custkey", c, "c_custkey")))
+        .orderBy("check", "column", "min_ratio")
+    },
+    Some("""WITH n AS (SELECT count(*) AS n FROM orders),
+            rows0 AS (
+              SELECT 'completeness' AS check, 'o_orderkey' AS "column",
+                     count(o_orderkey) * 1.0 / n.n AS metric, 1.0 AS min_ratio
+              FROM orders, n GROUP BY n.n
+              UNION ALL
+              SELECT 'uniqueness', 'o_orderkey',
+                     count(DISTINCT o_orderkey) * 1.0 / n.n, 1.0
+              FROM orders, n GROUP BY n.n
+              UNION ALL
+              SELECT 'uniqueness', 'o_custkey',
+                     count(DISTINCT o_custkey) * 1.0 / n.n, 0.9
+              FROM orders, n GROUP BY n.n
+              UNION ALL
+              SELECT 'completeness', 'o_totalprice',
+                     count(o_totalprice) * 1.0 / n.n, 1.0
+              FROM orders, n GROUP BY n.n
+              UNION ALL
+              SELECT 'in_range', 'o_totalprice',
+                     sum(CASE WHEN o_totalprice BETWEEN 0.0 AND 1000.0
+                         THEN 1 ELSE 0 END) * 1.0 / count(o_totalprice), 0.5
+              FROM orders
+              UNION ALL
+              SELECT 'containment', 'o_custkey',
+                     sum(CASE WHEN EXISTS (SELECT 1 FROM customer c
+                                           WHERE c.c_custkey = o.o_custkey)
+                         THEN 1 ELSE 0 END) * 1.0 / count(o_custkey), 1.0
+              FROM orders o)
+            SELECT "check", "column", round(metric + 1e-9, 6) AS metric,
+                   min_ratio, metric + 1e-9 >= min_ratio AS passed
+            FROM rows0 ORDER BY "check", "column", min_ratio""")
+  )
+
+  override def queries: Seq[GQ] =
+    Seq(q110, q111, q112, q113, q114, q243, q279, q280)
 }
