@@ -298,6 +298,50 @@ object ServiceQueries extends QueryBatch {
             FROM rows0 ORDER BY "check", "column", min_ratio""")
   )
 
+  /** Categorical PSI drift (`Drift.psiCategorical`): buckets = the
+    * reference's top-3 categories (count desc, category asc) plus
+    * `__other__` absorbing the tail and any category the current
+    * version invented. topK = 3 over a 5-value column forces a
+    * populated other-bucket, so the tail-absorption path is
+    * oracle-pinned along with the top-K tie rule and the smoothing. */
+  private val q281 = GQ(
+    "q281_drift_categorical",
+    (s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      val ref = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cur = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      graft.services.Drift.psiCategorical(ref, cur, "o_orderpriority", topK = 3)
+        .orderBy("bucket")
+    },
+    Some("""WITH ref AS (SELECT o_orderpriority AS c FROM orders
+                         WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderpriority IS NOT NULL),
+            cur AS (SELECT o_orderpriority AS c FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderpriority IS NOT NULL),
+            top AS (SELECT c FROM ref GROUP BY c
+                    ORDER BY count(*) DESC, c LIMIT 3),
+            bk AS (SELECT c AS bucket FROM top
+                   UNION ALL SELECT '__other__'),
+            rb AS (SELECT bk.bucket, count(r.c) AS n
+                   FROM bk LEFT JOIN (SELECT CASE WHEN c IN (SELECT c FROM top)
+                                             THEN c ELSE '__other__' END AS b, c
+                                      FROM ref) r ON r.b = bk.bucket
+                   GROUP BY 1),
+            cb AS (SELECT bk.bucket, count(r.c) AS n
+                   FROM bk LEFT JOIN (SELECT CASE WHEN c IN (SELECT c FROM top)
+                                             THEN c ELSE '__other__' END AS b, c
+                                      FROM cur) r ON r.b = bk.bucket
+                   GROUP BY 1),
+            sh AS (SELECT rb.bucket, rb.n AS ref_n, cb.n AS cur_n,
+                          (rb.n + 0.5) / ((SELECT sum(n) FROM rb) + 2.0) AS rs,
+                          (cb.n + 0.5) / ((SELECT sum(n) FROM cb) + 2.0) AS cs
+                   FROM rb JOIN cb ON cb.bucket = rb.bucket)
+            SELECT bucket, ref_n, cur_n,
+                   round(rs + 1e-9, 6) AS ref_share,
+                   round(cs + 1e-9, 6) AS cur_share,
+                   round((cs - rs) * ln(cs / rs) + 1e-9, 6) AS psi_term
+            FROM sh ORDER BY bucket""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q110, q111, q112, q113, q114, q243, q279, q280)
+    Seq(q110, q111, q112, q113, q114, q243, q279, q280, q281)
 }

@@ -71,4 +71,55 @@ object Drift {
           log(col("cur_share") / col("ref_share")) + lit(1e-9), 6)
           .as("psi_term"))
   }
+
+  /** Categorical PSI: the drift report for string/enum columns — bins
+    * are the reference's `topK` most frequent categories (ties by
+    * category ascending, the vocabCoverage tie rule) plus an `__other__`
+    * bucket absorbing the tail AND any category the current version
+    * invented (new-category drift lands there, which is exactly the
+    * alarm wanted). Same Laplace smoothing and PSI terms as [[psi]].
+    * Scale shape: one category count per side (map-side combined),
+    * a TakeOrdered top-K on the reference (never a global sort), output
+    * bounded by topK + 1 rows. NULL categories are excluded, as in
+    * [[psi]]. */
+  def psiCategorical(ref: DataFrame, cur: DataFrame, valueCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val spark = ref.sparkSession
+    def counted(df: DataFrame): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("string").as("cat"))
+        .agg(count(lit(1)).as("n"))
+    val refCounts = counted(ref)
+    val top = refCounts.orderBy(desc("n"), asc("cat")).limit(topK)
+      .select("cat").collect().map(_.getString(0)).toSeq
+    val nBuckets = top.size + 1
+    def bucketed(df: DataFrame, side: String): DataFrame =
+      counted(df)
+        .withColumn("bucket",
+          when(col("cat").isin(top: _*), col("cat")).otherwise("__other__"))
+        .groupBy("bucket").agg(sum("n").as("n"))
+        .withColumn("side", lit(side))
+    val counts = bucketed(ref, "ref").unionByName(bucketed(cur, "cur"))
+    import spark.implicits._
+    val allBuckets = (top :+ "__other__").toDF("bucket")
+      .crossJoin(Seq("ref", "cur").toDF("side"))
+    val dense = allBuckets.join(counts, Seq("bucket", "side"), "left")
+      .select(col("bucket"), col("side"), coalesce(col("n"), lit(0L)).as("n"))
+    val withTot = dense.withColumn("tot",
+      sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("side")))
+    val share = withTot.select(col("bucket"), col("side"), col("n"),
+      ((col("n") + lit(0.5)) / (col("tot") + lit(nBuckets / 2.0))).as("share"))
+    val r = share.filter(col("side") === "ref")
+      .select(col("bucket"), col("n").as("ref_n"), col("share").as("ref_share"))
+    val c = share.filter(col("side") === "cur")
+      .select(col("bucket"), col("n").as("cur_n"), col("share").as("cur_share"))
+    r.join(c, Seq("bucket"))
+      .select(col("bucket"), col("ref_n"), col("cur_n"),
+        round(col("ref_share") + lit(1e-9), 6).as("ref_share"),
+        round(col("cur_share") + lit(1e-9), 6).as("cur_share"),
+        round((col("cur_share") - col("ref_share")) *
+          log(col("cur_share") / col("ref_share")) + lit(1e-9), 6)
+          .as("psi_term"))
+  }
 }

@@ -48,6 +48,30 @@ class DriftSpec extends SparkTestBase {
     assert(got.map(_.getAs[Long]("cur_n")).sum == 1)
   }
 
+  test("categorical: new categories land in __other__ and alarm") {
+    val ref = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+      .toDF("k")
+    val cur = (Seq.fill(50)("a") ++ Seq.fill(50)("NEW")).toDF("k")
+    val got = Drift.psiCategorical(ref, cur, "k", topK = 2)
+      .orderBy("bucket")
+      .select("bucket", "ref_n", "cur_n")
+      .as[(String, Long, Long)].collect().toSeq
+    // ref top-2 = a(50), b(30); c(20) -> other; cur's NEW -> other
+    assert(got == Seq(("__other__", 20L, 50L), ("a", 50L, 50L), ("b", 30L, 0L)))
+    val total = Drift.psiCategorical(ref, cur, "k", topK = 2)
+      .agg(sum("psi_term")).head().getDouble(0)
+    assert(total > 0.25, s"a vanished and an invented category must alarm, got $total")
+  }
+
+  test("categorical: identical distributions score ~0; top-K ties break category-asc") {
+    val d = (Seq.fill(10)("x") ++ Seq.fill(10)("y") ++ Seq.fill(10)("z")).toDF("k")
+    val rows = Drift.psiCategorical(d, d, "k", topK = 2)
+      .orderBy("bucket").collect()
+    // tie at 10/10/10: top-2 = x, y (category asc); z -> other
+    assert(rows.map(_.getString(0)).toSeq == Seq("__other__", "x", "y"))
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("psi_term")) < 1e-6))
+  }
+
   test("constant reference column (zero width) still bins sanely") {
     val ref = Seq(5.0, 5.0, 5.0).toDF("v")
     val cur = Seq(5.0, 6.0).toDF("v")
