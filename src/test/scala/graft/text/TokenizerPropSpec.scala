@@ -75,4 +75,38 @@ class TokenizerPropSpec extends SparkTestBase {
       }
     }
   }
+
+  test("BPE: incremental trainer equals the recount reference on random dicts") {
+    // the delta-update bookkeeping (pair counts, pair->words index,
+    // stale-entry removal) has exactly the failure modes random dicts
+    // surface: shared subwords, overlap chains, pairs whose counts hit
+    // zero mid-training
+    for (seed <- 0 until 150) {
+      val dict = sample(Gen.choose(2, 10)
+        .flatMap(k => Gen.listOfN(k, word)), seed)
+        .distinct.map(w => w -> (1L + (seed * 7 + w.length) % 5))
+      val n = 1 + seed % 12
+      assert(Bpe.trainFromDict(dict, n) == Bpe.trainFromDictRecount(dict, n),
+        s"seed=$seed dict=$dict nMerges=$n")
+    }
+  }
+
+  test("CDC chunks tile every random document and re-synchronize after a prepend") {
+    for (seed <- 0 until 60) {
+      import spark.implicits._
+      val words = sample(Gen.choose(1, 40)
+        .flatMap(n => Gen.listOfN(n, word)), seed + 9000)
+      val text = words.mkString(" ")
+      val chunks = CdcChunk.chunks(Seq((1L, text)).toDF("doc_id", "text"))
+        .orderBy("chunk_id").select("chunk").as[String].collect().toSeq
+      assert(chunks.mkString(" ") == text.toLowerCase,
+        s"seed=$seed chunks must tile '$text'")
+      val shifted = CdcChunk.chunks(
+          Seq((1L, "zz " + text)).toDF("doc_id", "text"))
+        .orderBy("chunk_id").select("chunk").as[String].collect().toSeq
+      // all chunks after the first boundary survive the one-token edit
+      assert(chunks.tail.forall(shifted.contains),
+        s"seed=$seed resync failed: $chunks vs $shifted")
+    }
+  }
 }

@@ -72,6 +72,26 @@ class SqSpec extends SparkTestBase {
     assert(Sq.bounds(graft.tables.GraftTable.load(spark, t.path)) == b)
   }
 
+  test("reconstruction error is bounded by half a code step per dimension") {
+    val b = Sq.trainBounds(emb)
+    val codes = Sq.encode(emb, b)
+    // join codes back to vectors and check |recon - x| <= width/510 + eps
+    val withVec = emb.join(codes, Seq("vec_id"))
+    val rows = withVec.limit(200).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      v.indices.foreach { j =>
+        val (mn, mx) = (b.mins(j), b.maxs(j))
+        val recon =
+          if (mx > mn) mn + cs(j) / 255.0 * (mx - mn) else mn
+        val bound = if (mx > mn) (mx - mn) / 510.0 + 1e-9 else 1e-9
+        assert(math.abs(recon - v(j)) <= bound,
+          s"dim $j: |$recon - ${v(j)}| > $bound")
+      }
+    }
+  }
+
   test("encode and search are zero-shuffle projections; top-k is TakeOrdered") {
     val b = Sq.trainBounds(emb)
     val pe = Sq.encode(emb, b).queryExecution.executedPlan.toString
