@@ -679,7 +679,91 @@ object StreamQueries extends QueryBatch {
             ORDER BY s.lang""")
   )
 
+  /** Streaming drift monitor: the observability twin of the q279 drift
+    * report — incoming micro-batches are each PSI-scored against a
+    * fixed reference snapshot inside foreachBatch, and the
+    * (batch-key, n_rows, total PSI) verdicts append to a monitoring
+    * table the dashboard reads. Batch identity derives from the DATA
+    * (each source file holds one o_orderkey residue class), never from
+    * Spark's batch ids, so the output is deterministic whatever order
+    * the files trigger in. The oracle recomputes every batch's
+    * equi-width-binned, Laplace-smoothed PSI from the raw table — a
+    * drifted bin rule, a lost batch, or a reference/current swap
+    * shifts a score and hash-mismatches. (Per-batch `Drift.psi`
+    * re-derives the reference bounds; a production monitor would pin
+    * them once — the per-batch report itself is the contract here.) */
+  private val q282 = GQ(
+    "q282_stream_drift_monitor",
+    (s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+      val ref = o.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      val in = scratch("driftsrc")
+      (1 to 3).foreach { k =>
+        o.filter(pmod(col("o_orderkey"), lit(4)) === k).coalesce(1)
+          .write.mode(if (k == 1) "overwrite" else "append").parquet(in)
+      }
+      val monitor = GraftTable.create(s, scratch("driftmon"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("residue", LongType),
+          org.apache.spark.sql.types.StructField("n_rows", LongType),
+          org.apache.spark.sql.types.StructField("total_psi",
+            org.apache.spark.sql.types.DoubleType))))
+      val stream = s.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratch("driftckpt"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.count()
+          if (rows > 0) {
+            val residue = b.select(pmod(col("o_orderkey"), lit(4)))
+              .head().getLong(0)
+            val psi = graft.services.Drift.psi(ref, b, "o_totalprice", bins = 4)
+              .agg(sum("psi_term")).head().getDouble(0)
+            import b.sparkSession.implicits._
+            monitor.append(Seq((residue, rows, psi))
+              .toDF("residue", "n_rows", "total_psi"), "DRIFT VERDICT")
+          }
+          ()
+        }.start()
+      stream.awaitTermination()
+      require(monitor.commits.count(_.operation == "DRIFT VERDICT") == 3,
+        s"expected 3 per-batch verdicts, saw ${monitor.commits.map(_.operation)}")
+      monitor.read()
+        .select(col("residue"), col("n_rows"),
+          round(col("total_psi") + lit(1e-9), 6).as("total_psi"))
+        .orderBy("residue")
+    },
+    Some {
+      def arm(k: Int) =
+        // the monitor sums Drift.psi's per-bin 6-dp-ROUNDED terms — the
+        // oracle must round per bin before summing or the last digit
+        // can disagree
+        s"""SELECT $k AS residue, (SELECT count(*) FROM cur$k) AS n_rows,
+                   (SELECT round(sum(round((cs - rs) * ln(cs / rs) + 1e-9, 6)) + 1e-9, 6)
+                    FROM (SELECT (rn.n + 0.5) / ((SELECT sum(n) FROM rb$k) + 2.0) AS rs,
+                                 (cn.n + 0.5) / ((SELECT sum(n) FROM cb$k) + 2.0) AS cs
+                          FROM rb$k rn JOIN cb$k cn ON cn.bin = rn.bin)) AS total_psi"""
+      def binned(k: Int) =
+        s"""cur$k AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 4 = $k),
+            craw$k AS (SELECT least(greatest(CAST(floor((v - mm.mn) / mm.w) AS INT), 0), 3) AS bin
+                       FROM cur$k, mm WHERE v IS NOT NULL),
+            rb$k AS (SELECT b.bin, count(rraw.bin) AS n
+                     FROM bins b LEFT JOIN rraw ON rraw.bin = b.bin GROUP BY 1),
+            cb$k AS (SELECT b.bin, count(craw$k.bin) AS n
+                     FROM bins b LEFT JOIN craw$k ON craw$k.bin = b.bin GROUP BY 1)"""
+      s"""WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 4 = 0),
+          mm AS (SELECT min(v) AS mn, (max(v) - min(v)) / 4.0 AS w FROM ref),
+          rraw AS (SELECT least(greatest(CAST(floor((v - mm.mn) / mm.w) AS INT), 0), 3) AS bin
+                   FROM ref, mm WHERE v IS NOT NULL),
+          bins AS (SELECT CAST(t.i AS INT) AS bin FROM UNNEST(range(4)) AS t(i)),
+          ${binned(1)}, ${binned(2)}, ${binned(3)}
+          ${arm(1)} UNION ALL ${arm(2)} UNION ALL ${arm(3)}
+          ORDER BY residue"""
+    }
+  )
+
   override def queries: Seq[GQ] =
     Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q151, q196, q203,
-      q210, q218, q270)
+      q210, q218, q270, q282)
 }
