@@ -66,6 +66,14 @@ object ScaleBench {
     // (claim: linear)
     "round16" -> Seq("q274_weighted_sample", "q275_cdc_dedup",
       "q276_quality_budget_cutoff", "q277_sq8_search"),
+    // observability/rewrite family: MV rewrite reads the key-cardinality
+    // view (claim: view-scan cost, flat in source size once the view
+    // exists — the gate REBUILDS source+view, so measured growth is the
+    // build); drift/constraint reports are one-to-two aggregates (claim:
+    // linear); the stream monitor adds micro-batch wall floors
+    "quality-obs" -> Seq("q278_mv_rewrite", "q279_drift_psi",
+      "q280_constraint_suite", "q281_drift_categorical",
+      "q282_stream_drift_monitor"),
     // media codecs are pure per-row scan projections (encode→decode→stats
     // →transcode, no shuffle) — the claim to verify is exactly-linear.
     // the hamming pair-join gates (q248/q251/q252) are deliberately
