@@ -228,6 +228,30 @@ object TableOps extends QueryBatch {
             FROM lineitem ORDER BY l_orderkey, l_linenumber""")
   )
 
+  /** OPTIMIZE with the HILBERT curve (the liquid-clustering-style 2-D
+    * layout): content must not change — the oracle is the same
+    * content-equality contract as q58 — while the layout claim (box
+    * queries read fewer files than under the z-curve: 26 vs 37 on the
+    * sf0.1 five-box workload, ProfHilbert) is measured and the curve
+    * kernel's defining properties (bijectivity, unit-step locality,
+    * clamping) are pinned in HilbertSpec. */
+  private val q283 = GQ(
+    "q283_optimize_hilbert",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val tbl = GraftTable.createFrom(s, scratch("hopt"), li)
+      Maintenance.optimize(tbl, zorderBy = Seq("l_orderkey", "l_partkey"),
+        curve = "hilbert")
+      require(tbl.commits.last.operationParameters("curve") == "hilbert",
+        "the commit must record the hilbert layout")
+      tbl.read().select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    },
+    Some("""SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+            FROM lineitem
+            ORDER BY l_orderkey, l_partkey, l_linenumber, l_quantity""")
+  )
+
   /** Change data feed: insert + delete change rows with `_change_type`
     * (`DP/Advanced CDC:271,395`). */
   private val q59 = GQ(
@@ -327,5 +351,5 @@ object TableOps extends QueryBatch {
   )
 
   override def queries: Seq[GQ] = Seq(
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q283)
 }

@@ -29,30 +29,49 @@ object Maintenance {
   private val DefaultTargetFileBytes = 128L * 1024 * 1024
   private val ZBitsPerColumn = 8 // 256 equi-depth buckets per dimension
 
-  /** Bit-interleaved z-value over equi-depth bucket ids of `cols`
-    * (z-orderable columns only; caller checks). */
-  private def zValue(df: org.apache.spark.sql.DataFrame,
-      cols: Seq[String]): org.apache.spark.sql.Column = {
+  /** Equi-depth bucket ids (0..255) per column — the shared first stage
+    * of both curve layouts: one sketch pass for every column together
+    * (dates/timestamps ride as epoch doubles); boundaries are tiny and
+    * become literals, so the bucket mapping is a narrow projection. */
+  private def bucketIds(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
     val nBuckets = 1 << ZBitsPerColumn
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    // one sketch pass for every column together (dates/timestamps ride as
-    // epoch doubles); boundaries are tiny and become literals, so the
-    // bucket mapping is a narrow projection
     val asDouble = cols.zipWithIndex.map { case (c, i) =>
       col(c).cast("double").as(s"__zc$i") }
     val proj = df.select(asDouble: _*)
     val bounds = proj.stat.approxQuantile(
       cols.indices.map(i => s"__zc$i").toArray, probs, 0.001)
-    val bucketCols = cols.zip(bounds).map { case (c, bs) =>
+    cols.zip(bounds).map { case (c, bs) =>
       val arr = array(bs.distinct.sorted.map(lit(_)): _*)
       size(filter(arr, b => col(c).cast("double") >= b)).cast("long")
     }
+  }
+
+  /** Bit-interleaved z-value over equi-depth bucket ids of `cols`
+    * (z-orderable columns only; caller checks). */
+  private def zValue(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    val bucketCols = bucketIds(df, cols)
     (0 until ZBitsPerColumn).flatMap { k =>
       bucketCols.zipWithIndex.map { case (b, i) =>
         shiftleft(shiftrightunsigned(b, k).bitwiseAND(lit(1L)),
           k * cols.size + i)
       }
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** 2-D Hilbert index over the same equi-depth bucket ids — the
+    * liquid-clustering-style layout: consecutive curve positions are
+    * always one Manhattan step apart, so a box query's bucket rectangle
+    * maps to FEWER disjoint curve ranges than under the z-curve (whose
+    * seam jumps split the rectangle across distant file ranges —
+    * measured in ProfHilbert / BASELINE.md). */
+  private def hilbertValue(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    require(cols.size == 2, "the Hilbert layout is 2-D")
+    val Seq(bx, by) = bucketIds(df, cols)
+    graft.functions.HilbertIndex.hilbert_index(df.sparkSession, bx, by)
   }
 
   private def zOrderable(df: org.apache.spark.sql.DataFrame, c: String): Boolean =
@@ -85,7 +104,9 @@ object Maintenance {
     * so parallelism is not capped at the distinct-partition count. */
   private[graft] def clusterInto(df: org.apache.spark.sql.DataFrame,
       zorderBy: Seq[String], nFiles: Int, interleave: Boolean = true,
-      partitionCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+      partitionCols: Seq[String] = Nil,
+      curve: String = "z"): org.apache.spark.sql.DataFrame = {
+    require(curve == "z" || curve == "hilbert", s"unknown curve: $curve")
     val pcs = partitionCols.filter(df.columns.contains)
     if (pcs.nonEmpty) {
       val cols = (pcs ++ zorderBy.filterNot(pcs.contains)).map(col)
@@ -98,7 +119,11 @@ object Maintenance {
       df.coalesce(1).sortWithinPartitions(zorderBy.map(col): _*)
     else if (interleave && zorderBy.size >= 2 && zorderBy.size <= 3 &&
         zorderBy.forall(zOrderable(df, _))) {
-      val z = df.withColumn("__z", zValue(df, zorderBy))
+      // hilbert needs exactly 2 dims; 3-dim requests keep the z-curve
+      val cv =
+        if (curve == "hilbert" && zorderBy.size == 2) hilbertValue(df, zorderBy)
+        else zValue(df, zorderBy)
+      val z = df.withColumn("__z", cv)
       z.repartitionByRange(nFiles, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
@@ -118,9 +143,12 @@ object Maintenance {
     * ceil(bytes / targetFileSize) files, range-clustered by `zorderBy`.
     * Without explicit columns, a `graft.clusterBy` table property (set by
     * `CLUSTER BY` DDL — liquid-clustering surface) supplies the layout
-    * key, so a bare OPTIMIZE re-clusters incrementally ingested data. */
+    * key, so a bare OPTIMIZE re-clusters incrementally ingested data.
+    * `curve = "hilbert"` (2 columns) lays files along the Hilbert curve
+    * instead of the z-curve — better box-query locality, measured in
+    * ProfHilbert. */
   def optimize(t: GraftTable, zorderBy: Seq[String] = Nil,
-      interleave: Boolean = true): Commit = {
+      interleave: Boolean = true, curve: String = "z"): Commit = {
     val zorderByEff =
       if (zorderBy.nonEmpty) zorderBy
       else t.properties.get("graft.clusterBy")
@@ -134,7 +162,7 @@ object Maintenance {
 
     val df = t.read()
     val clustered = clusterInto(df, zorderByEff, nFiles, interleave,
-      t.partitionColumns)
+      t.partitionColumns, curve)
 
     val added = t.writeData(clustered)
     def rel(f: String) = Paths.get(t.path).toAbsolutePath
@@ -142,7 +170,7 @@ object Maintenance {
     val removed = files.map(rel)
     // the rewrite materialized any deletion vectors (read() applies them)
     t.commit("OPTIMIZE", added, removed, t.schemaAt(),
-      Map("zOrderBy" -> zorderByEff.mkString(",")),
+      Map("zOrderBy" -> zorderByEff.mkString(","), "curve" -> curve),
       removedDv = t.dvAt().map(rel),
       metrics = Map(
         "numFilesRemoved" -> files.size.toLong,
