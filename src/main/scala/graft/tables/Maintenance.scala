@@ -146,13 +146,19 @@ object Maintenance {
     * key, so a bare OPTIMIZE re-clusters incrementally ingested data.
     * `curve = "hilbert"` (2 columns) lays files along the Hilbert curve
     * instead of the z-curve — better box-query locality, measured in
-    * ProfHilbert. */
+    * ProfHilbert. A `graft.clusterCurve` table property supplies the
+    * curve when the caller doesn't (the liquid-clustering shape: the
+    * TABLE declares its layout once, every bare OPTIMIZE — including
+    * the SQL-routed one — re-applies it). */
   def optimize(t: GraftTable, zorderBy: Seq[String] = Nil,
       interleave: Boolean = true, curve: String = "z"): Commit = {
     val zorderByEff =
       if (zorderBy.nonEmpty) zorderBy
       else t.properties.get("graft.clusterBy")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val curveEff =
+      if (curve != "z") curve
+      else t.properties.getOrElse("graft.clusterCurve", "z")
     val files = t.filesAt()
     if (files.isEmpty) return t.commit("OPTIMIZE", Nil, Nil, t.schemaAt(), schemaUnion = true)
     val totalBytes = files.map(f => Files.size(Paths.get(f))).sum
@@ -162,7 +168,7 @@ object Maintenance {
 
     val df = t.read()
     val clustered = clusterInto(df, zorderByEff, nFiles, interleave,
-      t.partitionColumns, curve)
+      t.partitionColumns, curveEff)
 
     val added = t.writeData(clustered)
     def rel(f: String) = Paths.get(t.path).toAbsolutePath
@@ -170,7 +176,7 @@ object Maintenance {
     val removed = files.map(rel)
     // the rewrite materialized any deletion vectors (read() applies them)
     t.commit("OPTIMIZE", added, removed, t.schemaAt(),
-      Map("zOrderBy" -> zorderByEff.mkString(","), "curve" -> curve),
+      Map("zOrderBy" -> zorderByEff.mkString(","), "curve" -> curveEff),
       removedDv = t.dvAt().map(rel),
       metrics = Map(
         "numFilesRemoved" -> files.size.toLong,

@@ -47,6 +47,20 @@ class HilbertSpec extends SparkTestBase {
     assert(HilbertKernel.xy2d(8, 999, 255) == HilbertKernel.xy2d(8, 255, 255))
   }
 
+  test("graft.clusterCurve property drives a bare OPTIMIZE; explicit arg wins") {
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val t = GraftTable.createFrom(spark, scratch("hprop"), li)
+    t.setProperties(Map(
+      "graft.clusterBy" -> "l_orderkey,l_partkey",
+      "graft.clusterCurve" -> "hilbert",
+      "graft.targetFileSize" -> (8 * 1024L).toString))
+    Maintenance.optimize(t) // bare: columns AND curve come from the table
+    assert(t.commits.last.operationParameters("curve") == "hilbert")
+    assert(t.commits.last.operationParameters("zOrderBy")
+      == "l_orderkey,l_partkey")
+  }
+
   test("OPTIMIZE with the Hilbert curve preserves content exactly") {
     val li = graft.Tables.t(spark, sf, "lineitem")
       .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
