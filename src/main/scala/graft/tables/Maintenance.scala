@@ -210,13 +210,18 @@ object Maintenance {
     val totalBytes = small.map(f => Files.size(Paths.get(f))).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
     val df = t.readFiles(small)
+    // the declared layout curve applies to incremental passes too — a
+    // hilbert-clustered table must not silently degrade its small-file
+    // compactions to the z-curve
+    val curveEff = t.properties.getOrElse("graft.clusterCurve", "z")
     val clustered = clusterInto(df, zorderByEff, nFiles,
-      partitionCols = t.partitionColumns)
+      partitionCols = t.partitionColumns, curve = curveEff)
     val added = t.writeData(clustered)
     def rel(f: String) = Paths.get(t.path).toAbsolutePath
       .relativize(Paths.get(f).toAbsolutePath).toString
     t.commit("OPTIMIZE", added, small.map(rel), t.schemaAt(),
-      Map("zOrderBy" -> zorderByEff.mkString(","), "incremental" -> "true"),
+      Map("zOrderBy" -> zorderByEff.mkString(","), "incremental" -> "true",
+        "curve" -> curveEff),
       metrics = Map(
         "numFilesRemoved" -> small.size.toLong,
         "numFilesAdded" -> added.size.toLong,
