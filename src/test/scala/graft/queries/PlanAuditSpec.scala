@@ -450,6 +450,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected the funnel/kept broadcast join:\n$p")
   }
 
+  test("CDC shared-chunk pairing joins on the chunk hash, never cartesian") {
+    // the cross-doc pair stage is the one corpus-scale shuffle of the
+    // q275 composition — a dropped join key would still return correct
+    // rows on planted pairs while going quadratic at scale
+    import graft.text.CdcChunk
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val df = CdcChunk.sharedChunks(CdcChunk.chunks(docs))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must stay an equi-join on chunk_hash:\n$p")
+  }
+
   test("weighted sample plans as TakeOrderedAndProject, not a global sort") {
     // the Efraimidis-Spirakis draw is top-k by race key: per-partition
     // top-k + driver merge, never a rangepartitioned global sort of the
