@@ -28,13 +28,56 @@ import org.apache.spark.sql.SparkSession
   * total to compare round-over-round when the driver box is busy.
   * Tunables: SPARK_GRAFT_ISOLATE_MAD_K (default 10),
   * SPARK_GRAFT_ISOLATE_MAD_FLOOR (default 0.3 s).
+  *
+  * TIMEOUT-PROOFING (round 17 — BENCH_r16 was killed at rc=124 with the
+  * summary JSON still unemitted, leaving the round without an official
+  * bench record):
+  *   1. After EVERY gate — catalog pass, isolated pass, each
+  *      micro-experiment — a complete, valid summary JSON covering
+  *      everything measured so far is atomically rewritten to
+  *      `target/bench_full.json` (tmp + ATOMIC_MOVE, never a torn file).
+  *      A kill at ANY point leaves the finished prefix parseable, with
+  *      `"partial":true` marking the snapshot as mid-run.
+  *   2. SPARK_GRAFT_BENCH_BUDGET_SEC (default 3000) degrades the run
+  *      gracefully as the wall clock approaches the budget instead of
+  *      being killed mid-flight: past 85% the remaining CATALOG gates
+  *      drop to repeat=1 (every gate still gets a number — coverage is
+  *      never cut); the concurrency pass is skipped past 80%; the
+  *      isolated pass stops ADMITTING gates past 90% (already-recorded
+  *      quiet numbers keep, the rest fall back to their in-run medians
+  *      — `value_quiet_gates` reflects the actual substitution set as
+  *      always); each micro-experiment is skipped past 95% (its fields
+  *      emit -1 so the JSON shape is stable). Applied degradations are
+  *      listed in the `degraded` array.
   */
 object Bench {
 
   def main(args: Array[String]): Unit = {
+    val wallT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - wallT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    // malformed env values degrade to the default with a warning — they
+    // must never abort the run and lose every measurement (review finding)
+    def envDouble(name: String, default: Double): Double =
+      sys.env.get(name).flatMap { v =>
+        val p = scala.util.Try(v.toDouble).toOption
+        if (p.isEmpty) System.err.println(
+          s"[bench] ignoring malformed $name='$v', using $default")
+        p
+      }.getOrElse(default)
+    val budgetSec = envDouble("SPARK_GRAFT_BENCH_BUDGET_SEC", 3000.0)
+    val degraded = scala.collection.mutable.ArrayBuffer.empty[String]
+    def overBudget(frac: Double, tag: String): Boolean = {
+      val over = budgetSec > 0 && elapsed > frac * budgetSec
+      if (over && !degraded.contains(tag)) {
+        degraded += tag
+        System.err.println(
+          f"[bench] budget: $tag at ${elapsed}%.0f s / $budgetSec%.0f s")
+      }
+      over
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -66,6 +109,56 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
 
+    // ---- incremental state + snapshot writer -------------------------
+    // (name, median, min, mad) per catalog gate, appended as measured
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Double)]
+    // (name, isolatedMedian, isolatedMad) per flagged gate
+    val isolated = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    var concurrentQpm = 0.0
+    val conc = sys.env.get("SPARK_GRAFT_CONCURRENCY")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(4)
+    // micro-experiment fragments; placeholders keep the JSON shape stable
+    // (and parseable) in every snapshot, measured or not
+    var pruning = """"pruning":{"files_total":-1,"files_read":-1,"full_scan_sec":-1,"pruned_sec":-1}"""
+    var pruning2d = """"pruning2d":{"files_total":-1,"boxes":-1,"files_read_zorder":-1,"files_read_range":-1}"""
+    var mergeCmp = """"merge_fragmented_sec":-1,"merge_compacted_sec":-1"""
+    var deleteCmp = """"delete_cow_sec":-1,"delete_dv_sec":-1"""
+
+    def median(xs: Seq[Double]): Double = graft.tools.Harness.median(xs)
+
+    /** Build the complete summary JSON from everything measured so far
+      * and atomically rewrite target/bench_full.json. Called after every
+      * gate so a kill at any point leaves the finished prefix on disk. */
+    def snapshot(partial: Boolean): String = {
+      val ok = results.filter(_._2 >= 0).toSeq
+      val total = ok.map(_._2).sum
+      val qpm = if (total > 0) ok.size * 60.0 / total else 0.0
+      val totalMad = ok.map(_._4).sum
+      val isoMed = isolated.map(i => i._1 -> i._2).toMap
+      val totalQuiet = ok.map { case (n, med, _, _) =>
+        isoMed.getOrElse(n, med) }.sum
+      val quietGates = isolated.map(_._1).sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val qsMin = results.map { case (k, _, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val qsMad = results.map { case (k, _, _, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val qsIso = isolated.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val qsIsoMad = isolated.map { case (k, _, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val full =
+        f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"value_quiet_gates":$quietGates,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"partial":$partial,"elapsed_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"degraded":$degradedJson,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"queries_isolated":$qsIso,"queries_isolated_mad":$qsIsoMad,"sf":"$sfDir"}"""
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve("bench_full.json.tmp")
+      java.nio.file.Files.write(tmp, full.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dir.resolve("bench_full.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      full
+    }
+
     // warm-up: JVM/codegen/file-listing caches, like the reference's
     // pre-warm SELECT * per table (TPCDS/README "Relevant Features")
     Tables.all.foreach(n => Tables.t(spark, sfDir, n).count())
@@ -87,80 +180,69 @@ object Bench {
       graft.tools.Harness.resetRunState(spark, gc = i % gcEvery == gcEvery - 1)
     graft.tools.Harness.wipeScratch() // residue from earlier runs
 
-    def median(xs: Seq[Double]): Double = graft.tools.Harness.median(xs)
-
-    // (name, median, min, mad) per query — median is the headline
-    // statistic; mad = median(|rep − median|) is the per-query spread, so
-    // a future round can tell a real regression (delta ≫ mad) from
-    // run-to-run noise (delta ≲ a few mad) mechanically instead of
-    // re-litigating it with isolated reruns
-    val results: Seq[(String, Double, Double, Double)] = queries.zipWithIndex.map { case ((name, fn), i) =>
-      val times = (1 to repeat).map { _ =>
+    // ---- catalog pass -------------------------------------------------
+    // median is the headline statistic; mad = median(|rep − median|) is
+    // the per-query spread, so a future round can tell a real regression
+    // (delta ≫ mad) from run-to-run noise (delta ≲ a few mad)
+    // mechanically instead of re-litigating it with isolated reruns
+    queries.zipWithIndex.foreach { case ((name, fn), i) =>
+      // budget degrade #1: past 85% of the budget the remaining gates
+      // run ONCE — a 1-rep median is noisier, never missing
+      val reps = if (overBudget(0.85, "catalog_repeat_1")) 1 else repeat
+      val times = (1 to reps).map { _ =>
         try timeOne(fn)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }
       resetRunState(i)
       val okT = times.filter(_ >= 0)
-      if (okT.isEmpty) (name, -1.0, -1.0, -1.0)
+      results += (if (okT.isEmpty) (name, -1.0, -1.0, -1.0)
       else {
         val med = median(okT)
         (name, med, okT.min, median(okT.map(x => math.abs(x - med))))
-      }
+      })
+      snapshot(partial = true)
     }
 
-    val ok = results.filter(_._2 >= 0)
-    val total = ok.map(_._2).sum
-    val qpm = if (total > 0) ok.size * 60.0 / total else 0.0
+    val ok = results.filter(_._2 >= 0).toSeq
 
     // concurrent QPM over the read-only relational subset (the reference's
     // throughput mode: N workers, cache off). DDL/scratch-table queries are
     // excluded — they share session temp-view names.
-    // also parsed after the catalog run — same degrade-don't-abort rule as
-    // the MAD tunables below
-    val conc = sys.env.get("SPARK_GRAFT_CONCURRENCY")
-      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(4)
     // two-digit q0x–q4x only: the 3-digit q1xx/q2xx families are DDL,
     // streaming, and table-maintenance scripts, not the read-only subset
     val readOnly = queries.filter(q => q._1.matches("^q[0-4]\\d_.*"))
-    val concurrentQpm: Double =
-      if (conc <= 1 || readOnly.isEmpty) 0.0
-      else {
-        import java.util.concurrent.Executors
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration._
-        val pool = Executors.newFixedThreadPool(conc)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        val t0 = System.nanoTime()
-        Await.result(Future.sequence(readOnly.map { case (_, fn) =>
-          Future { try timeOne(fn) catch { case _: Throwable => -1.0 } }
-        }), 30.minutes)
-        pool.shutdown()
-        readOnly.size * 60.0 / ((System.nanoTime() - t0) / 1e9)
-      }
+    // budget degrade #2: the concurrency pass is an extra full sweep of
+    // the read-only subset — skip it past 80% (concurrent_qpm stays 0.0,
+    // the same value a conc<=1 run reports)
+    if (conc > 1 && readOnly.nonEmpty && !overBudget(0.80, "concurrency_skipped")) {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = Executors.newFixedThreadPool(conc)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val t0 = System.nanoTime()
+      Await.result(Future.sequence(readOnly.map { case (_, fn) =>
+        Future { try timeOne(fn) catch { case _: Throwable => -1.0 } }
+      }), 30.minutes)
+      pool.shutdown()
+      concurrentQpm = readOnly.size * 60.0 / ((System.nanoTime() - t0) / 1e9)
+      snapshot(partial = true)
+    }
 
-    // Isolated-rep pass for high-MAD gates. The catalog run times every
-    // gate in one long JVM session, so a gate's median can be inflated by
-    // its NEIGHBORS (shuffle-file cleanup, codegen cache churn, GC debt a
-    // previous query accrued) — round 9's two worst-MAD gates were
-    // exactly the two in-gate production loops, making round-over-round
-    // comparison of the flagship gates the least trustworthy numbers in
-    // the file. Mechanical answer: any gate whose MAD exceeds BOTH an
-    // absolute floor and k× the catalog's median MAD is re-measured
-    // isolated — full state reset + forced GC before every rep — and the
-    // quiet number is recorded alongside (never replacing) the in-run
-    // median, so BenchDiff can attribute a delta to neighbor noise
-    // without re-litigation.
-    // parsed AFTER the catalog has been timed — a malformed env value must
-    // degrade to the default (with a warning), not abort the run and lose
-    // every measurement above (review finding)
-    def envDouble(name: String, default: Double): Double =
-      sys.env.get(name).flatMap { v =>
-        val p = scala.util.Try(v.toDouble).toOption
-        if (p.isEmpty) System.err.println(
-          s"[bench] ignoring malformed $name='$v', using $default")
-        p
-      }.getOrElse(default)
+    // ---- isolated-rep pass for high-MAD gates -------------------------
+    // The catalog run times every gate in one long JVM session, so a
+    // gate's median can be inflated by its NEIGHBORS (shuffle-file
+    // cleanup, codegen cache churn, GC debt a previous query accrued) —
+    // round 9's two worst-MAD gates were exactly the two in-gate
+    // production loops, making round-over-round comparison of the
+    // flagship gates the least trustworthy numbers in the file.
+    // Mechanical answer: any gate whose MAD exceeds BOTH an absolute
+    // floor and k× the catalog's median MAD is re-measured isolated —
+    // full state reset + forced GC before every rep — and the quiet
+    // number is recorded alongside (never replacing) the in-run median,
+    // so BenchDiff can attribute a delta to neighbor noise without
+    // re-litigation.
     val madK = envDouble("SPARK_GRAFT_ISOLATE_MAD_K", 10)
     val madFloor = envDouble("SPARK_GRAFT_ISOLATE_MAD_FLOOR", 0.3)
     val classMad = median(ok.map(_._4).filter(_ >= 0) match {
@@ -213,33 +295,42 @@ object Bench {
       (mad > madFloor && mad > madK * classMad) ||
         (mn > 0 && med / mn > divK && med - mn > madFloor) }.map(_._1) ++
       alwaysIsolate.filter(n => ok.exists(_._1 == n))).distinct
-    val isolated: Seq[(String, Double, Double)] = flagged.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to repeat).map { _ =>
-        resetRunState(gcEvery - 1) // reset + GC before EVERY rep
-        try timeOne(fn)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] isolated $name failed: ${e.getMessage}"); -1.0 }
-      }.filter(_ >= 0)
-      resetRunState(gcEvery - 1)
-      if (times.isEmpty) (name, -1.0, -1.0)
-      else {
-        val med = median(times)
-        (name, med, median(times.map(x => math.abs(x - med))))
+    // budget degrade #3: stop ADMITTING gates to the isolated pass past
+    // 90% — quiet numbers already recorded keep; the rest fall back to
+    // their in-run medians, and value_quiet_gates names the actual
+    // substitution set as always
+    flagged.foreach { name =>
+      if (!overBudget(0.90, "isolated_pass_truncated")) {
+        val fn = SparkEntry.queries(name)
+        val times = (1 to repeat).map { _ =>
+          resetRunState(gcEvery - 1) // reset + GC before EVERY rep
+          try timeOne(fn)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] isolated $name failed: ${e.getMessage}"); -1.0 }
+        }.filter(_ >= 0)
+        resetRunState(gcEvery - 1)
+        // an all-reps-failed gate must not serialize -1.0 into
+        // queries_isolated (BenchDiff would prefer it as the record
+        // number — review finding); the in-run median remains its record
+        if (times.nonEmpty) {
+          val med = median(times)
+          isolated += ((name, med, median(times.map(x => math.abs(x - med)))))
+          snapshot(partial = true)
+        }
       }
-    }.filter(_._2 >= 0) // an all-reps-failed gate must not serialize -1.0
-                        // into queries_isolated (BenchDiff would prefer it
-                        // as the record number — review finding); the
-                        // in-run median in `queries` remains its record
+    }
 
     resetRunState(gcEvery - 1) // clean slate (+GC) before the micro-experiments
 
     def rmTree(dir: java.nio.file.Path): Unit =
       graft.tables.GraftTable.deleteTree(dir)
 
+    // budget degrade #4: each micro-experiment is skipped past 95% of
+    // the budget — its placeholder fields (-1) keep the JSON shape
+    // stable and readably mark the skip
     // ZORDER pruning comparison (the BASELINE.md point-lookup experiment:
     // clustered table, point predicate → files skipped + latency ratio)
-    val pruning = {
+    if (!overBudget(0.95, "micro_pruning_skipped")) {
       import graft.tables.{GraftTable, Maintenance}
       val dir = java.nio.file.Files.createTempDirectory("bench-prune")
       val li = Tables.t(spark, sfDir, "lineitem")
@@ -253,15 +344,15 @@ object Bench {
       val fullSec = tm(t.read()
         .filter(org.apache.spark.sql.functions.expr("l_orderkey = 4242")).count())
       val prunedSec = tm(t.readWhere("l_orderkey = 4242").count())
-      val out = f""""pruning":{"files_total":$totalFiles,"files_read":${kept.size},"full_scan_sec":$fullSec%.3f,"pruned_sec":$prunedSec%.3f}"""
-      rmTree(dir); out
+      pruning = f""""pruning":{"files_total":$totalFiles,"files_read":${kept.size},"full_scan_sec":$fullSec%.3f,"pruned_sec":$prunedSec%.3f}"""
+      rmTree(dir); snapshot(partial = true)
     }
 
     // 2-column Z-order: interleaved z-curve layout vs lexicographic
     // range-cluster, same box predicate — the z-curve subdivides both
     // dimensions, so the box should read fewer files than the
     // leading-column-only pruning the lexicographic layout allows
-    val pruning2d = {
+    if (!overBudget(0.95, "micro_pruning2d_skipped")) {
       import graft.tables.{GraftTable, Maintenance}
       val dir = java.nio.file.Files.createTempDirectory("bench-prune2d")
       val li = Tables.t(spark, sfDir, "lineitem")
@@ -290,15 +381,15 @@ object Bench {
       }
       val (zKept, zTotal) = mk("z", interleave = true)
       val (rKept, _) = mk("r", interleave = false)
-      val out = s""""pruning2d":{"files_total":$zTotal,"boxes":${preds.size},"files_read_zorder":$zKept,"files_read_range":$rKept}"""
-      rmTree(dir); out
+      pruning2d = s""""pruning2d":{"files_total":$zTotal,"boxes":${preds.size},"files_read_zorder":$zKept,"files_read_range":$rKept}"""
+      rmTree(dir); snapshot(partial = true)
     }
 
     // merge-batch latency, fragmented vs compacted target (BASELINE.md
     // note (c): the Step-2 experiment)
-    val mergeCmp = {
+    if (!overBudget(0.95, "micro_merge_skipped")) {
       import graft.tables.{GraftTable, Maintenance, MergeOps}
-      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.functions.lit
       val dir = java.nio.file.Files.createTempDirectory("bench-merge")
       val o = Tables.t(spark, sfDir, "orders")
       val batch = o.limit(1000).withColumn("o_totalprice", lit(0.0))
@@ -314,14 +405,14 @@ object Bench {
       val comp = GraftTable.createFrom(spark, dir.toString + "/comp", o)
       Maintenance.optimize(comp, zorderBy = Seq("o_orderkey"))
       val compSec = mergeInto(comp)
-      val out = f""""merge_fragmented_sec":$fragSec%.3f,"merge_compacted_sec":$compSec%.3f"""
-      rmTree(dir); out
+      mergeCmp = f""""merge_fragmented_sec":$fragSec%.3f,"merge_compacted_sec":$compSec%.3f"""
+      rmTree(dir); snapshot(partial = true)
     }
 
     // DELETE latency: deletion-vector (merge-on-read) vs copy-on-write on
     // the same predicate — the DV value proposition is O(matched rows)
     // sidecar writes instead of file rewrites
-    val deleteCmp = {
+    if (!overBudget(0.95, "micro_delete_skipped")) {
       import graft.tables.{GraftTable, MergeOps}
       val dir = java.nio.file.Files.createTempDirectory("bench-dv")
       val li = Tables.t(spark, sfDir, "lineitem")
@@ -337,8 +428,8 @@ object Bench {
         Map("graft.deletionVectors" -> "true"))
       dv.append(li.repartition(16))
       val dvSec = timeDelete(dv)
-      val out = f""""delete_cow_sec":$cowSec%.3f,"delete_dv_sec":$dvSec%.3f"""
-      rmTree(dir); out
+      deleteCmp = f""""delete_cow_sec":$cowSec%.3f,"delete_dv_sec":$dvSec%.3f"""
+      rmTree(dir); snapshot(partial = true)
     }
 
     // The harness keeps only the last ~2000 chars of stdout: a JSON line
@@ -347,58 +438,25 @@ object Bench {
     // detail line (greppable, not mistakable for the metric line), and
     // (2) the FINAL line is a compact JSON — headline numbers plus the
     // slowest queries — sized to survive the tail buffer intact.
-    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val qsMad = results.map { case (k, _, _, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    // total_mad: sum of per-query MADs — the noise floor a future total
-    // delta should be compared against before anything is called a
-    // regression
-    val totalMad = ok.map(_._4).sum
-    // value_quiet: the catalog total with each pinned/flagged gate's
-    // isolated (quiet-box) median substituted for its in-run median —
-    // the total to compare ROUND-OVER-ROUND when the driver box is
-    // busy. The r11 sitting made the case: in-run total 339.7 s of
-    // which 86.9 s was ONE gate's ambient inflation (q252 90.8 in-run
-    // vs 3.87 isolated); `value` keeps the raw in-run sum for
-    // continuity, `value_quiet` is the engine-attributable number.
-    // (substitution is unconditional: a gate whose isolated median is
-    // HIGHER also moves the quiet total — anything else would be a
-    // take-the-min cherry-pick. Cross-round, compare value_quiet
-    // against value_quiet: with the pin list the same gates carry
-    // isolated numbers every round, which is also what lets BenchDiff's
-    // both-rounds-isolated preference engage for them.)
+    val full = snapshot(partial = false)
+    println(s"[bench-detail] $full")
+    val okF = results.filter(_._2 >= 0).toSeq
+    val total = okF.map(_._2).sum
+    val qpm = if (total > 0) okF.size * 60.0 / total else 0.0
+    val totalMad = okF.map(_._4).sum
     val isoMed = isolated.map(i => i._1 -> i._2).toMap
-    val totalQuiet = ok.map { case (n, med, _, _) =>
+    val totalQuiet = okF.map { case (n, med, _, _) =>
       isoMed.getOrElse(n, med) }.sum
-    // value_quiet_gates: the EXACT substitution set behind value_quiet
-    // (== queries_isolated's keys, but named explicitly so a cross-round
-    // value_quiet comparison can detect set drift mechanically — the
-    // MAD/divergence triggers vary round to round beyond the fixed pin
-    // list, and two totals built from different substitution sets are
-    // not the same statistic; BenchDiff warns on the symmetric
-    // difference)
-    val quietGates = isolated.map(_._1).sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // queries_isolated: quiet-box medians (and their MADs) for the gates
-    // the MAD rule flagged — the record number for those gates; the
-    // in-run median stays in `queries` for continuity
     val qsIso = isolated.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val qsIsoMad = isolated.map { case (k, _, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val full =
-      f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"value_quiet_gates":$quietGates,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"queries_isolated":$qsIso,"queries_isolated_mad":$qsIsoMad,"sf":"$sfDir"}"""
-    val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
-    java.nio.file.Files.createDirectories(fullPath.getParent)
-    java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
-    println(s"[bench-detail] $full")
-    val slowestQ = ok.sortBy(-_._2).take(12)
+    val slowestQ = okF.sortBy(-_._2).take(12)
     val slowest = slowestQ
       .map { case (k, v, _, _) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val slowestMad = slowestQ
       .map { case (k, _, _, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"queries":$slowest,"queries_mad":$slowestMad,"queries_isolated":$qsIso,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
+      f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${okF.size},"repeat":$repeat,"degraded":$degradedJson,"queries":$slowest,"queries_mad":$slowestMad,"queries_isolated":$qsIso,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
