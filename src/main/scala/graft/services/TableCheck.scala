@@ -68,18 +68,25 @@ object TableCheck {
           .as(s"__m$i")
       case (other, _) => throw new IllegalStateException(other.name)
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // each InRange carries its OWN non-null-count aggregate (same shared
+    // scan pass, `count(col)` skips nulls natively): its denominator must
+    // never depend on whether an unrelated Completeness check for the
+    // same column happens to be in the suite — a check's metric is a
+    // function of the data, not of suite composition (review finding)
+    val denomAggs: Seq[(Int, Column)] = scanChecks.zipWithIndex.collect {
+      case (InRange(c, _, _, _), i) => i -> count(col(c)).as(s"__d$i")
+    }
+    val allAggs = aggs ++ denomAggs.map(_._2)
+    val row = df.agg(allAggs.head, allAggs.tail: _*).head()
     val n = row.getLong(0).toDouble
+    val denomIdx = denomAggs.map(_._1).zipWithIndex
+      .map { case (i, k) => i -> (aggs.size + k) }.toMap
     val scanRows = scanChecks.zipWithIndex.map { case (chk, i) =>
       val m = row.getLong(i + 1)
       val denom = chk match {
         // range conformance is over NON-NULL values: a null is a
         // completeness failure, not a range one
-        case InRange(c, _, _, _) =>
-          val j = scanChecks.indexWhere {
-            case Completeness(`c`, _) => true; case _ => false
-          }
-          if (j >= 0) row.getLong(j + 1).toDouble else n
+        case _: InRange => row.getLong(denomIdx(i)).toDouble
         case _ => n
       }
       val metric = if (denom == 0) 1.0 else m / denom

@@ -50,9 +50,25 @@ class TableCheckSpec extends SparkTestBase {
     got.foreach(r => assert(r.getDouble(2) == 1.0 && r.getBoolean(4)))
   }
 
-  test("range check without a paired completeness check divides by row count") {
-    val m = metrics(Seq(InRange("v", 0.0, 100.0, 0.4)))
-    // no Completeness("v") in the suite -> denominator is n=4: 2/4
-    assert(m(("in_range", "v")) == ((0.5, true)))
+  test("range denominator is the column's own non-null count, whatever " +
+      "else is in the suite") {
+    // an InRange-ONLY suite must read the same metric as one that happens
+    // to also carry a Completeness check for the column: 2 of 3 NON-NULL
+    // values in [0,100] — never 2/4 with the NULL in the denominator
+    // (review finding: a check's metric is a function of the data, not of
+    // suite composition)
+    val alone = metrics(Seq(InRange("v", 0.0, 100.0, 0.5)))
+    assert(alone(("in_range", "v")) == ((0.666667, true)))
+    val paired = metrics(Seq(Completeness("v", 0.9), InRange("v", 0.0, 100.0, 0.5)))
+    assert(paired(("in_range", "v"))._1 == alone(("in_range", "v"))._1)
+  }
+
+  test("range check over an all-null column reads vacuously conformant") {
+    val m = metrics(Seq(InRange("v", 0.0, 100.0, 0.5)))
+    assert(m(("in_range", "v"))._1 == 0.666667)
+    val allNull = df.withColumn("v",
+      org.apache.spark.sql.functions.lit(null).cast("double"))
+    val got = report(allNull, Seq(InRange("v", 0.0, 100.0, 0.5))).collect()
+    assert(got.head.getDouble(2) == 1.0 && got.head.getBoolean(4))
   }
 }
