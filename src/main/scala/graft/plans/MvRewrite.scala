@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EqualTo, Expression, If, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.planning.PhysicalOperation
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
@@ -34,16 +34,33 @@ import graft.tables.GraftTable
   *     smuggle a different column under a key's name);
   *   - grouping keys ⊆ the view's keys (subset ⇒ rollup re-aggregation
   *     is exact for count/sum, and avg derives as sum/cnt);
-  *   - every aggregate is count(lit), sum(col ∈ sumCols) or
+  *   - every aggregate is count(non-null lit), sum(col ∈ sumCols) or
   *     avg(col ∈ sumCols), non-DISTINCT, un-FILTERed, with matching
-  *     result type.
+  *     result type. avg is NULL-exact: it divides by the view's
+  *     per-column NON-NULL count (`cnt_<col>` — avg(c) skips NULLs,
+  *     so sum/count(*) would silently under-report any group with a
+  *     NULL; review finding), and only fires when the view carries
+  *     that column and the original result type is DoubleType (a
+  *     decimal avg swapped for a double expression under the original
+  *     exprId would corrupt the output type for parent operators).
   *
   * The replacement plan re-aggregates the view (`sum(cnt)`,
-  * `sum(sum_c)`) and projects onto the ORIGINAL output attribute ids,
-  * so parent operators never notice. Semantics are oracle-gated
-  * (q278 compares against DuckDB over the raw data); the mechanism —
-  * view files scanned instead of source, staleness disabling, refresh
-  * re-enabling — is pinned in MvRewriteSpec.
+  * `sum(sum_c)`, `sum(cnt_c)`) and projects onto the ORIGINAL output
+  * attribute ids, so parent operators never notice. Semantics are
+  * oracle-gated (q278 compares against DuckDB over the raw data); the
+  * mechanism — view files scanned instead of source, staleness
+  * disabling, refresh re-enabling — is pinned in MvRewriteSpec.
+  *
+  * Optimizer-hot-path cost (review finding — the rule runs on EVERY
+  * Aggregate of every query while any MV is registered): a candidate
+  * is probed by the scan's FIRST ROOT PATH first — O(registered MVs)
+  * string compares, no file enumeration and no commit-log read — and
+  * only a root under a registered source's directory pays the
+  * freshness check; the source's normalized snapshot file set is
+  * memoized per (source path, version), so repeated queries against a
+  * fresh MV re-read the commit log for the CURRENT version only, not
+  * the full file-set normalization (ProfMv measures the non-candidate
+  * probe at ~0 per query with 100 registered MVs).
   */
 object MvRewrite {
 
@@ -51,6 +68,12 @@ object MvRewrite {
       keys: Seq[String], sumCols: Seq[String])
 
   private val registry = TrieMap.empty[String, MvEntry]
+
+  /** (normalized source path, version) → normalized snapshot file set.
+    * Snapshots are immutable per version, so entries never invalidate;
+    * the map stays bounded by (registered sources × observed versions)
+    * and `clear()` empties it with the registry. */
+  private val snapshotCache = TrieMap.empty[(String, Long), Set[String]]
 
   private def norm(p: String): String = {
     val s = if (p.startsWith("file:")) new java.net.URI(p).getPath else p
@@ -63,7 +86,7 @@ object MvRewrite {
     registry.put(norm(source.path), MvEntry(source, view, keys, sumCols))
 
   def unregister(source: GraftTable): Unit = registry.remove(norm(source.path))
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); snapshotCache.clear() }
 
   /** Install the rule on `spark` (idempotent). Uses
     * `experimental.extraOptimizations` — the public session-level hook
@@ -74,30 +97,36 @@ object MvRewrite {
       spark.experimental.extraOptimizations = cur :+ RewriteToMv(spark)
   }
 
-  /** The entry whose CURRENT snapshot file set equals `files`, if its
-    * view is fresh. */
-  private def freshEntryFor(files: Set[String]): Option[MvEntry] =
-    registry.values.find { e =>
-      e.source.filesAt().map(norm).toSet == files &&
-        e.view.properties.get("graft.mv.appliedVersion")
-          .exists(_.toLong == e.source.currentVersion)
-    }
+  private def snapshotAt(e: MvEntry, version: Long): Set[String] =
+    snapshotCache.getOrElseUpdate((norm(e.source.path), version),
+      e.source.filesAt(version).map(norm).toSet)
 
   final case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
 
-    /** The scan's file set, when the child is a pure alias-free column
-      * projection over one parquet relation (no filters — a filtered
+    /** The scan's parquet relation, when the child is a pure alias-free
+      * column projection over one relation (no filters — a filtered
       * rewrite would need the predicate to be key-only; out of scope). */
-    private def scanFiles(child: LogicalPlan): Option[Set[String]] =
+    private def scanRelation(child: LogicalPlan): Option[HadoopFsRelation] =
       child match {
         case PhysicalOperation(projects, Nil, l: LogicalRelation)
             if projects.forall(_.isInstanceOf[AttributeReference]) =>
           l.relation match {
-            case fs: HadoopFsRelation =>
-              Some(fs.location.inputFiles.map(norm).toSet)
+            case fs: HadoopFsRelation => Some(fs)
             case _ => None
           }
         case _ => None
+      }
+
+    /** O(registered MVs) candidate probe by the scan's first root path
+      * — GraftTable reads list explicit files, so every root lives
+      * directly under the table directory. No commit-log IO here. */
+    private def candidate(fs: HadoopFsRelation): Option[MvEntry] =
+      fs.location.rootPaths.headOption.map(p => norm(p.toString)).flatMap {
+        root =>
+          registry.values.find { e =>
+            val p = norm(e.source.path)
+            root == p || root.startsWith(p + java.io.File.separator)
+          }
       }
 
     /** Null when some aggregate output is not rewritable. */
@@ -108,10 +137,19 @@ object MvRewrite {
       }
       if (groupNames.isEmpty || !groupNames.forall(e.keys.contains))
         return None
-      // roll the view up to the query's grouping
+      // roll the view up to the query's grouping; per-column non-null
+      // counts ride along when the view has them (views created before
+      // cnt_<col> landed lack the column — sum stays rewritable, avg
+      // refuses below)
+      val viewDf = e.view.read()
+      val viewCols = viewDf.columns.toSet
       val first = sum(col("cnt")).as("__cnt")
-      val rest = e.sumCols.map(c => sum(col(s"sum_$c")).as(s"__sum_$c"))
-      val rolled = e.view.read()
+      val rest = e.sumCols.flatMap { c =>
+        sum(col(s"sum_$c")).as(s"__sum_$c") ::
+          (if (viewCols.contains(s"cnt_$c"))
+            List(sum(col(s"cnt_$c")).as(s"__cnt_$c")) else Nil)
+      }
+      val rolled = viewDf
         .groupBy(groupNames.map(col): _*)
         .agg(first, rest: _*)
       val rolledPlan = rolled.queryExecution.analyzed
@@ -122,13 +160,32 @@ object MvRewrite {
         case al @ Alias(ae: AggregateExpression, name)
             if !ae.isDistinct && ae.filter.isEmpty =>
           val repl: Option[Expression] = ae.aggregateFunction match {
-            case Count(Seq(Literal(_, _))) => Some(byName("__cnt"))
+            // count(NULL) is 0 per group, not count(*) — only a
+            // NON-NULL literal maps to the view's cnt (review finding)
+            case Count(Seq(Literal(v, _))) if v != null => Some(byName("__cnt"))
             case Sum(a: AttributeReference, _) if e.sumCols.contains(a.name) =>
               byName.get(s"__sum_${a.name}")
                 .filter(_.dataType == al.dataType)
-            case Average(a: AttributeReference, _) if e.sumCols.contains(a.name) =>
-              byName.get(s"__sum_${a.name}").map(s =>
-                Divide(Cast(s, DoubleType), Cast(byName("__cnt"), DoubleType)))
+                .map { s =>
+                  // restore NULL for all-NULL groups: the MERGE fold
+                  // coalesces partial sums to 0, but sum(c) over zero
+                  // non-null values is NULL
+                  byName.get(s"__cnt_${a.name}") match {
+                    case Some(c) =>
+                      If(EqualTo(c, Literal(0L)), Literal(null, s.dataType), s)
+                    case None => s
+                  }
+                }
+            case Average(a: AttributeReference, _)
+                if e.sumCols.contains(a.name) &&
+                  al.dataType == DoubleType =>
+              // avg(c) divides by the NON-NULL count — without cnt_c in
+              // the view the rewrite must refuse, not approximate
+              for {
+                s <- byName.get(s"__sum_${a.name}")
+                c <- byName.get(s"__cnt_${a.name}")
+              } yield If(EqualTo(c, Literal(0L)), Literal(null, DoubleType),
+                Divide(Cast(s, DoubleType), Cast(c, DoubleType)))
             case _ => None
           }
           repl match {
@@ -144,10 +201,19 @@ object MvRewrite {
       if (registry.isEmpty) plan
       else plan.transformUp {
         case agg: Aggregate =>
-          scanFiles(agg.child)
-            .flatMap(freshEntryFor)
-            .flatMap(rewritten(agg, _))
-            .getOrElse(agg)
+          (for {
+            fs <- scanRelation(agg.child)
+            e <- candidate(fs)
+            cur = e.source.currentVersion
+            // stale view → rewrite silently disabled, never wrong rows
+            if e.view.properties.get("graft.mv.appliedVersion")
+              .exists(_.toLong == cur)
+            // file-set-exact: a time-travel read, a partial-file read,
+            // or a foreign table that merely lives under the source dir
+            // all mismatch and stay untouched
+            if fs.location.inputFiles.map(norm).toSet == snapshotAt(e, cur)
+            out <- rewritten(agg, e)
+          } yield out).getOrElse(agg)
       }
   }
 }

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * assumption and the refresh falls back to a full recompute of exactly
   * the same result.
   *
-  * View schema: keys ++ `cnt` ++ `sum_<col>` per summed column; the
+  * View schema: keys ++ `cnt` ++ (`sum_<col>`, `cnt_<col>`) per summed
+  * column — `cnt_<col>` is the NON-NULL count, the denominator an exact
+  * avg rewrite needs (avg(c) skips NULLs; dividing sum by cnt=count(*)
+  * silently under-reports any group with a NULL — review finding). The
   * applied source version is tracked in the view's
   * `graft.mv.appliedVersion` property.
   */
@@ -26,7 +29,8 @@ object IncrementalMv {
   final case class Refresh(appliedVersion: Long, incremental: Boolean)
 
   private def aggOf(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("cnt") +: sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    val aggs = count(lit(1)).as("cnt") +: sumCols.flatMap(c =>
+      Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c")))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -64,8 +68,10 @@ object IncrementalMv {
       val delta = aggOf(windowRows, keys, sumCols)
       val keyCond = keys.map(k => s"target.$k = source.$k").mkString(" AND ")
       val updates = Map("cnt" -> "target.cnt + source.cnt") ++
-        sumCols.map(c => s"sum_$c" ->
-          s"coalesce(target.sum_$c, 0) + coalesce(source.sum_$c, 0)")
+        sumCols.flatMap(c => Seq(
+          s"sum_$c" ->
+            s"coalesce(target.sum_$c, 0) + coalesce(source.sum_$c, 0)",
+          s"cnt_$c" -> s"target.cnt_$c + source.cnt_$c"))
       MergeOps.mergeInto(view, delta, keyCond,
         matched = Seq(MergeOps.WhenMatched(None, MergeOps.UpdateSet(updates))),
         notMatched = Seq(MergeOps.WhenNotMatched(None, MergeOps.InsertAll)),

@@ -75,6 +75,62 @@ class MvRewriteSpec extends SparkTestBase
     assert(q.agg(sum("n")).head().getLong(0) == nAfter)
   }
 
+  test("avg divides by the non-null count: NULL groups exact through the rewrite") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Option(10.0)), ("a", Option.empty[Double]), ("a", Option(20.0)),
+      ("b", Option.empty[Double]), ("b", Option.empty[Double]), // all-NULL group
+      ("c", Option(7.0))).toDF("k", "v")
+    val src = GraftTable.createFrom(spark, scratch("mv5-src"), df)
+    val view = IncrementalMv.create(spark, scratch("mv5-view"), src,
+      Seq("k"), Seq("v"))
+    MvRewrite.enable(spark)
+    MvRewrite.register(src, view, Seq("k"), Seq("v"))
+    // def: each use re-lists the source's CURRENT files (a val would pin
+    // the pre-append file list and dodge both the rewrite and the append)
+    def q = src.read().groupBy("k")
+      .agg(avg("v").as("a"), sum("v").as("s"))
+    assert(planOf(q).contains("mv5-view"), s"must rewrite:\n${planOf(q)}")
+    val got = q.orderBy("k").collect()
+    // avg skips NULLs: a = (10+20)/2, NOT 30/3 — the sum/count(*) bug
+    assert(got(0).getDouble(1) == 15.0, s"avg must divide by non-null count, got ${got(0)}")
+    // all-NULL group: avg AND sum read NULL, not 0
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2), s"all-NULL group must stay NULL, got ${got(1)}")
+    assert(got(2).getDouble(1) == 7.0)
+    // same invariants through the incremental MERGE path (whose partial
+    // fold coalesces NULL sums to 0 — cnt_v restores the NULL at read)
+    src.append(Seq(("b", Option.empty[Double]), ("c", Option(9.0))).toDF("k", "v"))
+    IncrementalMv.refresh(src, view, Seq("k"), Seq("v"))
+    val got2 = q.orderBy("k").collect()
+    assert(planOf(q).contains("mv5-view"))
+    assert(got2(1).isNullAt(1) && got2(1).isNullAt(2),
+      s"all-NULL group must stay NULL after a merge refresh, got ${got2(1)}")
+    assert(got2(2).getDouble(1) == 8.0, s"got ${got2(2)}")
+  }
+
+  test("count(NULL) is 0 per group, never served by the view's cnt") {
+    val (src, _) = fixture("mv6")
+    val q = src.read().groupBy("o_orderstatus")
+      .agg(count(lit(null)).as("n"))
+    assert(!planOf(q).contains("mv6-view"), "count(NULL) must not rewrite")
+    assert(q.collect().forall(_.getLong(1) == 0L))
+  }
+
+  test("decimal avg keeps its result type: no double expression under the original exprId") {
+    val o = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderstatus").as("k"),
+        col("o_totalprice").cast("decimal(12,2)").as("v"))
+    val src = GraftTable.createFrom(spark, scratch("mv7-src"), o)
+    val view = IncrementalMv.create(spark, scratch("mv7-view"), src,
+      Seq("k"), Seq("v"))
+    MvRewrite.enable(spark)
+    MvRewrite.register(src, view, Seq("k"), Seq("v"))
+    val q = src.read().groupBy("k").agg(avg("v").as("a"))
+    assert(!planOf(q).contains("mv7-view"), "decimal avg must not rewrite")
+    // and the untouched plan still answers correctly
+    assert(q.count() > 0)
+  }
+
   test("non-rewritable shapes stay untouched: distinct, max, filtered scans, other tables") {
     val (src, _) = fixture("mv4")
     val d = src.read().groupBy("o_orderstatus")
