@@ -70,18 +70,54 @@ object CdcChunk {
         md5(col("chunk")).as("chunk_hash"), col("chunk"))
   }
 
+  /** Chunk hashes shared by more than `maxDocsPerChunk` docs — the
+    * boilerplate/template heavy hitters whose pair fan-out is quadratic
+    * (a chunk in f docs contributes f·(f−1)/2 pairs: one boilerplate
+    * header in 10⁶ docs → 10¹² pairs). Heavy hitters are by definition
+    * few, so this table is small and its anti-join broadcasts. */
+  def hotChunks(chunks: DataFrame, maxDocsPerChunk: Int,
+      idCol: String = "doc_id"): DataFrame =
+    chunks.select(col(idCol).as("d"), col("chunk_hash")).distinct()
+      .groupBy("chunk_hash").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocsPerChunk)
+
   /** Cross-doc shared-chunk report between a base corpus and candidate
     * near-copies: for each (base, other) doc pair sharing ≥ `minShared`
     * distinct chunk hashes, the shared count and both chunk totals —
     * the CDC near-dup detector. One keyed shuffle on chunk_hash (the
     * inverted chunk index), pair aggregation bounded by docs sharing a
-    * chunk — hot boilerplate chunks would need the q197-style
-    * df-ceiling at web scale (compose with a HAVING on chunk frequency
-    * upstream if the corpus carries giant template families). */
+    * chunk.
+    *
+    * `maxDocsPerChunk` is the q197-style df-ceiling enforced IN-OPERATOR
+    * (review finding — delegating it upstream left the quadratic hazard
+    * live by default): chunks shared by more docs than the ceiling are
+    * excluded from the PAIR JOIN (their fan-out is quadratic in doc
+    * frequency — one boilerplate header in 10⁶ docs is 10¹² pairs), with
+    * the dropped-chunk count logged. `n_chunks_1/2` keep counting every
+    * chunk of the doc (the doc's true size), so `n_shared` becomes a
+    * LOWER bound for docs whose overlap is exclusively mega-template
+    * chunks — exactly the pairs a near-dup detector should not surface
+    * anyway. Cost: one extra map-side-combined frequency aggregate; the
+    * exclusion itself is a broadcast anti-join against the (by
+    * definition few) heavy hitters. */
   def sharedChunks(chunks: DataFrame, minShared: Int = 2,
-      idCol: String = "doc_id"): DataFrame = {
-    val c = chunks.select(col(idCol).as("d"), col("chunk_hash")).distinct()
-    val totals = c.groupBy("d").agg(count(lit(1)).as("n_chunks"))
+      idCol: String = "doc_id", maxDocsPerChunk: Int = 10000): DataFrame = {
+    require(maxDocsPerChunk >= 1, "maxDocsPerChunk must be >= 1")
+    val all = chunks.select(col(idCol).as("d"), col("chunk_hash")).distinct()
+    val hot = hotChunks(chunks, maxDocsPerChunk, idCol)
+    val nHot = hot.count()
+    if (nHot > 0) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"[CdcChunk] dropping $nHot chunk hash(es) shared by > " +
+        s"$maxDocsPerChunk docs from the pair join (quadratic fan-out)")
+    val c =
+      if (nHot == 0) all
+      else all.join(broadcast(hot.select("chunk_hash")), Seq("chunk_hash"),
+        "left_anti")
+    // totals count the doc's FULL chunk inventory (pre-ceiling): the
+    // ratio n_shared / n_chunks keeps its meaning as "fraction of the
+    // doc that is shared", with hot-template overlap excluded from the
+    // numerator only
+    val totals = all.groupBy("d").agg(count(lit(1)).as("n_chunks"))
     c.as("a").join(c.as("b"),
         col("a.chunk_hash") === col("b.chunk_hash") && col("a.d") < col("b.d"))
       .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))

@@ -78,6 +78,44 @@ class CdcChunkSpec extends SparkTestBase {
     assert(pairs.head._3 == n1 - 1, "all but the absorbed first chunk shared")
   }
 
+  test("hot-chunk ceiling drops mega-template chunks from the pair join") {
+    // a planted template chunk shared by EVERY doc (the boilerplate
+    // header hazard: f docs sharing one chunk is f·(f−1)/2 pairs) plus
+    // genuinely-shared tails between docs 1 and 2 only. The template
+    // ENDS AT A BOUNDARY token so it chunks identically in every doc;
+    // docs 3/4 get disjoint all-non-boundary bodies (one chunk each,
+    // never shared).
+    val words = (1 to 60).map(i => s"tok$i")
+    val hdrB = (1 to 200).map(i => s"hdr$i").find(isBoundary(_)).get
+    val hdrNb = (1 to 200).map(i => s"hdr$i").filterNot(isBoundary(_)).take(3)
+    val template = (hdrNb :+ hdrB).mkString(" ")
+    val body3 = (1 to 200).map(i => s"ca$i").filterNot(isBoundary(_)).take(4).mkString(" ")
+    val body4 = (1 to 200).map(i => s"fi$i").filterNot(isBoundary(_)).take(4).mkString(" ")
+    val df = Seq(
+      1L -> s"$template ${words.mkString(" ")}",
+      2L -> s"$template zz ${words.mkString(" ")}",
+      3L -> s"$template $body3",
+      4L -> s"$template $body4").toDF("doc_id", "text")
+    val ch = CdcChunk.chunks(df)
+    // find the hash(es) every doc shares — the template head chunk(s)
+    val hot = CdcChunk.hotChunks(ch, maxDocsPerChunk = 3)
+    assert(hot.count() >= 1, "the planted template chunk must be hot")
+    // ceiling 3 < 4 docs: template-only pairs (1,3),(1,4),(2,3),(2,4),
+    // (3,4) vanish; the tok-tail overlap keeps (1,2) alive
+    val capped = CdcChunk.sharedChunks(ch, minShared = 1, maxDocsPerChunk = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(capped.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"got $capped")
+    // totals keep counting the FULL chunk inventory (pre-ceiling)
+    val n1 = ch.filter(col("doc_id") === 1).count()
+    assert(capped.head._4 == n1, "n_chunks_1 must count the doc's full inventory")
+    // default ceiling (10000) leaves small corpora untouched: same pairs
+    // as an uncapped report, template pairs included
+    val dflt = CdcChunk.sharedChunks(ch, minShared = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(dflt.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
   test("chunking is a shuffle-free scan projection") {
     val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val p = CdcChunk.chunks(docs).queryExecution.executedPlan.toString
