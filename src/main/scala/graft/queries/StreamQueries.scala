@@ -689,9 +689,10 @@ object StreamQueries extends QueryBatch {
     * the files trigger in. The oracle recomputes every batch's
     * equi-width-binned, Laplace-smoothed PSI from the raw table — a
     * drifted bin rule, a lost batch, or a reference/current swap
-    * shifts a score and hash-mismatches. (Per-batch `Drift.psi`
-    * re-derives the reference bounds; a production monitor would pin
-    * them once — the per-batch report itself is the contract here.) */
+    * shifts a score and hash-mismatches. The reference bin bounds are
+    * derived ONCE (`Drift.bounds`) before the stream starts and pinned
+    * into every batch's `Drift.psiWithBounds` call — the production
+    * monitor shape: per batch, no reference min/max re-derivation. */
   private val q282 = GQ(
     "q282_stream_drift_monitor",
     (s, dir) => {
@@ -709,6 +710,7 @@ object StreamQueries extends QueryBatch {
           org.apache.spark.sql.types.StructField("n_rows", LongType),
           org.apache.spark.sql.types.StructField("total_psi",
             org.apache.spark.sql.types.DoubleType))))
+      val (refMn, refMx) = graft.services.Drift.bounds(ref, "o_totalprice")
       val stream = s.readStream.schema(o.schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
         .writeStream.trigger(Trigger.AvailableNow())
@@ -718,7 +720,8 @@ object StreamQueries extends QueryBatch {
           if (rows > 0) {
             val residue = b.select(pmod(col("o_orderkey"), lit(4)))
               .head().getLong(0)
-            val psi = graft.services.Drift.psi(ref, b, "o_totalprice", bins = 4)
+            val psi = graft.services.Drift.psiWithBounds(ref, b,
+                "o_totalprice", refMn, refMx, bins = 4)
               .agg(sum("psi_term")).head().getDouble(0)
             import b.sparkSession.implicits._
             monitor.append(Seq((residue, rows, psi))

@@ -27,17 +27,38 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  /** Per-bin drift rows: bin (0-based), ref_n, cur_n, ref_share,
-    * cur_share, psi_term — plus sums give the headline PSI. NULL
-    * values are excluded on both sides (completeness drift is
-    * TableCheck's job, not a distribution bin). */
-  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
-      bins: Int = 10): DataFrame = {
-    require(bins >= 2, "PSI needs at least 2 bins")
+  /** The reference's [min, max] over `valueCol` — the bin bounds a
+    * production monitor derives ONCE and reuses per micro-batch
+    * ([[psiWithBounds]]); one map-side-combined aggregate. */
+  def bounds(ref: DataFrame, valueCol: String): (Double, Double) = {
     val mm = ref.agg(min(col(valueCol).cast("double")).as("mn"),
       max(col(valueCol).cast("double")).as("mx")).head()
     require(!mm.isNullAt(0), "reference has no non-null values")
-    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    (mm.getDouble(0), mm.getDouble(1))
+  }
+
+  /** Per-bin drift rows: bin (0-based), ref_n, cur_n, ref_share,
+    * cur_share, psi_term — plus sums give the headline PSI. NULL
+    * values are excluded on both sides (completeness drift is
+    * TableCheck's job, not a distribution bin). Derives the bin bounds
+    * from `ref` (one extra reference aggregate); a monitor scoring many
+    * batches against ONE reference should derive [[bounds]] once and
+    * call [[psiWithBounds]] per batch instead. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    val (mn, mx) = bounds(ref, valueCol)
+    psiWithBounds(ref, cur, valueCol, mn, mx, bins)
+  }
+
+  /** [[psi]] with the reference bin bounds PINNED by the caller — the
+    * production monitoring shape: bounds derived once (at reference
+    * registration), each batch pays only its own bin count plus the
+    * reference's (values outside [mn, mx] clamp into the edge bins on
+    * both sides, identical to [[psi]]'s behavior). */
+  def psiWithBounds(ref: DataFrame, cur: DataFrame, valueCol: String,
+      mn: Double, mx: Double, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "PSI needs at least 2 bins")
+    require(mx >= mn, s"bounds inverted: [$mn, $mx]")
     val width = if (mx > mn) (mx - mn) / bins else 1.0
     def binOf(c: Column): Column =
       least(greatest(floor((c.cast("double") - lit(mn)) / lit(width))

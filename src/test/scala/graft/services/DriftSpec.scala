@@ -48,6 +48,27 @@ class DriftSpec extends SparkTestBase {
     assert(got.map(_.getAs[Long]("cur_n")).sum == 1)
   }
 
+  test("pinned bounds reproduce psi exactly and honor caller bounds") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = (Seq(-500.0, 900.0) ++ (1 to 50).map(_.toDouble)).toDF("v")
+    // the monitor shape: bounds derived once, reused per batch — must be
+    // row-for-row identical to the self-deriving psi()
+    val (mn, mx) = Drift.bounds(ref, "v")
+    assert(mn == 1.0 && mx == 100.0)
+    val viaPsi = Drift.psi(ref, cur, "v", bins = 4).orderBy("bin").collect().toSeq
+    val viaPinned = Drift.psiWithBounds(ref, cur, "v", mn, mx, bins = 4)
+      .orderBy("bin").collect().toSeq
+    assert(viaPinned == viaPsi)
+    // caller-supplied bounds are authoritative: a narrower window clamps
+    // BOTH sides into its edge bins
+    val narrow = Drift.psiWithBounds(ref, cur, "v", 40.0, 60.0, bins = 2)
+      .orderBy("bin")
+      .select("bin", "ref_n", "cur_n").as[(Int, Long, Long)].collect().toSeq
+    // width 10: bin0 = [.., 50), bin1 = [50, ..). ref: 1..49 | 50..100;
+    // cur: -500 clamps to bin0 with 1..49, 50 and 900 land in bin1
+    assert(narrow == Seq((0, 49L, 50L), (1, 51L, 2L)))
+  }
+
   test("categorical: new categories land in __other__ and alarm") {
     val ref = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
       .toDF("k")
