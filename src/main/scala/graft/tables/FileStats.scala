@@ -121,6 +121,16 @@ object FileStats {
     * Unknown shapes / missing stats ⇒ true (never prune incorrectly). */
   def mightMatch(stats: Stats, predicate: Expression, schema: StructType): Boolean =
     conjuncts(predicate).forall {
+      // `x BETWEEN lo AND hi`: Spark 4's parser keeps it as an
+      // UNRESOLVED between(x, lo, hi) function (no analyzer runs on a
+      // bare parseExpression), which used to fall through to the
+      // conservative keep — desugar to the two comparisons
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+            f.arguments.size == 3 =>
+        mightMatch(stats,
+          And(GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+            LessThanOrEqual(f.arguments(0), f.arguments(2))), schema)
       // col IN (l1, l2, ...): prunable iff NO member can fall inside the
       // file's [min, max] — the single-read probe shape (`cell IN (...)`)
       // the ANN/index layers use instead of a union of per-cell reads

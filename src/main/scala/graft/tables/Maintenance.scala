@@ -61,17 +61,22 @@ object Maintenance {
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** 2-D Hilbert index over the same equi-depth bucket ids — the
+  /** 2-D/3-D Hilbert index over the same equi-depth bucket ids — the
     * liquid-clustering-style layout: consecutive curve positions are
     * always one Manhattan step apart, so a box query's bucket rectangle
     * maps to FEWER disjoint curve ranges than under the z-curve (whose
     * seam jumps split the rectangle across distant file ranges —
-    * measured in ProfHilbert / BASELINE.md). */
+    * measured in ProfHilbert / BASELINE.md). 3-D uses Skilling's
+    * transform ([[graft.functions.HilbertKernel.xyz2d]]). */
   private def hilbertValue(df: org.apache.spark.sql.DataFrame,
       cols: Seq[String]): org.apache.spark.sql.Column = {
-    require(cols.size == 2, "the Hilbert layout is 2-D")
-    val Seq(bx, by) = bucketIds(df, cols)
-    graft.functions.HilbertIndex.hilbert_index(df.sparkSession, bx, by)
+    require(cols.size == 2 || cols.size == 3, "the Hilbert layout is 2-D or 3-D")
+    bucketIds(df, cols) match {
+      case Seq(bx, by) =>
+        graft.functions.HilbertIndex.hilbert_index(df.sparkSession, bx, by)
+      case Seq(bx, by, bz) =>
+        graft.functions.HilbertIndex.hilbert_index(df.sparkSession, bx, by, bz)
+    }
   }
 
   private def zOrderable(df: org.apache.spark.sql.DataFrame, c: String): Boolean =
@@ -119,9 +124,8 @@ object Maintenance {
       df.coalesce(1).sortWithinPartitions(zorderBy.map(col): _*)
     else if (interleave && zorderBy.size >= 2 && zorderBy.size <= 3 &&
         zorderBy.forall(zOrderable(df, _))) {
-      // hilbert needs exactly 2 dims; 3-dim requests keep the z-curve
       val cv =
-        if (curve == "hilbert" && zorderBy.size == 2) hilbertValue(df, zorderBy)
+        if (curve == "hilbert") hilbertValue(df, zorderBy)
         else zValue(df, zorderBy)
       val z = df.withColumn("__z", cv)
       z.repartitionByRange(nFiles, col("__z"))

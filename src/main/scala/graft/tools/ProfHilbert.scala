@@ -56,6 +56,29 @@ object ProfHilbert {
     val (hKept, _) = layout("hilbert", interleave = true, curve = "hilbert")
     println(s"[profhilbert] sfDir=$sfDir files/layout=$total boxes=${preds.size} " +
       s"filesRead: range=$rangeKept z=$zKept hilbert=$hKept")
+
+    // 3-D: same staggered-box workload over (orderkey, partkey, suppkey)
+    // — the Skilling-transform layout vs the 3-dim z-curve. Box sides
+    // widen to ~1/4 per dimension (1/8³ of a small SF selects so few
+    // rows every layout reads 1 file and the comparison degenerates).
+    val r3 = li.agg(min("l_suppkey"), max("l_suppkey")).head()
+    val (skLo, skHi) = (r3.getLong(0), r3.getLong(1))
+    val preds3 = Seq(0.05, 0.25, 0.45, 0.65).map { f =>
+      s"l_orderkey >= ${pct(okLo, okHi, f)} AND l_orderkey <= ${pct(okLo, okHi, f + 0.25)} AND " +
+        s"l_partkey >= ${pct(pkLo, pkHi, f)} AND l_partkey <= ${pct(pkLo, pkHi, f + 0.25)} AND " +
+        s"l_suppkey >= ${pct(skLo, skHi, f)} AND l_suppkey <= ${pct(skLo, skHi, f + 0.25)}"
+    }
+    def layout3(name: String, curve: String): (Int, Int) = {
+      val t = GraftTable.createFrom(spark, s"$root/$name", li)
+      t.setProperties(Map("graft.targetFileSize" -> (targetKb * 1024L).toString))
+      Maintenance.optimize(t,
+        zorderBy = Seq("l_orderkey", "l_partkey", "l_suppkey"), curve = curve)
+      (preds3.map(p => t.pruneFiles(p)._1.size).sum, t.pruneFiles(preds3.head)._2)
+    }
+    val (z3Kept, total3) = layout3("z3", curve = "z")
+    val (h3Kept, _) = layout3("hilbert3", curve = "hilbert")
+    println(s"[profhilbert] 3d files/layout=$total3 boxes=${preds3.size} " +
+      s"filesRead: z=$z3Kept hilbert=$h3Kept")
     spark.stop()
   }
 }

@@ -62,6 +62,28 @@ class FileStatsSpec extends SparkTestBase {
     assert(kept2.size === all2)
   }
 
+  test("BETWEEN prunes exactly like its two-comparison desugaring") {
+    // Spark 4's bare parseExpression keeps BETWEEN as an UNRESOLVED
+    // between(x, lo, hi) call — it used to fall through to the
+    // conservative keep-everything path (review finding: a 3-D box
+    // workload written with BETWEEN read 15/15 files)
+    val li = Tables.t(spark, sf, "lineitem")
+    val t = GraftTable.createFrom(spark, scratch("btwprune"), li)
+    t.setProperties(Map("graft.targetFileSize" -> (16 * 1024).toString))
+    Maintenance.optimize(t, zorderBy = Seq("l_orderkey"))
+    val total = t.filesAt().size
+    val viaBetween = t.pruneFiles("l_orderkey BETWEEN 40 AND 60")._1.toSet
+    val viaCmp = t.pruneFiles("l_orderkey >= 40 AND l_orderkey <= 60")._1.toSet
+    assert(viaBetween == viaCmp, "BETWEEN must prune like >= AND <=")
+    assert(viaBetween.size < total, "the narrow range must actually prune")
+    val a = t.readWhere("l_orderkey BETWEEN 40 AND 60").count()
+    val b = li.filter(col("l_orderkey").between(40, 60)).count()
+    assert(a === b && a > 0)
+    // NOT BETWEEN stays conservative (unknown shape)
+    val (kept, all) = t.pruneFiles("l_orderkey NOT BETWEEN 40 AND 60")
+    assert(kept.size === all)
+  }
+
   test("IN-list and OR predicates prune to the union of their members' files") {
     val li = Tables.t(spark, sf, "lineitem")
     val t = GraftTable.createFrom(spark, scratch("inprune"), li)

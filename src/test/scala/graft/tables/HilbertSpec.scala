@@ -45,6 +45,63 @@ class HilbertSpec extends SparkTestBase {
   test("out-of-range bucket ids clamp instead of colliding or going negative") {
     assert(HilbertKernel.xy2d(8, -5, 0) == HilbertKernel.xy2d(8, 0, 0))
     assert(HilbertKernel.xy2d(8, 999, 255) == HilbertKernel.xy2d(8, 255, 255))
+    assert(HilbertKernel.xyz2d(8, -5, 0, 3) == HilbertKernel.xyz2d(8, 0, 0, 3))
+    assert(HilbertKernel.xyz2d(8, 999, 255, 7) == HilbertKernel.xyz2d(8, 255, 255, 7))
+  }
+
+  test("xyz2d is a bijection with unit-step locality over the full 3-D grid") {
+    // 6 bits/dim = 262144 cells: big enough to cross every octant seam,
+    // small enough to sweep exhaustively. Same two defining properties
+    // as 2-D — every index hit exactly once, consecutive indices one
+    // Manhattan step apart (Skilling's transform is a true Hilbert
+    // curve; a Gray-code slip or interleave bug breaks one of these).
+    val bits = 6
+    val side = 1 << bits
+    val cells = side * side * side
+    val cell = new Array[Int](cells) // packed (x<<12 | y<<6 | z)
+    val seen = new Array[Boolean](cells)
+    for (x <- 0 until side; y <- 0 until side; z <- 0 until side) {
+      val d = HilbertKernel.xyz2d(bits, x, y, z)
+      assert(d >= 0 && d < cells, s"($x,$y,$z) -> $d out of range")
+      assert(!seen(d.toInt), s"collision at d=$d")
+      seen(d.toInt) = true
+      cell(d.toInt) = (x << (2 * bits)) | (y << bits) | z
+    }
+    val mask = side - 1
+    (1 until cells).foreach { d =>
+      val (p, q) = (cell(d - 1), cell(d))
+      val manhattan =
+        math.abs((p >> (2 * bits)) - (q >> (2 * bits))) +
+          math.abs(((p >> bits) & mask) - ((q >> bits) & mask)) +
+          math.abs((p & mask) - (q & mask))
+      assert(manhattan == 1, s"d=$d: cells $p -> $q not a unit step")
+    }
+  }
+
+  test("3-D OPTIMIZE HILBERT preserves content and prunes a 3-D box") {
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val t = GraftTable.createFrom(spark, scratch("hopt3"), li)
+    // 2 KB files: a (1/4)^3-volume box over only 4 files (8 KB at this
+    // SF) touches them all and the pruning assertion is vacuous
+    t.setProperties(Map("graft.targetFileSize" -> (2 * 1024L).toString))
+    Maintenance.optimize(t,
+      zorderBy = Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      curve = "hilbert")
+    assert(t.commits.last.operationParameters("curve") == "hilbert")
+    val allCols = li.columns.map(col).toSeq
+    assert(t.read().orderBy(allCols: _*).collect().toSeq
+      == li.orderBy(allCols: _*).collect().toSeq)
+    val r = li.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    def hi(lo: Long, hiV: Long) = lo + (hiV - lo) / 4
+    val box =
+      s"l_orderkey BETWEEN ${r.getLong(0)} AND ${hi(r.getLong(0), r.getLong(1))} AND " +
+        s"l_partkey BETWEEN ${r.getLong(2)} AND ${hi(r.getLong(2), r.getLong(3))} AND " +
+        s"l_suppkey BETWEEN ${r.getLong(4)} AND ${hi(r.getLong(4), r.getLong(5))}"
+    val (kept, total) = t.pruneFiles(box)
+    assert(total > 1 && kept.size < total, s"3-D box must prune: ${kept.size}/$total")
   }
 
   test("graft.clusterCurve property drives a bare OPTIMIZE; explicit arg wins") {
