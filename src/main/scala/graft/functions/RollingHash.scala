@@ -76,19 +76,21 @@ object GraftFunctions {
       "graft_char_entropy", exprs => CharEntropy(exprs.head), "scala_udf")
   }
 
-  /** Column API for the native text kernels (function-registry route —
-    * Spark 4 columns wrap ColumnNodes, the expression-backed Column
-    * constructor is private to Spark). Registration rides the ACTIVE
-    * session: these are driver-side column builders, where an active
-    * session always exists. */
+  /** Column API for the native text kernels — built DIRECTLY from the
+    * expression (`classic.ExpressionUtils.column`, the public Spark 4
+    * node↔expression bridge), so the returned Column analyzes in ANY
+    * session. The earlier registry route registered the temp function
+    * on `SparkSession.active`, which can differ from the session that
+    * later analyzes the Column (multi-session apps/tests) and fail
+    * unresolved (review finding); `register` remains for SQL-text use. */
   def graft_nfc(c: Column): Column = {
-    register(SparkSession.active)
-    call_function("graft_nfc", c)
+    import org.apache.spark.sql.graftbridge.ExprColumn
+    ExprColumn.column(NfcNormalize(ExprColumn.expression(c)))
   }
 
   def graft_char_entropy(c: Column): Column = {
-    register(SparkSession.active)
-    call_function("graft_char_entropy", c)
+    import org.apache.spark.sql.graftbridge.ExprColumn
+    ExprColumn.column(CharEntropy(ExprColumn.expression(c)))
   }
 
   /** Column API for rolling_hash: goes through the function registry

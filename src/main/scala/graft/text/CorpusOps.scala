@@ -157,8 +157,12 @@ object CorpusOps {
   def qualityCutoff(docs: DataFrame, scoreCol: String, tokenCol: String,
       budget: Long): DataFrame = {
     require(budget >= 1, "token budget must be >= 1")
+    // token counts ride as long whatever the column's declared type (a
+    // double token count would ClassCastException the getLong below —
+    // review finding)
     val byScore = docs.groupBy(col(scoreCol).as("score"))
-      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("n_tokens"))
     // score-cardinality rows: the partition-less window is over the
     // quantized-score aggregate, never corpus rows
     val w = Window.orderBy(col("score").desc)
@@ -166,7 +170,14 @@ object CorpusOps {
     val cum = byScore
       .withColumn("cum_docs", sum(col("n_docs")).over(w))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-    val total = cum.agg(max(col("cum_tokens"))).head().getLong(0)
+    val totRow = cum.agg(max(col("cum_tokens"))).head()
+    // empty corpus (or all-NULL tokens): no cutoff exists — zero rows
+    // with the output schema, never an NPE on the null aggregate
+    if (totRow.isNullAt(0))
+      return cum.filter(lit(false))
+        .select(col("score").as("cutoff"), col("cum_docs").as("kept_docs"),
+          col("cum_tokens").as("kept_tokens"), lit(0L).as("total_tokens"))
+    val total = totRow.getLong(0)
     val hit = cum.filter(col("cum_tokens") >= math.min(budget, total))
       .orderBy(col("score").desc).limit(1)
     hit.select(col("score").as("cutoff"),

@@ -188,6 +188,22 @@ class TextSpec extends SparkTestBase {
     assert(got(3).isEmpty && got(4).isEmpty)
   }
 
+  test("nfc/charEntropy columns analyze in a session other than the builder's") {
+    // the expression-bridge regression (review finding): the old
+    // registry route registered the temp function on SparkSession.active,
+    // so a Column built under one session failed unresolved when a
+    // DIFFERENT session analyzed it. newSession() shares nothing but the
+    // SparkContext — including not the function registry.
+    val col1 = TextOps.nfc(col("t"))
+    val col2 = TextOps.charEntropy(col("t"))
+    val other = spark.newSession()
+    import other.implicits._
+    val got = Seq("éclair").toDF("t")
+      .select(col1.as("n"), col2.as("e")).head()
+    assert(got.getString(0) == "éclair", "NFC must compose in the foreign session")
+    assert(!got.isNullAt(1))
+  }
+
   test("bagFingerprint: permutation-invariant, multiset-sensitive, space-robust") {
     import org.apache.spark.sql.functions.col
     val rows = Seq((1L, "x y z"), (2L, "z  x y "), (3L, "x x y"),
