@@ -122,6 +122,43 @@ object OptimizerQueries extends QueryBatch {
             WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber""")
   )
 
+  /** BETWEEN-range file skipping (round 17): Spark 4's bare
+    * `parseExpression` keeps BETWEEN as an UNRESOLVED `between(x, lo,
+    * hi)` call, which used to fall through `FileStats.mightMatch`'s
+    * conservative keep-everything path — a box probe written with
+    * BETWEEN read every file. The gate REQUIRES the mechanism (the
+    * probe prunes, and keeps exactly the files its >=/<= desugaring
+    * keeps) and the oracle checks the returned rows against the
+    * unpruned filter, so a pruning rule that skipped a matching file
+    * would hash-mismatch. File count is derived from table bytes so
+    * the pruning requirement holds at every test scale. */
+  private val q285 = GQ(
+    "q285_between_prune",
+    (s, dir) => {
+      import graft.tables.{GraftTable, Maintenance}
+      val p = Scratch.dir("btwprobe")
+      val li = Tables.t(s, dir, "lineitem")
+      val t = GraftTable.createFrom(s, p, li)
+      val totalBytes = t.filesAt()
+        .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+      t.setProperties(Map("graft.targetFileSize" ->
+        math.max(totalBytes / 8, 4 * 1024).toString))
+      Maintenance.optimize(t, zorderBy = Seq("l_orderkey"))
+      val probe = "l_orderkey BETWEEN 40 AND 60"
+      val (kept, total) = t.pruneFiles(probe)
+      require(kept.size < total, s"BETWEEN must prune: ${kept.size}/$total")
+      require(kept.toSet ==
+        t.pruneFiles("l_orderkey >= 40 AND l_orderkey <= 60")._1.toSet,
+        "BETWEEN must keep exactly its desugaring's files")
+      t.readWhere(probe)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_orderkey BETWEEN 40 AND 60
+            ORDER BY l_orderkey, l_linenumber""")
+  )
+
   /** Apply-then-measure auto-tuning round trip — the reference's Strategy
     * RUNNER step (`30-performance/delta-optimizer/customer-facing-delta-
     * optimizer/Step 2_ Strategy Runner.py`: execute the ranked commands
@@ -191,5 +228,5 @@ object OptimizerQueries extends QueryBatch {
             ORDER BY predicate""")
   )
 
-  override def queries: Seq[GQ] = Seq(q120, q121, q245)
+  override def queries: Seq[GQ] = Seq(q120, q121, q245, q285)
 }

@@ -342,6 +342,56 @@ object ServiceQueries extends QueryBatch {
             FROM sh ORDER BY bucket""")
   )
 
+  /** Pinned-bounds PSI (`Drift.psiWithBounds`, round 17 — the
+    * production-monitor shape: bounds derived ONCE and caller-
+    * authoritative, never re-derived per scoring call): both sides are
+    * binned against a fixed window NARROWER than the reference's own
+    * range (the 25%..75% band), so reference values clamp into the
+    * edge bins too — the behavior q279 (self-derived bounds) can never
+    * exhibit and the one a monitor relies on when its registered
+    * bounds lag the data. Oracle replays the band arithmetic, the
+    * two-sided clamping, and the smoothing exactly. */
+  private val q284 = GQ(
+    "q284_drift_pinned_bounds",
+    (s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      val ref = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cur = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      val (mn0, mx0) = graft.services.Drift.bounds(ref, "o_totalprice")
+      val lo = mn0 + 0.25 * (mx0 - mn0)
+      val hi = mn0 + 0.75 * (mx0 - mn0)
+      graft.services.Drift.psiWithBounds(ref, cur, "o_totalprice",
+          lo, hi, bins = 8)
+        .orderBy("bin")
+    },
+    Some("""WITH ref AS (SELECT o_totalprice AS v FROM orders
+                         WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+            cur AS (SELECT o_totalprice AS v FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+            mm AS (SELECT min(v) + 0.25 * (max(v) - min(v)) AS mn,
+                          ((min(v) + 0.75 * (max(v) - min(v)))
+                           - (min(v) + 0.25 * (max(v) - min(v)))) / 8.0 AS w
+                   FROM ref),
+            rb AS (SELECT least(greatest(CAST(floor((v - mn) / w) AS INT), 0), 7) AS bin
+                   FROM ref, mm WHERE v IS NOT NULL),
+            cb AS (SELECT least(greatest(CAST(floor((v - mn) / w) AS INT), 0), 7) AS bin
+                   FROM cur, mm WHERE v IS NOT NULL),
+            bins AS (SELECT CAST(t.i AS INT) AS bin FROM UNNEST(range(8)) AS t(i)),
+            rn AS (SELECT b.bin, count(rb.bin) AS n
+                   FROM bins b LEFT JOIN rb ON rb.bin = b.bin GROUP BY 1),
+            cn AS (SELECT b.bin, count(cb.bin) AS n
+                   FROM bins b LEFT JOIN cb ON cb.bin = b.bin GROUP BY 1),
+            sh AS (SELECT rn.bin, rn.n AS ref_n, cn.n AS cur_n,
+                          (rn.n + 0.5) / ((SELECT sum(n) FROM rn) + 4.0) AS rs,
+                          (cn.n + 0.5) / ((SELECT sum(n) FROM cn) + 4.0) AS cs
+                   FROM rn JOIN cn ON cn.bin = rn.bin)
+            SELECT bin, ref_n, cur_n,
+                   round(rs + 1e-9, 6) AS ref_share,
+                   round(cs + 1e-9, 6) AS cur_share,
+                   round((cs - rs) * ln(cs / rs) + 1e-9, 6) AS psi_term
+            FROM sh ORDER BY bin""")
+  )
+
   override def queries: Seq[GQ] =
-    Seq(q110, q111, q112, q113, q114, q243, q279, q280, q281)
+    Seq(q110, q111, q112, q113, q114, q243, q279, q280, q281, q284)
 }
