@@ -139,10 +139,19 @@ object OptimizerQueries extends QueryBatch {
       val p = Scratch.dir("btwprobe")
       val li = Tables.t(s, dir, "lineitem")
       val t = GraftTable.createFrom(s, p, li)
+      // file-size target clamped to [4 KB, 32 MB]: at small test scales
+      // bytes/32 keeps ≥ 32 files so the pruning requirement never goes
+      // vacuous; at large scales the 32 MB CAP makes file COUNT (= sort
+      // partitions) grow with the data instead of file size — an
+      // uncapped bytes/32 rule grew per-task sort memory 10× per decade
+      // and the m100 ScaleBench point spilled (18×/15.7× for 10× rows
+      // under /8 and /32; linear once capped — SCALING.md round-17).
+      // Same lesson as production OPTIMIZE: targetFileSize is a
+      // constant, parallelism scales with the table.
       val totalBytes = t.filesAt()
         .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
       t.setProperties(Map("graft.targetFileSize" ->
-        math.max(totalBytes / 8, 4 * 1024).toString))
+        math.min(math.max(totalBytes / 32, 4L * 1024), 32L * 1024 * 1024).toString))
       Maintenance.optimize(t, zorderBy = Seq("l_orderkey"))
       val probe = "l_orderkey BETWEEN 40 AND 60"
       val (kept, total) = t.pruneFiles(probe)
