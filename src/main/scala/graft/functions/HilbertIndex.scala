@@ -168,8 +168,19 @@ object HilbertIndex {
       "hilbert_index", {
         case Seq(x, y) => HilbertIndex(x, y)
         case Seq(x, y, z) => HilbertIndex3(x, y, z)
-        case other => throw new IllegalArgumentException(
-          s"hilbert_index takes 2 or 3 arguments, got ${other.size}")
+        case other =>
+          // the same AnalysisException (WRONG_NUM_ARGS, sqlState 42605)
+          // Spark raises for arity mismatches on built-in functions — a
+          // bare IllegalArgumentException surfaced to SQL users as an
+          // internal error (review finding); the type path already goes
+          // through checkInputDataTypes
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`hilbert_index`",
+              "expectedNum" -> "[2, 3]",
+              "actualNum" -> other.size.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
       }, "scala_udf")
 
   def hilbert_index(spark: SparkSession, x: Column, y: Column): Column = {

@@ -69,11 +69,16 @@ object MvRewrite {
 
   private val registry = TrieMap.empty[String, MvEntry]
 
-  /** (normalized source path, version) → normalized snapshot file set.
-    * Snapshots are immutable per version, so entries never invalidate;
-    * the map stays bounded by (registered sources × observed versions)
-    * and `clear()` empties it with the registry. */
-  private val snapshotCache = TrieMap.empty[(String, Long), Set[String]]
+  /** normalized source path → (version, normalized snapshot file set).
+    * Only the LATEST observed version is kept per source: the rewrite
+    * only ever compares against the source's CURRENT version (a stale
+    * view disables it), so an older version's file set can never match
+    * a fresh view again — retaining it would grow one Set[String] of
+    * all file paths per version for the life of the session on a
+    * frequently-appended source (review finding). register/unregister
+    * evict the source's entry; `clear()` empties the map with the
+    * registry. */
+  private val snapshotCache = TrieMap.empty[String, (Long, Set[String])]
 
   private def norm(p: String): String = {
     val s = if (p.startsWith("file:")) new java.net.URI(p).getPath else p
@@ -82,10 +87,17 @@ object MvRewrite {
 
   /** Register a source → view mapping (idempotent by source path). */
   def register(source: GraftTable, view: GraftTable,
-      keys: Seq[String], sumCols: Seq[String]): Unit =
-    registry.put(norm(source.path), MvEntry(source, view, keys, sumCols))
+      keys: Seq[String], sumCols: Seq[String]): Unit = {
+    val key = norm(source.path)
+    snapshotCache.remove(key) // a re-register must not serve a predecessor's snapshot
+    registry.put(key, MvEntry(source, view, keys, sumCols))
+  }
 
-  def unregister(source: GraftTable): Unit = registry.remove(norm(source.path))
+  def unregister(source: GraftTable): Unit = {
+    val key = norm(source.path)
+    registry.remove(key)
+    snapshotCache.remove(key)
+  }
   def clear(): Unit = { registry.clear(); snapshotCache.clear() }
 
   /** Install the rule on `spark` (idempotent). Uses
@@ -97,9 +109,20 @@ object MvRewrite {
       spark.experimental.extraOptimizations = cur :+ RewriteToMv(spark)
   }
 
-  private def snapshotAt(e: MvEntry, version: Long): Set[String] =
-    snapshotCache.getOrElseUpdate((norm(e.source.path), version),
-      e.source.filesAt(version).map(norm).toSet)
+  private def snapshotAt(e: MvEntry, version: Long): Set[String] = {
+    val key = norm(e.source.path)
+    snapshotCache.get(key) match {
+      case Some((v, files)) if v == version => files
+      case _ =>
+        val files = e.source.filesAt(version).map(norm).toSet
+        snapshotCache.put(key, (version, files))
+        files
+    }
+  }
+
+  /** Test-only visibility: cached snapshot versions per source path. */
+  private[graft] def cachedSnapshotVersions: Map[String, Long] =
+    snapshotCache.readOnlySnapshot().toMap.map { case (k, (v, _)) => k -> v }
 
   final case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
 

@@ -50,9 +50,16 @@ object IncrementalMv {
     val since = source.commits.filter(c => c.version > applied && c.version <= cur)
     val appendOnly = applied >= 0 && since.forall(c =>
       c.removedFiles.isEmpty && c.addedDvFiles.isEmpty && c.removedDvFiles.isEmpty)
+    // A view created before cnt_<col> landed lacks those columns; the
+    // incremental MERGE's update map references them unconditionally and
+    // would fail analysis. Full recompute instead — the overwrite also
+    // UPGRADES the legacy view to the current schema, so the next
+    // refresh is incremental again (review finding).
+    val viewCols = view.schemaAt().fieldNames.toSet
+    val legacySchema = sumCols.exists(c => !viewCols.contains(s"cnt_$c"))
     val versionProp = Map("graft.mv.appliedVersion" -> cur.toString)
 
-    if (!appendOnly) {
+    if (!appendOnly || legacySchema) {
       view.overwrite(aggOf(source.read(cur), keys, sumCols), "REFRESH MV (full)",
         extraProps = versionProp)
       return Refresh(cur, incremental = false)

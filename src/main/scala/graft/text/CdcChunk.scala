@@ -98,21 +98,24 @@ object CdcChunk {
     * LOWER bound for docs whose overlap is exclusively mega-template
     * chunks — exactly the pairs a near-dup detector should not surface
     * anyway. Cost: one extra map-side-combined frequency aggregate; the
-    * exclusion itself is a broadcast anti-join against the (by
-    * definition few) heavy hitters. */
+    * exclusion itself is an anti-join against the heavy hitters, which
+    * AQE turns into a broadcast join at runtime when that table is
+    * small (almost always) without risking the driver when it isn't. */
   def sharedChunks(chunks: DataFrame, minShared: Int = 2,
       idCol: String = "doc_id", maxDocsPerChunk: Int = 10000): DataFrame = {
     require(maxDocsPerChunk >= 1, "maxDocsPerChunk must be >= 1")
     val all = chunks.select(col(idCol).as("d"), col("chunk_hash")).distinct()
+    // The hot-chunk exclusion stays LAZY: an eager count() here was a
+    // full aggregate action at DataFrame-construction time even when the
+    // result was never executed, and the unconditional broadcast() hint
+    // could exhaust the driver when the "heavy hitters are few"
+    // assumption fails (small ceiling × boilerplate-heavy corpus —
+    // review finding). The anti-join now always composes into the plan
+    // and AQE picks broadcast at runtime iff the hot table is actually
+    // small; when no chunk crosses the ceiling the anti-join is a no-op
+    // against an empty build side.
     val hot = hotChunks(chunks, maxDocsPerChunk, idCol)
-    val nHot = hot.count()
-    if (nHot > 0) org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"[CdcChunk] dropping $nHot chunk hash(es) shared by > " +
-        s"$maxDocsPerChunk docs from the pair join (quadratic fan-out)")
-    val c =
-      if (nHot == 0) all
-      else all.join(broadcast(hot.select("chunk_hash")), Seq("chunk_hash"),
-        "left_anti")
+    val c = all.join(hot.select("chunk_hash"), Seq("chunk_hash"), "left_anti")
     // totals count the doc's FULL chunk inventory (pre-ceiling): the
     // ratio n_shared / n_chunks keeps its meaning as "fraction of the
     // doc that is shared", with hot-template overlap excluded from the

@@ -131,6 +131,30 @@ class MvRewriteSpec extends SparkTestBase
     assert(q.count() > 0)
   }
 
+  test("snapshot cache keeps one (latest) version per source; unregister evicts") {
+    val (src, view) = fixture("mv8")
+    def fire(): Unit = src.read().groupBy("o_orderstatus")
+      .agg(sum("o_totalprice").as("s")).queryExecution.executedPlan
+    fire() // populates the cache at the current version
+    val key = MvRewrite.cachedSnapshotVersions.keys
+      .find(_.contains("mv8-src")).getOrElse(fail("no cache entry after a rewrite"))
+    assert(MvRewrite.cachedSnapshotVersions(key) == src.currentVersion)
+    // append + refresh, re-fire: the cache must hold ONLY the new
+    // version (a long-lived session on a frequently-appended source
+    // must not accumulate one file-set per version — review finding)
+    val v0 = src.currentVersion
+    src.append(graft.Tables.t(spark, "/root/testdata/sf0.001", "orders").limit(100))
+    IncrementalMv.refresh(src, view,
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+    fire()
+    assert(MvRewrite.cachedSnapshotVersions(key) == src.currentVersion)
+    assert(src.currentVersion != v0)
+    assert(MvRewrite.cachedSnapshotVersions.count(_._1.contains("mv8-src")) == 1)
+    MvRewrite.unregister(src)
+    assert(!MvRewrite.cachedSnapshotVersions.contains(key),
+      "unregister must evict the source's snapshot entry")
+  }
+
   test("non-rewritable shapes stay untouched: distinct, max, filtered scans, other tables") {
     val (src, _) = fixture("mv4")
     val d = src.read().groupBy("o_orderstatus")

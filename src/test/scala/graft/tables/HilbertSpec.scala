@@ -118,6 +118,18 @@ class HilbertSpec extends SparkTestBase {
       == "l_orderkey,l_partkey")
   }
 
+  test("hilbert_index arity mismatch raises an AnalysisException, not an internal error") {
+    graft.functions.HilbertIndex.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT hilbert_index(1L)").collect())
+    // the same WRONG_NUM_ARGS condition (sqlState 42605) Spark raises
+    // for arity mismatches on built-in functions (review finding)
+    assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", e.getCondition)
+    val e4 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT hilbert_index(1L, 2L, 3L, 4L)").collect())
+    assert(e4.getMessage.contains("hilbert_index"))
+  }
+
   test("OPTIMIZE with the Hilbert curve preserves content exactly") {
     val li = graft.Tables.t(spark, sf, "lineitem")
       .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")

@@ -116,6 +116,20 @@ class CdcChunkSpec extends SparkTestBase {
       Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
+  test("sharedChunks construction is lazy: no job runs until an action") {
+    // the hot-chunk exclusion used to run an eager count() at
+    // DataFrame-construction time (review finding) — build the report
+    // over a source that THROWS when scanned: construction must
+    // succeed (no action), and only the later action surfaces the error
+    val boom = udf((s: String) => {
+      if (s != null) throw new RuntimeException("boom"); s })
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+      .withColumn("text", boom(col("text")))
+    val pairs = CdcChunk.sharedChunks(CdcChunk.chunks(docs)) // must not throw
+    val e = intercept[Exception](pairs.count())
+    assert(e.getMessage != null)
+  }
+
   test("chunking is a shuffle-free scan projection") {
     val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val p = CdcChunk.chunks(docs).queryExecution.executedPlan.toString
