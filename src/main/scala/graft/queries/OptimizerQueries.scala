@@ -168,6 +168,100 @@ object OptimizerQueries extends QueryBatch {
             ORDER BY l_orderkey, l_linenumber""")
   )
 
+  /** IS NULL file skipping (round 18): parquet footers carry per-column
+    * null counts for free; the harvest records them as `__nulls_<col>`
+    * stats entries, and `mightMatch` prunes `IS NULL` probes against
+    * files whose null count is known zero. This is the SCD2 current-row
+    * scan shape (`_end_timestamp IS NULL`, the reference's `DP/Step 12:
+    * 143-146` pattern): a table clustered by key keeps its "open" rows
+    * (NULL end) in the top key-range files, so the probe reads only
+    * those. The gate REQUIRES pruning (kept < total) and that the kept
+    * set is exactly the null-bearing files; the oracle replays the
+    * derived-column semantics over the raw data, so a rule that skipped
+    * a matching file would hash-mismatch. */
+  private val q286 = GQ(
+    "q286_isnull_prune",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.tables.{GraftTable, Maintenance}
+      val p = Scratch.dir("nullprobe")
+      val o = Tables.t(s, dir, "orders")
+      val maxKey = o.agg(max("o_orderkey")).head().getLong(0)
+      val cut = maxKey - 500 // the "current rows": high keys, end open
+      val staged = o.select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") > cut, lit(null).cast("timestamp"))
+          .otherwise(col("o_orderdate")).as("o_end"))
+      val t = GraftTable.createFrom(s, p, staged)
+      // same clamp as q285: file COUNT grows with data, never file size
+      val totalBytes = t.filesAt()
+        .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+      t.setProperties(Map("graft.targetFileSize" ->
+        math.min(math.max(totalBytes / 32, 4L * 1024), 32L * 1024 * 1024).toString))
+      Maintenance.optimize(t, zorderBy = Seq("o_orderkey"))
+      val (kept, total) = t.pruneFiles("o_end IS NULL")
+      require(kept.size < total, s"IS NULL must prune: ${kept.size}/$total")
+      // exactness: kept ≡ the files whose footer null count is > 0
+      val stats = t.statsAt()
+      val base = java.nio.file.Paths.get(t.path)
+      val withNulls = t.filesAt().filter { abs =>
+        val rel = base.relativize(java.nio.file.Paths.get(abs)).toString
+        stats.get(rel).flatMap(_.get("__nulls_o_end"))
+          .exists(_._1.toLong > 0)
+      }.toSet
+      require(kept.toSet == withNulls,
+        "IS NULL must keep exactly the null-bearing files")
+      t.readWhere("o_end IS NULL")
+        .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderkey > (SELECT max(o_orderkey) - 500 FROM orders)
+            ORDER BY o_orderkey""")
+  )
+
+  /** Predicate-scoped compaction (round 18): `OPTIMIZE t WHERE p`
+    * through the SQL router rewrites ONLY the files whose stats overlap
+    * `p` — the delta-optimizer's emitted commands target hot partitions
+    * exactly this way in production (a full-table rewrite per
+    * maintenance pass is a non-starter at 100 TB). The gate builds the
+    * table from two DISJOINT key slices (low slice fragmented into many
+    * small files, high slice compact), scopes the OPTIMIZE to the low
+    * slice, and REQUIRES the commit's removed set to be exactly the low
+    * files with every high file untouched; the oracle checks the full
+    * read-back, so a scope bug that dropped or duplicated rows would
+    * hash-mismatch. */
+  private val q287 = GQ(
+    "q287_optimize_where",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.tables.GraftTable
+      val p = Scratch.dir("optwhere")
+      val o = Tables.t(s, dir, "orders")
+      val cut = o.agg(max("o_orderkey")).head().getLong(0) / 2
+      val t = GraftTable.create(s, p, o.schema)
+      t.append(o.filter(col("o_orderkey") <= cut).repartition(6)) // fragmented hot slice
+      t.append(o.filter(col("o_orderkey") > cut).coalesce(1))     // compact cold slice
+      val rel = { val b = java.nio.file.Paths.get(t.path)
+        (f: String) => b.relativize(java.nio.file.Paths.get(f)).toString }
+      val lowBefore = t.pruneFiles(s"o_orderkey <= $cut")._1.toSet
+      val highBefore = t.pruneFiles(s"o_orderkey > $cut")._1.toSet
+      require(lowBefore.intersect(highBefore).isEmpty, "slices must be stats-disjoint")
+      val g = new graft.sql.GraftSql(s, p + "-sql")
+      g.register("orders", t)
+      g.sql(s"OPTIMIZE orders WHERE o_orderkey <= $cut ZORDER BY (o_orderkey)")
+      val c = t.commits.last
+      require(c.operation == "OPTIMIZE" &&
+        c.operationParameters("predicate") == s"o_orderkey <= $cut")
+      require(c.removedFiles.toSet == lowBefore.map(rel),
+        "OPTIMIZE WHERE must rewrite exactly the in-scope files")
+      require(highBefore.subsetOf(t.filesAt().toSet),
+        "out-of-scope files must be untouched")
+      t.read().select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+            ORDER BY o_orderkey""")
+  )
+
   /** Apply-then-measure auto-tuning round trip — the reference's Strategy
     * RUNNER step (`30-performance/delta-optimizer/customer-facing-delta-
     * optimizer/Step 2_ Strategy Runner.py`: execute the ranked commands
@@ -237,5 +331,5 @@ object OptimizerQueries extends QueryBatch {
             ORDER BY predicate""")
   )
 
-  override def queries: Seq[GQ] = Seq(q120, q121, q245, q285)
+  override def queries: Seq[GQ] = Seq(q120, q121, q245, q285, q286, q287)
 }

@@ -551,12 +551,20 @@ final class GraftSql(val spark: SparkSession, val basePath: String) {
   // ---- maintenance statements -------------------------------------------
 
   private def optimize(s: String): DataFrame = {
-    val re = "(?is)OPTIMIZE\\s+(\\w+)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?(\\s+INCREMENTAL)?\\s*".r
+    // OPTIMIZE t [WHERE <pred>] [ZORDER BY (...)] [INCREMENTAL] — the
+    // WHERE scope compacts only the files whose stats overlap the
+    // predicate (Maintenance.optimizeWhere), the shape the
+    // delta-optimizer's emitted commands use to target hot partitions
+    val re = "(?is)OPTIMIZE\\s+(\\w+)(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?(\\s+INCREMENTAL)?\\s*".r
     s match {
-      case re(name, z, inc) =>
+      case re(name, where, z, inc) =>
         val zcols = Option(z).map(splitTopLevel(_).map(_.trim)).getOrElse(Nil)
+        if (where != null && inc != null)
+          sys.error("OPTIMIZE WHERE cannot be combined with INCREMENTAL")
         val c =
-          if (inc != null) Maintenance.optimizeIncremental(table(name), zcols)
+          if (where != null)
+            Maintenance.optimizeWhere(table(name), where.trim, zcols)
+          else if (inc != null) Maintenance.optimizeIncremental(table(name), zcols)
           else Maintenance.optimize(table(name), zcols)
         import spark.implicits._
         Seq((c.version, c.metrics.getOrElse("numFilesAdded", 0L),

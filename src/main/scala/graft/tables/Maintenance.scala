@@ -189,6 +189,51 @@ object Maintenance {
       fileStats = t.harvestStats(added), schemaUnion = true)
   }
 
+  /** Predicate-scoped OPTIMIZE — `OPTIMIZE t WHERE p [ZORDER BY (...)]`:
+    * rewrite ONLY the files whose stats ranges overlap `p` (the same
+    * pruning evaluator reads use), leaving the rest of the table's
+    * layout untouched. This is how the delta-optimizer's emitted
+    * commands target hot partitions in production — a full-table
+    * rewrite per maintenance pass is a non-starter at 100 TB, but the
+    * current day's ingest (a date-range predicate) compacts in O(that
+    * slice). Matching is stats-conservative: a file with no stats or an
+    * overlapping range is INCLUDED (rewriting too much is slower, never
+    * wrong). Deletion vectors follow the optimizeIncremental policy:
+    * the rewrite materializes DVs of the files it reads, so their
+    * entries dangle harmlessly; entries for untouched files stay live. */
+  def optimizeWhere(t: GraftTable, predicateSql: String,
+      zorderBy: Seq[String] = Nil, curve: String = "z"): Commit = {
+    val zorderByEff =
+      if (zorderBy.nonEmpty) zorderBy
+      else t.properties.get("graft.clusterBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val curveEff =
+      if (curve != "z") curve
+      else t.properties.getOrElse("graft.clusterCurve", "z")
+    val params = Map("zOrderBy" -> zorderByEff.mkString(","),
+      "curve" -> curveEff, "predicate" -> predicateSql)
+    val (matching, _) = t.pruneFiles(predicateSql)
+    if (matching.size < 2) // nothing to compact in scope — record the no-op
+      return t.commit("OPTIMIZE", Nil, Nil, t.schemaAt(), params,
+        schemaUnion = true)
+    val totalBytes = matching.map(f => Files.size(Paths.get(f))).sum
+    val target = t.properties.get("graft.targetFileSize")
+      .map(parseSize).getOrElse(DefaultTargetFileBytes)
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
+    val df = t.readFiles(matching)
+    val clustered = clusterInto(df, zorderByEff, nFiles,
+      partitionCols = t.partitionColumns, curve = curveEff)
+    val added = t.writeData(clustered)
+    def rel(f: String) = Paths.get(t.path).toAbsolutePath
+      .relativize(Paths.get(f).toAbsolutePath).toString
+    t.commit("OPTIMIZE", added, matching.map(rel), t.schemaAt(), params,
+      metrics = Map(
+        "numFilesRemoved" -> matching.size.toLong,
+        "numFilesAdded" -> added.size.toLong,
+        "bytesCompacted" -> totalBytes),
+      fileStats = t.harvestStats(added), schemaUnion = true)
+  }
+
   /** Incremental OPTIMIZE: compact only files below
     * `smallFileFraction × targetFileSize` — what repeated small appends
     * leave behind — and leave well-sized files alone. A full-table

@@ -95,6 +95,26 @@ class GraftSqlSpec extends SparkTestBase {
     intercept[RuntimeException] { g.sql("MERGE INTO x USING y") } // no ON
   }
 
+  test("OPTIMIZE WHERE routes the predicate scope; INCREMENTAL combination rejected") {
+    import org.apache.spark.sql.functions._
+    val g = new GraftSql(spark, scratch("optwheresql"))
+    val o = Tables.t(spark, sf, "orders")
+    val cut = o.agg(max("o_orderkey")).head().getLong(0) / 2
+    g.createTable("ow", o.schema)
+    val t = g.table("ow")
+    t.append(o.filter(col("o_orderkey") <= cut).repartition(3))
+    t.append(o.filter(col("o_orderkey") > cut).coalesce(1))
+    val high = t.pruneFiles(s"o_orderkey > $cut")._1.toSet
+    val r = g.sql(s"OPTIMIZE ow WHERE o_orderkey <= $cut ZORDER BY (o_orderkey)")
+      .head()
+    assert(r.getLong(2) === 3, "numFilesRemoved must be the 3 in-scope files")
+    assert(high.subsetOf(t.filesAt().toSet))
+    assert(t.commits.last.operationParameters("predicate") === s"o_orderkey <= $cut")
+    intercept[RuntimeException] {
+      g.sql(s"OPTIMIZE ow WHERE o_orderkey <= $cut INCREMENTAL")
+    }
+  }
+
   test("GRANT/REVOKE are accepted as no-ops") {
     val g = new GraftSql(spark, scratch("acl"))
     assert(g.sql("GRANT SELECT ON TABLE x TO `analysts`").count() === 0)

@@ -84,6 +84,57 @@ class FileStatsSpec extends SparkTestBase {
     assert(kept.size === all)
   }
 
+  test("IS NULL / IS NOT NULL prune on footer null counts") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // unit semantics on a crafted stats map first
+    val schema = StructType(Seq(StructField("c", LongType)))
+    val isNull = spark.sessionState.sqlParser.parseExpression("c IS NULL")
+    val isNotNull = spark.sessionState.sqlParser.parseExpression("c IS NOT NULL")
+    def m(stats: FileStats.Stats, p: org.apache.spark.sql.catalyst.expressions.Expression) =
+      FileStats.mightMatch(stats, p, schema)
+    assert(!m(Map("__nulls_c" -> ("0", "100")), isNull), "zero nulls ⇒ IS NULL prunes")
+    assert(m(Map("__nulls_c" -> ("5", "100")), isNull))
+    assert(m(Map.empty, isNull), "no null stats ⇒ conservative keep")
+    assert(!m(Map("__nulls_c" -> ("100", "100")), isNotNull), "all null ⇒ IS NOT NULL prunes")
+    assert(m(Map("__nulls_c" -> ("99", "100")), isNotNull))
+    assert(m(Map("__nulls_c" -> ("garbage", "100")), isNull), "unparseable ⇒ keep")
+
+    // end-to-end: two appends — one batch with the column entirely NULL,
+    // one entirely non-NULL — land in disjoint files
+    val o = Tables.t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    val allNull = o.limit(200).withColumn("o_end", lit(null).cast("timestamp"))
+    val nonNull = o.limit(200).withColumn("o_end", col("o_orderdate"))
+    val t = GraftTable.create(spark, scratch("nullprune"), allNull.schema)
+    t.append(allNull)
+    val nullFiles = t.filesAt().toSet
+    t.append(nonNull)
+    val allFiles = t.filesAt().toSet
+    val (keptNull, total) = t.pruneFiles("o_end IS NULL")
+    assert(keptNull.toSet == nullFiles, "IS NULL must keep exactly the null-bearing files")
+    assert(keptNull.size < total)
+    val (keptNotNull, _) = t.pruneFiles("o_end IS NOT NULL")
+    assert(keptNotNull.toSet == (allFiles -- nullFiles),
+      "IS NOT NULL must skip the all-null files")
+    // correctness: pruned reads equal unpruned filters
+    assert(t.readWhere("o_end IS NULL").count() == 200)
+    assert(t.readWhere("o_end IS NOT NULL").count() == 200)
+  }
+
+  test("distributed footer harvest returns the same map as the driver pool") {
+    val li = Tables.t(spark, sf, "lineitem")
+      .withColumn("l_nullable",
+        when(col("l_orderkey") % 7 === 0, col("l_quantity")))
+    val t = GraftTable.createFrom(spark, scratch("distharv"), li.repartition(6))
+    val files = t.filesAt()
+    assert(files.size >= 4)
+    val viaDriver = FileStats.harvestWithRows(spark, files)
+    val viaJob = FileStats.harvestDistributed(spark, files)
+    assert(viaJob == viaDriver,
+      "the mapPartitions harvest must be byte-identical to the driver pool's")
+    // and the stats carry null counts for the nullable column
+    assert(viaDriver.values.exists(_._2.contains("__nulls_l_nullable")))
+  }
+
   test("IN-list and OR predicates prune to the union of their members' files") {
     val li = Tables.t(spark, sf, "lineitem")
     val t = GraftTable.createFrom(spark, scratch("inprune"), li)

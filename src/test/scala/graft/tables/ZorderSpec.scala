@@ -63,4 +63,55 @@ class ZorderSpec extends SparkTestBase {
         li.filter(org.apache.spark.sql.functions.expr(p)).count())
     }
   }
+
+  test("OPTIMIZE WHERE rewrites exactly the in-scope files and preserves content") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.t(spark, sf, "orders")
+    val cut = o.agg(max("o_orderkey")).head().getLong(0) / 2
+    val t = GraftTable.create(spark, scratch("optwhere"), o.schema)
+    t.append(o.filter(col("o_orderkey") <= cut).repartition(5))
+    t.append(o.filter(col("o_orderkey") > cut).coalesce(1))
+    def rel(f: String) = java.nio.file.Paths.get(t.path)
+      .relativize(java.nio.file.Paths.get(f)).toString
+    val low = t.pruneFiles(s"o_orderkey <= $cut")._1.toSet
+    val high = t.pruneFiles(s"o_orderkey > $cut")._1.toSet
+    assert(low.size === 5 && low.intersect(high).isEmpty)
+
+    val c = Maintenance.optimizeWhere(t, s"o_orderkey <= $cut",
+      zorderBy = Seq("o_orderkey"))
+    // commit-log pin: removed ≡ the in-scope files, nothing else
+    assert(c.removedFiles.toSet === low.map(rel))
+    assert(high.subsetOf(t.filesAt().toSet), "out-of-scope files untouched")
+    assert(c.operationParameters("predicate") === s"o_orderkey <= $cut")
+    // content identical to the source
+    assert(t.read().count() === o.count())
+    assert(t.read().agg(sum("o_orderkey")).head().getLong(0) ===
+      o.agg(sum("o_orderkey")).head().getLong(0))
+    // the scoped slice is now range-clustered: a point probe prunes within it
+    val (kept, total) = t.pruneFiles("o_orderkey = 1")
+    assert(kept.size < total)
+
+    // a predicate matching <2 files is a recorded no-op
+    val before = t.filesAt().toSet
+    val noop = Maintenance.optimizeWhere(t, "o_orderkey = 1")
+    assert(noop.addedFiles.isEmpty && noop.removedFiles.isEmpty)
+    assert(t.filesAt().toSet === before)
+  }
+
+  test("OPTIMIZE WHERE materializes deletion vectors of the rewritten slice only") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.t(spark, sf, "orders")
+    val cut = o.agg(max("o_orderkey")).head().getLong(0) / 2
+    val t = GraftTable.create(spark, scratch("optwheredv"), o.schema,
+      Map("graft.deletionVectors" -> "true"))
+    t.append(o.filter(col("o_orderkey") <= cut).repartition(4))
+    t.append(o.filter(col("o_orderkey") > cut).repartition(2))
+    MergeOps.delete(t, "o_custkey = 1") // DV rows across both slices
+    val expected = t.read().count()
+    Maintenance.optimizeWhere(t, s"o_orderkey <= $cut", Seq("o_orderkey"))
+    // the rewrite applied the DVs of the files it read; untouched files'
+    // DV entries stay live — the visible row set never changes
+    assert(t.read().count() === expected)
+    assert(t.read().filter(col("o_custkey") === 1).count() === 0)
+  }
 }
