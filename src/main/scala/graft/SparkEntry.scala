@@ -15,8 +15,8 @@ object SparkEntry {
   def batches: Seq[QueryBatch] =
     Seq(Relational, TableOps, TextQueries, VectorQueries, StreamQueries,
       SqlQueries, ServiceQueries, OptimizerQueries, MultimodalQueries,
-      CoverageQueries, TpchQueries, ExtAnalyticsQueries, RankQueries,
-      PipelineQueries)
+      CoverageQueries, TpchQueries, TpcdsQueries, ExtAnalyticsQueries,
+      RankQueries, PipelineQueries)
 
   private lazy val catalog: Seq[GQ] = batches.flatMap(_.queries)
 
