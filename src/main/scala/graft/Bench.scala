@@ -114,6 +114,17 @@ object Bench {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Double)]
     // (name, isolatedMedian, isolatedMad) per flagged gate
     val isolated = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    // per-gate wall-clock spent (reps + reset), keyed by gate name for the
+    // catalog pass, "iso:<name>" for isolated reps, "__<phase>" for the
+    // fixed phases — so a budget-degraded record shows WHERE the wall
+    // went (VERDICT r17 #1b)
+    val budgetSpent = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def spent[T](key: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      try body
+      finally budgetSpent(key) =
+        budgetSpent.getOrElse(key, 0.0) + (System.nanoTime() - t0) / 1e9
+    }
     var concurrentQpm = 0.0
     val conc = sys.env.get("SPARK_GRAFT_CONCURRENCY")
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(4)
@@ -147,8 +158,10 @@ object Bench {
       val qsIsoMad = isolated.map { case (k, _, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
       val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val qsSpent = budgetSpent.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+        .mkString("{", ",", "}")
       val full =
-        f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"value_quiet_gates":$quietGates,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"partial":$partial,"elapsed_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"degraded":$degradedJson,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"queries_isolated":$qsIso,"queries_isolated_mad":$qsIsoMad,"sf":"$sfDir"}"""
+        f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"value_quiet_gates":$quietGates,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"partial":$partial,"elapsed_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"degraded":$degradedJson,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"queries_isolated":$qsIso,"queries_isolated_mad":$qsIsoMad,"budget_spent":$qsSpent,"sf":"$sfDir"}"""
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
       val tmp = dir.resolve("bench_full.json.tmp")
@@ -161,7 +174,9 @@ object Bench {
 
     // warm-up: JVM/codegen/file-listing caches, like the reference's
     // pre-warm SELECT * per table (TPCDS/README "Relevant Features")
-    Tables.all.foreach(n => Tables.t(spark, sfDir, n).count())
+    spent("__warmup") {
+      Tables.all.foreach(n => Tables.t(spark, sfDir, n).count())
+    }
 
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -180,27 +195,107 @@ object Bench {
       graft.tools.Harness.resetRunState(spark, gc = i % gcEvery == gcEvery - 1)
     graft.tools.Harness.wipeScratch() // residue from earlier runs
 
+    // Pin list: gates whose quiet numbers must exist EVERY round (see the
+    // isolated-pass comment below for the per-family history). Defined
+    // before the catalog pass because a budget-armed run measures them
+    // isolated FIRST.
+    val alwaysIsolate = sys.env.get("SPARK_GRAFT_ISOLATE_ALWAYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("q58_optimize_zorder", "q245_optimizer_apply",
+        "q246_image_decode", "q247_audio_decode", "q248_image_near_dup",
+        "q249_video_decode", "q250_video_frame_sample",
+        "q251_audio_near_dup", "q252_video_near_dup",
+        "q253_media_quarantine", "q254_mp4_decode",
+        "q255_media_quarantine_stages", "q256_mixed_container_near_dup",
+        "q257_poster_frame_dedup", "q258_container_normalize",
+        "q260_mp4_audio_demux", "q261_mixed_audio_decode",
+        "q210_stream_stream_join", "q218_stream_ingest_dedup",
+        "q242_stream_vector_ingest", "q259_stream_media_ingest",
+        "q270_stream_corpus_health"))
+
+    /** Isolated measurement of one gate: full state reset + forced GC
+      * before every rep; recorded into `queries_isolated` unless every
+      * rep failed (a -1 there would be preferred by BenchDiff as the
+      * record number — review finding). */
+    def isolateGate(name: String): Unit = spent("iso:" + name) {
+      val fn = SparkEntry.queries(name)
+      val times = (1 to repeat).map { _ =>
+        resetRunState(gcEvery - 1)
+        try timeOne(fn)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] isolated $name failed: ${e.getMessage}"); -1.0 }
+      }.filter(_ >= 0)
+      resetRunState(gcEvery - 1)
+      if (times.nonEmpty) {
+        val med = median(times)
+        isolated += ((name, med, median(times.map(x => math.abs(x - med)))))
+        snapshot(partial = true)
+      }
+    }
+
+    // ---- budget-armed runs: pinned isolate pass FIRST -----------------
+    // When a real wall-clock budget arms (the driver's 3000 s default —
+    // local sittings set an effectively-off budget), the ambient-
+    // sensitive pinned gates are measured ISOLATED before the catalog's
+    // repeat-N pass, ordered by the PREVIOUS round's in-run MAD
+    // (descending — noisiest first), so quiet numbers for the dozen
+    // gates that need them exist even if the budget later truncates
+    // everything (r17's driver record degraded to repeat-1 with the
+    // isolated pass cut — VERDICT r17 #1a). Local unbudgeted sittings
+    // keep the r10-r17 order (isolated AFTER the catalog, warm JVM) so
+    // their numbers stay comparable across rounds.
+    val isolateFirst = budgetSec > 0 &&
+      budgetSec <= envDouble("SPARK_GRAFT_ISOLATE_FIRST_UNDER", 10000.0)
+    if (isolateFirst) {
+      val prevMad: Map[String, Double] = {
+        val path = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
+          val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+            .map(_.getName).filter(_.matches("BENCH_LOCAL_r\\d+\\.json"))
+          if (rs.isEmpty) None
+          else Some(rs.maxBy(_.replaceAll("\\D", "").toInt))
+        }
+        path.flatMap { p =>
+          try {
+            val root = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(new java.io.File(p))
+            Option(root.get("queries_mad")).map { m =>
+              import scala.jdk.CollectionConverters._
+              m.fields().asScala
+                .map(e => e.getKey -> e.getValue.asDouble()).toMap
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.getOrElse(Map.empty)
+      }
+      val pinned = queries.map(_._1).filter(alwaysIsolate.contains)
+        .sortBy(n => (-prevMad.getOrElse(n, 0.0), n))
+      System.err.println(f"[bench] budget armed ($budgetSec%.0f s): isolating " +
+        s"${pinned.size} pinned gates first (prev-MAD order)")
+      pinned.foreach(isolateGate)
+    }
+
     // ---- catalog pass -------------------------------------------------
     // median is the headline statistic; mad = median(|rep − median|) is
     // the per-query spread, so a future round can tell a real regression
     // (delta ≫ mad) from run-to-run noise (delta ≲ a few mad)
     // mechanically instead of re-litigating it with isolated reruns
     queries.zipWithIndex.foreach { case ((name, fn), i) =>
-      // budget degrade #1: past 85% of the budget the remaining gates
-      // run ONCE — a 1-rep median is noisier, never missing
-      val reps = if (overBudget(0.85, "catalog_repeat_1")) 1 else repeat
-      val times = (1 to reps).map { _ =>
-        try timeOne(fn)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      spent(name) {
+        // budget degrade #1: past 85% of the budget the remaining gates
+        // run ONCE — a 1-rep median is noisier, never missing
+        val reps = if (overBudget(0.85, "catalog_repeat_1")) 1 else repeat
+        val times = (1 to reps).map { _ =>
+          try timeOne(fn)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+        }
+        resetRunState(i)
+        val okT = times.filter(_ >= 0)
+        results += (if (okT.isEmpty) (name, -1.0, -1.0, -1.0)
+        else {
+          val med = median(okT)
+          (name, med, okT.min, median(okT.map(x => math.abs(x - med))))
+        })
       }
-      resetRunState(i)
-      val okT = times.filter(_ >= 0)
-      results += (if (okT.isEmpty) (name, -1.0, -1.0, -1.0)
-      else {
-        val med = median(okT)
-        (name, med, okT.min, median(okT.map(x => math.abs(x - med))))
-      })
       snapshot(partial = true)
     }
 
@@ -216,17 +311,19 @@ object Bench {
     // the read-only subset — skip it past 80% (concurrent_qpm stays 0.0,
     // the same value a conc<=1 run reports)
     if (conc > 1 && readOnly.nonEmpty && !overBudget(0.80, "concurrency_skipped")) {
-      import java.util.concurrent.Executors
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration._
-      val pool = Executors.newFixedThreadPool(conc)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val t0 = System.nanoTime()
-      Await.result(Future.sequence(readOnly.map { case (_, fn) =>
-        Future { try timeOne(fn) catch { case _: Throwable => -1.0 } }
-      }), 30.minutes)
-      pool.shutdown()
-      concurrentQpm = readOnly.size * 60.0 / ((System.nanoTime() - t0) / 1e9)
+      spent("__concurrency") {
+        import java.util.concurrent.Executors
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        val pool = Executors.newFixedThreadPool(conc)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val t0 = System.nanoTime()
+        Await.result(Future.sequence(readOnly.map { case (_, fn) =>
+          Future { try timeOne(fn) catch { case _: Throwable => -1.0 } }
+        }), 30.minutes)
+        pool.shutdown()
+        concurrentQpm = readOnly.size * 60.0 / ((System.nanoTime() - t0) / 1e9)
+      }
       snapshot(partial = true)
     }
 
@@ -247,7 +344,8 @@ object Bench {
     val madFloor = envDouble("SPARK_GRAFT_ISOLATE_MAD_FLOOR", 0.3)
     val classMad = median(ok.map(_._4).filter(_ >= 0) match {
       case s if s.isEmpty => Seq(0.0); case s => s })
-    // Pin list: gates that inflate under CO-LOCATED load outside this
+    // Pin-list rationale (the list itself is defined before the catalog
+    // pass): gates that inflate under CO-LOCATED load outside this
     // JVM (q58's driver-run history: in-run 9.31/MAD 2.97 vs isolated
     // 3.73 across three rounds, while the full catalog run on a quiet
     // box measures 4.01/MAD 0.03 and stays ≤ 4.1 s under sustained
@@ -268,19 +366,6 @@ object Bench {
     // are on record even when interference hits all reps equally
     // (uniform inflation leaves MAD small and the trigger blind —
     // the q58 lesson).
-    val alwaysIsolate = sys.env.get("SPARK_GRAFT_ISOLATE_ALWAYS")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("q58_optimize_zorder", "q245_optimizer_apply",
-        "q246_image_decode", "q247_audio_decode", "q248_image_near_dup",
-        "q249_video_decode", "q250_video_frame_sample",
-        "q251_audio_near_dup", "q252_video_near_dup",
-        "q253_media_quarantine", "q254_mp4_decode",
-        "q255_media_quarantine_stages", "q256_mixed_container_near_dup",
-        "q257_poster_frame_dedup", "q258_container_normalize",
-        "q260_mp4_audio_demux", "q261_mixed_audio_decode",
-        "q210_stream_stream_join", "q218_stream_ingest_dedup",
-        "q242_stream_vector_ingest", "q259_stream_media_ingest",
-        "q270_stream_corpus_health"))
     // Second trigger, for CORRELATED window inflation: when ambient load
     // hits every rep of a gate equally, MAD stays small (the reps agree
     // with each other) while median/min stretches — the q58/q62
@@ -291,33 +376,20 @@ object Bench {
     // is always on record without growing the pin list one postmortem
     // at a time.
     val divK = envDouble("SPARK_GRAFT_ISOLATE_DIV_K", 1.8)
+    val alreadyIsolated = isolated.map(_._1).toSet // the isolate-first pass
     val flagged = (ok.filter { case (_, med, mn, mad) =>
       (mad > madFloor && mad > madK * classMad) ||
         (mn > 0 && med / mn > divK && med - mn > madFloor) }.map(_._1) ++
-      alwaysIsolate.filter(n => ok.exists(_._1 == n))).distinct
+      alwaysIsolate.filter(n => ok.exists(_._1 == n)))
+      .distinct.filterNot(alreadyIsolated.contains)
     // budget degrade #3: stop ADMITTING gates to the isolated pass past
-    // 90% — quiet numbers already recorded keep; the rest fall back to
-    // their in-run medians, and value_quiet_gates names the actual
-    // substitution set as always
+    // 90% — quiet numbers already recorded keep (on a budget-armed run
+    // the pinned dozen were measured FIRST, so this truncation can only
+    // cost MAD-triggered stragglers); the rest fall back to their in-run
+    // medians, and value_quiet_gates names the actual substitution set
+    // as always
     flagged.foreach { name =>
-      if (!overBudget(0.90, "isolated_pass_truncated")) {
-        val fn = SparkEntry.queries(name)
-        val times = (1 to repeat).map { _ =>
-          resetRunState(gcEvery - 1) // reset + GC before EVERY rep
-          try timeOne(fn)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] isolated $name failed: ${e.getMessage}"); -1.0 }
-        }.filter(_ >= 0)
-        resetRunState(gcEvery - 1)
-        // an all-reps-failed gate must not serialize -1.0 into
-        // queries_isolated (BenchDiff would prefer it as the record
-        // number — review finding); the in-run median remains its record
-        if (times.nonEmpty) {
-          val med = median(times)
-          isolated += ((name, med, median(times.map(x => math.abs(x - med)))))
-          snapshot(partial = true)
-        }
-      }
+      if (!overBudget(0.90, "isolated_pass_truncated")) isolateGate(name)
     }
 
     resetRunState(gcEvery - 1) // clean slate (+GC) before the micro-experiments
@@ -330,7 +402,7 @@ object Bench {
     // stable and readably mark the skip
     // ZORDER pruning comparison (the BASELINE.md point-lookup experiment:
     // clustered table, point predicate → files skipped + latency ratio)
-    if (!overBudget(0.95, "micro_pruning_skipped")) {
+    if (!overBudget(0.95, "micro_pruning_skipped")) spent("__micro_pruning") {
       import graft.tables.{GraftTable, Maintenance}
       val dir = java.nio.file.Files.createTempDirectory("bench-prune")
       val li = Tables.t(spark, sfDir, "lineitem")
@@ -352,7 +424,7 @@ object Bench {
     // range-cluster, same box predicate — the z-curve subdivides both
     // dimensions, so the box should read fewer files than the
     // leading-column-only pruning the lexicographic layout allows
-    if (!overBudget(0.95, "micro_pruning2d_skipped")) {
+    if (!overBudget(0.95, "micro_pruning2d_skipped")) spent("__micro_pruning2d") {
       import graft.tables.{GraftTable, Maintenance}
       val dir = java.nio.file.Files.createTempDirectory("bench-prune2d")
       val li = Tables.t(spark, sfDir, "lineitem")
@@ -387,7 +459,7 @@ object Bench {
 
     // merge-batch latency, fragmented vs compacted target (BASELINE.md
     // note (c): the Step-2 experiment)
-    if (!overBudget(0.95, "micro_merge_skipped")) {
+    if (!overBudget(0.95, "micro_merge_skipped")) spent("__micro_merge") {
       import graft.tables.{GraftTable, Maintenance, MergeOps}
       import org.apache.spark.sql.functions.lit
       val dir = java.nio.file.Files.createTempDirectory("bench-merge")
@@ -412,7 +484,7 @@ object Bench {
     // DELETE latency: deletion-vector (merge-on-read) vs copy-on-write on
     // the same predicate — the DV value proposition is O(matched rows)
     // sidecar writes instead of file rewrites
-    if (!overBudget(0.95, "micro_delete_skipped")) {
+    if (!overBudget(0.95, "micro_delete_skipped")) spent("__micro_delete") {
       import graft.tables.{GraftTable, MergeOps}
       val dir = java.nio.file.Files.createTempDirectory("bench-dv")
       val li = Tables.t(spark, sfDir, "lineitem")
