@@ -135,7 +135,7 @@ object FileStats {
     * write the commit, i.e. the MINIMUM driver-side state, not a
     * shortcut. Used above the threshold where a driver thread pool
     * would serialize the IO (VERDICT r17 #3). */
-  private[tables] def harvestDistributed(spark: SparkSession,
+  private[graft] def harvestDistributed(spark: SparkSession,
       files: Seq[String]): Map[String, (Long, Stats)] = {
     import spark.implicits._
     val kv = spark.sessionState.newHadoopConf().asScala
