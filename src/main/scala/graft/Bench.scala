@@ -270,7 +270,13 @@ object Bench {
         .sortBy(n => (-prevMad.getOrElse(n, 0.0), n))
       System.err.println(f"[bench] budget armed ($budgetSec%.0f s): isolating " +
         s"${pinned.size} pinned gates first (prev-MAD order)")
-      pinned.foreach(isolateGate)
+      // the pass itself is budget-capped: on a badly loaded box 22
+      // pinned gates × reps could alone eat the whole budget before any
+      // catalog measurement exists (review finding) — past 40% stop
+      // admitting, the rest fall back to the late MAD-triggered pass
+      pinned.foreach { n =>
+        if (!overBudget(0.40, "isolate_first_truncated")) isolateGate(n)
+      }
     }
 
     // ---- catalog pass -------------------------------------------------

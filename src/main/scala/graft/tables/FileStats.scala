@@ -81,7 +81,13 @@ object FileStats {
           }
         }
         (nulls.keySet -- nullsUnknown).foreach { name =>
-          acc(NullsPrefix + name) = (nulls(name).toString, rows.toString)
+          val key = NullsPrefix + name
+          // a REAL column named __nulls_<x> wins the key: its min/max
+          // must not be overwritten by x's null accounting, which would
+          // prune that column's reads incorrectly (review finding);
+          // mightMatch also refuses null-count pruning when the schema
+          // carries such a column
+          if (!acc.contains(key)) acc(key) = (nulls(name).toString, rows.toString)
         }
         (rows, acc.toMap)
       } finally reader.close()
@@ -101,8 +107,16 @@ object FileStats {
   def harvestWithRows(spark: SparkSession, files: Seq[String]): Map[String, (Long, Stats)] = {
     val conf = spark.sessionState.newHadoopConf()
     def one(f: String): (Long, Stats) = readFooter(conf, f)
-    val distThreshold = spark.conf
-      .get("graft.statsHarvest.distributedThreshold", "4096").toInt
+    // malformed conf degrades to the default with a warning: stats
+    // harvesting is advisory and must never fail a commit, including on
+    // a typo'd threshold (review finding)
+    val distThresholdRaw =
+      spark.conf.get("graft.statsHarvest.distributedThreshold", "4096")
+    val distThreshold = distThresholdRaw.toIntOption.getOrElse {
+      System.err.println("[filestats] ignoring malformed " +
+        s"graft.statsHarvest.distributedThreshold='$distThresholdRaw', using 4096")
+      4096
+    }
     // footer reads are independent IO — harvest concurrently (an OPTIMIZE
     // that wrote hundreds of files would otherwise pay a serial driver
     // pass; Delta parallelizes its commit-stats collection the same way)
@@ -218,15 +232,19 @@ object FileStats {
         mightMatch(stats, l, schema) || mightMatch(stats, r, schema)
       // col IS NULL: prunable iff the file's null count is known zero —
       // the SCD2 current-row probe (`_end_timestamp IS NULL`) skips
-      // every fully-closed file this way
+      // every fully-closed file this way. When the schema carries a REAL
+      // column named __nulls_<col>, the stats key is ambiguous (that
+      // column's min/max owns it) — refuse to prune (review finding).
       case IsNull(a) =>
-        attrName(a).flatMap(n => nullCounts(stats, n)) match {
+        attrName(a).filterNot(n => schema.exists(_.name == NullsPrefix + n))
+          .flatMap(n => nullCounts(stats, n)) match {
           case Some((numNulls, _)) => numNulls > 0
           case None => true
         }
       // col IS NOT NULL: prunable iff every row in the file is null
       case IsNotNull(a) =>
-        attrName(a).flatMap(n => nullCounts(stats, n)) match {
+        attrName(a).filterNot(n => schema.exists(_.name == NullsPrefix + n))
+          .flatMap(n => nullCounts(stats, n)) match {
           case Some((numNulls, numRows)) => numNulls < numRows
           case None => true
         }

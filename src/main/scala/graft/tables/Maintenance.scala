@@ -29,6 +29,54 @@ object Maintenance {
   private val DefaultTargetFileBytes = 128L * 1024 * 1024
   private val ZBitsPerColumn = 8 // 256 equi-depth buckets per dimension
 
+  /** Table-property fallbacks shared by every OPTIMIZE variant: explicit
+    * args win, else `graft.clusterBy` / `graft.clusterCurve` /
+    * `graft.targetFileSize` (review finding — this lived as three
+    * copy-pastes, one per variant). */
+  private def resolveLayout(t: GraftTable, zorderBy: Seq[String],
+      curve: String): (Seq[String], String, Long) = {
+    val cols =
+      if (zorderBy.nonEmpty) zorderBy
+      else t.properties.get("graft.clusterBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val curveEff =
+      if (curve != "z") curve
+      else t.properties.getOrElse("graft.clusterCurve", "z")
+    val target = t.properties.get("graft.targetFileSize")
+      .map(parseSize).getOrElse(DefaultTargetFileBytes)
+    (cols, curveEff, target)
+  }
+
+  /** Compact the live deletion-vector sidecars after a rewrite of
+    * `rewritten` data files: entries pointing at them are dead (the
+    * rewrite materialized those deletions via `readFiles`), so the
+    * SURVIVING entries are rewritten into one fresh sidecar and every
+    * old sidecar is dropped from the log. Without this, a table
+    * maintained exclusively by partial OPTIMIZEs — the 100 TB
+    * production pattern — accumulates DV files without bound and every
+    * read anti-joins all of them (review finding). Cost: one pass over
+    * the DV rows (≪ table). Returns (addedDv, removedDv). */
+  private def compactDvs(t: GraftTable,
+      rewritten: Seq[String]): (Seq[String], Seq[String]) = {
+    val dvFiles = t.dvAt()
+    if (dvFiles.isEmpty) return (Nil, Nil)
+    import org.apache.spark.sql.functions.{broadcast, regexp_replace}
+    val spark = t.spark
+    import spark.implicits._
+    def rel(f: String) = Paths.get(t.path).toAbsolutePath
+      .relativize(Paths.get(f).toAbsolutePath).toString
+    // __dv_file holds _metadata.file_path URIs (file:/...); normalize
+    // both sides to plain absolute paths before comparing
+    val rewrittenDf = rewritten
+      .map(p => Paths.get(p).toAbsolutePath.normalize.toString).toDF("__rm")
+    val dvRows = spark.read.parquet(dvFiles: _*)
+    val surviving = dvRows.join(broadcast(rewrittenDf),
+      regexp_replace(col(GraftTable.DvFileCol), "^file:/+", "/") === col("__rm"),
+      "left_anti")
+    if (surviving.isEmpty) (Nil, dvFiles.map(rel))
+    else (t.writeDv(surviving)._1, dvFiles.map(rel))
+  }
+
   /** Equi-depth bucket ids (0..255) per column — the shared first stage
     * of both curve layouts: one sketch pass for every column together
     * (dates/timestamps ride as epoch doubles); boundaries are tiny and
@@ -156,18 +204,10 @@ object Maintenance {
     * the SQL-routed one — re-applies it). */
   def optimize(t: GraftTable, zorderBy: Seq[String] = Nil,
       interleave: Boolean = true, curve: String = "z"): Commit = {
-    val zorderByEff =
-      if (zorderBy.nonEmpty) zorderBy
-      else t.properties.get("graft.clusterBy")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val curveEff =
-      if (curve != "z") curve
-      else t.properties.getOrElse("graft.clusterCurve", "z")
+    val (zorderByEff, curveEff, target) = resolveLayout(t, zorderBy, curve)
     val files = t.filesAt()
     if (files.isEmpty) return t.commit("OPTIMIZE", Nil, Nil, t.schemaAt(), schemaUnion = true)
     val totalBytes = files.map(f => Files.size(Paths.get(f))).sum
-    val target = t.properties.get("graft.targetFileSize")
-      .map(parseSize).getOrElse(DefaultTargetFileBytes)
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
 
     val df = t.read()
@@ -203,22 +243,23 @@ object Maintenance {
     * entries dangle harmlessly; entries for untouched files stay live. */
   def optimizeWhere(t: GraftTable, predicateSql: String,
       zorderBy: Seq[String] = Nil, curve: String = "z"): Commit = {
-    val zorderByEff =
-      if (zorderBy.nonEmpty) zorderBy
-      else t.properties.get("graft.clusterBy")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val curveEff =
-      if (curve != "z") curve
-      else t.properties.getOrElse("graft.clusterCurve", "z")
+    val (zorderByEff, curveEff, target) = resolveLayout(t, zorderBy, curve)
     val params = Map("zOrderBy" -> zorderByEff.mkString(","),
       "curve" -> curveEff, "predicate" -> predicateSql)
-    val (matching, _) = t.pruneFiles(predicateSql)
+    // parse EAGERLY and fail loudly: pruneFiles' conservative
+    // parse-failure fallback returns ALL files, which here would turn a
+    // typo'd predicate into a silent full-table rewrite (review finding)
+    val pred =
+      try t.spark.sessionState.sqlParser.parseExpression(predicateSql)
+      catch {
+        case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+          s"cannot parse OPTIMIZE WHERE predicate: $predicateSql", e)
+      }
+    val (matching, _) = t.pruneFilesByExpr(pred)
     if (matching.size < 2) // nothing to compact in scope — record the no-op
       return t.commit("OPTIMIZE", Nil, Nil, t.schemaAt(), params,
         schemaUnion = true)
     val totalBytes = matching.map(f => Files.size(Paths.get(f))).sum
-    val target = t.properties.get("graft.targetFileSize")
-      .map(parseSize).getOrElse(DefaultTargetFileBytes)
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
     val df = t.readFiles(matching)
     val clustered = clusterInto(df, zorderByEff, nFiles,
@@ -226,12 +267,14 @@ object Maintenance {
     val added = t.writeData(clustered)
     def rel(f: String) = Paths.get(t.path).toAbsolutePath
       .relativize(Paths.get(f).toAbsolutePath).toString
+    val (addedDv, removedDv) = compactDvs(t, matching)
     t.commit("OPTIMIZE", added, matching.map(rel), t.schemaAt(), params,
       metrics = Map(
         "numFilesRemoved" -> matching.size.toLong,
         "numFilesAdded" -> added.size.toLong,
         "bytesCompacted" -> totalBytes),
-      fileStats = t.harvestStats(added), schemaUnion = true)
+      fileStats = t.harvestStats(added),
+      addedDv = addedDv, removedDv = removedDv, schemaUnion = true)
   }
 
   /** Incremental OPTIMIZE: compact only files below
@@ -240,17 +283,14 @@ object Maintenance {
     * rewrite per OPTIMIZE is a non-starter at 100 TB; this is the
     * steady-state maintenance pass (Delta's OPTIMIZE compacts exactly
     * this way: only files under minFileSize are rewritten). Deletion
-    * vectors are untouched — entries for rewritten files dangle
-    * harmlessly (the rewrite materialized them), entries for skipped
-    * files stay live; a full `optimize` clears them all. */
+    * vectors are COMPACTED, not dropped: entries for rewritten files
+    * are dead (the rewrite materialized them) and are rewritten away
+    * with the surviving entries into one fresh sidecar — a table
+    * maintained only by partial passes must not accumulate sidecars
+    * (review finding); entries for skipped files stay live. */
   def optimizeIncremental(t: GraftTable, zorderBy: Seq[String] = Nil,
       smallFileFraction: Double = 0.5): Commit = {
-    val zorderByEff =
-      if (zorderBy.nonEmpty) zorderBy
-      else t.properties.get("graft.clusterBy")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val target = t.properties.get("graft.targetFileSize")
-      .map(parseSize).getOrElse(DefaultTargetFileBytes)
+    val (zorderByEff, curveEff, target) = resolveLayout(t, zorderBy, "z")
     val small = t.filesAt()
       .filter(f => Files.size(Paths.get(f)) < (target * smallFileFraction).toLong)
     if (small.size < 2)
@@ -259,15 +299,12 @@ object Maintenance {
     val totalBytes = small.map(f => Files.size(Paths.get(f))).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
     val df = t.readFiles(small)
-    // the declared layout curve applies to incremental passes too — a
-    // hilbert-clustered table must not silently degrade its small-file
-    // compactions to the z-curve
-    val curveEff = t.properties.getOrElse("graft.clusterCurve", "z")
     val clustered = clusterInto(df, zorderByEff, nFiles,
       partitionCols = t.partitionColumns, curve = curveEff)
     val added = t.writeData(clustered)
     def rel(f: String) = Paths.get(t.path).toAbsolutePath
       .relativize(Paths.get(f).toAbsolutePath).toString
+    val (addedDv, removedDv) = compactDvs(t, small)
     t.commit("OPTIMIZE", added, small.map(rel), t.schemaAt(),
       Map("zOrderBy" -> zorderByEff.mkString(","), "incremental" -> "true",
         "curve" -> curveEff),
@@ -275,6 +312,7 @@ object Maintenance {
         "numFilesRemoved" -> small.size.toLong,
         "numFilesAdded" -> added.size.toLong,
         "bytesCompacted" -> totalBytes),
-      fileStats = t.harvestStats(added), schemaUnion = true)
+      fileStats = t.harvestStats(added),
+      addedDv = addedDv, removedDv = removedDv, schemaUnion = true)
   }
 }

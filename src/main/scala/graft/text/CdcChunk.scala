@@ -92,8 +92,10 @@ object CdcChunk {
     * (review finding — delegating it upstream left the quadratic hazard
     * live by default): chunks shared by more docs than the ceiling are
     * excluded from the PAIR JOIN (their fan-out is quadratic in doc
-    * frequency — one boilerplate header in 10⁶ docs is 10¹² pairs), with
-    * the dropped-chunk count logged. `n_chunks_1/2` keep counting every
+    * frequency — one boilerplate header in 10⁶ docs is 10¹² pairs); the
+    * exclusion is silent here to stay lazy — callers wanting the
+    * dropped set run [[hotChunks]] with the same ceiling, which is the
+    * exact table the anti-join used. `n_chunks_1/2` keep counting every
     * chunk of the doc (the doc's true size), so `n_shared` becomes a
     * LOWER bound for docs whose overlap is exclusively mega-template
     * chunks — exactly the pairs a near-dup detector should not surface

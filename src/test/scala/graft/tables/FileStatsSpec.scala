@@ -120,6 +120,27 @@ class FileStatsSpec extends SparkTestBase {
     assert(t.readWhere("o_end IS NOT NULL").count() == 200)
   }
 
+  test("a real column named __nulls_<x> keeps its min/max and disables x's null pruning") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // harvest: the real column's min/max must survive the collision
+    val df = spark.range(100).select(
+      col("id").as("x"), (col("id") + 200).as("__nulls_x"))
+    val t = GraftTable.createFrom(spark, scratch("nullclash"), df.coalesce(1))
+    val st = t.statsAt().values.head
+    assert(st("__nulls_x") === (("200", "299")),
+      s"real column min/max must win the key: ${st("__nulls_x")}")
+    // mightMatch: pruning on the REAL column works off its true range...
+    val (kept, total) = t.pruneFiles("__nulls_x = 250")
+    assert(kept.size === total, "the file containing 250 must be kept")
+    assert(t.readWhere("__nulls_x = 250").count() === 1)
+    // ...and IS NULL on x refuses to prune (ambiguous key — schema guard)
+    val schema = StructType(Seq(StructField("x", LongType),
+      StructField("__nulls_x", LongType)))
+    val isNull = spark.sessionState.sqlParser.parseExpression("x IS NULL")
+    assert(FileStats.mightMatch(Map("__nulls_x" -> ("0", "100")), isNull, schema),
+      "with a shadowing real column the null-count key is untrusted")
+  }
+
   test("distributed footer harvest returns the same map as the driver pool") {
     val li = Tables.t(spark, sf, "lineitem")
       .withColumn("l_nullable",

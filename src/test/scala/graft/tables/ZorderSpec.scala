@@ -98,7 +98,7 @@ class ZorderSpec extends SparkTestBase {
     assert(t.filesAt().toSet === before)
   }
 
-  test("OPTIMIZE WHERE materializes deletion vectors of the rewritten slice only") {
+  test("OPTIMIZE WHERE materializes rewritten-slice DVs and compacts the sidecars") {
     import org.apache.spark.sql.functions._
     val o = Tables.t(spark, sf, "orders")
     val cut = o.agg(max("o_orderkey")).head().getLong(0) / 2
@@ -108,10 +108,36 @@ class ZorderSpec extends SparkTestBase {
     t.append(o.filter(col("o_orderkey") > cut).repartition(2))
     MergeOps.delete(t, "o_custkey = 1") // DV rows across both slices
     val expected = t.read().count()
+    val dvRowsBefore = spark.read.parquet(t.dvAt(): _*).count()
     Maintenance.optimizeWhere(t, s"o_orderkey <= $cut", Seq("o_orderkey"))
     // the rewrite applied the DVs of the files it read; untouched files'
     // DV entries stay live — the visible row set never changes
     assert(t.read().count() === expected)
     assert(t.read().filter(col("o_custkey") === 1).count() === 0)
+    // sidecars are COMPACTED, not accumulated: one fresh sidecar holding
+    // only the untouched slice's entries (rewritten-file entries are
+    // dead and dropped) — a table maintained by partial OPTIMIZEs alone
+    // must not grow its DV file list (review finding)
+    val dvAfter = t.dvAt()
+    assert(dvAfter.size === 1, s"expected one compacted sidecar, got $dvAfter")
+    val dvRowsAfter = spark.read.parquet(dvAfter: _*).count()
+    assert(dvRowsAfter < dvRowsBefore && dvRowsAfter > 0,
+      s"surviving entries only: $dvRowsBefore -> $dvRowsAfter")
+    // a second scoped pass over the OTHER slice clears the rest
+    Maintenance.optimizeWhere(t, s"o_orderkey > $cut", Seq("o_orderkey"))
+    assert(t.dvAt().isEmpty, "all entries dead after both slices rewrote")
+    assert(t.read().count() === expected)
+  }
+
+  test("OPTIMIZE WHERE rejects an unparsable predicate instead of rewriting everything") {
+    val li = Tables.t(spark, sf, "lineitem").limit(200)
+    val t = GraftTable.createFrom(spark, scratch("optwherebad"), li)
+    val before = t.currentVersion
+    val e = intercept[IllegalArgumentException] {
+      // the regex-swallowed-ZORDER shape: garbage reaches the predicate
+      Maintenance.optimizeWhere(t, "l_orderkey > 1 ZORDER BY (substr(b,1,3))")
+    }
+    assert(e.getMessage.contains("cannot parse OPTIMIZE WHERE predicate"))
+    assert(t.currentVersion === before, "no commit on a rejected predicate")
   }
 }
