@@ -380,6 +380,75 @@ class PropertySpec extends SparkTestBase {
     assert(mmr == topk, "with no diversity term MMR must be pure relevance")
   }
 
+  test("file pruning is SOUND on random data + predicates (never drops a matching file)") {
+    // the one property file skipping must never violate: if ANY row of a
+    // file matches the predicate, mightMatch(stats(file)) must keep it.
+    // Random nullable single-column files (the harvest's stats shape:
+    // min/max over non-nulls + __nulls_ accounting) × random predicate
+    // trees over =, <, <=, >, >=, BETWEEN, IN, IS [NOT] NULL, AND, OR —
+    // evaluated by the SAME SQL text the engine parses, against a local
+    // three-valued-logic row evaluator.
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.tables.FileStats
+    sealed trait P
+    case class Cmp(op: String, k: Long) extends P
+    case class Btw(a: Long, b: Long) extends P
+    case class InP(ks: Seq[Long]) extends P
+    case object NullP extends P
+    case object NotNullP extends P
+    case class AndP(l: P, r: P) extends P
+    case class OrP(l: P, r: P) extends P
+    def sqlOf(p: P): String = p match {
+      case Cmp(op, k) => s"c $op $k"
+      case Btw(a, b) => s"c BETWEEN $a AND $b"
+      case InP(ks) => s"c IN (${ks.mkString(", ")})"
+      case NullP => "c IS NULL"
+      case NotNullP => "c IS NOT NULL"
+      case AndP(l, r) => s"(${sqlOf(l)}) AND (${sqlOf(r)})"
+      case OrP(l, r) => s"(${sqlOf(l)}) OR (${sqlOf(r)})"
+    }
+    def eval(row: Option[Long], p: P): Boolean = p match {
+      case Cmp(op, k) => row.exists(v => op match {
+        case "=" => v == k; case "<" => v < k; case "<=" => v <= k
+        case ">" => v > k; case ">=" => v >= k })
+      case Btw(a, b) => row.exists(v => v >= a && v <= b)
+      case InP(ks) => row.exists(ks.contains)
+      case NullP => row.isEmpty
+      case NotNullP => row.nonEmpty
+      case AndP(l, r) => eval(row, l) && eval(row, r)
+      case OrP(l, r) => eval(row, l) || eval(row, r)
+    }
+    val kGen = Gen.choose(-30L, 30L)
+    val leaf: Gen[P] = Gen.frequency(
+      (5, for { op <- Gen.oneOf("=", "<", "<=", ">", ">="); k <- kGen } yield Cmp(op, k)),
+      (2, for { a <- kGen; b <- kGen } yield Btw(math.min(a, b), math.max(a, b))),
+      (2, Gen.nonEmptyListOf(kGen).map(ks => InP(ks.take(4)))),
+      (1, Gen.const(NullP)),
+      (1, Gen.const(NotNullP)))
+    val predGen: Gen[P] = Gen.frequency(
+      (3, leaf),
+      (2, for { l <- leaf; r <- leaf } yield AndP(l, r)),
+      (2, for { l <- leaf; r <- leaf } yield OrP(l, r)))
+    val fileGen: Gen[Seq[Option[Long]]] =
+      Gen.listOfN(12, Gen.frequency(
+        (4, kGen.map(Some(_))), (1, Gen.const(None: Option[Long]))))
+    val schema = StructType(Seq(StructField("c", LongType)))
+    val parser = spark.sessionState.sqlParser
+    forAllSampled(Gen.zip(fileGen, predGen), 300) { case (rows, p) =>
+      val nonNull = rows.flatten
+      val stats: FileStats.Stats =
+        (if (nonNull.nonEmpty)
+          Map("c" -> (nonNull.min.toString, nonNull.max.toString))
+        else Map.empty[String, (String, String)]) ++
+          Map("__nulls_c" ->
+            ((rows.size - nonNull.size).toString, rows.size.toString))
+      val anyMatch = rows.exists(eval(_, p))
+      val kept = FileStats.mightMatch(stats, parser.parseExpression(sqlOf(p)), schema)
+      assert(!anyMatch || kept,
+        s"UNSOUND PRUNE: pred '${sqlOf(p)}' matches in $rows but stats $stats pruned the file")
+    }
+  }
+
   test("fingerprintPairs matches a brute-force hamming reference on random fingerprints") {
     import spark.implicits._
     // the pigeonhole blocking (pairs within radius r share one of r+1
