@@ -82,7 +82,7 @@ object AnnIndex {
   def topK(t: GraftTable, queryVec: Seq[Double], k: Int, nprobe: Int,
       idCol: String = "vec_id"): DataFrame = {
     val probe = probedCells(t, queryVec, nprobe)
-    val q = array(queryVec.map(lit): _*)
+    val q = graft.functions.VecLit.doubles(queryVec)
     val cells = t.readWhere(s"cell IN (${probe.mkString(", ")})")
     val vn = VectorOps.normPre(col("v"))
     cells.select(col(idCol),
@@ -107,7 +107,7 @@ object AnnIndex {
       nprobe: Int, idCol: String = "vec_id"): DataFrame = {
     require(minSim > -1.0, s"minSim must exceed the -1 zero-norm sentinel, got $minSim")
     val probe = probedCells(t, queryVec, nprobe)
-    val q = array(queryVec.map(lit): _*)
+    val q = graft.functions.VecLit.doubles(queryVec)
     val cells = t.readWhere(s"cell IN (${probe.mkString(", ")})")
     val vn = VectorOps.normPre(col("v"))
     cells.select(col(idCol),
@@ -131,18 +131,20 @@ object AnnIndex {
   private def nearestCellsCol(cents: Seq[(Int, Seq[Double])],
       v: org.apache.spark.sql.Column, vn: org.apache.spark.sql.Column,
       n: Int): org.apache.spark.sql.Column = {
-    val centArr = array(cents.map { case (cell, c) =>
-      struct(lit(cell).as("cell"), array(c.map(lit): _*).as("c"),
-        lit(math.sqrt(c.map(x => x * x).sum)).as("n"))
-    }: _*)
-    slice(transform(array_sort(
-      transform(centArr, s => {
-        val denom = vn * s.getField("n")
-        struct(when(denom > 0,
-            negate(VectorOps.dotPre(v, s.getField("c")) / denom))
-            .otherwise(lit(1.0)).as("negSim"),
-          s.getField("cell").as("cell"))
-      })), e => e.getField("cell")), 1, n)
+    // one collapsed centroid literal + the IvfProbeCells codegen kernel —
+    // same (negSim, cell) ascending order with the +1.0 ranks-last
+    // zero-denominator sentinel as the former array_sort(transform(...))
+    // lambda chain (VecNativeSpec pins bit-equality)
+    val rows = cents.map { case (cell, c) =>
+      org.apache.spark.sql.Row(cell, c, math.sqrt(c.map(x => x * x).sum))
+    }
+    org.apache.spark.sql.graftbridge.ExprColumn.column(
+      graft.functions.IvfProbeCells(
+        org.apache.spark.sql.graftbridge.ExprColumn.expression(v),
+        org.apache.spark.sql.graftbridge.ExprColumn.expression(vn),
+        org.apache.spark.sql.graftbridge.ExprColumn.expression(
+          graft.functions.VecLit.of(rows, graft.functions.IvfCentsData.schema)),
+        n))
   }
 
   /** Incremental index maintenance: assign new vectors to their nearest

@@ -1,8 +1,11 @@
 package graft.vector
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ExprColumn
+
+import graft.functions.{IvfAssign, IvfCentsData, VecLit}
 
 /** IVF (inverted-file) approximate nearest neighbor: a k-means coarse
   * quantizer partitions the vectors into cells; queries probe only the
@@ -69,25 +72,20 @@ object Ivf {
     * rode the exchange as a grouping key) ever leaves its partition. */
   private[vector] def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cell"), col("c")).collect()
-    val centArr = array(cents.map { r =>
+    // one collapsed centroid literal + the IvfAssign codegen kernel —
+    // same argmin: min by negSim with ties to the lowest cell id; a
+    // zero-norm vector or centroid scores 0 (orthogonal) instead of
+    // tripping ANSI DIVIDE_BY_ZERO — it lands in the lowest cell.
+    // Formerly an interpreted array_min(transform(...)) lambda chain
+    // (VecNativeSpec pins bit-equality, ties and -0.0/NaN included).
+    val rows = cents.map { r =>
       val c = r.getSeq[Double](1)
-      val n = math.sqrt(c.map(x => x * x).sum)
-      struct(lit(r.getInt(0)).as("cell"), array(c.map(lit): _*).as("c"),
-        lit(n).as("n"))
-    }.toSeq: _*)
-    v.withColumn("__nv", VectorOps.normPre(col("v")))
-      .select(col("id"), col("v"),
-        array_min(transform(centArr, s => {
-          // struct ordering: min by negSim, ties to the lowest cell id —
-          // identical semantics to the previous min(struct(negSim, cell)).
-          // A zero-norm vector or centroid scores 0 (orthogonal) instead
-          // of tripping ANSI DIVIDE_BY_ZERO — it lands in the lowest cell.
-          val denom = col("__nv") * s.getField("n")
-          struct(when(denom > 0,
-              negate(VectorOps.dotPre(col("v"), s.getField("c")) / denom))
-              .otherwise(lit(0.0)).as("negSim"),
-            s.getField("cell").as("cell"))
-        })).getField("cell").as("cell"))
+      Row(r.getInt(0), c, math.sqrt(c.map(x => x * x).sum))
+    }.toSeq
+    val centsLit = VecLit.of(rows, IvfCentsData.schema)
+    v.select(col("id"), col("v"),
+      ExprColumn.column(IvfAssign(ExprColumn.expression(col("v")),
+        ExprColumn.expression(centsLit))).as("cell"))
   }
 
   /** Build the IVF index: every vector tagged with its cell. */
@@ -107,7 +105,7 @@ object Ivf {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     val (indexed, centroids) = index(emb, nlist, iters, idCol, vecCol)
-    val q = array(queryVec.map(lit): _*)
+    val q = VecLit.doubles(queryVec)
     // zero-norm guards mirror AnnIndex.topK: rank last, never NaN/ANSI-throw
     val cDen = VectorOps.normPre(col("c")) * VectorOps.normPre(q)
     val probeCells = centroids

@@ -43,7 +43,7 @@ object Mmr {
     require(k > 0 && nCand >= k, s"need nCand >= k > 0, got nCand=$nCand k=$k")
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
     val spark = emb.sparkSession
-    val q = array(queryVec.map(lit): _*)
+    val q = graft.functions.VecLit.doubles(queryVec)
     require(queryVec.exists(_ != 0.0), "query vector must have non-zero norm")
     // ONE bounded collect: id, rounded query-sim, unit-normalized vector.
     // Zero-norm vectors are dropped BEFORE the top-nCand take — their

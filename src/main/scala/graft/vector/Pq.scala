@@ -1,8 +1,12 @@
 package graft.vector
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ExprColumn
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, MapType, StructField, StructType}
+
+import graft.functions.{AdcLookup, PqCodebookData, PqEncode, PqNearestSub, VecLit}
 
 /** Product quantization (PQ) for approximate nearest neighbor at scale
   * (FAISS-style IVFADC building block, expressed as pure DataFrame
@@ -28,27 +32,22 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** Sequential squared L2 distance between two double arrays (fixed
-    * evaluation order — engine-reproducible like [[VectorOps.dot]]). */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-
   /** Driver-side codebooks: (sub, cell, centroid). */
   final case class Codebook(sub: Int, cell: Int, c: Seq[Double])
 
-  /** One literal struct array for every (sub, cell) centroid. */
+  /** The codebook as ONE collapsed literal (vs a per-element lit() tree
+    * of thousands of nodes re-analyzed per action — optimization guide
+    * §4). */
   private def centLit(cents: Seq[Codebook]): Column =
-    array(cents.map(cb =>
-      struct(lit(cb.sub).as("sub"), lit(cb.cell).as("cell"),
-        array(cb.c.map(lit): _*).as("c"))): _*)
+    VecLit.of(cents.map(cb => Row(cb.sub, cb.cell, cb.c)), PqCodebookData.schema)
 
   /** Argmin cell for subvector `sv` within subspace `sub` (ties → lowest
-    * cell, matching the oracle's ORDER BY dist, cell). */
+    * cell, matching the oracle's ORDER BY dist, cell) — the codegen
+    * kernel; formerly an interpreted array_min(transform(filter(...)))
+    * lambda chain (VecNativeSpec pins bit-equality). */
   private def nearestCell(cents: Column, sub: Column, sv: Column): Column =
-    array_min(transform(filter(cents, cb => cb.getField("sub") === sub),
-      cb => struct(l2sq(sv, cb.getField("c")).as("d"),
-        cb.getField("cell").as("cell")))).getField("cell")
+    ExprColumn.column(PqNearestSub(ExprColumn.expression(sv),
+      ExprColumn.expression(sub), ExprColumn.expression(cents)))
 
   /** (id, sub, sv): each vector exploded into its m subvectors. */
   private def subspaces(emb: DataFrame, m: Int, dsub: Int,
@@ -99,12 +98,9 @@ object Pq {
     * encode expression factored out so composed builders (e.g.
     * [[IvfPq]], which carries the IVF cell through the same projection)
     * encode without a self-join back to [[encode]]'s output. */
-  private[vector] def codesExpr(cents: Seq[Codebook], m: Int, v: Column): Column = {
-    val dsub = cents.head.c.size
-    val cl = centLit(cents)
-    transform(sequence(lit(0), lit(m - 1)), s =>
-      nearestCell(cl, s, slice(v, s * dsub + 1, lit(dsub))))
-  }
+  private[vector] def codesExpr(cents: Seq[Codebook], m: Int, v: Column): Column =
+    ExprColumn.column(PqEncode(ExprColumn.expression(v),
+      ExprColumn.expression(centLit(cents))))
 
   /** Encode every vector to its m-byte code word — a single zero-shuffle
     * narrow projection (no explode: all m argmins evaluate per row).
@@ -150,19 +146,21 @@ object Pq {
     // dropped-empty cells keep positional indexing valid; codes never
     // reference them)
     val bySubCell = cents.map(cb => (cb.sub, cb.cell) -> cb.c).toMap
+    // dense m×ksub lookup tables as ONE collapsed literal each; the
+    // per-code-word sum is the AdcLookup codegen kernel (same 0-based
+    // positional adds, sequential order)
     def table(f: (Int, Seq[Double]) => Double): Column =
-      array((0 until m).map(s => array((0 until ksub).map { c =>
-        lit(bySubCell.get((s, c)).map(v => f(s, v)).getOrElse(0.0))
-      }: _*)): _*)
+      VecLit.doubles2((0 until m).map(s => (0 until ksub).map { c =>
+        bySubCell.get((s, c)).map(v => f(s, v)).getOrElse(0.0)
+      }))
     val dots = table((s, c) =>
       c.zip(queryVec.slice(s * dsub, s * dsub + dsub)).foldLeft(0.0) {
         case (acc, (x, q)) => acc + x * q
       })
     val norms2 = table((_, c) => c.foldLeft(0.0)((acc, x) => acc + x * x))
     def lookup(tbl: Column): Column =
-      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-        acc + element_at(element_at(tbl, s + 1),
-          element_at(col("codes"), s + 1) + 1))
+      ExprColumn.column(AdcLookup(ExprColumn.expression(col("codes")),
+        ExprColumn.expression(tbl)))
     val n2 = lookup(norms2)
     codes.select(col(idCol),
         round(when(n2 > 0, lookup(dots) / (lit(qnorm) * sqrt(n2)))
@@ -191,25 +189,32 @@ object Pq {
     val ksub = cents.map(_.cell).max + 1
     val dsub = cents.head.c.size
     val bySubCell = cents.map(cb => (cb.sub, cb.cell) -> cb.c).toMap
-    def table(f: (Int, Seq[Double]) => Double): Column =
-      array((0 until m).map(s => array((0 until ksub).map { c =>
-        lit(bySubCell.get((s, c)).map(v => f(s, v)).getOrElse(0.0))
-      }: _*)): _*)
-    val norms2 = table((_, c) => c.foldLeft(0.0)((acc, x) => acc + x * x))
-    val qmap = map_from_arrays(
-      array(queries.map(q => lit(q._1)): _*),
-      array(queries.map { case (_, qv) =>
+    // tables and the per-query map as collapsed literals (the qid-keyed
+    // map previously inlined queries × m × ksub lit() nodes — the
+    // largest literal tree in the repo); lookups via the AdcLookup
+    // kernel (foldable norms2 → primitive double[][]; the per-row dots
+    // table rides the generic ArrayData path)
+    def tableSeq(f: (Int, Seq[Double]) => Double): Seq[Seq[Double]] =
+      (0 until m).map(s => (0 until ksub).map { c =>
+        bySubCell.get((s, c)).map(v => f(s, v)).getOrElse(0.0)
+      })
+    val norms2 = VecLit.doubles2(tableSeq((_, c) => c.foldLeft(0.0)((acc, x) => acc + x * x)))
+    val qmap = VecLit.of(
+      queries.map { case (qid, qv) =>
         val qn = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
-        val dots = table((s, c) =>
+        val dots = tableSeq((s, c) =>
           c.zip(qv.slice(s * dsub, s * dsub + dsub)).foldLeft(0.0) {
             case (acc, (x, q)) => acc + x * q
           })
-        struct(lit(qn).as("qn"), dots.as("dots"))
-      }: _*))
+        qid -> Row(qn, dots)
+      }.toMap,
+      MapType(LongType, StructType(Seq(
+        StructField("qn", DoubleType, nullable = false),
+        StructField("dots", ArrayType(VecLit.doubleArr, containsNull = false),
+          nullable = false))), valueContainsNull = false))
     def lookup(tbl: Column): Column =
-      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-        acc + element_at(element_at(tbl, s + 1),
-          element_at(col("codes"), s + 1) + 1))
+      ExprColumn.column(AdcLookup(ExprColumn.expression(col("codes")),
+        ExprColumn.expression(tbl)))
     val q = element_at(qmap, col("qid"))
     val n2 = lookup(norms2)
     val sim = round(

@@ -61,8 +61,8 @@ object Sq {
     * codes array<int>. */
   def encode(emb: DataFrame, b: Bounds, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val mnL = array(b.mins.map(lit): _*)
-    val mxL = array(b.maxs.map(lit): _*)
+    val mnL = graft.functions.VecLit.doubles(b.mins)
+    val mxL = graft.functions.VecLit.doubles(b.maxs)
     emb.select(col(idCol),
       zip_with(
         zip_with(transform(col(vecCol), x => x.cast("double")), mnL,
@@ -87,18 +87,18 @@ object Sq {
     val qnorm = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
     require(qnorm > 0, "query vector must have non-zero norm")
     require(queryVec.size == b.dims, "query/bounds dim mismatch")
-    val mnL = array(b.mins.map(lit): _*)
-    val mxL = array(b.maxs.map(lit): _*)
-    val qL = array(queryVec.map(lit): _*)
+    val mnL = graft.functions.VecLit.doubles(b.mins)
+    val mxL = graft.functions.VecLit.doubles(b.maxs)
+    val qL = graft.functions.VecLit.doubles(queryVec)
     val recon = zip_with(
       zip_with(col("codes"), mnL, (c, mn) => struct(c.as("c"), mn.as("mn"))),
       mxL, (p, mx) => reconOf(p.getField("c"), p.getField("mn"), mx))
-    val dot = aggregate(zip_with(recon, qL, (x, q) => x * q),
-      lit(0.0), (acc, v) => acc + v)
-    val n2 = aggregate(transform(recon, x => x * x),
-      lit(0.0), (acc, v) => acc + v)
+    // dot and sqrt(Σx²) through the codegen kernels — sqrt(n2) computed
+    // as NormL2 (same sum order then sqrt; n2 > 0 ⟺ norm > 0)
+    val dot = VectorOps.dot(recon, qL)
+    val rn = VectorOps.norm(recon)
     codes.select(col(idCol),
-        round(when(n2 > 0, dot / (lit(qnorm) * sqrt(n2)))
+        round(when(rn > 0, dot / (lit(qnorm) * rn))
             .otherwise(lit(-1.0)) + lit(1e-9), 4)
           .as("sim"))
       .orderBy(col("sim").desc, col(idCol))

@@ -2,6 +2,9 @@ package graft.vector
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ExprColumn
+
+import graft.functions.{DotProd, NormL2, VecLit}
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -14,14 +17,14 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** Sequential dot product in double precision (deterministic order —
-    * reproducible across engines). */
+    * reproducible across engines). Codegen kernel — the HOF
+    * `aggregate(zip_with(...))` form evaluates an interpreted lambda per
+    * element (guide §4); VecNativeSpec pins bit-equality. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    ExprColumn.column(DotProd(ExprColumn.expression(a), ExprColumn.expression(b)))
 
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    ExprColumn.column(NormL2(ExprColumn.expression(a)))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -29,17 +32,15 @@ object VectorOps {
     * two normalized vectors is a bare dot product. */
   def normalized(a: Column): Column = {
     val d = transform(a, x => x.cast("double"))
-    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, v) => acc + v))
-    transform(d, x => x / n)
+    transform(d, x => x / norm(d))
   }
 
-  /** Dot product of already-double arrays (no per-element casts). */
-  def dotPre(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of already-double arrays (same kernel — it casts only
+    * float elements, exactly). */
+  def dotPre(a: Column, b: Column): Column = dot(a, b)
 
   /** Norm of an already-double array. */
-  def normPre(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  def normPre(a: Column): Column = norm(a)
 
   /** Symmetric int8 scalar quantization stats per vector: per-vector scale
     * `max|v| / 127`, reconstruction MSE and max absolute error of
@@ -82,7 +83,7 @@ object VectorOps {
   def cosineTopK(emb: DataFrame, queryVec: Seq[Double], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(queryVec.exists(_ != 0.0), "query vector must have non-zero norm")
-    val q = array(queryVec.map(lit): _*)
+    val q = VecLit.doubles(queryVec)
     emb.select(col(idCol), guardedSim(col(vecCol), q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
@@ -101,7 +102,7 @@ object VectorOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(queryVec.exists(_ != 0.0), "query vector must have non-zero norm")
     require(minSim > -1.0, s"minSim must exceed the -1 zero-norm sentinel, got $minSim")
-    val q = array(queryVec.map(lit): _*)
+    val q = VecLit.doubles(queryVec)
     emb.select(col(idCol), guardedSim(col(vecCol), q).as("sim"))
       .filter(col("sim") >= minSim)
   }
@@ -135,7 +136,7 @@ object VectorOps {
   def lshTopK(emb: DataFrame, queryVec: Seq[Double], k: Int, nPlanes: Int = 8,
       probeNeighbors: Boolean = true,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = array(queryVec.map(lit): _*)
+    val q = VecLit.doubles(queryVec)
     val qBucketRow = emb.sparkSession.range(1)
       .select(lshBucket(q, nPlanes).as("qb")).head()
     val qBucket = qBucketRow.getLong(0)
