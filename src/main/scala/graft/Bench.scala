@@ -157,11 +157,17 @@ object Bench {
         .mkString("{", ",", "}")
       val qsIsoMad = isolated.map { case (k, _, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
+      // queries_effective: the isolated-preferred per-gate number — the
+      // same value_quiet substitution rule, materialized per gate so a
+      // PERF consumer can compare engine-attributable numbers without
+      // re-deriving the substitution (VERDICT r18 #7; additions only)
+      val qsEff = results.map { case (k, v, _, _) =>
+        "\"" + k + f"\":${isoMed.getOrElse(k, v)}%.3f" }.mkString("{", ",", "}")
       val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
       val qsSpent = budgetSpent.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
         .mkString("{", ",", "}")
       val full =
-        f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"value_quiet_gates":$quietGates,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"partial":$partial,"elapsed_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"degraded":$degradedJson,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"queries_isolated":$qsIso,"queries_isolated_mad":$qsIsoMad,"budget_spent":$qsSpent,"sf":"$sfDir"}"""
+        f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"value_quiet_gates":$quietGates,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${ok.size},"repeat":$repeat,"partial":$partial,"elapsed_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"degraded":$degradedJson,"queries":$qs,"queries_min":$qsMin,"queries_mad":$qsMad,"queries_isolated":$qsIso,"queries_isolated_mad":$qsIsoMad,"queries_effective":$qsEff,"budget_spent":$qsSpent,"sf":"$sfDir"}"""
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
       val tmp = dir.resolve("bench_full.json.tmp")
@@ -532,9 +538,12 @@ object Bench {
       .map { case (k, v, _, _) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val slowestMad = slowestQ
       .map { case (k, _, _, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    val slowestEff = slowestQ
+      .map { case (k, v, _, _) => "\"" + k + f"\":${isoMed.getOrElse(k, v)}%.2f" }
+      .mkString("{", ",", "}")
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${okF.size},"repeat":$repeat,"degraded":$degradedJson,"queries":$slowest,"queries_mad":$slowestMad,"queries_isolated":$qsIso,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
+      f"""{"metric":"total_sec","value":$total%.2f,"value_quiet":$totalQuiet%.2f,"unit":"sec","stat":"median","total_mad":$totalMad%.2f,"qpm":$qpm%.1f,"concurrent_qpm":$concurrentQpm%.1f,"concurrency":$conc,$pruning,$pruning2d,$mergeCmp,$deleteCmp,"n_queries":${okF.size},"repeat":$repeat,"degraded":$degradedJson,"queries":$slowest,"queries_mad":$slowestMad,"queries_isolated":$qsIso,"queries_effective":$slowestEff,"queries_full":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1034,8 +1034,13 @@ object MultimodalQueries extends QueryBatch {
         .select((col("doc_id") + 300000).as("doc_id"),
           expr("substring(blob0, 1, 20)").as("blob"))
       val in = Scratch.dir("medialoopsrc")
+      // repartition(1), NOT coalesce(1): coalesce is narrow, so it pulled
+      // every per-row container ENCODE into the single writer task
+      // (ProfSteps r19: 1.45 s serial of a 2.3 s gate body). The shuffle
+      // moves the encoded blobs once and keeps the encode on all cores;
+      // one output file still means one deterministic micro-batch.
       copies.unionByName(novel).unionByName(corrupt)
-        .coalesce(1).write.mode("overwrite").parquet(in)
+        .repartition(1).write.mode("overwrite").parquet(in)
       val nNovel = novel.count()
       val stream = s.readStream.schema(copies.schema).parquet(in)
         .writeStream.trigger(Trigger.AvailableNow())

@@ -283,7 +283,18 @@ object OptimizerQueries extends QueryBatch {
       val p = Scratch.dir("optapply")
       val o = Tables.t(s, dir, "orders")
       val t = GraftTable.create(s, p, o.schema)
-      t.append(o.repartition(32)) // every file spans the whole key range
+      // Fragment count derived from DATA, not a flat 32 (guide §2.5/§6;
+      // VERDICT r18 #2): at small SFs a flat 32 wrote 32 near-empty
+      // files whose per-file commit/scheduling overhead INVERTED on core
+      // count (isolated 9.65 s @32c vs 5.83 s @8c), and at large SFs it
+      // would under-fragment. ~192 KB fragments keep the fixture "many
+      // small files, each spanning the whole key range" at every scale;
+      // round-robin repartition spans each file over the full key range
+      // exactly as before.
+      val srcBytes = java.nio.file.Files.size(
+        java.nio.file.Paths.get(dir, "orders.parquet"))
+      val nFrag = math.max(4L, math.min(64L, srcBytes / (192 * 1024))).toInt
+      t.append(o.repartition(nFrag)) // every file spans the whole key range
       // target ~16 post-OPTIMIZE files at ANY test scale: a fixed byte
       // target collapses a tiny table to one file (nothing left to
       // prune) and over-splits a large one

@@ -291,18 +291,28 @@ object Relational extends QueryBatch {
   )
 
   /** DENSE_RANK top-10 customers by revenue (`DP/Step 14:164-171`).
-    * Note: the global rank window is a single-partition stage; Spark plans
-    * TakeOrdered-style top-k only for ORDER+LIMIT, so at 100 TB we'd pre-agg
-    * per customer (shuffle on c_custkey) and the rank input is |customers|,
-    * not |orders| — acceptable. */
+    * Two-phase top-k (guide §2.4/§2.5): `dense_rank() <= 10` over an
+    * unpartitioned window would push ALL |customers| aggregate rows
+    * through ONE task at 100 TB. Instead the 10th-highest DISTINCT
+    * revenue is found with ORDER+LIMIT (planned as TakeOrdered — per-
+    * partition top-k, driver combine), and the rank window runs only
+    * over the rows at-or-above that threshold (≤ 10 values + ties).
+    * `rev >= 10th-highest-distinct-rev` ⇔ `dense_rank(rev desc) <= 10`
+    * by definition of dense_rank, so the output is identical; with
+    * fewer than 10 distinct revenues the threshold is the minimum and
+    * every row keeps, same as before. The aggregate subtree appears
+    * twice but shares one exchange (ReusedExchange). */
   private val q21 = GQ(
     "q21_dense_rank_topk",
     (s, dir) => {
       val rev = t(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(sum("o_totalprice").as("rev"))
-      rev.withColumn("rnk", dense_rank().over(Window.orderBy(col("rev").desc)))
-        .filter(col("rnk") <= 10)
+      val th = rev.select(col("rev")).distinct()
+        .orderBy(col("rev").desc).limit(10)
+        .agg(min("rev").as("__th"))
+      rev.join(broadcast(th), col("rev") >= col("__th"))
+        .withColumn("rnk", dense_rank().over(Window.orderBy(col("rev").desc)))
         .select(col("o_custkey"), round(col("rev"), 2).as("revenue"), col("rnk"))
         .orderBy("rnk", "o_custkey")
     },

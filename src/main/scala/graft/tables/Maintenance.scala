@@ -80,7 +80,13 @@ object Maintenance {
   /** Equi-depth bucket ids (0..255) per column — the shared first stage
     * of both curve layouts: one sketch pass for every column together
     * (dates/timestamps ride as epoch doubles); boundaries are tiny and
-    * become literals, so the bucket mapping is a narrow projection. */
+    * ride the codegen'd [[graft.functions.BucketIdx]] expression, so the
+    * bucket mapping is a narrow binary-search projection. (Round 19: the
+    * previous `size(filter(<255-lit array>, b => x >= b))` form was an
+    * interpreted HOF referenced 8×·|cols| times by the bit-interleave and
+    * evaluated twice per rewrite — sampling pass + shuffle — measured as
+    * the in-OPTIMIZE wall of q245; BucketIdx is its exact replacement,
+    * guide §4. Equality incl. null/NaN/±0.0 pinned in LayoutNativeSpec.) */
   private def bucketIds(df: org.apache.spark.sql.DataFrame,
       cols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
     val nBuckets = 1 << ZBitsPerColumn
@@ -91,8 +97,8 @@ object Maintenance {
     val bounds = proj.stat.approxQuantile(
       cols.indices.map(i => s"__zc$i").toArray, probs, 0.001)
     cols.zip(bounds).map { case (c, bs) =>
-      val arr = array(bs.distinct.sorted.map(lit(_)): _*)
-      size(filter(arr, b => col(c).cast("double") >= b)).cast("long")
+      graft.functions.LayoutNative.bucketIdx(
+        col(c).cast("double"), bs.distinct.sorted)
     }
   }
 

@@ -204,12 +204,20 @@ object DedupOps {
     val wDf = Window.partitionBy("shingle")
     val wRn = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
     val wSz = Window.partitionBy("doc_id")
-    val bPrefix = batchGrams
+    val bPrefixRaw = batchGrams
       .withColumn("df", count(lit(1)).over(wDf))
       .withColumn("rn", row_number().over(wRn))
       .withColumn("sz", count(lit(1)).over(wSz))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("doc_id", "shingle")
+    // the prefix is referenced THREE times in the candidate job (index
+    // probe + both sides of the batch self-join); its two window
+    // exchanges would re-run per reference (plans cache nothing) —
+    // persist for the candidate job's duration (guide §2.4: one
+    // exchange, shared). The plan-audit path (materializeCandidates =
+    // false) keeps the declarative form.
+    val bPrefix =
+      if (materializeCandidates) bPrefixRaw.persist() else bPrefixRaw
     val vsCorpus = bPrefix.alias("p")
       .join(corpusGrams.alias("c"), col("p.shingle") === col("c.shingle"))
       .select(least(col("p.doc_id"), col("c.doc_id")).as("d1"),
@@ -227,8 +235,11 @@ object DedupOps {
     // materializeCandidates=false to inspect the full declarative plan.
     val candidatesRaw = vsCorpus.unionByName(vsBatch).distinct()
     val candidates =
-      if (materializeCandidates) graft.perf.Lineage.cut(candidatesRaw)
-      else candidatesRaw
+      if (materializeCandidates) {
+        val c = graft.perf.Lineage.cut(candidatesRaw)
+        bPrefix.unpersist(blocking = false) // cut materialized; done
+        c
+      } else candidatesRaw
     val touched = candidates.select(col("d1").as("doc_id"))
       .unionByName(candidates.select(col("d2").as("doc_id"))).distinct()
     // batch supersedes the index on id collision: anti-join keeps a
@@ -236,10 +247,17 @@ object DedupOps {
     // never merge two versions (the anti-join is against batch ids —
     // metadata-scale next to the index)
     val batchIds = batchGrams.select("doc_id").distinct()
+    // touched ∝ candidates ∝ matches (the same boundedness the cut above
+    // already assumes) and batchIds is metadata-scale — BROADCAST both,
+    // so the semi/anti never shuffle the INDEX postings by doc_id (the
+    // r18 plan showed a SortMergeJoin LeftSemi exchanging the full
+    // corpus-gram table per probe — the structurally wrong move at
+    // 100 TB; guide §3.1). The later groupBy exchanges only the
+    // touched docs' grams.
     val gramsTouched = corpusGrams
-      .join(batchIds, Seq("doc_id"), "left_anti")
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
       .unionByName(batchGrams)
-      .join(touched, Seq("doc_id"), "left_semi")
+      .join(broadcast(touched), Seq("doc_id"), "left_semi")
     verifyPairs(candidates, gramsTouched, threshold)
   }
 
