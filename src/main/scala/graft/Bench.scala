@@ -208,6 +208,14 @@ object Bench {
     val alwaysIsolate = sys.env.get("SPARK_GRAFT_ISOLATE_ALWAYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set("q58_optimize_zorder", "q245_optimizer_apply",
+        // r19: the rest of the OPTIMIZE/layout + index-build family —
+        // write-heavy gates whose in-run medians inflated vs their quiet
+        // warm numbers on a busy box (r19 sitting: q285 8.08 in-run vs
+        // 2.9 warm, q283 5.4 vs 3.7, q216 5.25 vs 4.0) while MAD stayed
+        // small (correlated inflation, the q58 signature)
+        "q121_stats_skipping", "q149_deletion_vectors",
+        "q216_dedup_index_table", "q283_optimize_hilbert",
+        "q285_between_prune", "q286_isnull_prune", "q287_optimize_where",
         "q246_image_decode", "q247_audio_decode", "q248_image_near_dup",
         "q249_video_decode", "q250_video_frame_sample",
         "q251_audio_near_dup", "q252_video_near_dup",

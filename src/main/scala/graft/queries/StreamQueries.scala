@@ -698,7 +698,13 @@ object StreamQueries extends QueryBatch {
     (s, dir) => {
       val o = Tables.t(s, dir, "orders")
         .select("o_orderkey", "o_totalprice", "o_orderdate")
+      // the reference is re-BINNED by every batch's PSI call (by design —
+      // psiWithBounds pays ref-bins + cur-bins per call); materialize the
+      // one needed column once so the 1 bounds + 3 per-batch binning
+      // passes read blocks instead of re-scanning/projecting the table
+      // (guide §5: reuse beats recompute for a frame consumed 4×)
       val ref = o.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+        .select("o_totalprice").localCheckpoint()
       val in = scratch("driftsrc")
       (1 to 3).foreach { k =>
         o.filter(pmod(col("o_orderkey"), lit(4)) === k).coalesce(1)
@@ -716,10 +722,17 @@ object StreamQueries extends QueryBatch {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", scratch("driftckpt"))
         .foreachBatch { (b: DataFrame, _: Long) =>
-          val rows = b.count()
+          // one action for (rows, residue) instead of a count PLUS a
+          // head — every row of a batch file shares the residue class
+          // (the fixture writes one class per file), so min ≡ head's
+          // value; the two separate actions scanned the batch twice and
+          // doubled the per-batch driver latency (ProfJobs r19: q282 was
+          // 48 jobs / 1.9 task-s — ~95% driver)
+          val h = b.agg(count(lit(1)).as("n"),
+            min(pmod(col("o_orderkey"), lit(4))).as("residue")).head()
+          val rows = h.getLong(0)
           if (rows > 0) {
-            val residue = b.select(pmod(col("o_orderkey"), lit(4)))
-              .head().getLong(0)
+            val residue = h.getLong(1)
             val psi = graft.services.Drift.psiWithBounds(ref, b,
                 "o_totalprice", refMn, refMx, bins = 4)
               .agg(sum("psi_term")).head().getDouble(0)
