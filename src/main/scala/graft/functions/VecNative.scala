@@ -67,6 +67,18 @@ private[graft] object VecNative {
 
   def elemOf(dt: DataType): DataType = dt.asInstanceOf[ArrayType].elementType
   def elemNullable(dt: DataType): Boolean = dt.asInstanceOf[ArrayType].containsNull
+
+  /** The codebook/centroid child of the parse-at-planning kernels must be
+    * a FOLDABLE literal of exactly `schema` — anything else used to fail
+    * at runtime inside `right.eval(null)`/parse (ClassCastException/NPE)
+    * instead of a clean analysis error (r18 ADVICE finding). */
+  def requireFoldableLit(e: Expression, schema: DataType,
+      what: String): TypeCheckResult =
+    if (!e.foldable) TypeCheckResult.TypeCheckFailure(
+      s"$what requires a foldable codebook/centroid literal")
+    else if (e.dataType != schema) TypeCheckResult.TypeCheckFailure(
+      s"$what codebook must be ${schema.sql}, got ${e.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
 }
 
 /** Parsed PQ codebook: per subspace the ascending cell ids and their
@@ -325,8 +337,14 @@ case class PqEncode(left: Expression, right: Expression) extends BinaryExpressio
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    VecNative.requireArrDouble(left.dataType, prettyName)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VecNative.requireArrDouble(left.dataType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VecNative.requireFoldableLit(right, PqCodebookData.schema, prettyName)
+  }
+
+  private def elem = VecNative.elemOf(left.dataType)
+  private def isFloatElem = elem == FloatType
 
   @transient private lazy val cb: PqCodebookData =
     PqCodebookData.parse(right.eval(null).asInstanceOf[ArrayData])
@@ -350,7 +368,8 @@ case class PqEncode(left: Expression, right: Expression) extends BinaryExpressio
         var d = 0.0
         var j = 0
         while (j < nn) {
-          val t = vec.getDouble(base + j) - cent(j)
+          val t = (if (isFloatElem) vec.getFloat(base + j).toDouble
+                   else vec.getDouble(base + j)) - cent(j)
           d += t * t
           j += 1
         }
@@ -396,7 +415,7 @@ case class PqEncode(left: Expression, right: Expression) extends BinaryExpressio
          |    int $nn = java.lang.Math.min($cent.length, $v.numElements() - $base);
          |    double $d = 0.0;
          |    for (int $j = 0; $j < $nn; $j++) {
-         |      double $t = $v.getDouble($base + $j) - $cent[$j];
+         |      double $t = ${VecNative.getD(v, s"$base + $j", elem)} - $cent[$j];
          |      $d += $t * $t;
          |    }
          |    if ($first || graft.functions.VecNative.cmpD($d, $best) < 0) {
@@ -421,8 +440,14 @@ case class PqNearestSub(first: Expression, second: Expression, third: Expression
   override def dataType: DataType = IntegerType
   override def prettyName: String = "pq_nearest_sub"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    VecNative.requireArrDouble(first.dataType, prettyName)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f = VecNative.requireArrDouble(first.dataType, prettyName)
+    if (f != TypeCheckResult.TypeCheckSuccess) f
+    else VecNative.requireFoldableLit(third, PqCodebookData.schema, prettyName)
+  }
+
+  private def elem = VecNative.elemOf(first.dataType)
+  private def isFloatElem = elem == FloatType
 
   @transient private lazy val cb: PqCodebookData =
     PqCodebookData.parse(third.eval(null).asInstanceOf[ArrayData])
@@ -442,7 +467,8 @@ case class PqNearestSub(first: Expression, second: Expression, third: Expression
       var d = 0.0
       var j = 0
       while (j < nn) {
-        val t = vec.getDouble(j) - cent(j)
+        val t = (if (isFloatElem) vec.getFloat(j).toDouble
+                 else vec.getDouble(j)) - cent(j)
         d += t * t
         j += 1
       }
@@ -475,7 +501,7 @@ case class PqNearestSub(first: Expression, second: Expression, third: Expression
          |  int $nn = java.lang.Math.min($cent.length, $sv.numElements());
          |  double $d = 0.0;
          |  for (int $j = 0; $j < $nn; $j++) {
-         |    double $t = $sv.getDouble($j) - $cent[$j];
+         |    double $t = ${VecNative.getD(sv, j, elem)} - $cent[$j];
          |    $d += $t * $t;
          |  }
          |  if ($firstF || graft.functions.VecNative.cmpD($d, $best) < 0) {
@@ -498,8 +524,14 @@ case class IvfAssign(left: Expression, right: Expression) extends BinaryExpressi
   override def dataType: DataType = IntegerType
   override def prettyName: String = "ivf_assign"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    VecNative.requireArrDouble(left.dataType, prettyName)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VecNative.requireArrDouble(left.dataType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VecNative.requireFoldableLit(right, IvfCentsData.schema, prettyName)
+  }
+
+  private def elem = VecNative.elemOf(left.dataType)
+  private def isFloatElem = elem == FloatType
 
   @transient private lazy val cd: IvfCentsData =
     IvfCentsData.parse(right.eval(null).asInstanceOf[ArrayData])
@@ -509,7 +541,10 @@ case class IvfAssign(left: Expression, right: Expression) extends BinaryExpressi
     val n = vec.numElements()
     var nv = 0.0
     var i = 0
-    while (i < n) { val x = vec.getDouble(i); nv += x * x; i += 1 }
+    while (i < n) {
+      val x = if (isFloatElem) vec.getFloat(i).toDouble else vec.getDouble(i)
+      nv += x * x; i += 1
+    }
     nv = math.sqrt(nv)
     var bestNeg = 0.0
     var bestCell = 0
@@ -523,7 +558,11 @@ case class IvfAssign(left: Expression, right: Expression) extends BinaryExpressi
         val nn = math.min(cent.length, n)
         var dot = 0.0
         var j = 0
-        while (j < nn) { dot += vec.getDouble(j) * cent(j); j += 1 }
+        while (j < nn) {
+          dot += (if (isFloatElem) vec.getFloat(j).toDouble
+                  else vec.getDouble(j)) * cent(j)
+          j += 1
+        }
         neg = -(dot / denom)
       }
       val cmp = VecNative.cmpD(neg, bestNeg)
@@ -556,7 +595,7 @@ case class IvfAssign(left: Expression, right: Expression) extends BinaryExpressi
          |int $n = $v.numElements();
          |double $nv = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $v.getDouble($i);
+         |  double $x = ${VecNative.getD(v, i, elem)};
          |  $nv += $x * $x;
          |}
          |$nv = java.lang.Math.sqrt($nv);
@@ -568,7 +607,7 @@ case class IvfAssign(left: Expression, right: Expression) extends BinaryExpressi
          |  if ($denom > 0) {
          |    int $nn = java.lang.Math.min($cent.length, $n);
          |    double $dot = 0.0;
-         |    for (int $j = 0; $j < $nn; $j++) { $dot += $v.getDouble($j) * $cent[$j]; }
+         |    for (int $j = 0; $j < $nn; $j++) { $dot += ${VecNative.getD(v, j, elem)} * $cent[$j]; }
          |    $neg = -($dot / $denom);
          |  }
          |  int $cmp = graft.functions.VecNative.cmpD($neg, $bestNeg);
@@ -595,8 +634,14 @@ case class IvfProbeCells(first: Expression, second: Expression, third: Expressio
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "ivf_probe_cells"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    VecNative.requireArrDouble(first.dataType, prettyName)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f = VecNative.requireArrDouble(first.dataType, prettyName)
+    if (f != TypeCheckResult.TypeCheckSuccess) f
+    else VecNative.requireFoldableLit(third, IvfCentsData.schema, prettyName)
+  }
+
+  private def elem = VecNative.elemOf(first.dataType)
+  private def isFloatElem = elem == FloatType
 
   @transient private lazy val cd: IvfCentsData =
     IvfCentsData.parse(third.eval(null).asInstanceOf[ArrayData])
@@ -616,7 +661,11 @@ case class IvfProbeCells(first: Expression, second: Expression, third: Expressio
         val nn = math.min(cent.length, vec.numElements())
         var dot = 0.0
         var j = 0
-        while (j < nn) { dot += vec.getDouble(j) * cent(j); j += 1 }
+        while (j < nn) {
+          dot += (if (isFloatElem) vec.getFloat(j).toDouble
+                  else vec.getDouble(j)) * cent(j)
+          j += 1
+        }
         neg = -(dot / denom)
       }
       negs(i) = neg
@@ -650,7 +699,7 @@ case class IvfProbeCells(first: Expression, second: Expression, third: Expressio
          |  if ($denom > 0) {
          |    int $nn = java.lang.Math.min($cent.length, $v.numElements());
          |    double $dot = 0.0;
-         |    for (int $j = 0; $j < $nn; $j++) { $dot += $v.getDouble($j) * $cent[$j]; }
+         |    for (int $j = 0; $j < $nn; $j++) { $dot += ${VecNative.getD(v, j, elem)} * $cent[$j]; }
          |    $neg = -($dot / $denom);
          |  }
          |  $negs[$i] = $neg;

@@ -76,14 +76,20 @@ object DedupIndex {
     * metadata check. */
   def append(t: GraftTable, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // persist the banded grams: they are consumed TWICE (the supersede
+    // merge's source ids, then the posting append) and re-shingling the
+    // batch per consumer doubled the per-ingest maintenance cost
+    // (guide §5: reuse beats recompute; bounded — one batch's postings)
     val df = grams(docs, intProp(t, NProp), intProp(t, BandsProp),
-      idCol, textCol)
-    graft.tables.MergeOps.mergeInto(t, df.select("doc_id").distinct(),
-      "target.doc_id = source.doc_id",
-      matched = Seq(graft.tables.MergeOps.WhenMatched(None,
-        graft.tables.MergeOps.DeleteAction)),
-      extraProps = Map("graft.dedup.supersede" -> "true"))
-    t.append(df, "DEDUP INDEX APPEND")
+      idCol, textCol).persist()
+    try {
+      graft.tables.MergeOps.mergeInto(t, df.select("doc_id").distinct(),
+        "target.doc_id = source.doc_id",
+        matched = Seq(graft.tables.MergeOps.WhenMatched(None,
+          graft.tables.MergeOps.DeleteAction)),
+        extraProps = Map("graft.dedup.supersede" -> "true"))
+      t.append(df, "DEDUP INDEX APPEND")
+    } finally df.unpersist(blocking = false)
   }
 
   /** Exact near-dup pairs (Jaccard ≥ threshold) between a new batch and

@@ -98,9 +98,16 @@ object Pq {
     * encode expression factored out so composed builders (e.g.
     * [[IvfPq]], which carries the IVF cell through the same projection)
     * encode without a self-join back to [[encode]]'s output. */
-  private[vector] def codesExpr(cents: Seq[Codebook], m: Int, v: Column): Column =
+  private[vector] def codesExpr(cents: Seq[Codebook], m: Int, v: Column): Column = {
+    // PqEncode derives m from the codebook itself; callers still pass m
+    // for the ADC table sizing — pin the two sources of truth together,
+    // or the code-word length would silently diverge from the lookup
+    // tables (r18 ADVICE finding)
+    require(cents.map(_.sub).max + 1 == m,
+      s"codebook spans ${cents.map(_.sub).max + 1} subspaces, caller says $m")
     ExprColumn.column(PqEncode(ExprColumn.expression(v),
       ExprColumn.expression(centLit(cents))))
+  }
 
   /** Encode every vector to its m-byte code word — a single zero-shuffle
     * narrow projection (no explode: all m argmins evaluate per row).
